@@ -1,0 +1,185 @@
+"""DataSource catalog.
+
+A Druid *dataSource* is "the queryable unit, analogous to an RDBMS table"
+(reference: query/query-timeseries.md:49). Druid keeps the dataSource →
+segment mapping in a MySQL metadata store (reference: arch/druid-arch.md:21);
+here a dataSource is simply a named Parquet path (optionally time-partitioned)
+plus the name of its primary time column, and the catalog is an in-process
+dict — Spark's own catalog + Parquet partition discovery replace the
+Coordinator/metastore machinery.
+
+Every registered dataSource exposes a canonical ``__time`` column (Druid's
+primary timestamp, query/query-timeseries.md:51) aliased from its declared
+time column, so the query planner is schema-agnostic. The alias is a
+Project on top of the scan — Catalyst pushes ``__time`` predicates through
+it to the Parquet reader, so interval filters still become partition
+pruning + row-group skipping at scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TIME_COLUMN = "__time"
+
+
+@dataclass
+class DataSource:
+    name: str
+    path: str | None = None
+    time_column: str | None = None
+    # Columns treated as Druid dimensions/metrics; None = infer (strings ->
+    # dimensions, numerics -> metrics) at query time.
+    dimensions: list[str] | None = None
+    metrics: list[str] | None = None
+    options: dict[str, str] = field(default_factory=dict)
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        reader = spark.read
+        for k, v in self.options.items():
+            reader = reader.option(k, v)
+        nanos_cols = _nano_timestamp_columns(self.path)
+        if nanos_cols:
+            # The fixture Parquet stores TIMESTAMP(NANOS), which Spark's
+            # reader rejects; read as long nanos and convert to native
+            # TimestampType (µs). Production tables written by our own
+            # ingest are µs + time-partitioned, so interval pruning there
+            # is native partition pruning; this conversion is a
+            # fixture-compat shim.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = reader.parquet(self.path)
+        for c in nanos_cols:
+            if c in df.columns:
+                df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        if self.time_column and self.time_column in df.columns:
+            df = df.withColumn(TIME_COLUMN, F.col(self.time_column))
+        return df
+
+
+def _nano_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as timestamp[ns] in the Parquet footer (which Spark
+    cannot read natively)."""
+    try:
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(path, format="parquet").schema
+    except Exception:
+        return []
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field.name)
+    return out
+
+
+class Catalog:
+    """name → DataSource registry; resolves Druid dataSource specs
+    (table / union / nested query) to DataFrames."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._sources: dict[str, DataSource] = {}
+        self._frames: dict[str, DataFrame] = {}
+
+    def register(
+        self,
+        name: str,
+        path: str | None = None,
+        df: DataFrame | None = None,
+        time_column: str | None = None,
+        dimensions: list[str] | None = None,
+        metrics: list[str] | None = None,
+        as_view: bool = True,
+    ) -> DataSource:
+        source = DataSource(
+            name=name, path=path, time_column=time_column,
+            dimensions=dimensions, metrics=metrics,
+        )
+        self._sources[name] = source
+        if df is not None:
+            if time_column and time_column in df.columns:
+                df = df.withColumn(TIME_COLUMN, F.col(time_column))
+            self._frames[name] = df
+        if as_view:
+            # SQL front-end (reference query/query-module-overview.md:48-49):
+            # every dataSource is queryable via spark.sql directly.
+            self.table(name).createOrReplaceTempView(name)
+        return source
+
+    def names(self) -> list[str]:
+        return sorted(self._sources)
+
+    def source(self, name: str) -> DataSource:
+        if name not in self._sources:
+            raise KeyError(f"unknown dataSource: {name!r}; known: {self.names()}")
+        return self._sources[name]
+
+    def table(self, name: str) -> DataFrame:
+        if name in self._frames:
+            return self._frames[name]
+        df = self.source(name).load(self.spark)
+        self._frames[name] = df
+        return df
+
+    def resolve(self, datasource) -> DataFrame:
+        """Resolve a Druid dataSource spec to a DataFrame.
+
+        Supported shapes (Datasources component, reference
+        query/query-module-overview.md:40): a plain name, ``{"type":
+        "table", "name": ...}``, ``{"type": "union", "dataSources":
+        [...]}`` (→ unionByName), and ``{"type": "query", "query":
+        {...}}`` (nested query — handled by the planner, which passes the
+        inner result DataFrame here).
+        """
+        if isinstance(datasource, DataFrame):
+            return datasource
+        if isinstance(datasource, str):
+            return self.table(datasource)
+        if isinstance(datasource, dict):
+            dtype = datasource.get("type", "table")
+            if dtype == "table":
+                return self.table(datasource["name"])
+            if dtype == "union":
+                names = datasource.get("dataSources") or datasource.get("names")
+                frames = [self.resolve(n) for n in names]
+                out = frames[0]
+                for other in frames[1:]:
+                    out = out.unionByName(other, allowMissingColumns=True)
+                return out
+            if dtype == "query":
+                raise ValueError(
+                    "nested query dataSource must be planned by the engine "
+                    "before catalog resolution"
+                )
+            raise ValueError(f"unsupported dataSource type: {dtype!r}")
+        raise TypeError(f"bad dataSource spec: {datasource!r}")
+
+
+# Test-fixture schema (FIXTURES.md): table -> its Druid time column.
+FIXTURE_TIME_COLUMNS = {
+    "events": "ts",
+    "orders": "o_orderdate",
+    "lineitem": "l_shipdate",
+}
+FIXTURE_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def register_fixtures(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Register the driver-generated test tables (TESTDATA.md) as
+    dataSources. `events`/`orders`/`lineitem` get their natural time
+    column as ``__time``."""
+    catalog = Catalog(spark)
+    for name in FIXTURE_TABLES:
+        catalog.register(
+            name,
+            path=f"{sf_dir}/{name}.parquet",
+            time_column=FIXTURE_TIME_COLUMNS.get(name),
+        )
+    return catalog

@@ -1,0 +1,200 @@
+"""DruidEngine — the query entry point.
+
+Mirrors the reference's query lifecycle (query/query-internal-procedure.md:
+QueryResource.doPost → readQuery → QueryLifecycle → getRunner → Sequence →
+streamed JSON) collapsed onto Spark:
+
+    parse JSON spec → dispatch on queryType → planner builds a DataFrame
+    (logical plan) → Catalyst plans/executes → serialize Druid-shaped rows.
+
+The broker's segment location + scatter/gather (QuerySegmentWalker →
+mergeRunners → mergeResults, query/query-01.jpg) disappears into Catalyst:
+partition pruning selects "segments", partial/final HashAggregate is the
+historical→broker merge.
+
+Operational contract (query/query-module-overview.md:55-87): per-query id,
+cancel, timeout, and the JSON error envelope.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from coolplaydruid_spark.catalog import Catalog
+from coolplaydruid_spark.errors import (
+    DruidQueryError,
+    QueryTimeoutError,
+    UnknownQueryError,
+    envelope_for,
+)
+from coolplaydruid_spark.plans.common import BUCKET
+from coolplaydruid_spark.plans.groupby import plan_groupby
+from coolplaydruid_spark.plans.metadata import (
+    plan_datasource_metadata,
+    plan_segment_metadata,
+    plan_time_boundary,
+)
+from coolplaydruid_spark.plans.scan import plan_scan, plan_select
+from coolplaydruid_spark.plans.search import plan_search
+from coolplaydruid_spark.plans.timeseries import plan_timeseries
+from coolplaydruid_spark.plans.topn import plan_topn
+
+
+class DruidEngine:
+    def __init__(self, spark: SparkSession, catalog: Catalog | None = None):
+        self.spark = spark
+        self.catalog = catalog or Catalog(spark)
+
+    # ---- planning -------------------------------------------------------
+
+    _PLANNERS = {
+        "timeseries": plan_timeseries,
+        "topN": plan_topn,
+        "groupBy": plan_groupby,
+        "scan": plan_scan,
+        "select": plan_select,
+        "search": plan_search,
+        "timeBoundary": plan_time_boundary,
+        "segmentMetadata": plan_segment_metadata,
+        "dataSourceMetadata": plan_datasource_metadata,
+    }
+
+    def resolve_datasource(self, spec) -> DataFrame:
+        """Resolve table/union/nested-query dataSources. A nested query
+        dataSource (groupBy over groupBy, query/query-module-overview.md:40)
+        recursively plans the inner query; its bucket column becomes the
+        inner frame's ``__time`` so outer granularity still applies."""
+        if isinstance(spec, dict) and spec.get("type") == "query":
+            inner = self.plan(spec["query"])
+            if BUCKET in inner.columns:
+                inner = inner.withColumnRenamed(BUCKET, "__time")
+            return inner
+        return self.catalog.resolve(spec)
+
+    def plan(self, query: dict) -> DataFrame:
+        """JSON query spec → DataFrame (lazy logical plan)."""
+        if "queryType" not in query:
+            raise UnknownQueryError("missing queryType", error_class="IllegalArgumentException")
+        qtype = query["queryType"]
+        planner = self._PLANNERS.get(qtype)
+        if planner is None:
+            raise UnknownQueryError(
+                f"unknown queryType {qtype!r}", error_class="IllegalArgumentException"
+            )
+        return planner(self, query)
+
+    # ---- execution with the operational contract ------------------------
+
+    def execute(self, query: dict | str) -> list[dict[str, Any]]:
+        """Run a query and return Druid-shaped result rows. Applies
+        ``context.timeout`` (ms) via job-group cancellation and maps any
+        failure to the Druid error envelope."""
+        if isinstance(query, str):
+            try:
+                query = json.loads(query)
+            except json.JSONDecodeError as e:
+                raise UnknownQueryError(str(e), error_class="JsonParseException") from e
+        context = query.get("context") or {}
+        query_id = context.get("queryId") or str(uuid.uuid4())
+        timeout_ms = context.get("timeout")
+        sc = self.spark.sparkContext
+        sc.setJobGroup(query_id, f"druid query {query_id}", interruptOnCancel=True)
+        timer = None
+        timed_out = threading.Event()
+        if timeout_ms:
+            def _cancel():
+                timed_out.set()
+                sc.cancelJobGroup(query_id)
+
+            timer = threading.Timer(timeout_ms / 1000.0, _cancel)
+            timer.daemon = True
+            timer.start()
+        try:
+            df = self.plan(query)
+            rows = [r.asDict(recursive=True) for r in df.collect()]
+            return self.serialize(query, rows)
+        except DruidQueryError:
+            raise
+        except Exception as e:
+            if timed_out.is_set():
+                raise QueryTimeoutError() from e
+            raise UnknownQueryError(str(e), error_class=type(e).__name__) from e
+        finally:
+            if timer:
+                timer.cancel()
+            sc.setJobGroup(str(uuid.uuid4()), "idle")
+
+    def execute_json(self, query: dict | str) -> str:
+        """Like execute() but never raises: failures return the JSON error
+        envelope exactly as the reference's QueryResource does
+        (query/query-module-overview.md:60-87)."""
+        try:
+            return json.dumps(self.execute(query), default=str)
+        except Exception as e:
+            return json.dumps(envelope_for(e))
+
+    def cancel(self, query_id: str) -> None:
+        """DELETE /druid/v2/{id} equivalent
+        (query/query-module-overview.md:55-59)."""
+        self.spark.sparkContext.cancelJobGroup(query_id)
+
+    # ---- result shaping -------------------------------------------------
+
+    def serialize(self, query: dict, rows: list[dict]) -> list[dict]:
+        """Shape collected rows like Druid's native JSON results
+        (timeseries: query/query-timeseries.md:60-72; others public)."""
+        qtype = query.get("queryType")
+        iso = lambda v: v.isoformat() + "Z" if hasattr(v, "isoformat") else v  # noqa: E731
+        if qtype == "timeseries":
+            return [
+                {
+                    "timestamp": iso(r.get(BUCKET)),
+                    "result": {k: v for k, v in r.items() if k != BUCKET},
+                }
+                for r in rows
+            ]
+        if qtype == "topN":
+            by_bucket: dict = {}
+            order: list = []
+            for r in rows:
+                ts = iso(r.get(BUCKET))
+                if ts not in by_bucket:
+                    by_bucket[ts] = []
+                    order.append(ts)
+                by_bucket[ts].append({k: v for k, v in r.items() if k != BUCKET})
+            return [{"timestamp": ts, "result": by_bucket[ts]} for ts in order]
+        if qtype == "groupBy":
+            return [
+                {
+                    "version": "v1",
+                    "timestamp": iso(r.get(BUCKET)),
+                    "event": {k: v for k, v in r.items() if k != BUCKET},
+                }
+                for r in rows
+            ]
+        if qtype == "timeBoundary":
+            return [
+                {"timestamp": iso(r.get("minTime", r.get("maxTime"))),
+                 "result": {k: iso(v) for k, v in r.items()}}
+                for r in rows
+            ]
+        if qtype == "dataSourceMetadata":
+            return [
+                {"timestamp": iso(r["maxIngestedEventTime"]),
+                 "result": {"maxIngestedEventTime": iso(r["maxIngestedEventTime"])}}
+                for r in rows
+            ]
+        # scan/select/search/segmentMetadata: row-per-entry
+        return [{k: iso(v) for k, v in r.items()} for r in rows]
+
+    # ---- SQL front-end (Q10) -------------------------------------------
+
+    def sql(self, statement: str) -> DataFrame:
+        """SQL over registered dataSources — Catalyst replaces Druid's
+        Calcite layer wholesale (query/query-module-overview.md:48-49)."""
+        return self.spark.sql(statement)

@@ -1,0 +1,113 @@
+"""Aggregators (A1-A9) and their zero-fill identities.
+
+Reference: Aggregations component declared query/query-module-overview.md:42,
+TOC.md:30; ``longSum``/``doubleSum`` spec'd at query/query-timeseries.md:27-28.
+The rest (count, min/max variants, first/last, cardinality, hyperUnique,
+filtered, javascript) is public Druid v0.12 surface; HLL is named at
+TOC.md:41.
+
+All aggregators compile to built-in Spark aggregate expressions — they run
+as partial (map-side) + final (reduce-side) HashAggregate pairs, which is
+exactly Druid's per-segment-runner → broker mergeResults topology
+(query/query-01.jpg) expressed by Catalyst.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from coolplaydruid_spark.catalog import TIME_COLUMN
+from coolplaydruid_spark.functions.filters import compile_filter
+
+
+@dataclass
+class CompiledAggs:
+    exprs: list[Column]  # aggregate expressions, aliased to output names
+    names: list[str]  # output names in order
+    fills: dict[str, object]  # name -> zero-fill identity (None = leave null)
+
+
+def compile_aggregators(specs: list[dict] | None, context: dict | None = None) -> CompiledAggs:
+    """Compile an ``aggregations`` list. ``context['useExactCountDistinct']``
+    switches cardinality/hyperUnique from HLL (approx_count_distinct,
+    Druid-faithful) to exact count distinct (oracle-testable)."""
+    context = context or {}
+    exprs: list[Column] = []
+    names: list[str] = []
+    fills: dict[str, object] = {}
+    for spec in specs or []:
+        name = spec["name"]
+        col, fill = _compile_one(spec, context, filter_pred=None)
+        exprs.append(col.alias(name))
+        names.append(name)
+        fills[name] = fill
+    return CompiledAggs(exprs, names, fills)
+
+
+def _field(spec: dict) -> Column:
+    return F.col(spec["fieldName"])
+
+
+def _compile_one(spec: dict, context: dict, filter_pred: Column | None):
+    """Return (unaliased aggregate Column, zero-fill identity)."""
+    atype = spec["type"]
+    if atype == "filtered":
+        pred = compile_filter(spec["filter"])
+        inner = dict(spec["aggregator"])
+        inner.setdefault("name", spec.get("name", inner.get("name")))
+        col, fill = _compile_one(inner, context, filter_pred=pred)
+        return col, fill
+
+    def guard(col: Column) -> Column:
+        # Filtered aggregator (A8): aggregate only rows matching the
+        # wrapped filter — conditional aggregation, no extra pass.
+        return F.when(filter_pred, col) if filter_pred is not None else col
+
+    if atype == "count":
+        if filter_pred is not None:
+            return F.coalesce(F.sum(F.when(filter_pred, F.lit(1)).otherwise(F.lit(0))), F.lit(0)).cast("long"), 0
+        return F.count(F.lit(1)), 0
+    if atype == "longSum":
+        return F.coalesce(F.sum(guard(_field(spec))), F.lit(0)).cast("long"), 0
+    if atype in ("doubleSum", "floatSum"):
+        return F.coalesce(F.sum(guard(_field(spec)).cast("double")), F.lit(0.0)), 0.0
+    if atype == "longMin":
+        return F.min(guard(_field(spec))).cast("long"), None
+    if atype == "longMax":
+        return F.max(guard(_field(spec))).cast("long"), None
+    if atype in ("doubleMin", "floatMin"):
+        return F.min(guard(_field(spec)).cast("double")), None
+    if atype in ("doubleMax", "floatMax"):
+        return F.max(guard(_field(spec)).cast("double")), None
+    if atype in ("longFirst", "doubleFirst", "floatFirst", "stringFirst"):
+        ts = spec.get("timeColumn", TIME_COLUMN)
+        return F.min_by(guard(_field(spec)), guard(F.col(ts))), None
+    if atype in ("longLast", "doubleLast", "floatLast", "stringLast"):
+        ts = spec.get("timeColumn", TIME_COLUMN)
+        return F.max_by(guard(_field(spec)), guard(F.col(ts))), None
+    if atype == "cardinality":
+        # Distinct count of the dimension tuple (byRow=true semantics).
+        fields = spec.get("fields") or [spec["fieldName"]]
+        cols = [guard(F.col(f if isinstance(f, str) else f["dimension"])) for f in fields]
+        if context.get("useExactCountDistinct"):
+            return F.count_distinct(*cols), 0
+        return F.approx_count_distinct(cols[0] if len(cols) == 1 else F.struct(*cols)), 0
+    if atype == "hyperUnique":
+        # We keep raw values rather than HLL sketch columns (SURVEY §7.5.5);
+        # approx_count_distinct is Spark's HLL++ over the raw column.
+        col = guard(_field(spec))
+        if context.get("useExactCountDistinct"):
+            return F.count_distinct(col), 0
+        return F.approx_count_distinct(col), 0
+    if atype == "javascript":
+        fn = spec.get("fn") or spec.get("function")
+        if callable(fn):
+            raise NotImplementedError(
+                "javascript aggregator: use a pandas_udf GROUPED_AGG via the "
+                "Python API instead (SURVEY §2.9)"
+            )
+        raise NotImplementedError("javascript aggregator source strings unsupported")
+    raise ValueError(f"unknown aggregator type {atype!r}")

@@ -1,0 +1,95 @@
+"""Extraction functions — transform a dimension before filtering/grouping.
+
+Reference: DimensionSpecs component (query/query-module-overview.md:45,
+TOC.md:32) declares extraction; the concrete function set (substring,
+regex, timeFormat, lookup, lower/upper, strlen, cascade, javascript) is
+public Druid v0.12 surface. All compile to built-in Column expressions
+(JVM-side); the ``javascript`` type accepts a *Python* callable instead of
+JS source (documented divergence, SURVEY §2.9) and is the only slow path.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def apply_extraction(col: Column, spec: dict | None) -> Column:
+    if spec is None:
+        return col
+    etype = spec.get("type")
+    if etype == "substring":
+        index = int(spec.get("index", 0))
+        length = spec.get("length")
+        if length is None:
+            return F.substring(col, index + 1, 1 << 30)
+        return F.substring(col, index + 1, int(length))
+    if etype == "strlen":
+        return F.length(col).cast("string")
+    if etype == "lower":
+        return F.lower(col)
+    if etype == "upper":
+        return F.upper(col)
+    if etype == "regex":
+        idx = int(spec.get("index", 1))
+        out = F.regexp_extract(col, spec["expr"], idx)
+        # Druid: non-matching value -> null (or replaceMissingValueWith)
+        missing = spec.get("replaceMissingValueWith")
+        if spec.get("replaceMissingValue"):
+            return F.when(out == "", F.lit(missing)).otherwise(out)
+        return F.when(out == "", None).otherwise(out)
+    if etype == "timeFormat":
+        fmt = spec.get("format", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        tz = spec.get("timeZone")
+        ts = F.from_utc_timestamp(col, tz) if tz else col
+        return F.date_format(ts, fmt)
+    if etype == "lookup":
+        return _lookup(col, spec)
+    if etype == "cascade":
+        for sub in spec["extractionFns"]:
+            col = apply_extraction(col, sub)
+        return col
+    if etype == "javascript":
+        fn = spec.get("function")
+        if callable(fn):
+            return F.udf(fn, T.StringType())(col)
+        raise NotImplementedError(
+            "javascript extractionFn: pass a Python callable as 'function' "
+            "(JS source compat is out of scope, SURVEY §2.9)"
+        )
+    raise ValueError(f"unknown extractionFn type {etype!r}")
+
+
+def _lookup(col: Column, spec: dict) -> Column:
+    """Map lookup. Small literal maps become a create_map expression (kept
+    in codegen). At scale a lookup table would be a broadcast join; the
+    inline-literal form matches the reference's registered-lookup use."""
+    lookup = spec.get("lookup", {})
+    mapping: dict = lookup.get("map", {})
+    pairs = list(chain.from_iterable((F.lit(k), F.lit(v)) for k, v in mapping.items()))
+    looked = F.element_at(F.create_map(*pairs), col) if pairs else F.lit(None).cast("string")
+    if spec.get("retainMissingValue"):
+        return F.coalesce(looked, col)
+    missing = spec.get("replaceMissingValueWith")
+    if missing is not None:
+        return F.coalesce(looked, F.lit(missing))
+    return looked
+
+
+def dimension_column(spec) -> tuple[Column, str]:
+    """Compile a DimensionSpec (string | {type: default|extraction}) to
+    (expression, outputName)."""
+    if isinstance(spec, str):
+        return F.col(spec), spec
+    dtype = spec.get("type", "default")
+    dim = spec["dimension"]
+    out = spec.get("outputName", dim)
+    col = F.col(dim)
+    if dtype == "extraction":
+        col = apply_extraction(col, spec.get("extractionFn"))
+    elif dtype != "default":
+        raise ValueError(f"unknown dimensionSpec type {dtype!r}")
+    return col, out

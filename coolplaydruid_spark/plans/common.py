@@ -1,0 +1,81 @@
+"""Shared planning helpers: interval filtering, the filtered base frame,
+and the zero-fill bucket spine."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from coolplaydruid_spark.catalog import TIME_COLUMN
+from coolplaydruid_spark.functions.filters import compile_filter
+from coolplaydruid_spark.functions.granularity import (
+    Granularity,
+    intervals_predicate,
+    parse_interval,
+)
+
+BUCKET = "ts_bucket"
+
+
+def filtered_frame(df: DataFrame, query: dict) -> DataFrame:
+    """Apply the query's ``intervals`` + ``filter`` to the dataSource frame.
+
+    Both are plain Column predicates, so Catalyst pushes them into the
+    Parquet scan: the intervals predicate is the Spark analogue of Druid's
+    interval→segment pruning (query/query-internal-procedure.md:7), and
+    dimension filters land in PushedFilters (≈ bitmap-index skipping,
+    TOC.md:39-40).
+    """
+    intervals = query.get("intervals")
+    if intervals:
+        if isinstance(intervals, str):
+            intervals = [intervals]
+        df = df.filter(intervals_predicate(intervals, F.col(TIME_COLUMN)))
+    pred = compile_filter(query.get("filter"))
+    if pred is not None:
+        df = df.filter(pred)
+    return df
+
+
+def bucket_spine(spark, gran: Granularity, intervals: list[str]) -> DataFrame:
+    """One-column DataFrame of every bucket start inside the queried
+    intervals — the zero-fill spine (query/query-timeseries.md:74-95).
+
+    Bucket starts are computed driver-side (bucket count is tiny —
+    #intervals × interval/granularity — independent of data volume) and
+    parallelized; the join against aggregates broadcasts this side.
+    """
+    if isinstance(intervals, str):
+        intervals = [intervals]
+    buckets: set = set()
+    for iv in intervals:
+        start, end = parse_interval(iv)
+        buckets.update(gran.buckets_in(start, end))
+    rows = [(b,) for b in sorted(buckets)]
+    return spark.createDataFrame(rows, f"{BUCKET} timestamp")
+
+
+def zero_fill(
+    agg_df: DataFrame,
+    spine: DataFrame,
+    fills: dict[str, object],
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Left-join aggregates onto the bucket spine and substitute each
+    aggregator's identity for missing buckets (empty buckets are
+    zero-filled unless skipEmptyBuckets, query/query-timeseries.md:74-95).
+
+    Both sides are bucket-cardinality (tiny); the aggregate side is
+    broadcast (Spark cannot broadcast the preserved side of a left-outer
+    join), so the spine join adds no shuffle.
+    """
+    joined = spine.join(F.broadcast(agg_df), on=BUCKET, how="left")
+    cols = [F.col(BUCKET)]
+    for name in extra_cols or []:
+        cols.append(F.col(name))
+    for name, fill in fills.items():
+        if fill is None:
+            cols.append(F.col(name))
+        else:
+            cols.append(F.coalesce(F.col(name), F.lit(fill)).alias(name))
+    return joined.select(*cols)

@@ -1,0 +1,121 @@
+"""GroupBy query (Q3) — multi-dimension grouped aggregation.
+
+Reference: declared at query/query-module-overview.md:25, TOC.md:23; the
+GroupByQueryRunner strategy dispatch is walked at
+query/query-internal-procedure.md:128-142. Having/limitSpec/nested-query
+dataSource are public Druid v0.12 semantics. Guidance at
+query/query-module-overview.md:52: groupBy is the most flexible, least
+efficient query — timeseries ≡ groupBy with no dimensions and topN ≡
+groupBy on one dim + order + limit are exact identities our tests assert
+(SURVEY §5.1).
+
+Plan shape: one shuffle keyed by (bucket, *dims) with map-side partial
+aggregation; having → post-agg filter; limitSpec → global sort + limit
+(Spark's TakeOrderedAndProject when limit is present — no full sort at
+scale).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from coolplaydruid_spark.catalog import TIME_COLUMN
+from coolplaydruid_spark.functions.aggregators import compile_aggregators
+from coolplaydruid_spark.functions.extraction import dimension_column
+from coolplaydruid_spark.functions.filters import compile_filter
+from coolplaydruid_spark.functions.granularity import parse_granularity, parse_interval
+from coolplaydruid_spark.functions.postaggs import compile_post_aggregators
+from coolplaydruid_spark.plans.common import BUCKET, filtered_frame
+
+
+def plan_groupby(engine, query: dict) -> DataFrame:
+    df = engine.resolve_datasource(query["dataSource"])
+    context = query.get("context") or {}
+    gran = parse_granularity(query.get("granularity", "all"))
+    base = filtered_frame(df, query)
+
+    dim_cols, dim_names = [], []
+    for spec in query.get("dimensions") or []:
+        col, name = dimension_column(spec)
+        dim_cols.append(col.alias(name))
+        dim_names.append(name)
+
+    if gran.kind == "all":
+        start = (
+            min(parse_interval(iv)[0] for iv in _intervals(query))
+            if query.get("intervals")
+            else None
+        )
+        bucket = F.lit(start).cast("timestamp").alias(BUCKET)
+    else:
+        bucket = gran.bucket(F.col(TIME_COLUMN)).alias(BUCKET)
+
+    aggs = compile_aggregators(query.get("aggregations"), context)
+    out = base.groupBy(bucket, *dim_cols).agg(*aggs.exprs)
+
+    for name, col in compile_post_aggregators(query.get("postAggregations")):
+        out = out.withColumn(name, col)
+
+    having = compile_having(query.get("having"))
+    if having is not None:
+        out = out.filter(having)
+
+    out = apply_limit_spec(out, query.get("limitSpec"), dim_names)
+    return out
+
+
+def compile_having(spec: dict | None):
+    """HavingSpec → boolean Column over the aggregated row (public Druid
+    v0.12: and/or/not, equalTo/greaterThan/lessThan, dimSelector, filter)."""
+    if spec is None:
+        return None
+    htype = spec["type"]
+    if htype == "and":
+        return reduce(lambda a, b: a & b, [compile_having(s) for s in spec["havingSpecs"]])
+    if htype == "or":
+        return reduce(lambda a, b: a | b, [compile_having(s) for s in spec["havingSpecs"]])
+    if htype == "not":
+        return ~compile_having(spec["havingSpec"])
+    if htype == "greaterThan":
+        return F.col(spec["aggregation"]) > F.lit(spec["value"])
+    if htype == "lessThan":
+        return F.col(spec["aggregation"]) < F.lit(spec["value"])
+    if htype == "equalTo":
+        return F.col(spec["aggregation"]) == F.lit(spec["value"])
+    if htype == "dimSelector":
+        return F.col(spec["dimension"]) == F.lit(spec["value"])
+    if htype == "filter":
+        return compile_filter(spec["filter"])
+    raise ValueError(f"unknown having type {htype!r}")
+
+
+def apply_limit_spec(df: DataFrame, spec: dict | None, dim_names: list[str]) -> DataFrame:
+    """DefaultLimitSpec: order the grouped rows by the given columns and
+    truncate. Spark turns sort+limit into TakeOrderedAndProject (per-
+    partition top-K + merge) — no global sort materialized."""
+    if spec is None:
+        return df
+    if spec.get("type", "default") != "default":
+        raise ValueError(f"unknown limitSpec type {spec.get('type')!r}")
+    order_cols = []
+    for c in spec.get("columns") or []:
+        if isinstance(c, str):
+            c = {"dimension": c}
+        col = F.col(c["dimension"])
+        if c.get("dimensionOrder") == "numeric":
+            col = col.cast("double")
+        order_cols.append(col.desc() if c.get("direction") == "descending" else col.asc())
+    if order_cols:
+        df = df.orderBy(*order_cols)
+    limit = spec.get("limit")
+    if limit is not None:
+        df = df.limit(int(limit))
+    return df
+
+
+def _intervals(query: dict) -> list[str]:
+    intervals = query.get("intervals")
+    return [intervals] if isinstance(intervals, str) else list(intervals or [])

@@ -1,0 +1,77 @@
+"""Metadata queries: timeBoundary (Q4), segmentMetadata (Q5),
+dataSourceMetadata (Q6).
+
+Reference: declared at query/query-module-overview.md:28-30, TOC.md:24-26.
+ - timeBoundary: min/max timestamp of a dataSource, optionally one bound.
+ - segmentMetadata: per-column metadata — type, cardinality, null count
+   (we report table-level metadata: a Parquet table's "segments" are its
+   partitions and Spark exposes per-file stats internally; table-level is
+   the useful granularity here).
+ - dataSourceMetadata: latest ingested event timestamp.
+
+All are metadata-cheap: timeBoundary/dataSourceMetadata reduce to a
+min/max agg Catalyst can often answer from Parquet footer stats; the
+cardinality pass is one scan with per-column partial HLL or exact
+count_distinct.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from coolplaydruid_spark.catalog import TIME_COLUMN
+from coolplaydruid_spark.plans.common import filtered_frame
+
+
+def plan_time_boundary(engine, query: dict) -> DataFrame:
+    df = filtered_frame(engine.resolve_datasource(query["dataSource"]), query)
+    bound = query.get("bound")
+    aggs = []
+    if bound in (None, "minTime"):
+        aggs.append(F.min(TIME_COLUMN).alias("minTime"))
+    if bound in (None, "maxTime"):
+        aggs.append(F.max(TIME_COLUMN).alias("maxTime"))
+    return df.agg(*aggs)
+
+
+def plan_datasource_metadata(engine, query: dict) -> DataFrame:
+    df = engine.resolve_datasource(query["dataSource"])
+    return df.agg(F.max(TIME_COLUMN).alias("maxIngestedEventTime"))
+
+
+def plan_segment_metadata(engine, query: dict) -> DataFrame:
+    """Per-column analysis: type, cardinality (exact iff
+    context.useExactCountDistinct else HLL), null count, row count.
+    Output: one row per column (column, type, cardinality, nullCount,
+    numRows)."""
+    df = filtered_frame(engine.resolve_datasource(query["dataSource"]), query)
+    context = query.get("context") or {}
+    exact = bool(context.get("useExactCountDistinct"))
+    cols = [f for f in df.schema.fields if f.name != TIME_COLUMN]
+    distinct_fn = F.count_distinct if exact else F.approx_count_distinct
+
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for f in cols:
+        aggs.append(distinct_fn(F.col(f.name)).alias(f"__card_{f.name}"))
+        aggs.append(
+            F.sum(F.when(F.col(f.name).isNull(), 1).otherwise(0)).alias(f"__null_{f.name}")
+        )
+    stats = df.agg(*aggs)
+
+    # Melt the single stats row into one row per column (stack keeps it in
+    # one JVM-side projection — no Python round-trip).
+    parts = []
+    for f in cols:
+        parts.append(
+            stats.select(
+                F.lit(f.name).alias("column"),
+                F.lit(f.dataType.simpleString()).alias("type"),
+                F.col(f"__card_{f.name}").cast("long").alias("cardinality"),
+                F.col(f"__null_{f.name}").cast("long").alias("nullCount"),
+                F.col("__rows").cast("long").alias("numRows"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -1,0 +1,67 @@
+"""Scan (Q9) and Select (Q8) queries — raw row retrieval.
+
+Reference: select declared at query/query-module-overview.md:36 (paged via
+pagingSpec); scan declared at ":37" (streaming, limit, time order).
+Public v0.12 semantics: select pages with (offset, threshold) per
+dataSource; scan returns raw rows with optional 'ascending'/'descending'
+time order and a limit.
+
+Plan shape: projection + pushed-down filters; limit without order is
+CollectLimit (no shuffle); time-ordered limit is TakeOrderedAndProject
+(per-partition top-K — never a full sort). Paging uses row_number over a
+stable (time, row-id) ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from coolplaydruid_spark.catalog import TIME_COLUMN
+from coolplaydruid_spark.plans.common import filtered_frame
+
+
+def _projection(df: DataFrame, query: dict) -> DataFrame:
+    cols = query.get("columns") or (
+        (query.get("dimensions") or []) + (query.get("metrics") or [])
+    )
+    if cols:
+        keep = [c for c in cols if c in df.columns]
+        if TIME_COLUMN in df.columns and TIME_COLUMN not in keep:
+            keep = [TIME_COLUMN] + keep
+        return df.select(*keep)
+    return df
+
+
+def plan_scan(engine, query: dict) -> DataFrame:
+    df = filtered_frame(engine.resolve_datasource(query["dataSource"]), query)
+    df = _projection(df, query)
+    order = query.get("order", "none")
+    if order in ("ascending", "descending"):
+        col = F.col(TIME_COLUMN)
+        df = df.orderBy(col.asc() if order == "ascending" else col.desc())
+    limit = query.get("limit")
+    if limit is not None:
+        df = df.limit(int(limit))
+    return df
+
+
+def plan_select(engine, query: dict) -> DataFrame:
+    """Select with pagingSpec {threshold, offset}. Later Druid deprecated
+    select in favor of scan; we keep it for parity. A stable total order
+    (time, then remaining columns) makes pages deterministic."""
+    df = filtered_frame(engine.resolve_datasource(query["dataSource"]), query)
+    df = _projection(df, query)
+    paging = query.get("pagingSpec") or {}
+    threshold = int(paging.get("threshold", 1000))
+    offset = int(paging.get("offset", 0))
+    descending = bool(query.get("descending"))
+    time_col = F.col(TIME_COLUMN).desc() if descending else F.col(TIME_COLUMN).asc()
+    tiebreak = [F.col(c) for c in df.columns if c != TIME_COLUMN]
+    w = Window.orderBy(time_col, *tiebreak)
+    out = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + threshold))
+        .drop("__rn")
+    )
+    return out

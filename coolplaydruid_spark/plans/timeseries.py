@@ -1,0 +1,70 @@
+"""Timeseries query (Q1) — the one fully-specified query type.
+
+Reference: query/query-timeseries.md:1-95. Semantics implemented here:
+ - time-bucketed aggregation at ``granularity`` over ``intervals`` (:12,40)
+ - nested and/or/selector ``filter`` (:14-25)
+ - ``aggregations`` + ``postAggregations`` (:26-39)
+ - ``descending`` result order (:13,50)
+ - empty buckets inside the intervals are ZERO-FILLED with each
+   aggregator's identity (:74-93) unless ``context.skipEmptyBuckets`` (:95)
+
+Plan shape: scan (interval+filter pushed down) → date_trunc groupBy →
+partial/final HashAggregate → post-agg projection → broadcast left-join
+against the generated bucket spine → sort. At 100 TB the only shuffle is
+the aggregation exchange, keyed by the (low-cardinality) bucket — AQE
+coalesces the tiny post-agg side; the spine join is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from coolplaydruid_spark.catalog import TIME_COLUMN
+from coolplaydruid_spark.functions.aggregators import compile_aggregators
+from coolplaydruid_spark.functions.granularity import parse_granularity, parse_interval
+from coolplaydruid_spark.functions.postaggs import compile_post_aggregators
+from coolplaydruid_spark.plans.common import BUCKET, bucket_spine, filtered_frame, zero_fill
+
+
+def plan_timeseries(engine, query: dict) -> DataFrame:
+    df = engine.resolve_datasource(query["dataSource"])
+    context = query.get("context") or {}
+    gran = parse_granularity(query.get("granularity", "all"))
+    base = filtered_frame(df, query)
+
+    aggs = compile_aggregators(query.get("aggregations"), context)
+    if gran.kind == "all":
+        # Single bucket keyed by the earliest interval start (Druid keys
+        # the 'all' bucket by interval start).
+        start = min(parse_interval(iv)[0] for iv in _intervals(query)) if query.get(
+            "intervals"
+        ) else None
+        agg_df = base.agg(*aggs.exprs)
+        bucket = F.lit(start).cast("timestamp") if start else F.lit(None).cast("timestamp")
+        agg_df = agg_df.select(bucket.alias(BUCKET), *[F.col(n) for n in aggs.names])
+    elif gran.kind == "none":
+        agg_df = (
+            base.groupBy(F.col(TIME_COLUMN).alias(BUCKET))
+            .agg(*aggs.exprs)
+        )
+    else:
+        agg_df = (
+            base.groupBy(gran.bucket(F.col(TIME_COLUMN)).alias(BUCKET))
+            .agg(*aggs.exprs)
+        )
+        skip_empty = bool(context.get("skipEmptyBuckets"))
+        if not skip_empty and query.get("intervals"):
+            spine = bucket_spine(engine.spark, gran, _intervals(query))
+            agg_df = zero_fill(agg_df, spine, aggs.fills)
+
+    for name, col in compile_post_aggregators(query.get("postAggregations")):
+        agg_df = agg_df.withColumn(name, col)
+
+    order = F.col(BUCKET).desc() if query.get("descending") else F.col(BUCKET).asc()
+    return agg_df.orderBy(order)
+
+
+def _intervals(query: dict) -> list[str]:
+    intervals = query.get("intervals")
+    return [intervals] if isinstance(intervals, str) else list(intervals or [])

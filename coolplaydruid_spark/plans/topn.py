@@ -1,0 +1,91 @@
+"""TopN query (Q2) — grouped aggregation over ONE dimension, top N by a
+metric, per time bucket.
+
+Reference: declared at query/query-module-overview.md:24, TOC.md:22;
+guidance ":51-53" (recommended over groupBy for single-dim ranking).
+Druid computes topN *approximately* (per-segment top-K then merge — public
+v0.12 behavior); we implement it EXACTLY (documented divergence, SURVEY
+§2.1 Q2): a single groupBy shuffle then per-bucket ranking.
+
+Plan shape at scale: partial/final HashAggregate on (bucket, dim), then a
+window row_number partitioned by bucket. The window's sort is per bucket
+over #distinct-dim rows — already reduced by the aggregation, so no
+full-data sort. For the common single-bucket case Spark rewrites
+sort+limit to TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from coolplaydruid_spark.catalog import TIME_COLUMN
+from coolplaydruid_spark.functions.aggregators import compile_aggregators
+from coolplaydruid_spark.functions.extraction import dimension_column
+from coolplaydruid_spark.functions.granularity import parse_granularity, parse_interval
+from coolplaydruid_spark.functions.postaggs import compile_post_aggregators
+from coolplaydruid_spark.plans.common import BUCKET, filtered_frame
+
+
+def plan_topn(engine, query: dict) -> DataFrame:
+    df = engine.resolve_datasource(query["dataSource"])
+    context = query.get("context") or {}
+    gran = parse_granularity(query.get("granularity", "all"))
+    base = filtered_frame(df, query)
+
+    dim_col, dim_name = dimension_column(query["dimension"])
+    threshold = int(query["threshold"])
+
+    if gran.kind == "all":
+        start = (
+            min(parse_interval(iv)[0] for iv in _intervals(query))
+            if query.get("intervals")
+            else None
+        )
+        bucket = F.lit(start).cast("timestamp").alias(BUCKET)
+    else:
+        bucket = gran.bucket(F.col(TIME_COLUMN)).alias(BUCKET)
+
+    aggs = compile_aggregators(query.get("aggregations"), context)
+    out = base.groupBy(bucket, dim_col.alias(dim_name)).agg(*aggs.exprs)
+    for name, col in compile_post_aggregators(query.get("postAggregations")):
+        out = out.withColumn(name, col)
+
+    metric = query.get("metric")
+    order = _metric_order(metric, dim_name, inverted=False)
+    w = Window.partitionBy(BUCKET).orderBy(*order)
+    return (
+        out.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= threshold)
+        .drop("__rank")
+        .orderBy(F.col(BUCKET).asc(), *order)
+    )
+
+
+def _metric_order(metric, dim_name: str, inverted: bool):
+    """TopNMetricSpec → ordering columns. String → numeric metric
+    descending (largest first); {'type':'numeric'} same;
+    {'type':'inverted'} flips the wrapped spec; {'type':'dimension'|
+    'lexicographic'} orders by dimension value ascending. Ties broken by
+    dimension for determinism."""
+    if isinstance(metric, str):
+        col = F.col(metric)
+        return [col.asc() if inverted else col.desc(), F.col(dim_name).asc()]
+    mtype = metric.get("type", "numeric")
+    if mtype == "numeric":
+        col = F.col(metric["metric"])
+        return [col.asc() if inverted else col.desc(), F.col(dim_name).asc()]
+    if mtype == "inverted":
+        return _metric_order(metric["metric"], dim_name, inverted=not inverted)
+    if mtype in ("dimension", "lexicographic"):
+        ordering = metric.get("ordering", "lexicographic")
+        col = F.col(dim_name)
+        if ordering == "numeric":
+            col = col.cast("double")
+        return [col.desc() if inverted else col.asc()]
+    raise ValueError(f"unknown topN metric spec {metric!r}")
+
+
+def _intervals(query: dict) -> list[str]:
+    intervals = query.get("intervals")
+    return [intervals] if isinstance(intervals, str) else list(intervals or [])

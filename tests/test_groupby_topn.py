@@ -1,0 +1,217 @@
+"""GroupBy (Q3) and TopN (Q2) including having/limitSpec, the topN ≡
+groupBy+order+limit identity (query-module-overview.md:53), nested query
+dataSources and union dataSources."""
+
+from tests.conftest import assert_df_matches_duck
+
+INTERVAL = ["2024-01-01T00:00:00/2024-02-01T00:00:00"]
+
+
+def test_groupby_multi_dim_oracle(engine, duck):
+    q = {
+        "queryType": "groupBy",
+        "dataSource": "events",
+        "granularity": "day",
+        "dimensions": ["event_type"],
+        "aggregations": [
+            {"type": "count", "name": "rows"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+        ],
+        "intervals": INTERVAL,
+    }
+    df = engine.plan(q)
+    sql = """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_bucket, event_type,
+           CAST(count(*) AS BIGINT) AS rows, sum(value) AS total
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+    GROUP BY 1, 2
+    """
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_groupby_having_limit(engine, duck):
+    q = {
+        "queryType": "groupBy",
+        "dataSource": "events",
+        "granularity": "all",
+        "dimensions": ["event_type"],
+        "aggregations": [{"type": "doubleSum", "name": "total", "fieldName": "value"}],
+        "having": {"type": "greaterThan", "aggregation": "total", "value": 1000.0},
+        "limitSpec": {
+            "type": "default",
+            "columns": [{"dimension": "total", "direction": "descending"}],
+            "limit": 3,
+        },
+        "intervals": INTERVAL,
+    }
+    df = engine.plan(q).select("event_type", "total")
+    sql = """
+    SELECT event_type, sum(value) AS total FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+    GROUP BY 1 HAVING sum(value) > 1000.0
+    ORDER BY total DESC LIMIT 3
+    """
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_topn_equals_groupby_order_limit(engine):
+    """Metamorphic identity (query-module-overview.md:53)."""
+    aggs = [{"type": "doubleSum", "name": "total", "fieldName": "value"}]
+    topn = {
+        "queryType": "topN",
+        "dataSource": "events",
+        "granularity": "all",
+        "dimension": "event_type",
+        "metric": "total",
+        "threshold": 3,
+        "aggregations": aggs,
+        "intervals": INTERVAL,
+    }
+    gb = {
+        "queryType": "groupBy",
+        "dataSource": "events",
+        "granularity": "all",
+        "dimensions": ["event_type"],
+        "aggregations": aggs,
+        "limitSpec": {
+            "type": "default",
+            "columns": [{"dimension": "total", "direction": "descending"}],
+            "limit": 3,
+        },
+        "intervals": INTERVAL,
+    }
+    t = [(r["event_type"], round(r["total"], 6)) for r in engine.plan(topn).collect()]
+    g = [(r["event_type"], round(r["total"], 6)) for r in engine.plan(gb).collect()]
+    assert t == g
+
+
+def test_topn_per_bucket(engine, duck):
+    q = {
+        "queryType": "topN",
+        "dataSource": "events",
+        "granularity": "week",
+        "dimension": "event_type",
+        "metric": "rows",
+        "threshold": 2,
+        "aggregations": [{"type": "count", "name": "rows"}],
+        "intervals": INTERVAL,
+    }
+    df = engine.plan(q)
+    sql = """
+    WITH agg AS (
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS ts_bucket, event_type,
+             CAST(count(*) AS BIGINT) AS rows
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY ts_bucket
+                                   ORDER BY rows DESC, event_type ASC) AS rn
+      FROM agg
+    )
+    SELECT ts_bucket, event_type, rows FROM ranked WHERE rn <= 2
+    """
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_topn_inverted_metric(engine):
+    q = {
+        "queryType": "topN",
+        "dataSource": "events",
+        "granularity": "all",
+        "dimension": "event_type",
+        "metric": {"type": "inverted", "metric": "rows"},
+        "threshold": 2,
+        "aggregations": [{"type": "count", "name": "rows"}],
+        "intervals": INTERVAL,
+    }
+    rows = engine.plan(q).collect()
+    assert len(rows) == 2
+    assert rows[0]["rows"] <= rows[1]["rows"]
+
+
+def test_nested_query_datasource(engine, duck):
+    """groupBy over the result of another groupBy
+    (query/query-module-overview.md:40)."""
+    inner = {
+        "queryType": "groupBy",
+        "dataSource": "events",
+        "granularity": "day",
+        "dimensions": ["event_type"],
+        "aggregations": [{"type": "doubleSum", "name": "daily", "fieldName": "value"}],
+        "intervals": INTERVAL,
+    }
+    outer = {
+        "queryType": "groupBy",
+        "dataSource": {"type": "query", "query": inner},
+        "granularity": "all",
+        "dimensions": ["event_type"],
+        "aggregations": [{"type": "doubleMax", "name": "max_daily", "fieldName": "daily"}],
+        "intervals": INTERVAL,
+    }
+    df = engine.plan(outer).select("event_type", "max_daily")
+    sql = """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, event_type, sum(value) AS daily
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+      GROUP BY 1, 2
+    )
+    SELECT event_type, max(daily) AS max_daily FROM daily GROUP BY 1
+    """
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_union_datasource(engine, duck):
+    q = {
+        "queryType": "timeseries",
+        "dataSource": {"type": "union", "dataSources": ["events", "events"]},
+        "granularity": "all",
+        "aggregations": [{"type": "count", "name": "rows"}],
+        "intervals": INTERVAL,
+    }
+    df = engine.plan(q).select("rows")
+    sql = """
+    SELECT CAST(2 * count(*) AS BIGINT) AS rows FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+    """
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_aggregator_suite_oracle(engine, duck):
+    """first/last/min/max/filtered/cardinality-exact in one groupBy."""
+    q = {
+        "queryType": "groupBy",
+        "dataSource": "events",
+        "granularity": "all",
+        "dimensions": ["event_type"],
+        "aggregations": [
+            {"type": "doubleMin", "name": "vmin", "fieldName": "value"},
+            {"type": "doubleMax", "name": "vmax", "fieldName": "value"},
+            {"type": "doubleFirst", "name": "vfirst", "fieldName": "value"},
+            {"type": "doubleLast", "name": "vlast", "fieldName": "value"},
+            {"type": "cardinality", "name": "users", "fields": ["user_id"]},
+            {
+                "type": "filtered",
+                "name": "big_rows",
+                "filter": {"type": "bound", "dimension": "value", "lower": "100",
+                           "ordering": "numeric"},
+                "aggregator": {"type": "count", "name": "big_rows"},
+            },
+        ],
+        "intervals": INTERVAL,
+        "context": {"useExactCountDistinct": True},
+    }
+    df = engine.plan(q).drop("ts_bucket")
+    sql = """
+    SELECT event_type,
+           min(value) AS vmin, max(value) AS vmax,
+           arg_min(value, ts) AS vfirst, arg_max(value, ts) AS vlast,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+           CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS big_rows
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+    GROUP BY 1
+    """
+    assert_df_matches_duck(df, duck, sql)

@@ -1,0 +1,127 @@
+"""Scan/select/search/timeBoundary/segmentMetadata/dataSourceMetadata
+(Q4-Q9) + error envelope + cancel plumbing (SURVEY §2.10)."""
+
+import json
+
+from tests.conftest import assert_df_matches_duck
+
+INTERVAL = ["2024-01-01T00:00:00/2024-02-01T00:00:00"]
+
+
+def test_scan_oracle(engine, duck):
+    q = {
+        "queryType": "scan",
+        "dataSource": "events",
+        "columns": ["event_id", "event_type", "value"],
+        "filter": {"type": "selector", "dimension": "event_type", "value": "click"},
+        "intervals": ["2024-01-01T00:00:00/2024-01-03T00:00:00"],
+    }
+    df = engine.plan(q).drop("__time")
+    sql = """
+    SELECT event_id, event_type, value FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+      AND event_type = 'click'
+    """
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_scan_limit_ordered(engine):
+    q = {
+        "queryType": "scan",
+        "dataSource": "events",
+        "columns": ["event_id"],
+        "order": "descending",
+        "limit": 5,
+        "intervals": INTERVAL,
+    }
+    rows = engine.plan(q).collect()
+    assert len(rows) == 5
+    ts = [r["__time"] for r in rows]
+    assert ts == sorted(ts, reverse=True)
+
+
+def test_select_paging(engine):
+    base = {
+        "queryType": "select",
+        "dataSource": "events",
+        "dimensions": ["event_type"],
+        "metrics": ["value"],
+        "intervals": INTERVAL,
+    }
+    page1 = engine.plan(dict(base, pagingSpec={"threshold": 10, "offset": 0})).collect()
+    page2 = engine.plan(dict(base, pagingSpec={"threshold": 10, "offset": 10})).collect()
+    assert len(page1) == 10 and len(page2) == 10
+    assert page1[-1]["__time"] <= page2[0]["__time"]
+    ids = {(r["__time"], r["value"]) for r in page1} & {(r["__time"], r["value"]) for r in page2}
+    assert not ids  # pages disjoint
+
+
+def test_search_oracle(engine, duck):
+    q = {
+        "queryType": "search",
+        "dataSource": "events",
+        "searchDimensions": ["event_type"],
+        "query": {"type": "insensitive_contains", "value": "i"},
+        "intervals": INTERVAL,
+    }
+    df = engine.plan(q)
+    sql = """
+    SELECT 'event_type' AS dimension, event_type AS value,
+           CAST(count(*) AS BIGINT) AS count
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+      AND contains(lower(event_type), 'i')
+    GROUP BY 2
+    """
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_time_boundary(engine, duck):
+    df = engine.plan({"queryType": "timeBoundary", "dataSource": "events"})
+    sql = "SELECT min(ts) AS minTime, max(ts) AS maxTime FROM events"
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_datasource_metadata(engine, duck):
+    df = engine.plan({"queryType": "dataSourceMetadata", "dataSource": "events"})
+    sql = "SELECT max(ts) AS maxIngestedEventTime FROM events"
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_segment_metadata(engine, duck):
+    q = {
+        "queryType": "segmentMetadata",
+        "dataSource": "events",
+        "context": {"useExactCountDistinct": True},
+    }
+    df = engine.plan(q).select("column", "cardinality", "numRows")
+    sql = """
+    SELECT 'event_id' AS column, CAST(count(DISTINCT event_id) AS BIGINT) AS cardinality,
+           CAST(count(*) AS BIGINT) AS numRows FROM events
+    UNION ALL SELECT 'ts', CAST(count(DISTINCT ts) AS BIGINT), CAST(count(*) AS BIGINT) FROM events
+    UNION ALL SELECT 'user_id', CAST(count(DISTINCT user_id) AS BIGINT), CAST(count(*) AS BIGINT) FROM events
+    UNION ALL SELECT 'event_type', CAST(count(DISTINCT event_type) AS BIGINT), CAST(count(*) AS BIGINT) FROM events
+    UNION ALL SELECT 'value', CAST(count(DISTINCT value) AS BIGINT), CAST(count(*) AS BIGINT) FROM events
+    UNION ALL SELECT 'props', CAST(count(DISTINCT props) AS BIGINT), CAST(count(*) AS BIGINT) FROM events
+    """
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_error_envelope(engine):
+    """query/query-module-overview.md:60-87: failures return
+    {error, errorMessage, errorClass, host}."""
+    out = json.loads(engine.execute_json({"queryType": "nope", "dataSource": "events"}))
+    assert set(out) == {"error", "errorMessage", "errorClass", "host"}
+    assert out["error"] == "Unknown exception"
+
+    out2 = json.loads(engine.execute_json("{not json"))
+    assert out2["error"] == "Unknown exception"
+    assert out2["errorClass"] == "JsonParseException"
+
+
+def test_sql_frontend(engine, duck):
+    df = engine.sql("""
+        SELECT event_type, count(*) AS rows FROM events GROUP BY event_type
+    """)
+    sql = "SELECT event_type, CAST(count(*) AS BIGINT) AS rows FROM events GROUP BY 1"
+    assert_df_matches_duck(df, duck, sql)
