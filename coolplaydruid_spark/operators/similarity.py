@@ -1,0 +1,120 @@
+"""Similarity search over an embedding column (array<float>).
+
+ - brute_force_topk : exact cosine top-k — the correctness baseline.
+ - sign_lsh_bucket  : deterministic sign-bit LSH bucket (blocking key).
+ - lsh_topk         : approximate top-k probing only the query's bucket
+                      (the scale path: per-bucket joins instead of a full
+                      cross product).
+
+Scale design: queries are broadcast (they are the small side by
+definition); the corpus side streams partition-local, so brute-force is
+one map-side pass + a per-query top-k (window). No corpus shuffle at all
+for brute force; LSH adds a bucket-keyed shuffle that cuts the scanned
+fraction to ~1/2^bits. The dot product stays JVM-side via
+zip_with/aggregate — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cosine(vec_a, vec_b, norm_a, norm_b):
+    dot = F.aggregate(
+        F.zip_with(vec_a, vec_b, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    return dot / (norm_a * norm_b)
+
+
+def _dvec(col):
+    # float32 → float64 before any arithmetic: keeps the math bit-identical
+    # to engines (and oracles) that compute in double.
+    return col.cast("array<double>")
+
+
+def _norm(vec):
+    return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: for each query row, the k nearest corpus rows.
+    Returns (query_id, neighbor_id, cosine, rank). Ties broken by
+    neighbor id for determinism."""
+    q = queries.select(
+        F.col(query_id_col), _dvec(F.col(vec_col)).alias("__qvec"), _norm(_dvec(F.col(vec_col))).alias("__qn")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _dvec(F.col(vec_col)).alias("__cvec"),
+        _norm(_dvec(F.col(vec_col))).alias("__cn"),
+    )
+    scored = c.join(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col("neighbor_id"),
+        F.round(_cosine(F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn")), 6)
+        .alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def sign_lsh_bucket(vec_col: str = "embedding", bits: int = 8):
+    """Deterministic sign-bit LSH bucket: the concatenated signs of the
+    first `bits` vector components. A degenerate-but-deterministic
+    random-hyperplane LSH (axis-aligned hyperplanes) — engine-independent
+    and SQL-mirrorable, which a seeded random-projection matrix is not."""
+    chars = [
+        F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(bits)
+    ]
+    return F.concat(*chars)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: probe only corpus rows in the query's LSH
+    bucket. Recall depends on bucket granularity (bits); the candidate
+    set shrinks ~2^bits-fold. Same output shape as brute_force_topk."""
+    bucket = sign_lsh_bucket(vec_col, bits)
+    q = queries.select(
+        F.col(query_id_col),
+        _dvec(F.col(vec_col)).alias("__qvec"),
+        _norm(_dvec(F.col(vec_col))).alias("__qn"),
+        bucket.alias("__bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _dvec(F.col(vec_col)).alias("__cvec"),
+        _norm(_dvec(F.col(vec_col))).alias("__cn"),
+        bucket.alias("__bucket"),
+    )
+    scored = c.join(F.broadcast(q), on="__bucket").select(
+        F.col(query_id_col),
+        F.col("neighbor_id"),
+        F.round(_cosine(F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn")), 6)
+        .alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

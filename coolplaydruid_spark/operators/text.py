@@ -1,0 +1,145 @@
+"""Text analysis operators over a document table: tokenization, token
+counting, quality scoring, language ID (n-gram/stopword heuristic),
+document fingerprinting.
+
+Design rules:
+ - Everything is built-in Spark SQL expressions (split/regexp/aggregate) —
+   whole-stage codegen, no Python in the hot path, embarrassingly
+   parallel (no shuffle at all: one projection over the scan).
+ - Every formula is deterministic and expressible in ANSI-ish SQL so the
+   DuckDB oracle can mirror it exactly.
+
+At 100 TB these run as a single map-only pass over the corpus — the cost
+is the scan itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ASCII punctuation as an explicit class (identical semantics in Java
+# regex and RE2, unlike [[:punct:]]).
+PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
+DIGIT_CLASS = r"[0-9]"
+# BPE-ish pre-tokenizer: letter runs | single digits | punctuation marks
+BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+# Tiny distinctive-stopword lists for the language-ID heuristic. The
+# scoring is a plain weighted token-match count — deterministic and
+# SQL-mirrorable. Script detection (CJK/Thai/Cyrillic/...) short-circuits
+# before stopwords.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "que"],
+    "es": ["el", "los", "las", "es", "una", "con", "por", "para"],
+}
+SCRIPT_RANGES = [  # (lang, Java-regex char class)
+    ("zh", "[一-鿿]"),
+    ("ja", "[぀-ヿ]"),
+    ("ko", "[가-힯]"),
+    ("th", "[฀-๿]"),
+    ("ru", "[Ѐ-ӿ]"),
+    ("ar", "[؀-ۿ]"),
+    ("hi", "[ऀ-ॿ]"),
+]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of the lowercased text (empty array for empty
+    input)."""
+    t = F.split(F.trim(F.lower(F.coalesce(text, F.lit("")))), r"\s+")
+    return F.filter(t, lambda x: x != "")
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish piece count (letter runs, single
+    digits, punctuation marks) — the two standard corpus-size estimators."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_ISH), 0)).cast("long").alias("bpe_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]:
+    length, punctuation/digit density, mean token length, stopword ratio.
+    The exact formula is part of the operator contract (mirrored by the
+    oracle): score = 0.25*len_norm + 0.25*(1-punct_ratio) +
+    0.25*(1-digit_ratio) + 0.25*stopword_ratio."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(F.col(text_col))
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    digits = n_chars - F.length(F.regexp_replace(text, DIGIT_CLASS, ""))
+    stop = F.size(F.filter(toks, lambda t: t.isin(LANG_STOPWORDS["en"])))
+    safe = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))  # noqa: E731
+    len_norm = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    punct_ratio = safe(punct, n_chars)
+    digit_ratio = safe(digits, n_chars)
+    stop_ratio = safe(stop, n_tokens)
+    mean_tok = safe(F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)), n_tokens)
+    score = (
+        0.25 * len_norm + 0.25 * (1 - punct_ratio) + 0.25 * (1 - digit_ratio)
+        + 0.25 * stop_ratio
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_tok, 6).alias("mean_token_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID. Script ranges short-circuit (a single CJK /
+    Thai / Cyrillic … character decides); otherwise the language with the
+    highest distinctive-stopword hit count wins (ties broken by the fixed
+    order en > de > fr > es; no hits → 'und')."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(F.col(text_col))
+
+    # NB: higher-order-function lambdas must take exactly one parameter —
+    # PySpark inspects arity and passes the array index for 2-arg lambdas.
+    def _hits(words):
+        return lambda t: t.isin(words)
+
+    s = {
+        lang: F.size(F.filter(toks, _hits(words)))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    # Priority-ordered argmax as a CASE chain (each branch: positive score
+    # and >= every lower-priority score) — mirrors 1:1 into oracle SQL.
+    guess = (
+        F.when((s["en"] > 0) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en")
+        .when((s["de"] > 0) & (s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when((s["fr"] > 0) & (s["fr"] >= s["es"]), "fr")
+        .when(s["es"] > 0, "es")
+        .otherwise("und")
+    )
+    for lang, cls in reversed(SCRIPT_RANGES):
+        guess = F.when(text.rlike(cls), F.lit(lang)).otherwise(guess)
+    return df.select(F.col(id_col), guess.alias("lang_guess"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Two document fingerprints:
+     - exact_md5: md5 of the raw text (byte-identical dup detection)
+     - shuffle_md5: md5 of the sorted distinct token set — invariant to
+       word order and repetition (the classic 'fingerprint' key used for
+       near-dup clustering at ingest)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    sorted_toks = F.array_sort(F.array_distinct(tokens(F.col(text_col))))
+    return df.select(
+        F.col(id_col),
+        F.md5(text).alias("exact_md5"),
+        F.md5(F.concat_ws(" ", sorted_toks)).alias("shuffle_md5"),
+    )

@@ -31,6 +31,19 @@ def filtered_frame(df: DataFrame, query: dict) -> DataFrame:
         if isinstance(intervals, str):
             intervals = [intervals]
         df = df.filter(intervals_predicate(intervals, F.col(TIME_COLUMN)))
+        # Segment pruning (query/query-internal-procedure.md:7): on tables
+        # ingested by sources.batch the partition column __dt carries the
+        # date — derive an explicit __dt predicate so Catalyst prunes
+        # whole partition directories, not just row groups.
+        if "__dt" in df.columns:
+            dt_pred = None
+            for iv in intervals:
+                start, end = parse_interval(iv)
+                p = (F.col("__dt") >= F.lit(str(start.date()))) & (
+                    F.col("__dt") <= F.lit(str(end.date()))
+                )
+                dt_pred = p if dt_pred is None else (dt_pred | p)
+            df = df.filter(dt_pred)
     pred = compile_filter(query.get("filter"))
     if pred is not None:
         df = df.filter(pred)

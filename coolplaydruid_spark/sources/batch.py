@@ -1,0 +1,247 @@
+"""Batch ingestion — the indexing service collapsed onto Spark jobs.
+
+The reference walks Druid's task machinery end-to-end (Overlord submit →
+ZK assignment → MiddleManager → forked peon JVM;
+arch/indexing-service/indexing-service-{submit,run,end}-task.md) with the
+task-type registry at indexing-service-submit-task.md:75-93: index,
+index_hadoop, append, merge, kill, archive, restore, move,
+convert_segment, noop. On Spark the distributed choreography IS the
+engine: an index task is read → optional rollup → time-partitioned write;
+Overlord/MM/Peon are replaced by driver/scheduler/executors. A small
+in-process registry keeps task-status API parity.
+
+Table layout: Parquet partitioned by `__dt` (date of the time column) —
+"segments" are partitions, so interval queries get partition pruning
+(the reference's interval→segment selection,
+query/query-internal-procedure.md:7) natively. Within partitions, rows
+are sorted by configurable dimensions at write so Parquet row-group
+min/max stats approximate Druid's bitmap-index row skipping (TOC.md:39,
+SURVEY §4 O4).
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coolplaydruid_spark.catalog import TIME_COLUMN, Catalog
+from coolplaydruid_spark.functions.aggregators import compile_aggregators
+from coolplaydruid_spark.functions.granularity import parse_granularity
+
+DT_COLUMN = "__dt"
+
+
+@dataclass
+class TaskStatus:
+    task_id: str
+    task_type: str
+    status: str  # RUNNING | SUCCESS | FAILED
+    detail: str = ""
+    created_at: str = field(
+        default_factory=lambda: datetime.now(timezone.utc).isoformat()
+    )
+
+
+class TaskRegistry:
+    """In-process stand-in for the Overlord's task-status store (the
+    MySQL metadata store + ZK status znodes of the reference,
+    indexing-service-submit-task.md:124-162)."""
+
+    def __init__(self):
+        self._tasks: dict[str, TaskStatus] = {}
+
+    def start(self, task_type: str) -> TaskStatus:
+        status = TaskStatus(str(uuid.uuid4()), task_type, "RUNNING")
+        self._tasks[status.task_id] = status
+        return status
+
+    def finish(self, task_id: str, ok: bool, detail: str = "") -> None:
+        self._tasks[task_id].status = "SUCCESS" if ok else "FAILED"
+        self._tasks[task_id].detail = detail
+
+    def get(self, task_id: str) -> TaskStatus:
+        return self._tasks[task_id]
+
+    def all(self) -> list[TaskStatus]:
+        return list(self._tasks.values())
+
+
+REGISTRY = TaskRegistry()
+
+
+def _read_source(spark: SparkSession, source: dict) -> DataFrame:
+    fmt = source.get("format", "parquet")
+    path = source["path"]
+    reader = spark.read
+    for k, v in (source.get("options") or {}).items():
+        reader = reader.option(k, v)
+    if fmt == "parquet":
+        from coolplaydruid_spark.catalog import _nano_timestamp_columns
+
+        nanos = _nano_timestamp_columns(path)
+        if nanos:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = reader.parquet(path)
+        for c in nanos:
+            if c in df.columns:
+                df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        return df
+    if fmt == "json":
+        return reader.json(path)
+    if fmt == "csv":
+        return reader.option("header", "true").option("inferSchema", "true").csv(path)
+    if fmt == "orc":
+        return reader.orc(path)
+    raise ValueError(f"unsupported source format {fmt!r}")
+
+
+def index_task(
+    spark: SparkSession,
+    source: dict,
+    dest_path: str,
+    time_column: str,
+    rollup: dict | None = None,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+    repartition_by_dt: bool = True,
+) -> TaskStatus:
+    """Druid `index` / `index_hadoop` task (I1/I2): build time-partitioned
+    Parquet "segments" from input files.
+
+    rollup: {"granularity": ..., "dimensions": [...], "aggregations":
+    [druid agg specs]} — ingest-time pre-aggregation (the reference's
+    write-time rollup, intro/what-is-druid.md:3); rolled-up tables answer
+    matching queries from fewer rows.
+
+    Scale mechanics: one shuffle keyed by __dt (repartition before write
+    avoids tiny files — each partition dir gets whole output files);
+    within-partition sort by `sort_by` dims maximizes Parquet row-group
+    stat selectivity for later filters.
+    """
+    status = REGISTRY.start("index")
+    try:
+        df = _read_source(spark, source)
+        ts = F.col(time_column).cast("timestamp")
+        df = df.withColumn(time_column, ts)
+        if rollup:
+            gran = parse_granularity(rollup.get("granularity", "hour"))
+            df = df.withColumn(TIME_COLUMN, ts)
+            aggs = compile_aggregators(rollup.get("aggregations"), {})
+            bucket = gran.bucket(F.col(TIME_COLUMN)).alias(time_column)
+            dims = [F.col(d) for d in rollup.get("dimensions", [])]
+            df = df.groupBy(bucket, *dims).agg(*aggs.exprs)
+        out = df.withColumn(DT_COLUMN, F.to_date(F.col(time_column)).cast("string"))
+        if repartition_by_dt:
+            out = out.repartition(DT_COLUMN)
+        if sort_by:
+            out = out.sortWithinPartitions(*sort_by)
+        out.write.mode(mode).partitionBy(DT_COLUMN).parquet(dest_path)
+        REGISTRY.finish(status.task_id, True, f"wrote {dest_path}")
+    except Exception as e:  # noqa: BLE001
+        REGISTRY.finish(status.task_id, False, str(e))
+        raise
+    return status
+
+
+def append_task(spark: SparkSession, source: dict, dest_path: str,
+                time_column: str, **kwargs) -> TaskStatus:
+    """Druid `append` task (I5): add segments to an existing dataSource."""
+    return index_task(spark, source, dest_path, time_column, mode="append", **kwargs)
+
+
+def merge_task(spark: SparkSession, table_path: str,
+               target_files_per_partition: int = 1) -> TaskStatus:
+    """Druid `merge` task (I5) / compaction: rewrite a table's partitions
+    into fewer, larger files (small-file mitigation for streaming sinks).
+    Uses dynamic partition overwrite so only rewritten partitions swap —
+    the Spark analogue of Druid's atomic segment-version replace."""
+    status = REGISTRY.start("merge")
+    try:
+        df = spark.read.parquet(table_path)
+        tmp = table_path.rstrip("/") + ".__compact_tmp"
+        (
+            df.repartition(target_files_per_partition, F.col(DT_COLUMN))
+            .write.mode("overwrite")
+            .partitionBy(DT_COLUMN)
+            .parquet(tmp)
+        )
+        shutil.rmtree(table_path)
+        Path(tmp).rename(table_path)
+        REGISTRY.finish(status.task_id, True, "compacted")
+    except Exception as e:  # noqa: BLE001
+        REGISTRY.finish(status.task_id, False, str(e))
+        raise
+    return status
+
+
+def kill_task(table_path: str, dt_values: list[str]) -> TaskStatus:
+    """Druid `kill` task (I6): drop segments (partitions) permanently."""
+    status = REGISTRY.start("kill")
+    try:
+        for dt in dt_values:
+            p = Path(table_path) / f"{DT_COLUMN}={dt}"
+            if p.exists():
+                shutil.rmtree(p)
+        REGISTRY.finish(status.task_id, True, f"dropped {len(dt_values)} partitions")
+    except Exception as e:  # noqa: BLE001
+        REGISTRY.finish(status.task_id, False, str(e))
+        raise
+    return status
+
+
+def archive_task(table_path: str, archive_path: str, dt_values: list[str],
+                 restore: bool = False) -> TaskStatus:
+    """Druid `archive`/`restore`/`move` tasks (I6): relocate segment
+    partitions between live and archive storage roots."""
+    status = REGISTRY.start("restore" if restore else "archive")
+    src_root, dst_root = (
+        (archive_path, table_path) if restore else (table_path, archive_path)
+    )
+    try:
+        Path(dst_root).mkdir(parents=True, exist_ok=True)
+        for dt in dt_values:
+            src = Path(src_root) / f"{DT_COLUMN}={dt}"
+            if src.exists():
+                shutil.move(str(src), str(Path(dst_root) / f"{DT_COLUMN}={dt}"))
+        REGISTRY.finish(status.task_id, True, "moved")
+    except Exception as e:  # noqa: BLE001
+        REGISTRY.finish(status.task_id, False, str(e))
+        raise
+    return status
+
+
+def convert_segment_task(spark: SparkSession, table_path: str, dest_path: str,
+                         codec: str = "zstd") -> TaskStatus:
+    """Druid `convert_segment` task (I7): rewrite segments with a new
+    format/codec version."""
+    status = REGISTRY.start("convert_segment")
+    try:
+        df = spark.read.parquet(table_path)
+        writer = df.write.mode("overwrite").option("compression", codec)
+        if DT_COLUMN in df.columns:
+            writer = writer.partitionBy(DT_COLUMN)
+        writer.parquet(dest_path)
+        REGISTRY.finish(status.task_id, True, f"rewrote with {codec}")
+    except Exception as e:  # noqa: BLE001
+        REGISTRY.finish(status.task_id, False, str(e))
+        raise
+    return status
+
+
+def noop_task() -> TaskStatus:
+    """Druid `noop` test task (I8)."""
+    status = REGISTRY.start("noop")
+    REGISTRY.finish(status.task_id, True)
+    return status
+
+
+def register_ingested(catalog: Catalog, name: str, path: str,
+                      time_column: str) -> None:
+    """Register an ingested table as a queryable dataSource."""
+    catalog.register(name, path=path, time_column=time_column)

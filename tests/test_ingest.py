@@ -1,0 +1,191 @@
+"""Batch ingest (I1-I8) + streaming ingest (I3): partitioned layout,
+rollup invariance, partition pruning, compaction, segment ops, and the
+streaming→batch parity contract."""
+
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from coolplaydruid_spark.sources import batch
+from coolplaydruid_spark.streaming import realtime
+from tests.conftest import SF_DIR
+
+
+def test_index_task_partitions_and_prunes(spark, tmp_path):
+    dest = str(tmp_path / "events_tbl")
+    status = batch.index_task(
+        spark,
+        {"format": "parquet", "path": f"{SF_DIR}/events.parquet"},
+        dest,
+        time_column="ts",
+        sort_by=["event_type"],
+    )
+    assert status.status == "SUCCESS"
+    df = spark.read.parquet(dest)
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert df.count() == src.count()
+    # 30 daily partitions on disk
+    assert df.select(batch.DT_COLUMN).distinct().count() == 30
+
+    # interval predicate becomes partition pruning: only matching
+    # partitions are read
+    pruned = df.filter(
+        (F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-07")
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() > 0
+    # all rows come from exactly the two matching date partitions
+    assert pruned.select(batch.DT_COLUMN).distinct().count() == 2
+
+
+def test_rollup_invariance(spark, tmp_path):
+    """SURVEY §5.2 metamorphic test: aggregates over rolled-up segments
+    equal aggregates over raw data."""
+    dest = str(tmp_path / "events_rollup")
+    batch.index_task(
+        spark,
+        {"format": "parquet", "path": f"{SF_DIR}/events.parquet"},
+        dest,
+        time_column="ts",
+        rollup={
+            "granularity": "hour",
+            "dimensions": ["event_type"],
+            "aggregations": [
+                {"type": "count", "name": "n"},
+                {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            ],
+        },
+    )
+    rolled = spark.read.parquet(dest)
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    a = {
+        r["event_type"]: (r["n"], round(r["total"], 6))
+        for r in rolled.groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+        .collect()
+    }
+    b = {
+        r["event_type"]: (r["n"], round(r["total"], 6))
+        for r in raw.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert a == b
+    assert rolled.count() < raw.count()  # rollup actually reduced rows
+
+
+def test_append_merge_kill_archive(spark, tmp_path):
+    dest = str(tmp_path / "tbl")
+    arch = str(tmp_path / "archive")
+    src = {"format": "parquet", "path": f"{SF_DIR}/events.parquet"}
+    batch.index_task(spark, src, dest, time_column="ts")
+    n1 = spark.read.parquet(dest).count()
+    batch.append_task(spark, src, dest, time_column="ts")
+    assert spark.read.parquet(dest).count() == 2 * n1
+
+    batch.merge_task(spark, dest, target_files_per_partition=1)
+    assert spark.read.parquet(dest).count() == 2 * n1
+
+    before = spark.read.parquet(dest).select(batch.DT_COLUMN).distinct().count()
+    batch.kill_task(dest, ["2024-01-01"])
+    after_kill = spark.read.parquet(dest)
+    assert after_kill.select(batch.DT_COLUMN).distinct().count() == before - 1
+
+    batch.archive_task(dest, arch, ["2024-01-02"])
+    assert spark.read.parquet(dest).select(batch.DT_COLUMN).distinct().count() == before - 2
+    batch.archive_task(dest, arch, ["2024-01-02"], restore=True)
+    assert spark.read.parquet(dest).select(batch.DT_COLUMN).distinct().count() == before - 1
+
+    status = batch.convert_segment_task(spark, dest, str(tmp_path / "tbl_zstd"))
+    assert status.status == "SUCCESS"
+    assert spark.read.parquet(str(tmp_path / "tbl_zstd")).count() == after_kill.count()
+
+    assert batch.noop_task().status == "SUCCESS"
+    assert all(t.status == "SUCCESS" for t in batch.REGISTRY.all())
+
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.StringType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def _write_json_batch(path, rows):
+    import json
+    path.mkdir(parents=True, exist_ok=True)
+    f = path / f"batch_{time.time_ns()}.json"
+    f.write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def test_streaming_ingest_matches_batch(spark, tmp_path):
+    """Streaming file-source ingest lands rows in the same partitioned
+    layout; a batch query over the sink sees exactly the streamed rows
+    (the 'queryable while in-flight' contract, one trigger stale)."""
+    src_dir = tmp_path / "stream_src"
+    rows = [
+        {"event_id": i, "ts": f"2024-03-0{1 + i % 3}T0{i % 9}:00:00", "event_type": "click",
+         "value": float(i)}
+        for i in range(30)
+    ]
+    _write_json_batch(src_dir, rows)
+    stream = realtime.file_stream(spark, str(src_dir), EVENT_SCHEMA, fmt="json")
+    q = realtime.realtime_index(
+        stream,
+        dest_path=str(tmp_path / "stream_tbl"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        time_column="ts",
+    )
+    q.awaitTermination(120)
+    sink = spark.read.parquet(str(tmp_path / "stream_tbl"))
+    assert sink.count() == 30
+    assert sink.select(batch.DT_COLUMN).distinct().count() == 3
+    assert sink.agg(F.sum("value")).collect()[0][0] == sum(float(i) for i in range(30))
+
+    # second micro-batch appends; checkpoint gives exactly-once (no re-read)
+    _write_json_batch(src_dir, [{"event_id": 100, "ts": "2024-03-04T00:00:00",
+                                 "event_type": "view", "value": 1.0}])
+    stream2 = realtime.file_stream(spark, str(src_dir), EVENT_SCHEMA, fmt="json")
+    q2 = realtime.realtime_index(
+        stream2,
+        dest_path=str(tmp_path / "stream_tbl"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        time_column="ts",
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "stream_tbl")).count() == 31
+
+
+def test_streaming_rollup_with_watermark(spark, tmp_path):
+    """Watermarked tumbling-window rollup: closed windows are flushed as
+    immutable aggregated segments (LSM flush analogue, TOC.md:42)."""
+    src_dir = tmp_path / "stream_src2"
+    rows = (
+        [{"event_id": i, "ts": "2024-03-01T00:05:00", "event_type": "click", "value": 1.0}
+         for i in range(5)]
+        + [{"event_id": 9, "ts": "2024-03-01T02:00:00", "event_type": "click", "value": 1.0}]
+    )
+    _write_json_batch(src_dir, rows)
+    stream = realtime.file_stream(spark, str(src_dir), EVENT_SCHEMA, fmt="json")
+    q = realtime.realtime_index(
+        stream,
+        dest_path=str(tmp_path / "rollup_tbl"),
+        checkpoint_path=str(tmp_path / "ckpt2"),
+        time_column="ts",
+        watermark="10 minutes",
+        rollup={
+            "window": "1 hour",
+            "dimensions": ["event_type"],
+            "aggregations": [("n", F.count(F.lit(1))), ("total", F.sum("value"))],
+        },
+    )
+    q.awaitTermination(120)
+    sink = spark.read.parquet(str(tmp_path / "rollup_tbl"))
+    rows_out = {(r["ts"].isoformat(), r["n"]) for r in sink.collect()}
+    # the 00:00 window closed (watermark passed it); the 02:00 window is
+    # still open and therefore absent — exactly Druid's in-flight vs
+    # handed-off segment split.
+    assert ("2024-03-01T00:00:00", 5) in rows_out
+    assert all(ts.startswith("2024-03-01T00") for ts, _ in rows_out)

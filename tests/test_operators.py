@@ -1,0 +1,300 @@
+"""North-star operators (dedup / similarity / text / multimodal) checked
+against exact DuckDB oracle SQL on the documents/embeddings fixtures."""
+
+from pyspark.sql import functions as F
+
+from coolplaydruid_spark.operators import dedup, multimodal, similarity, text
+from tests.conftest import assert_df_matches_duck
+
+# DuckDB mirror of text.tokens()
+DUCK_TOKS = (
+    "list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), "
+    "x -> x <> '')"
+)
+
+
+def test_token_count(engine, duck):
+    df = text.token_count(engine.catalog.table("documents"))
+    sql = f"""
+    SELECT doc_id,
+           CAST(len({DUCK_TOKS}) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(coalesce(text, ''),
+                '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_quality_score(engine, duck):
+    df = text.quality_score(engine.catalog.table("documents"))
+    sql = f"""
+    WITH t AS (
+      SELECT doc_id, coalesce(text, '') AS txt, {DUCK_TOKS} AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             length(txt) AS n_chars,
+             len(toks) AS n_tokens,
+             length(txt) - length(regexp_replace(txt, '[!-/:-@\\[-`{{-~]', '', 'g')) AS punct,
+             length(txt) - length(regexp_replace(txt, '[0-9]', '', 'g')) AS digits,
+             len(list_filter(toks, x -> list_contains(
+                 ['the','and','of','to','is','in','that','with'], x))) AS stop,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> length(x))) ELSE 0 END AS tok_chars
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0 END, 6) AS punct_ratio,
+           round(CASE WHEN n_chars > 0 THEN digits / n_chars ELSE 0 END, 6) AS digit_ratio,
+           round(CASE WHEN n_tokens > 0 THEN stop / n_tokens ELSE 0 END, 6) AS stopword_ratio,
+           round(CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens ELSE 0 END, 6) AS mean_token_len,
+           round(0.25 * least(n_chars / 500.0, 1.0)
+               + 0.25 * (1 - CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0 END)
+               + 0.25 * (1 - CASE WHEN n_chars > 0 THEN digits / n_chars ELSE 0 END)
+               + 0.25 * CASE WHEN n_tokens > 0 THEN stop / n_tokens ELSE 0 END, 6)
+             AS quality_score
+    FROM m
+    """
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_lang_id(engine, duck):
+    df = text.lang_id(engine.catalog.table("documents"))
+    langs = {
+        "en": "['the','and','of','to','is','in','that','with']",
+        "de": "['der','die','das','und','ist','nicht','mit','ein']",
+        "fr": "['le','la','les','et','est','une','dans','que']",
+        "es": "['el','los','las','es','una','con','por','para']",
+    }
+    score = {
+        k: f"len(list_filter(toks, x -> list_contains({v}, x)))" for k, v in langs.items()
+    }
+    sql = f"""
+    WITH t AS (
+      SELECT doc_id, coalesce(text,'') AS txt, {DUCK_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, txt,
+             {score['en']} AS s_en, {score['de']} AS s_de,
+             {score['fr']} AS s_fr, {score['es']} AS s_es
+      FROM t
+    )
+    SELECT doc_id,
+      CASE
+        WHEN regexp_matches(txt, '[\\x{{4E00}}-\\x{{9FFF}}]') THEN 'zh'
+        WHEN regexp_matches(txt, '[\\x{{3040}}-\\x{{30FF}}]') THEN 'ja'
+        WHEN regexp_matches(txt, '[\\x{{AC00}}-\\x{{D7AF}}]') THEN 'ko'
+        WHEN regexp_matches(txt, '[\\x{{0E00}}-\\x{{0E7F}}]') THEN 'th'
+        WHEN regexp_matches(txt, '[\\x{{0400}}-\\x{{04FF}}]') THEN 'ru'
+        WHEN regexp_matches(txt, '[\\x{{0600}}-\\x{{06FF}}]') THEN 'ar'
+        WHEN regexp_matches(txt, '[\\x{{0900}}-\\x{{097F}}]') THEN 'hi'
+        WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+        WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+        WHEN s_es > 0 THEN 'es'
+        ELSE 'und'
+      END AS lang_guess
+    FROM s
+    """
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_fingerprint(engine, duck):
+    df = text.fingerprint(engine.catalog.table("documents"))
+    sql = f"""
+    SELECT doc_id, md5(coalesce(text,'')) AS exact_md5,
+           md5(array_to_string(list_sort(list_distinct({DUCK_TOKS})), ' ')) AS shuffle_md5
+    FROM documents
+    """
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_exact_dedup(engine, duck):
+    df = dedup.exact_dedup(engine.catalog.table("documents"))
+    sql = """
+    SELECT md5(coalesce(text,'')) AS digest,
+           CAST(min(doc_id) AS BIGINT) AS survivor_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """
+    assert_df_matches_duck(df, duck, sql)
+
+
+DUCK_SHINGLES = f"""
+    WITH toks AS (
+      SELECT doc_id, {DUCK_TOKS} AS t FROM documents
+    ), sh0 AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                  ELSE [array_to_string(t, ' ')] END AS arr
+      FROM toks
+    ), sh AS (
+      SELECT DISTINCT doc_id, unnest(arr) AS shingle FROM sh0
+    ), shf AS (
+      SELECT doc_id, shingle FROM sh WHERE shingle <> ''
+    )
+"""
+
+
+def test_shingles(engine, duck):
+    df = dedup.shingles(engine.catalog.table("documents"))
+    sql = DUCK_SHINGLES + "SELECT doc_id, shingle FROM shf"
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_minhash_signatures(engine, duck):
+    sh = dedup.shingles(engine.catalog.table("documents"))
+    df = dedup.minhash_signatures(sh, num_hashes=4)
+    mh = ", ".join(f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(4))
+    sql = DUCK_SHINGLES + f"SELECT doc_id, {mh} FROM shf GROUP BY doc_id"
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_ngram_jaccard_pairs(engine, duck):
+    df = dedup.ngram_jaccard_pairs(engine.catalog.table("documents"), threshold=0.05)
+    sql = DUCK_SHINGLES + """
+    , co AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shf GROUP BY 1
+    )
+    SELECT doc_a, doc_b,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
+            JOIN sizes sb ON co.doc_b = sb.doc_id
+    WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.05
+    """
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_minhash_lsh_runs_and_verifies(engine):
+    # LSH candidates ⊆ all pairs; every reported pair's jaccard must agree
+    # with the exact n-gram computation at the same threshold.
+    docs = engine.catalog.table("documents")
+    lsh = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.minhash_lsh_dedup(docs, threshold=0.05).collect()}
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.05).collect()}
+    for pair, j in lsh.items():
+        assert pair in exact and abs(exact[pair] - j) < 1e-9
+
+
+def test_simhash_signatures_and_pairs(engine, duck):
+    df = dedup.simhash_signatures(engine.catalog.table("documents"))
+    bits = []
+    for i in range(32):
+        bits.append(
+            "CASE WHEN list_sum(list_transform(dt, x -> CASE WHEN "
+            f"substr(md5(x), {i + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
+            "THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"
+        )
+    concat = " || ".join(bits)
+    sql = f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({DUCK_TOKS}) AS dt FROM documents
+    )
+    SELECT doc_id, {concat} AS simhash FROM t
+    """
+    assert_df_matches_duck(df, duck, sql)
+
+    pairs = dedup.simhash_dedup(engine.catalog.table("documents"), max_hamming=8)
+    rows = pairs.collect()
+    for r in rows:
+        assert 0 <= r["hamming"] <= 8
+
+
+def test_embedding_neardup(engine, duck):
+    df = dedup.embedding_neardup(engine.catalog.table("embeddings"), threshold=0.8)
+    sql = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+             AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.8
+    """
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_brute_force_topk(engine, duck):
+    emb = engine.catalog.table("embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 3)
+    df = similarity.brute_force_topk(corpus, queries, k=5)
+    sql = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e WHERE vec_id >= 3),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
+               AS cosine
+      FROM c CROSS JOIN q
+    ), ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_lsh_topk_subset_of_bucket(engine):
+    emb = engine.catalog.table("embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 3)
+    rows = similarity.lsh_topk(corpus, queries, k=5, bits=4).collect()
+    assert rows, "4-bit buckets should be populated"
+    # every (query, neighbor) shares the 4-bit sign bucket
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", similarity.sign_lsh_bucket("embedding", 4).alias("b")
+        ).collect()
+    }
+    for r in rows:
+        assert buckets[r["query_id"]] == buckets[r["neighbor_id"]]
+
+
+def test_multimodal_features(engine, duck):
+    docs = engine.catalog.table("documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("media"),
+    )
+    df = multimodal.extract_features(media).select("media_id", "n_bytes", "digest")
+    sql = """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(coalesce(text,''))) AS BIGINT) AS n_bytes,
+           md5(coalesce(text,'')) AS digest
+    FROM documents
+    """
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_multimodal_stubs_run(engine):
+    docs = engine.catalog.table("documents").limit(20)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("media"),
+        (F.col("n_chars") * 10).alias("duration_ms"),
+    )
+    resized = multimodal.resize_stub(media, 224, 224)
+    assert resized.columns == ["media_id", "media", "width", "height"]
+    assert resized.count() == 20
+    frames = multimodal.frame_sample_stub(media, every_ms=5000)
+    assert frames.columns == ["media_id", "frame_ts_ms", "frame"]
+    assert frames.count() >= 20
