@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set spans the engine's surface: Druid-native aggregation
+queries (timeseries/topN/groupBy), the SQL front-end with star joins,
+and the training-data-pipeline operators (dedup, similarity, text,
+multimodal)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from coolplaydruid_spark import contract  # noqa: E402
+from coolplaydruid_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "timeseries_day",
+    "timeseries_hour_skipempty",
+    "topn_event_type",
+    "groupby_day_type_having",
+    "groupby_agg_suite",
+    "sql_tpch_q1",
+    "sql_join_top_customers",
+    "sql_join_region_revenue",
+    "timeseries_lineitem_monthly",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "text_lang_id",
+    "similarity_topk_brute",
+    "similarity_topk_lsh",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    spark = get_spark(app_name="coolplaydruid_bench")
+
+    # Warm the session (JVM/codegen/catalog) outside the timed region.
+    contract.engine_for(spark, sf_dir).catalog.table("events").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = contract.QUERIES[name]
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert rows is not None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

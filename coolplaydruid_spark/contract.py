@@ -1,0 +1,1079 @@
+"""The driver-facing query inventory: every operator from SURVEY §2 as a
+(spark, sf_dir) -> DataFrame callable, paired with an exact DuckDB oracle
+SQL string. Column names/aliases are identical on both sides (the driver
+sorts columns by name and hash-compares values).
+
+Conventions for engine-equivalence:
+ - doubles that accumulate (sums/ratios/cosines) are rounded to 4-6
+   decimals ON BOTH SIDES so FP accumulation order cannot flip the hash;
+ - DuckDB sum(BIGINT) → HUGEINT, date_trunc('day') → DATE: both CAST back;
+ - md5 is the cross-engine deterministic hash (UTF-8 on both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from coolplaydruid_spark.catalog import Catalog, register_fixtures
+from coolplaydruid_spark.engine import DruidEngine
+from coolplaydruid_spark.operators import dedup, multimodal, similarity, text
+
+_ENGINES: dict[tuple[int, str], DruidEngine] = {}
+
+
+def engine_for(spark: SparkSession, sf_dir: str) -> DruidEngine:
+    key = (id(spark), sf_dir)
+    if key not in _ENGINES:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _ENGINES[key] = DruidEngine(spark, register_fixtures(spark, sf_dir))
+    return _ENGINES[key]
+
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+def _r4(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), 4))
+    return df
+
+
+EVENTS_INTERVAL = ["2024-01-01T00:00:00/2024-02-01T00:00:00"]
+EVENTS_WHERE = "ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'"
+
+# ---------------------------------------------------------------------------
+# Q1 timeseries — the reference's fully-spec'd query (query-timeseries.md)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "timeseries_day",
+    """
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                    TIMESTAMP '2024-01-31', INTERVAL 1 DAY)) AS ts_bucket
+    ), agg AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_bucket,
+             CAST(sum(event_id) AS BIGINT) AS ids,
+             sum(value) AS total
+      FROM events
+      WHERE {w} AND (event_type = 'click' OR event_type = 'purchase')
+      GROUP BY 1
+    )
+    SELECT spine.ts_bucket,
+           COALESCE(ids, 0) AS ids,
+           round(COALESCE(total, 0.0), 4) AS total,
+           round(CASE WHEN COALESCE(total, 0.0) = 0 THEN 0.0
+                      ELSE COALESCE(ids, 0) / total END, 4) AS ratio
+    FROM spine LEFT JOIN agg USING (ts_bucket)
+    """.format(w=EVENTS_WHERE),
+)
+def timeseries_day(spark, sf_dir):
+    """Flagship: zero-filled day-granularity timeseries with or-filter,
+    longSum/doubleSum, arithmetic post-agg (query-timeseries.md:8-95)."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "day",
+            "filter": {
+                "type": "or",
+                "fields": [
+                    {"type": "selector", "dimension": "event_type", "value": "click"},
+                    {"type": "selector", "dimension": "event_type", "value": "purchase"},
+                ],
+            },
+            "aggregations": [
+                {"type": "longSum", "name": "ids", "fieldName": "event_id"},
+                {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            ],
+            "postAggregations": [
+                {
+                    "type": "arithmetic",
+                    "name": "ratio",
+                    "fn": "/",
+                    "fields": [
+                        {"type": "fieldAccess", "fieldName": "ids"},
+                        {"type": "fieldAccess", "fieldName": "total"},
+                    ],
+                }
+            ],
+            "intervals": EVENTS_INTERVAL,
+        }
+    )
+    return _r4(df, "total", "ratio")
+
+
+@q(
+    "timeseries_hour_skipempty",
+    f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts_bucket,
+           CAST(count(*) AS BIGINT) AS rows,
+           round(sum(value), 4) AS total
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+      AND event_type = 'click'
+    GROUP BY 1
+    """,
+)
+def timeseries_hour_skipempty(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "hour",
+            "filter": {"type": "selector", "dimension": "event_type", "value": "click"},
+            "aggregations": [
+                {"type": "count", "name": "rows"},
+                {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            ],
+            "intervals": ["2024-01-01T00:00:00/2024-01-08T00:00:00"],
+            "context": {"skipEmptyBuckets": True},
+        }
+    )
+    return _r4(df, "total")
+
+
+@q(
+    "timeseries_15min_duration",
+    """
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * 1000000)
+             AS ts_bucket,
+           CAST(count(*) AS BIGINT) AS rows
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-02'
+    GROUP BY 1
+    """,
+)
+def timeseries_15min_duration(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    return eng.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": {"type": "duration", "duration": 900000},
+            "aggregations": [{"type": "count", "name": "rows"}],
+            "intervals": ["2024-01-01T00:00:00/2024-01-02T00:00:00"],
+            "context": {"skipEmptyBuckets": True},
+        }
+    )
+
+
+@q(
+    "timeseries_period_tz",
+    f"""
+    SELECT CAST(timezone('America/Los_Angeles',
+                date_trunc('day', timezone('America/Los_Angeles',
+                                           ts::TIMESTAMPTZ))) AS TIMESTAMP) AS ts_bucket,
+           CAST(count(*) AS BIGINT) AS rows
+    FROM events
+    WHERE {EVENTS_WHERE}
+    GROUP BY 1
+    """,
+)
+def timeseries_period_tz(spark, sf_dir):
+    """P1D period granularity in a non-UTC zone (DST-aware bucketing)."""
+    eng = engine_for(spark, sf_dir)
+    return eng.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": {
+                "type": "period",
+                "period": "P1D",
+                "timeZone": "America/Los_Angeles",
+            },
+            "aggregations": [{"type": "count", "name": "rows"}],
+            "intervals": EVENTS_INTERVAL,
+            "context": {"skipEmptyBuckets": True},
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 topN / Q3 groupBy
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "topn_event_type",
+    f"""
+    WITH agg AS (
+      SELECT event_type, round(sum(value), 4) AS total,
+             CAST(count(*) AS BIGINT) AS rows
+      FROM events WHERE {EVENTS_WHERE} GROUP BY 1
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY total DESC, event_type ASC) AS rn FROM agg
+    )
+    SELECT event_type, total, rows FROM ranked WHERE rn <= 3
+    """,
+)
+def topn_event_type(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "topN",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimension": "event_type",
+            "metric": "total",
+            "threshold": 3,
+            "aggregations": [
+                {"type": "doubleSum", "name": "total", "fieldName": "value"},
+                {"type": "count", "name": "rows"},
+            ],
+            "intervals": EVENTS_INTERVAL,
+        }
+    )
+    return _r4(df.drop("ts_bucket"), "total")
+
+
+@q(
+    "topn_weekly_buckets",
+    f"""
+    WITH agg AS (
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS ts_bucket, event_type,
+             CAST(count(*) AS BIGINT) AS rows
+      FROM events WHERE {EVENTS_WHERE} GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY ts_bucket
+                 ORDER BY rows DESC, event_type ASC) AS rn
+      FROM agg
+    )
+    SELECT ts_bucket, event_type, rows FROM ranked WHERE rn <= 2
+    """,
+)
+def topn_weekly_buckets(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    return eng.plan(
+        {
+            "queryType": "topN",
+            "dataSource": "events",
+            "granularity": "week",
+            "dimension": "event_type",
+            "metric": "rows",
+            "threshold": 2,
+            "aggregations": [{"type": "count", "name": "rows"}],
+            "intervals": EVENTS_INTERVAL,
+        }
+    )
+
+
+@q(
+    "groupby_day_type_having",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_bucket, event_type,
+           CAST(count(*) AS BIGINT) AS rows, round(sum(value), 4) AS total
+    FROM events WHERE {EVENTS_WHERE}
+    GROUP BY 1, 2 HAVING sum(value) > 100.0
+    """,
+)
+def groupby_day_type_having(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "groupBy",
+            "dataSource": "events",
+            "granularity": "day",
+            "dimensions": ["event_type"],
+            "aggregations": [
+                {"type": "count", "name": "rows"},
+                {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            ],
+            "having": {"type": "greaterThan", "aggregation": "total", "value": 100.0},
+            "intervals": EVENTS_INTERVAL,
+        }
+    )
+    return _r4(df, "total")
+
+
+@q(
+    "groupby_nested_max_daily",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, event_type,
+             sum(value) AS daily
+      FROM events WHERE {EVENTS_WHERE} GROUP BY 1, 2
+    )
+    SELECT event_type, round(max(daily), 4) AS max_daily FROM daily GROUP BY 1
+    """,
+)
+def groupby_nested_max_daily(spark, sf_dir):
+    """Nested query dataSource: groupBy over a groupBy
+    (query-module-overview.md:40)."""
+    eng = engine_for(spark, sf_dir)
+    inner = {
+        "queryType": "groupBy",
+        "dataSource": "events",
+        "granularity": "day",
+        "dimensions": ["event_type"],
+        "aggregations": [{"type": "doubleSum", "name": "daily", "fieldName": "value"}],
+        "intervals": EVENTS_INTERVAL,
+    }
+    df = eng.plan(
+        {
+            "queryType": "groupBy",
+            "dataSource": {"type": "query", "query": inner},
+            "granularity": "all",
+            "dimensions": ["event_type"],
+            "aggregations": [
+                {"type": "doubleMax", "name": "max_daily", "fieldName": "daily"}
+            ],
+            "intervals": EVENTS_INTERVAL,
+        }
+    )
+    return _r4(df.drop("ts_bucket"), "max_daily")
+
+
+@q(
+    "groupby_agg_suite",
+    f"""
+    SELECT event_type,
+           round(min(value), 4) AS vmin, round(max(value), 4) AS vmax,
+           round(arg_min(value, ts), 4) AS vfirst, round(arg_max(value, ts), 4) AS vlast,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+           CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS big_rows
+    FROM events WHERE {EVENTS_WHERE} GROUP BY 1
+    """,
+)
+def groupby_agg_suite(spark, sf_dir):
+    """min/max/first/last/cardinality(exact)/filtered aggregators."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "groupBy",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimensions": ["event_type"],
+            "aggregations": [
+                {"type": "doubleMin", "name": "vmin", "fieldName": "value"},
+                {"type": "doubleMax", "name": "vmax", "fieldName": "value"},
+                {"type": "doubleFirst", "name": "vfirst", "fieldName": "value"},
+                {"type": "doubleLast", "name": "vlast", "fieldName": "value"},
+                {"type": "cardinality", "name": "users", "fields": ["user_id"]},
+                {
+                    "type": "filtered",
+                    "name": "big_rows",
+                    "filter": {
+                        "type": "bound",
+                        "dimension": "value",
+                        "lower": "100",
+                        "ordering": "numeric",
+                    },
+                    "aggregator": {"type": "count", "name": "big_rows"},
+                },
+            ],
+            "intervals": EVENTS_INTERVAL,
+            "context": {"useExactCountDistinct": True},
+        }
+    )
+    return _r4(df.drop("ts_bucket"), "vmin", "vmax", "vfirst", "vlast")
+
+
+@q(
+    "filters_kitchen_sink",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS rows FROM events
+    WHERE {EVENTS_WHERE}
+      AND event_type IN ('click', 'view', 'purchase')
+      AND value >= 10 AND value < 180
+      AND NOT (event_type LIKE 'v%')
+      AND regexp_matches(props, '"k": \\d')
+      AND contains(lower(event_type), 'c')
+    """,
+)
+def filters_kitchen_sink(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    return eng.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "all",
+            "filter": {
+                "type": "and",
+                "fields": [
+                    {"type": "in", "dimension": "event_type",
+                     "values": ["click", "view", "purchase"]},
+                    {"type": "bound", "dimension": "value", "lower": "10",
+                     "upper": "180", "upperStrict": True, "ordering": "numeric"},
+                    {"type": "not",
+                     "field": {"type": "like", "dimension": "event_type",
+                               "pattern": "v%"}},
+                    {"type": "regex", "dimension": "props", "pattern": '"k": \\d'},
+                    {"type": "search", "dimension": "event_type",
+                     "query": {"type": "insensitive_contains", "value": "c"}},
+                ],
+            },
+            "aggregations": [{"type": "count", "name": "rows"}],
+            "intervals": EVENTS_INTERVAL,
+        }
+    ).select("rows")
+
+
+@q(
+    "union_datasource_count",
+    f"""
+    SELECT CAST(count(*) + (SELECT count(*) FROM lineitem
+                            WHERE l_shipdate >= TIMESTAMP '2024-01-01') AS BIGINT) AS rows
+    FROM events WHERE {EVENTS_WHERE}
+    """,
+)
+def union_datasource_count(spark, sf_dir):
+    """Union dataSource over two heterogenous tables (unionByName with
+    missing columns)."""
+    eng = engine_for(spark, sf_dir)
+    return eng.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": {"type": "union", "dataSources": ["events", "lineitem"]},
+            "granularity": "all",
+            "aggregations": [{"type": "count", "name": "rows"}],
+            "intervals": ["2024-01-01T00:00:00/2262-01-01T00:00:00"],
+        }
+    ).select("rows")
+
+
+# ---------------------------------------------------------------------------
+# Q4-Q9 scan/select/search/metadata
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "scan_clicks",
+    """
+    SELECT event_id, event_type, round(value, 4) AS value FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+      AND event_type = 'click'
+    """,
+)
+def scan_clicks(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "scan",
+            "dataSource": "events",
+            "columns": ["event_id", "event_type", "value"],
+            "filter": {"type": "selector", "dimension": "event_type", "value": "click"},
+            "intervals": ["2024-01-01T00:00:00/2024-01-03T00:00:00"],
+        }
+    )
+    return _r4(df.drop("__time"), "value")
+
+
+@q(
+    "select_page2",
+    """
+    WITH ordered AS (
+      SELECT event_id, ts, row_number() OVER (ORDER BY ts, event_id) AS rn
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-05'
+    )
+    SELECT event_id FROM ordered WHERE rn > 20 AND rn <= 40
+    """,
+)
+def select_page2(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "select",
+            "dataSource": "events",
+            "dimensions": ["event_id"],
+            "metrics": [],
+            "pagingSpec": {"threshold": 20, "offset": 20},
+            "intervals": ["2024-01-01T00:00:00/2024-01-05T00:00:00"],
+        }
+    )
+    return df.select("event_id")
+
+
+@q(
+    "search_dim_values",
+    f"""
+    SELECT 'event_type' AS dimension, event_type AS value,
+           CAST(count(*) AS BIGINT) AS count
+    FROM events
+    WHERE {EVENTS_WHERE} AND contains(lower(event_type), 'i')
+    GROUP BY 2
+    """,
+)
+def search_dim_values(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    return eng.plan(
+        {
+            "queryType": "search",
+            "dataSource": "events",
+            "searchDimensions": ["event_type"],
+            "query": {"type": "insensitive_contains", "value": "i"},
+            "intervals": EVENTS_INTERVAL,
+        }
+    )
+
+
+@q("time_boundary", "SELECT min(ts) AS minTime, max(ts) AS maxTime FROM events")
+def time_boundary(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    return eng.plan({"queryType": "timeBoundary", "dataSource": "events"})
+
+
+@q(
+    "datasource_metadata",
+    "SELECT max(ts) AS maxIngestedEventTime FROM events",
+)
+def datasource_metadata(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    return eng.plan({"queryType": "dataSourceMetadata", "dataSource": "events"})
+
+
+@q(
+    "segment_metadata",
+    """
+    SELECT 'event_id' AS column, CAST(count(DISTINCT event_id) AS BIGINT) AS cardinality,
+           CAST(count(*) AS BIGINT) AS numRows FROM events
+    UNION ALL SELECT 'ts', count(DISTINCT ts), count(*) FROM events
+    UNION ALL SELECT 'user_id', count(DISTINCT user_id), count(*) FROM events
+    UNION ALL SELECT 'event_type', count(DISTINCT event_type), count(*) FROM events
+    UNION ALL SELECT 'value', count(DISTINCT value), count(*) FROM events
+    UNION ALL SELECT 'props', count(DISTINCT props), count(*) FROM events
+    """,
+)
+def segment_metadata(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "segmentMetadata",
+            "dataSource": "events",
+            "context": {"useExactCountDistinct": True},
+        }
+    )
+    return df.select("column", "cardinality", "numRows")
+
+
+# ---------------------------------------------------------------------------
+# Q10 SQL front-end + joins (north-star) on the TPC-H star schema
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "sql_tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-06-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_tpch_q1(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    return eng.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-06-01'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@q(
+    "sql_join_top_customers",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 10
+    """,
+)
+def sql_join_top_customers(spark, sf_dir):
+    """3-way join + agg + top-k (joins are the Spark-native extension —
+    Druid 0.12 has none, SURVEY §2.4)."""
+    eng = engine_for(spark, sf_dir)
+    return eng.sql(
+        """
+        SELECT c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'O'
+        GROUP BY 1, 2
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 10
+        """
+    )
+
+
+@q(
+    "sql_join_region_revenue",
+    """
+    SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+                JOIN customer ON n_nationkey = c_nationkey
+                JOIN orders ON c_custkey = o_custkey
+                JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+)
+def sql_join_region_revenue(spark, sf_dir):
+    """5-way star join: small dims broadcast, one fact shuffle."""
+    eng = engine_for(spark, sf_dir)
+    return eng.sql(
+        """
+        SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM region JOIN nation ON r_regionkey = n_regionkey
+                    JOIN customer ON n_nationkey = c_nationkey
+                    JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1
+        """
+    )
+
+
+@q(
+    "timeseries_lineitem_monthly",
+    """
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ts_bucket,
+           round(sum(l_quantity), 4) AS qty,
+           round(sum(l_extendedprice), 4) AS gross
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY 1
+    """,
+)
+def timeseries_lineitem_monthly(spark, sf_dir):
+    """lineitem doubles as a Druid dataSource (time column l_shipdate)."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "lineitem",
+            "granularity": "month",
+            "aggregations": [
+                {"type": "doubleSum", "name": "qty", "fieldName": "l_quantity"},
+                {"type": "doubleSum", "name": "gross", "fieldName": "l_extendedprice"},
+            ],
+            "intervals": ["1995-01-01T00:00:00/1996-01-01T00:00:00"],
+            "context": {"skipEmptyBuckets": True},
+        }
+    )
+    return _r4(df, "qty", "gross")
+
+
+@q(
+    "topn_orders_priority_quarterly",
+    """
+    WITH agg AS (
+      SELECT CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS ts_bucket,
+             o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             round(sum(o_totalprice), 2) AS volume
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '2002-01-01'
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY ts_bucket
+                 ORDER BY volume DESC, o_orderpriority ASC) AS rn
+      FROM agg
+    )
+    SELECT ts_bucket, o_orderpriority, n, volume FROM ranked WHERE rn <= 2
+    """,
+)
+def topn_orders_priority_quarterly(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "topN",
+            "dataSource": "orders",
+            "granularity": "quarter",
+            "dimension": "o_orderpriority",
+            "metric": "volume",
+            "threshold": 2,
+            "aggregations": [
+                {"type": "count", "name": "n"},
+                {"type": "doubleSum", "name": "volume", "fieldName": "o_totalprice"},
+            ],
+            "intervals": ["1995-01-01T00:00:00/2002-01-01T00:00:00"],
+        }
+    )
+    return df.withColumn("volume", F.round("volume", 2))
+
+
+# ---------------------------------------------------------------------------
+# North-star: text analysis
+# ---------------------------------------------------------------------------
+
+DUCK_TOKS = (
+    "list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), "
+    "x -> x <> '')"
+)
+
+
+@q(
+    "text_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len({DUCK_TOKS}) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(coalesce(text, ''),
+                '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    return text.token_count(eng.catalog.table("documents"))
+
+
+@q(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, coalesce(text, '') AS txt, {DUCK_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, length(txt) AS n_chars, len(toks) AS n_tokens,
+             length(txt) - length(regexp_replace(txt, '[!-/:-@\\[-`{{-~]', '', 'g')) AS punct,
+             length(txt) - length(regexp_replace(txt, '[0-9]', '', 'g')) AS digits,
+             len(list_filter(toks, x -> list_contains(
+                 ['the','and','of','to','is','in','that','with'], x))) AS stop,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> length(x))) ELSE 0 END AS tok_chars
+      FROM t
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0 END, 6) AS punct_ratio,
+           round(CASE WHEN n_chars > 0 THEN digits / n_chars ELSE 0 END, 6) AS digit_ratio,
+           round(CASE WHEN n_tokens > 0 THEN stop / n_tokens ELSE 0 END, 6) AS stopword_ratio,
+           round(CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens ELSE 0 END, 6) AS mean_token_len,
+           round(0.25 * least(n_chars / 500.0, 1.0)
+               + 0.25 * (1 - CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0 END)
+               + 0.25 * (1 - CASE WHEN n_chars > 0 THEN digits / n_chars ELSE 0 END)
+               + 0.25 * CASE WHEN n_tokens > 0 THEN stop / n_tokens ELSE 0 END, 6)
+             AS quality_score
+    FROM m
+    """,
+)
+def text_quality(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    return text.quality_score(eng.catalog.table("documents"))
+
+
+_LANG_LISTS = {
+    "en": "['the','and','of','to','is','in','that','with']",
+    "de": "['der','die','das','und','ist','nicht','mit','ein']",
+    "fr": "['le','la','les','et','est','une','dans','que']",
+    "es": "['el','los','las','es','una','con','por','para']",
+}
+_LANG_SCORES = ", ".join(
+    f"len(list_filter(toks, x -> list_contains({v}, x))) AS s_{k}"
+    for k, v in _LANG_LISTS.items()
+)
+
+
+@q(
+    "text_lang_id",
+    f"""
+    WITH t AS (
+      SELECT doc_id, coalesce(text,'') AS txt, {DUCK_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, txt, {_LANG_SCORES} FROM t
+    )
+    SELECT doc_id,
+      CASE
+        WHEN regexp_matches(txt, '[\\x{{4E00}}-\\x{{9FFF}}]') THEN 'zh'
+        WHEN regexp_matches(txt, '[\\x{{3040}}-\\x{{30FF}}]') THEN 'ja'
+        WHEN regexp_matches(txt, '[\\x{{AC00}}-\\x{{D7AF}}]') THEN 'ko'
+        WHEN regexp_matches(txt, '[\\x{{0E00}}-\\x{{0E7F}}]') THEN 'th'
+        WHEN regexp_matches(txt, '[\\x{{0400}}-\\x{{04FF}}]') THEN 'ru'
+        WHEN regexp_matches(txt, '[\\x{{0600}}-\\x{{06FF}}]') THEN 'ar'
+        WHEN regexp_matches(txt, '[\\x{{0900}}-\\x{{097F}}]') THEN 'hi'
+        WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+        WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+        WHEN s_es > 0 THEN 'es'
+        ELSE 'und'
+      END AS lang_guess
+    FROM s
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    return text.lang_id(eng.catalog.table("documents"))
+
+
+@q(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, md5(coalesce(text,'')) AS exact_md5,
+           md5(array_to_string(list_sort(list_distinct({DUCK_TOKS})), ' ')) AS shuffle_md5
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    return text.fingerprint(eng.catalog.table("documents"))
+
+
+# ---------------------------------------------------------------------------
+# North-star: dedup
+# ---------------------------------------------------------------------------
+
+DUCK_SHINGLES = f"""
+    WITH toks AS (
+      SELECT doc_id, {DUCK_TOKS} AS t FROM documents
+    ), sh0 AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                  ELSE [array_to_string(t, ' ')] END AS arr
+      FROM toks
+    ), shd AS (
+      SELECT DISTINCT doc_id, unnest(arr) AS shingle FROM sh0
+    ), shf AS (
+      SELECT doc_id, shingle FROM shd WHERE shingle <> ''
+    )
+"""
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(coalesce(text,'')) AS digest,
+           CAST(min(doc_id) AS BIGINT) AS survivor_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    return dedup.exact_dedup(eng.catalog.table("documents"))
+
+
+def _duck_minhash_lsh(threshold: float, num_hashes: int = 12, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    mh = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sig".format(
+            b=b,
+            concat=" || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return (
+        DUCK_SHINGLES
+        + f"""
+    , sig AS (SELECT doc_id, {mh} FROM shf GROUP BY doc_id)
+    , banded AS ({band_selects})
+    , cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    ), co AS (
+      SELECT doc_a, doc_b, count(*) AS n_common
+      FROM cand JOIN shf a ON cand.doc_a = a.doc_id
+                JOIN shf b ON cand.doc_b = b.doc_id AND a.shingle = b.shingle
+      GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1)
+    SELECT doc_a, doc_b, round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
+            JOIN sizes sb ON co.doc_b = sb.doc_id
+    WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= {threshold}
+    """
+    )
+
+
+@q("dedup_minhash_lsh", _duck_minhash_lsh(0.5))
+def dedup_minhash_lsh(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    return dedup.minhash_lsh_dedup(eng.catalog.table("documents"), threshold=0.5)
+
+
+@q(
+    "dedup_ngram_jaccard",
+    DUCK_SHINGLES
+    + """
+    , co AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1)
+    SELECT doc_a, doc_b, round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
+            JOIN sizes sb ON co.doc_b = sb.doc_id
+    WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(eng.catalog.table("documents"), threshold=0.5)
+
+
+def _duck_simhash_bits() -> str:
+    bits = []
+    for i in range(32):
+        bits.append(
+            "CASE WHEN list_sum(list_transform(dt, x -> CASE WHEN "
+            f"substr(md5(x), {i + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
+            "THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+@q(
+    "dedup_simhash_signatures",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({DUCK_TOKS}) AS dt FROM documents
+    )
+    SELECT doc_id, {_duck_simhash_bits()} AS simhash FROM t
+    """,
+)
+def dedup_simhash_signatures(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    return dedup.simhash_signatures(eng.catalog.table("documents"))
+
+
+@q(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+             AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+          >= 0.8
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    return dedup.embedding_neardup(eng.catalog.table("embeddings"), threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# North-star: similarity search
+# ---------------------------------------------------------------------------
+
+_DUCK_COSINE = (
+    "round(list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+)
+
+
+@q(
+    "similarity_topk_brute",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e WHERE vec_id >= 5),
+    scored AS (
+      SELECT query_id, neighbor_id, {_DUCK_COSINE} AS cosine FROM c CROSS JOIN q
+    ), ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def similarity_topk_brute(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    emb = eng.catalog.table("embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(emb.where(F.col("vec_id") >= 5), queries, k=10)
+
+
+def _duck_bucket(col: str) -> str:
+    return " || ".join(
+        f"(CASE WHEN {col}[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(8)
+    )
+
+
+@q(
+    "similarity_topk_lsh",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_duck_bucket('embedding')} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM e WHERE vec_id >= 5),
+    scored AS (
+      SELECT query_id, neighbor_id, {_DUCK_COSINE} AS cosine
+      FROM c JOIN q USING (bucket)
+    ), ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def similarity_topk_lsh(spark, sf_dir):
+    """Sign-bit LSH-bucketed ANN: probes only the query's bucket."""
+    eng = engine_for(spark, sf_dir)
+    emb = eng.catalog.table("embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(emb.where(F.col("vec_id") >= 5), queries, k=10, bits=8)
+
+
+# ---------------------------------------------------------------------------
+# North-star: multimodal plumbing (mapInPandas — Python stage is the point)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(coalesce(text,''))) AS BIGINT) AS n_bytes,
+           md5(coalesce(text,'')) AS digest
+    FROM documents
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    """Binary media column → Arrow-batched mapInPandas feature extraction
+    (decode stubbed; byte-count + digest are oracle-checked)."""
+    eng = engine_for(spark, sf_dir)
+    media = eng.catalog.table("documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("media"),
+    )
+    return multimodal.extract_features(media).select("media_id", "n_bytes", "digest")

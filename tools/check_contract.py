@@ -1,0 +1,94 @@
+"""Local stand-in for the driver's correctness gate: run every
+__spark_entry__.queries() entry at a given SF and hash-compare against its
+oracle_sql() through DuckDB (row count + column names + order-insensitive
+values). Usage: python tools/check_contract.py [sf_dir]"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from coolplaydruid_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    return v
+
+
+def run(sf_dir: str) -> int:
+    spark = get_spark(app_name="contract_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            spark_cols = sorted(df.columns)
+            spark_rows = sorted(
+                (tuple(norm_cell(row[c]) for c in spark_cols) for row in df.collect()),
+                key=lambda r: tuple(map(str, r)),
+            )
+            if name not in oracles:
+                print(f"  ~ {name}: rows-only ({len(spark_rows)} rows, "
+                      f"{time.time() - t0:.1f}s)")
+                continue
+            res = con.execute(oracles[name])
+            duck_cols_raw = [d[0] for d in res.description]
+            duck_idx = sorted(range(len(duck_cols_raw)), key=lambda i: duck_cols_raw[i])
+            duck_cols = sorted(duck_cols_raw)
+            duck_rows = sorted(
+                (tuple(norm_cell(row[i]) for i in duck_idx) for row in res.fetchall()),
+                key=lambda r: tuple(map(str, r)),
+            )
+            status = []
+            if spark_cols != duck_cols:
+                status.append(f"SCHEMA spark={spark_cols} duck={duck_cols}")
+            if len(spark_rows) != len(duck_rows):
+                status.append(f"COUNT spark={len(spark_rows)} duck={len(duck_rows)}")
+            elif not status:
+                for i, (a, b) in enumerate(zip(spark_rows, duck_rows)):
+                    ok = all(
+                        (isinstance(x, float) and isinstance(y, float)
+                         and math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-6))
+                        or x == y
+                        for x, y in zip(a, b)
+                    )
+                    if not ok:
+                        status.append(f"VALUES row{i} spark={a} duck={b}")
+                        break
+            if status:
+                failures += 1
+                print(f"  ✗ {name}: {'; '.join(status)}")
+            else:
+                print(f"  ✓ {name} ({len(spark_rows)} rows, {time.time() - t0:.1f}s)")
+        except Exception as e:  # noqa: BLE001
+            failures += 1
+            print(f"  ✗ {name}: EXCEPTION {type(e).__name__}: {str(e)[:200]}")
+    print(f"\n{len(queries)} queries, {failures} failures")
+    return failures
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    raise SystemExit(1 if run(sf) else 0)
