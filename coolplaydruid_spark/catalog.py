@@ -53,7 +53,7 @@ class DataSource:
         df = reader.parquet(self.path)
         for c in nanos_cols:
             if c in df.columns:
-                df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         if self.time_column and self.time_column in df.columns:
             df = df.withColumn(TIME_COLUMN, F.col(self.time_column))
         return df

@@ -90,7 +90,7 @@ def _read_source(spark: SparkSession, source: dict) -> DataFrame:
         df = reader.parquet(path)
         for c in nanos:
             if c in df.columns:
-                df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         return df
     if fmt == "json":
         return reader.json(path)
