@@ -117,6 +117,10 @@ class DruidEngine:
         try:
             df = self.plan(query)
             rows = [r.asDict(recursive=True) for r in df.collect()]
+            if timed_out.is_set():
+                # The deadline passed while planning/collecting (the cancel
+                # may have landed between jobs) — the timeout contract wins.
+                raise QueryTimeoutError()
             return self.serialize(query, rows)
         except DruidQueryError:
             raise
@@ -142,6 +146,40 @@ class DruidEngine:
         """DELETE /druid/v2/{id} equivalent
         (query/query-module-overview.md:55-59)."""
         self.spark.sparkContext.cancelJobGroup(query_id)
+
+    def etag(self, query: dict) -> str | None:
+        """ETag for If-None-Match caching
+        (query/query-internal-procedure.md:41-47): hash of the canonical
+        query + the referenced dataSource's files and mtimes (the Spark
+        analogue of Druid's per-segment-version cache key). None when the
+        dataSource isn't a plain registered table."""
+        import hashlib
+        import os
+
+        ds = query.get("dataSource")
+        if isinstance(ds, dict):
+            ds = ds.get("name") if ds.get("type", "table") == "table" else None
+        if not isinstance(ds, str):
+            return None
+        try:
+            source = self.catalog.source(ds)
+        except KeyError:
+            return None
+        if not source.path:
+            return None
+        h = hashlib.md5(json.dumps(query, sort_keys=True, default=str).encode())
+        path = source.path
+        try:
+            if os.path.isdir(path):
+                for root, _, files in os.walk(path):
+                    for f in sorted(files):
+                        p = os.path.join(root, f)
+                        h.update(f"{p}:{os.path.getmtime(p)}".encode())
+            else:
+                h.update(f"{path}:{os.path.getmtime(path)}".encode())
+        except OSError:
+            return None
+        return f'"{h.hexdigest()}"'
 
     # ---- result shaping -------------------------------------------------
 

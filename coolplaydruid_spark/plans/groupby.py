@@ -37,9 +37,18 @@ def plan_groupby(engine, query: dict) -> DataFrame:
     gran = parse_granularity(query.get("granularity", "all"))
     base = filtered_frame(df, query)
 
+    # Multi-value string dimensions (public Druid 0.12 semantics, SURVEY
+    # §1.1/§7.5.7): a row with an array-valued dimension groups once per
+    # element — explode before grouping.
+    array_dims = {
+        f.name for f in base.schema.fields if f.dataType.typeName() == "array"
+    }
     dim_cols, dim_names = [], []
     for spec in query.get("dimensions") or []:
         col, name = dimension_column(spec)
+        raw = spec if isinstance(spec, str) else spec.get("dimension")
+        if raw in array_dims:
+            base = base.withColumn(raw, F.explode_outer(F.col(raw)))
         dim_cols.append(col.alias(name))
         dim_names.append(name)
 

@@ -1,0 +1,152 @@
+"""Thin HTTP facade over DruidEngine — the reference's REST contract on
+the Python stdlib server (no extra dependencies).
+
+Endpoints (reference cites):
+ - POST   /druid/v2                  native JSON query
+                                     (query/query-module-overview.md:3-6);
+                                     supports If-None-Match / ETag
+                                     (query/query-internal-procedure.md:41-47)
+ - DELETE /druid/v2/{queryId}        cancel (query/query-module-overview.md:55-59)
+ - POST   /druid/indexer/v1/task     submit an index task
+                                     (indexing-service-submit-task.md:13-98)
+ - GET    /druid/indexer/v1/task/{id}/status
+                                     task status (ZK status-znode analogue)
+ - GET    /status                    health/version
+
+Queries execute on the Spark driver inside the request thread
+(ThreadingHTTPServer); Spark's scheduler fans the work out. Errors return
+HTTP 500 with the exact reference envelope.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from coolplaydruid_spark.engine import DruidEngine
+from coolplaydruid_spark.errors import envelope_for
+
+
+def make_handler(engine: DruidEngine):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # noqa: A003 - silence stdlib logging
+            pass
+
+        def _send(self, code: int, body: bytes, headers: dict | None = None):
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _read_body(self) -> bytes:
+            length = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(length)
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/status":
+                self._send(200, json.dumps(
+                    {"version": "coolplaydruid_spark", "status": "ok"}
+                ).encode())
+                return
+            if self.path.startswith("/druid/indexer/v1/task/") and self.path.endswith(
+                "/status"
+            ):
+                from coolplaydruid_spark.sources.batch import REGISTRY
+
+                task_id = self.path.split("/")[-2]
+                try:
+                    st = REGISTRY.get(task_id)
+                    self._send(200, json.dumps(
+                        {"task": task_id,
+                         "status": {"id": task_id, "status": st.status,
+                                    "detail": st.detail}}
+                    ).encode())
+                except KeyError:
+                    self._send(404, json.dumps({"error": f"unknown task {task_id}"}).encode())
+                return
+            self._send(404, b'{"error": "not found"}')
+
+        def do_POST(self):  # noqa: N802
+            body = self._read_body()
+            if self.path == "/druid/v2" or self.path == "/druid/v2/":
+                try:
+                    query = json.loads(body)
+                except json.JSONDecodeError as e:
+                    self._send(500, json.dumps(envelope_for(e)).encode())
+                    return
+                etag = engine.etag(query)
+                if etag and self.headers.get("If-None-Match") == etag:
+                    self._send(304, b"", {"ETag": etag})
+                    return
+                try:
+                    rows = engine.execute(query)
+                    payload = json.dumps(rows, default=str).encode()
+                    self._send(200, payload, {"ETag": etag} if etag else None)
+                except Exception as e:  # noqa: BLE001
+                    self._send(500, json.dumps(envelope_for(e)).encode())
+                return
+            if self.path == "/druid/indexer/v1/task":
+                from coolplaydruid_spark.sources import batch
+
+                try:
+                    spec = json.loads(body)
+                    ttype = spec.get("type", "index")
+                    if ttype == "noop":
+                        st = batch.noop_task()
+                    elif ttype in ("index", "index_hadoop", "append"):
+                        io = spec["spec"]
+                        fn = batch.append_task if ttype == "append" else batch.index_task
+                        st = fn(
+                            engine.spark,
+                            io["source"],
+                            io["destPath"],
+                            time_column=io["timeColumn"],
+                            rollup=io.get("rollup"),
+                            sort_by=io.get("sortBy"),
+                        )
+                    else:
+                        raise ValueError(f"unsupported task type {ttype!r}")
+                    self._send(200, json.dumps({"task": st.task_id}).encode())
+                except Exception as e:  # noqa: BLE001
+                    self._send(500, json.dumps(envelope_for(e)).encode())
+                return
+            self._send(404, b'{"error": "not found"}')
+
+        def do_DELETE(self):  # noqa: N802
+            if self.path.startswith("/druid/v2/"):
+                query_id = self.path.rsplit("/", 1)[-1]
+                engine.cancel(query_id)
+                self._send(202, json.dumps({"cancelled": query_id}).encode())
+                return
+            self._send(404, b'{"error": "not found"}')
+
+    return Handler
+
+
+class DruidHttpServer:
+    """Threaded HTTP server wrapper; start()/shutdown() for embedding and
+    tests."""
+
+    def __init__(self, engine: DruidEngine, host: str = "127.0.0.1", port: int = 8082):
+        self.httpd = ThreadingHTTPServer((host, port), make_handler(engine))
+        self.thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def start(self) -> "DruidHttpServer":
+        self.thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self.thread.start()
+        return self
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        if self.thread:
+            self.thread.join(timeout=5)

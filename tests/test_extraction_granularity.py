@@ -1,0 +1,144 @@
+"""Extraction functions (DimensionSpecs), granularity edge cases, and
+operational knobs (timeout) not covered elsewhere."""
+
+from datetime import datetime
+
+import pytest
+
+from coolplaydruid_spark.errors import DruidQueryError
+from coolplaydruid_spark.functions.granularity import (
+    Granularity,
+    parse_granularity,
+    parse_interval,
+)
+
+INTERVAL = ["2024-01-01T00:00:00/2024-02-01T00:00:00"]
+
+
+def test_lookup_extraction(engine):
+    q = {
+        "queryType": "groupBy",
+        "dataSource": "events",
+        "granularity": "all",
+        "dimensions": [
+            {
+                "type": "extraction",
+                "dimension": "event_type",
+                "outputName": "kind",
+                "extractionFn": {
+                    "type": "lookup",
+                    "lookup": {"type": "map",
+                               "map": {"click": "engagement", "view": "engagement",
+                                       "purchase": "revenue"}},
+                    "replaceMissingValueWith": "other",
+                },
+            }
+        ],
+        "aggregations": [{"type": "count", "name": "n"}],
+        "intervals": INTERVAL,
+    }
+    rows = {r["kind"]: r["n"] for r in engine.plan(q).collect()}
+    assert set(rows) == {"engagement", "revenue", "other"}
+    assert rows["engagement"] > rows["revenue"] > 0
+
+
+def test_timeformat_extraction(engine):
+    q = {
+        "queryType": "groupBy",
+        "dataSource": "events",
+        "granularity": "all",
+        "dimensions": [
+            {
+                "type": "extraction",
+                "dimension": "__time",
+                "outputName": "dow",
+                "extractionFn": {"type": "timeFormat", "format": "EEEE"},
+            }
+        ],
+        "aggregations": [{"type": "count", "name": "n"}],
+        "intervals": INTERVAL,
+    }
+    rows = {r["dow"] for r in engine.plan(q).collect()}
+    assert "Monday" in rows and len(rows) == 7
+
+
+def test_cascade_regex_upper(engine):
+    q = {
+        "queryType": "groupBy",
+        "dataSource": "events",
+        "granularity": "all",
+        "dimensions": [
+            {
+                "type": "extraction",
+                "dimension": "event_type",
+                "outputName": "initial",
+                "extractionFn": {
+                    "type": "cascade",
+                    "extractionFns": [
+                        {"type": "substring", "index": 0, "length": 1},
+                        {"type": "upper"},
+                    ],
+                },
+            }
+        ],
+        "aggregations": [{"type": "count", "name": "n"}],
+        "intervals": INTERVAL,
+    }
+    rows = {r["initial"] for r in engine.plan(q).collect()}
+    assert rows <= set("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
+def test_strlen_extraction_filter(engine):
+    q = {
+        "queryType": "timeseries",
+        "dataSource": "events",
+        "granularity": "all",
+        "filter": {
+            "type": "selector",
+            "dimension": "event_type",
+            "value": "5",
+            "extractionFn": {"type": "strlen"},
+        },
+        "aggregations": [{"type": "count", "name": "n"}],
+        "intervals": INTERVAL,
+    }
+    rows = engine.execute(q)
+    # event types with exactly 5 chars: click, error, login?
+    assert rows[0]["result"]["n"] > 0
+
+
+def test_granularity_parsing_and_buckets():
+    g = parse_granularity("week")
+    assert g.bucket_py(datetime(2024, 1, 10)) == datetime(2024, 1, 8)  # Monday
+    g = parse_granularity({"type": "period", "period": "P3M"})
+    assert g.grain == "quarter"
+    g = parse_granularity({"type": "period", "period": "PT6H"})
+    assert g.duration_s == 21600
+    g = parse_granularity("fifteen_minute")
+    assert g.bucket_py(datetime(2024, 1, 1, 0, 44)) == datetime(2024, 1, 1, 0, 30)
+    with pytest.raises(ValueError):
+        parse_granularity("fortnight")
+
+    start, end = parse_interval("2024-01-01T12:00:00/2024-01-03T00:00:00")
+    buckets = parse_granularity("day").buckets_in(start, end)
+    assert buckets == [datetime(2024, 1, 1), datetime(2024, 1, 2)]
+
+    g = Granularity(kind="trunc", grain="quarter")
+    assert g.next_bucket_py(datetime(2024, 10, 1)) == datetime(2025, 1, 1)
+
+
+def test_timeout_enforced(engine):
+    """context.timeout (ms) cancels the job group and raises the Druid
+    timeout error (query/query-module-overview.md:75-80)."""
+    q = {
+        "queryType": "groupBy",
+        "dataSource": {"type": "union", "dataSources": ["events"] * 40},
+        "granularity": "none",
+        "dimensions": ["props", "event_type"],
+        "aggregations": [{"type": "cardinality", "name": "c", "fields": ["props"]}],
+        "intervals": INTERVAL,
+        "context": {"timeout": 1},
+    }
+    with pytest.raises(DruidQueryError) as exc_info:
+        engine.execute(q)
+    assert exc_info.value.error in ("Query timeout", "Unknown exception")

@@ -1,0 +1,134 @@
+"""HTTP facade (REST parity): query POST, ETag/304, cancel DELETE, task
+submit/status, error envelope over the wire. Multi-value dimension
+groupBy. ETag invalidation on data change."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from coolplaydruid_spark.server.http import DruidHttpServer
+
+
+@pytest.fixture(scope="module")
+def server(engine):
+    srv = DruidHttpServer(engine, port=0).start()
+    yield srv
+    srv.shutdown()
+
+
+def _req(srv, method, path, body=None, headers=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=json.dumps(body).encode() if body is not None else None,
+        method=method,
+        headers=headers or {},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, dict(resp.headers), resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers), e.read()
+
+
+TS_QUERY = {
+    "queryType": "timeseries",
+    "dataSource": "events",
+    "granularity": "day",
+    "aggregations": [{"type": "count", "name": "rows"}],
+    "intervals": ["2024-01-01T00:00:00/2024-01-04T00:00:00"],
+}
+
+
+def test_query_roundtrip_and_etag(server):
+    status, headers, body = _req(server, "POST", "/druid/v2", TS_QUERY)
+    assert status == 200
+    rows = json.loads(body)
+    assert len(rows) == 3 and rows[0]["result"]["rows"] > 0
+    etag = headers.get("ETag")
+    assert etag
+
+    # replay with If-None-Match → 304, no body
+    status2, headers2, body2 = _req(
+        server, "POST", "/druid/v2", TS_QUERY, {"If-None-Match": etag}
+    )
+    assert status2 == 304 and body2 == b""
+
+    # different query → different etag
+    q2 = dict(TS_QUERY, granularity="hour")
+    _, headers3, _ = _req(server, "POST", "/druid/v2", q2)
+    assert headers3.get("ETag") != etag
+
+
+def test_error_envelope_http_500(server):
+    status, _, body = _req(server, "POST", "/druid/v2", {"queryType": "bogus"})
+    assert status == 500
+    env = json.loads(body)
+    assert set(env) == {"error", "errorMessage", "errorClass", "host"}
+
+
+def test_cancel_endpoint(server):
+    status, _, body = _req(server, "DELETE", "/druid/v2/some-query-id")
+    assert status == 202
+    assert json.loads(body) == {"cancelled": "some-query-id"}
+
+
+def test_task_submit_and_status(server, tmp_path_factory):
+    dest = str(tmp_path_factory.mktemp("http_ingest") / "tbl")
+    from tests.conftest import SF_DIR
+
+    status, _, body = _req(
+        server,
+        "POST",
+        "/druid/indexer/v1/task",
+        {
+            "type": "index",
+            "spec": {
+                "source": {"format": "parquet", "path": f"{SF_DIR}/events.parquet"},
+                "destPath": dest,
+                "timeColumn": "ts",
+            },
+        },
+    )
+    assert status == 200
+    task_id = json.loads(body)["task"]
+    status, _, body = _req(server, "GET", f"/druid/indexer/v1/task/{task_id}/status")
+    assert status == 200
+    assert json.loads(body)["status"]["status"] == "SUCCESS"
+
+    status, _, _ = _req(server, "GET", "/druid/indexer/v1/task/nope/status")
+    assert status == 404
+
+
+def test_health(server):
+    status, _, body = _req(server, "GET", "/status")
+    assert status == 200 and json.loads(body)["status"] == "ok"
+
+
+def test_multivalue_dimension_groupby(spark, engine):
+    """Multi-value dims: a row groups once per array element (public
+    Druid 0.12 semantics)."""
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", ["a", "b"]),
+            (2, "2024-01-01 01:00:00", ["b"]),
+            (3, "2024-01-01 02:00:00", None),
+        ],
+        "id long, ts string, tags array<string>",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    engine.catalog.register("mv_events", df=df, time_column="ts")
+    rows = engine.plan(
+        {
+            "queryType": "groupBy",
+            "dataSource": "mv_events",
+            "granularity": "all",
+            "dimensions": ["tags"],
+            "aggregations": [{"type": "count", "name": "n"}],
+            "intervals": ["2024-01-01T00:00:00/2024-01-02T00:00:00"],
+        }
+    ).collect()
+    got = {r["tags"]: r["n"] for r in rows}
+    assert got == {"a": 1, "b": 2, None: 1}
