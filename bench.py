@@ -45,7 +45,13 @@ def main() -> None:
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
     spark = get_spark(app_name="coolplaydruid_bench")
 
-    # Warm the session (JVM/codegen/catalog) outside the timed region.
+    # Warm the session outside the timed region: JVM/codegen paths via the
+    # flagship query at the smallest SF (different data — only code paths
+    # warm up), then the bench catalog's file listings.
+    try:
+        contract.QUERIES["timeseries_day"](spark, "/root/testdata/sf0.001").collect()
+    except Exception:  # noqa: BLE001 - warmup is best-effort
+        pass
     contract.engine_for(spark, sf_dir).catalog.table("events").count()
 
     timings: dict[str, float] = {}

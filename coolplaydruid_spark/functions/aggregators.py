@@ -25,9 +25,13 @@ from coolplaydruid_spark.functions.filters import compile_filter
 
 @dataclass
 class CompiledAggs:
-    exprs: list[Column]  # aggregate expressions, aliased to output names
-    names: list[str]  # output names in order
+    exprs: list[Column]  # JVM aggregate expressions, aliased to output names
+    names: list[str]  # output names in order (JVM + python)
     fills: dict[str, object]  # name -> zero-fill identity (None = leave null)
+    # GROUPED_AGG pandas UDF aggregates — Spark cannot mix them with JVM
+    # aggregates in one agg(), so planners run them as a parallel groupBy
+    # joined back on the group keys.
+    py_exprs: list[Column] = None  # type: ignore[assignment]
 
 
 def compile_aggregators(specs: list[dict] | None, context: dict | None = None) -> CompiledAggs:
@@ -36,15 +40,27 @@ def compile_aggregators(specs: list[dict] | None, context: dict | None = None) -
     Druid-faithful) to exact count distinct (oracle-testable)."""
     context = context or {}
     exprs: list[Column] = []
+    py_exprs: list[Column] = []
     names: list[str] = []
     fills: dict[str, object] = {}
     for spec in specs or []:
         name = spec["name"]
         col, fill = _compile_one(spec, context, filter_pred=None)
-        exprs.append(col.alias(name))
+        if _is_python_agg(spec):
+            py_exprs.append(col.alias(name))
+        else:
+            exprs.append(col.alias(name))
         names.append(name)
         fills[name] = fill
-    return CompiledAggs(exprs, names, fills)
+    return CompiledAggs(exprs, names, fills, py_exprs)
+
+
+def _is_python_agg(spec: dict) -> bool:
+    if spec.get("type") == "filtered":
+        return _is_python_agg(spec.get("aggregator", {}))
+    return spec.get("type") == "javascript" and callable(
+        spec.get("fn") or spec.get("function")
+    )
 
 
 def _field(spec: dict) -> Column:
@@ -103,11 +119,22 @@ def _compile_one(spec: dict, context: dict, filter_pred: Column | None):
             return F.count_distinct(col), 0
         return F.approx_count_distinct(col), 0
     if atype == "javascript":
+        # Druid's JS fold/combine extension point (A9) — we accept a
+        # *Python* callable (pd.Series -> scalar) instead of JS source
+        # (documented divergence, SURVEY §2.9). Runs as an Arrow-batched
+        # GROUPED_AGG pandas_udf — the only aggregator that leaves the JVM.
         fn = spec.get("fn") or spec.get("function")
         if callable(fn):
-            raise NotImplementedError(
-                "javascript aggregator: use a pandas_udf GROUPED_AGG via the "
-                "Python API instead (SURVEY §2.9)"
-            )
-        raise NotImplementedError("javascript aggregator source strings unsupported")
+            import pandas as pd  # noqa: F401
+
+            from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+            return_type = spec.get("returnType", "double")
+            udaf = pandas_udf(fn, return_type, PandasUDFType.GROUPED_AGG)
+            fields = spec.get("fieldNames") or [spec["fieldName"]]
+            return udaf(*[guard(F.col(f)) for f in fields]), None
+        raise NotImplementedError(
+            "javascript aggregator source strings unsupported — pass a "
+            "Python callable as 'fn' (SURVEY §2.9)"
+        )
     raise ValueError(f"unknown aggregator type {atype!r}")

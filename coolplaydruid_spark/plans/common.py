@@ -17,6 +17,21 @@ from coolplaydruid_spark.functions.granularity import (
 BUCKET = "ts_bucket"
 
 
+def grouped_agg(base: DataFrame, key_cols: list, key_names: list[str], aggs) -> DataFrame:
+    """groupBy + agg handling the JVM/pandas split: GROUPED_AGG pandas
+    UDF aggregates (CompiledAggs.py_exprs) cannot share an agg() with JVM
+    aggregates, so they run as a second groupBy over the same keys joined
+    back (the keys are identical, so the join is a co-partitioned merge of
+    two already-shuffled sides — AQE handles the small result)."""
+    if aggs.py_exprs and aggs.exprs:
+        jvm = base.groupBy(*key_cols).agg(*aggs.exprs)
+        py = base.groupBy(*key_cols).agg(*aggs.py_exprs)
+        return jvm.join(py, on=key_names, how="inner")
+    if aggs.py_exprs:
+        return base.groupBy(*key_cols).agg(*aggs.py_exprs)
+    return base.groupBy(*key_cols).agg(*aggs.exprs)
+
+
 def filtered_frame(df: DataFrame, query: dict) -> DataFrame:
     """Apply the query's ``intervals`` + ``filter`` to the dataSource frame.
 

@@ -28,7 +28,7 @@ from coolplaydruid_spark.functions.extraction import dimension_column
 from coolplaydruid_spark.functions.filters import compile_filter
 from coolplaydruid_spark.functions.granularity import parse_granularity, parse_interval
 from coolplaydruid_spark.functions.postaggs import compile_post_aggregators
-from coolplaydruid_spark.plans.common import BUCKET, filtered_frame
+from coolplaydruid_spark.plans.common import BUCKET, filtered_frame, grouped_agg
 
 
 def plan_groupby(engine, query: dict) -> DataFrame:
@@ -63,7 +63,7 @@ def plan_groupby(engine, query: dict) -> DataFrame:
         bucket = gran.bucket(F.col(TIME_COLUMN)).alias(BUCKET)
 
     aggs = compile_aggregators(query.get("aggregations"), context)
-    out = base.groupBy(bucket, *dim_cols).agg(*aggs.exprs)
+    out = grouped_agg(base, [bucket, *dim_cols], [BUCKET, *dim_names], aggs)
 
     for name, col in compile_post_aggregators(query.get("postAggregations")):
         out = out.withColumn(name, col)

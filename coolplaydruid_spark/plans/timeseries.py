@@ -24,7 +24,13 @@ from coolplaydruid_spark.catalog import TIME_COLUMN
 from coolplaydruid_spark.functions.aggregators import compile_aggregators
 from coolplaydruid_spark.functions.granularity import parse_granularity, parse_interval
 from coolplaydruid_spark.functions.postaggs import compile_post_aggregators
-from coolplaydruid_spark.plans.common import BUCKET, bucket_spine, filtered_frame, zero_fill
+from coolplaydruid_spark.plans.common import (
+    BUCKET,
+    bucket_spine,
+    filtered_frame,
+    grouped_agg,
+    zero_fill,
+)
 
 
 def plan_timeseries(engine, query: dict) -> DataFrame:
@@ -40,18 +46,25 @@ def plan_timeseries(engine, query: dict) -> DataFrame:
         start = min(parse_interval(iv)[0] for iv in _intervals(query)) if query.get(
             "intervals"
         ) else None
-        agg_df = base.agg(*aggs.exprs)
         bucket = F.lit(start).cast("timestamp") if start else F.lit(None).cast("timestamp")
+        if aggs.py_exprs:
+            # pandas UDAFs need a groupBy; the constant key changes empty-
+            # input behavior (0 rows instead of one identity row) — accepted
+            # for the python-agg path only.
+            agg_df = grouped_agg(
+                base.withColumn("__g", F.lit(1)), [F.col("__g")], ["__g"], aggs
+            ).drop("__g")
+        else:
+            # global .agg() keeps Druid's one-row-even-when-empty semantics
+            agg_df = base.agg(*aggs.exprs)
         agg_df = agg_df.select(bucket.alias(BUCKET), *[F.col(n) for n in aggs.names])
     elif gran.kind == "none":
-        agg_df = (
-            base.groupBy(F.col(TIME_COLUMN).alias(BUCKET))
-            .agg(*aggs.exprs)
+        agg_df = grouped_agg(
+            base, [F.col(TIME_COLUMN).alias(BUCKET)], [BUCKET], aggs
         )
     else:
-        agg_df = (
-            base.groupBy(gran.bucket(F.col(TIME_COLUMN)).alias(BUCKET))
-            .agg(*aggs.exprs)
+        agg_df = grouped_agg(
+            base, [gran.bucket(F.col(TIME_COLUMN)).alias(BUCKET)], [BUCKET], aggs
         )
         skip_empty = bool(context.get("skipEmptyBuckets"))
         if not skip_empty and query.get("intervals"):

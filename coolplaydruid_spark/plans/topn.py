@@ -24,7 +24,7 @@ from coolplaydruid_spark.functions.aggregators import compile_aggregators
 from coolplaydruid_spark.functions.extraction import dimension_column
 from coolplaydruid_spark.functions.granularity import parse_granularity, parse_interval
 from coolplaydruid_spark.functions.postaggs import compile_post_aggregators
-from coolplaydruid_spark.plans.common import BUCKET, filtered_frame
+from coolplaydruid_spark.plans.common import BUCKET, filtered_frame, grouped_agg
 
 
 def plan_topn(engine, query: dict) -> DataFrame:
@@ -47,7 +47,7 @@ def plan_topn(engine, query: dict) -> DataFrame:
         bucket = gran.bucket(F.col(TIME_COLUMN)).alias(BUCKET)
 
     aggs = compile_aggregators(query.get("aggregations"), context)
-    out = base.groupBy(bucket, dim_col.alias(dim_name)).agg(*aggs.exprs)
+    out = grouped_agg(base, [bucket, dim_col.alias(dim_name)], [BUCKET, dim_name], aggs)
     for name, col in compile_post_aggregators(query.get("postAggregations")):
         out = out.withColumn(name, col)
 

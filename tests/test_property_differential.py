@@ -1,0 +1,257 @@
+"""Property-based differential testing: hypothesis generates random Druid
+query specs; an independent spec→SQL translator (below) renders the same
+semantics for DuckDB; results must match exactly.
+
+This is the SURVEY §5.2 oracle strategy generalized — instead of a fixed
+query list, the spec space itself is sampled: filter trees up to depth 3,
+all simple granularities, aggregator combinations, and the three
+aggregation query types."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+
+# ---- spec → DuckDB SQL (independent re-implementation of the semantics) ----
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "login", "error"]
+
+
+def filter_to_sql(spec) -> str:
+    t = spec["type"]
+    if t == "selector":
+        return f"event_type = '{spec['value']}'"
+    if t == "in":
+        vals = ", ".join(f"'{v}'" for v in spec["values"])
+        return f"event_type IN ({vals})" if vals else "FALSE"
+    if t == "bound":
+        parts = []
+        if spec.get("lower") is not None:
+            op = ">" if spec.get("lowerStrict") else ">="
+            parts.append(f"value {op} {spec['lower']}")
+        if spec.get("upper") is not None:
+            op = "<" if spec.get("upperStrict") else "<="
+            parts.append(f"value {op} {spec['upper']}")
+        return " AND ".join(parts) if parts else "TRUE"
+    if t == "like":
+        return f"event_type LIKE '{spec['pattern']}'"
+    if t == "search":
+        return f"contains(lower(event_type), '{spec['query']['value'].lower()}')"
+    if t == "not":
+        return f"NOT ({filter_to_sql(spec['field'])})"
+    if t in ("and", "or"):
+        op = " AND " if t == "and" else " OR "
+        return "(" + op.join(filter_to_sql(f) for f in spec["fields"]) + ")"
+    raise ValueError(t)
+
+
+GRAN_SQL = {
+    "hour": "CAST(date_trunc('hour', ts) AS TIMESTAMP)",
+    "day": "CAST(date_trunc('day', ts) AS TIMESTAMP)",
+    "week": "CAST(date_trunc('week', ts) AS TIMESTAMP)",
+    "month": "CAST(date_trunc('month', ts) AS TIMESTAMP)",
+}
+
+AGG_SQL = {
+    "count": ("count", "CAST(count(*) AS BIGINT)"),
+    "longSum": ("ids", "CAST(sum(event_id) AS BIGINT)"),
+    "doubleSum": ("total", "round(sum(value), 4)"),
+    "doubleMin": ("vmin", "round(min(value), 4)"),
+    "doubleMax": ("vmax", "round(max(value), 4)"),
+}
+AGG_SPEC = {
+    "count": {"type": "count"},
+    "longSum": {"type": "longSum", "fieldName": "event_id"},
+    "doubleSum": {"type": "doubleSum", "fieldName": "value"},
+    "doubleMin": {"type": "doubleMin", "fieldName": "value"},
+    "doubleMax": {"type": "doubleMax", "fieldName": "value"},
+}
+# longSum/doubleSum coalesce to 0 on empty (Druid identity); min/max stay null
+AGG_EMPTY_SAFE = {"count", "longSum", "doubleSum"}
+
+WHERE_BASE = "ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'"
+
+
+# ---- strategies -----------------------------------------------------------
+
+leaf_filter = st.one_of(
+    st.builds(
+        lambda v: {"type": "selector", "dimension": "event_type", "value": v},
+        st.sampled_from(EVENT_TYPES),
+    ),
+    st.builds(
+        lambda vs: {"type": "in", "dimension": "event_type", "values": sorted(vs)},
+        st.sets(st.sampled_from(EVENT_TYPES), min_size=1, max_size=4),
+    ),
+    st.builds(
+        lambda lo, hi, ls, us: {
+            "type": "bound", "dimension": "value", "ordering": "numeric",
+            "lower": str(min(lo, hi)), "upper": str(max(lo, hi)),
+            "lowerStrict": ls, "upperStrict": us,
+        },
+        st.integers(0, 100), st.integers(100, 200), st.booleans(), st.booleans(),
+    ),
+    st.builds(
+        lambda p: {"type": "like", "dimension": "event_type", "pattern": p},
+        st.sampled_from(["c%", "%e%", "%n", "p_rchase", "z%"]),
+    ),
+    st.builds(
+        lambda v: {"type": "search", "dimension": "event_type",
+                   "query": {"type": "insensitive_contains", "value": v}},
+        st.sampled_from(["C", "i", "LOG", "x"]),
+    ),
+)
+
+filters = st.recursive(
+    leaf_filter,
+    lambda children: st.one_of(
+        st.builds(lambda f: {"type": "not", "field": f}, children),
+        st.builds(
+            lambda fs: {"type": "and", "fields": fs},
+            st.lists(children, min_size=2, max_size=3),
+        ),
+        st.builds(
+            lambda fs: {"type": "or", "fields": fs},
+            st.lists(children, min_size=2, max_size=3),
+        ),
+    ),
+    max_leaves=5,
+)
+
+agg_sets = st.sets(
+    st.sampled_from(list(AGG_SQL)), min_size=1, max_size=3
+).map(sorted)
+
+granularities = st.sampled_from(list(GRAN_SQL))
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    return v
+
+
+def _compare(df, duck, sql):
+    scols = sorted(df.columns)
+    srows = sorted(
+        (tuple(_norm(r[c]) for c in scols) for r in df.collect()),
+        key=lambda t: tuple(map(str, t)),
+    )
+    res = duck.execute(sql)
+    dcols_raw = [d[0] for d in res.description]
+    idx = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
+    drows = sorted(
+        (tuple(_norm(r[i]) for i in idx) for r in res.fetchall()),
+        key=lambda t: tuple(map(str, t)),
+    )
+    assert sorted(dcols_raw) == scols, (sorted(dcols_raw), scols)
+    assert len(srows) == len(drows), (len(srows), len(drows), srows[:3], drows[:3])
+    for a, b in zip(srows, drows):
+        for x, y in zip(a, b):
+            if isinstance(x, float) and isinstance(y, float):
+                assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-6), (a, b)
+            else:
+                assert x == y, (a, b)
+
+
+COMMON = dict(
+    deadline=None,
+    max_examples=15,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**COMMON)
+@given(f=filters, gran=granularities, aggs=agg_sets)
+def test_timeseries_differential(engine, duck, f, gran, aggs):
+    q = {
+        "queryType": "timeseries",
+        "dataSource": "events",
+        "granularity": gran,
+        "filter": f,
+        "aggregations": [dict(AGG_SPEC[a], name=AGG_SQL[a][0]) for a in aggs],
+        "intervals": ["2024-01-01T00:00:00/2024-02-01T00:00:00"],
+        "context": {"skipEmptyBuckets": True},
+    }
+    df = engine.plan(q)
+    from pyspark.sql import functions as F
+
+    for a in aggs:
+        name = AGG_SQL[a][0]
+        if a.startswith("double"):
+            df = df.withColumn(name, F.round(name, 4))
+    select = ", ".join([f"{GRAN_SQL[gran]} AS ts_bucket"]
+                       + [f"{AGG_SQL[a][1]} AS {AGG_SQL[a][0]}" for a in aggs])
+    sql = (
+        f"SELECT {select} FROM events "
+        f"WHERE {WHERE_BASE} AND ({filter_to_sql(f)}) GROUP BY 1"
+    )
+    _compare(df, duck, sql)
+
+
+@settings(**COMMON)
+@given(f=filters, gran=granularities, aggs=agg_sets, with_dim=st.booleans())
+def test_groupby_differential(engine, duck, f, gran, aggs, with_dim):
+    dims = ["event_type"] if with_dim else []
+    q = {
+        "queryType": "groupBy",
+        "dataSource": "events",
+        "granularity": gran,
+        "dimensions": dims,
+        "filter": f,
+        "aggregations": [dict(AGG_SPEC[a], name=AGG_SQL[a][0]) for a in aggs],
+        "intervals": ["2024-01-01T00:00:00/2024-02-01T00:00:00"],
+    }
+    df = engine.plan(q)
+    from pyspark.sql import functions as F
+
+    for a in aggs:
+        name = AGG_SQL[a][0]
+        if a.startswith("double"):
+            df = df.withColumn(name, F.round(name, 4))
+    cols = [f"{GRAN_SQL[gran]} AS ts_bucket"] + dims + [
+        f"{AGG_SQL[a][1]} AS {AGG_SQL[a][0]}" for a in aggs
+    ]
+    group = "1, 2" if dims else "1"
+    sql = (
+        f"SELECT {', '.join(cols)} FROM events "
+        f"WHERE {WHERE_BASE} AND ({filter_to_sql(f)}) GROUP BY {group}"
+    )
+    _compare(df, duck, sql)
+
+
+@settings(**COMMON)
+@given(f=filters, n=st.integers(1, 6))
+def test_topn_differential(engine, duck, f, n):
+    q = {
+        "queryType": "topN",
+        "dataSource": "events",
+        "granularity": "all",
+        "dimension": "event_type",
+        "metric": "total",
+        "threshold": n,
+        "filter": f,
+        "aggregations": [{"type": "doubleSum", "name": "total", "fieldName": "value"}],
+        "intervals": ["2024-01-01T00:00:00/2024-02-01T00:00:00"],
+    }
+    from pyspark.sql import functions as F
+
+    df = engine.plan(q).drop("ts_bucket").withColumn("total", F.round("total", 4))
+    sql = f"""
+    WITH agg AS (
+      SELECT event_type, round(sum(value), 4) AS total FROM events
+      WHERE {WHERE_BASE} AND ({filter_to_sql(f)}) GROUP BY 1
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY total DESC, event_type ASC) AS rn FROM agg
+    )
+    SELECT event_type, total FROM ranked WHERE rn <= {n}
+    """
+    _compare(df, duck, sql)
