@@ -104,6 +104,12 @@ class DruidEngine:
         timeout_ms = context.get("timeout")
         sc = self.spark.sparkContext
         sc.setJobGroup(query_id, f"druid query {query_id}", interruptOnCancel=True)
+        # Query prioritization (query/query-module-overview.md: context
+        # priority knob; SURVEY §4 O12): map priority to a fair-scheduler
+        # pool so high-priority queries aren't starved by long scans.
+        if context.get("priority") is not None:
+            pool = "high" if int(context["priority"]) > 0 else "low"
+            sc.setLocalProperty("spark.scheduler.pool", pool)
         timer = None
         timed_out = threading.Event()
         if timeout_ms:

@@ -1,0 +1,160 @@
+"""The realtime loop closed end-to-end (SURVEY §3.3): stream → partitioned
+sink → registered as a dataSource → Druid queries over it, matching the
+same query over the equivalent batch data. Plus remaining aggregator/
+post-agg coverage (longMin/Max, stringFirst/Last, greatest/least,
+hyperUnique)."""
+
+import json
+import time
+
+from pyspark.sql import types as T
+
+from coolplaydruid_spark.engine import DruidEngine
+from coolplaydruid_spark.catalog import Catalog
+from coolplaydruid_spark.streaming import realtime
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.StringType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def test_query_streaming_sink_as_datasource(spark, tmp_path):
+    """Druid 'realtime node serves queries on in-flight data'
+    (arch/druid-arch.md:32): after each micro-batch the sink table answers
+    native queries — staleness bounded by the trigger interval."""
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"event_id": i, "ts": f"2024-05-01T{i % 24:02d}:30:00", "event_type":
+         ["click", "view"][i % 2], "value": float(i)}
+        for i in range(48)
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = realtime.file_stream(spark, str(src), EVENT_SCHEMA, fmt="json")
+    q = realtime.realtime_index(
+        stream, str(tmp_path / "tbl"), str(tmp_path / "ckpt"), time_column="ts"
+    )
+    q.awaitTermination(120)
+
+    catalog = Catalog(spark)
+    catalog.register("rt_events", path=str(tmp_path / "tbl"), time_column="ts")
+    engine = DruidEngine(spark, catalog)
+
+    out = engine.execute(
+        {
+            "queryType": "timeseries",
+            "dataSource": "rt_events",
+            "granularity": "hour",
+            "filter": {"type": "selector", "dimension": "event_type", "value": "click"},
+            "aggregations": [
+                {"type": "count", "name": "n"},
+                {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            ],
+            "intervals": ["2024-05-01T00:00:00/2024-05-01T06:00:00"],
+            "context": {"skipEmptyBuckets": True},
+        }
+    )
+    # clicks are even event_ids: hours 0,2,4 have 2 clicks each (i, i+24)
+    assert {r["timestamp"][:13] for r in out} == {
+        "2024-05-01T00", "2024-05-01T02", "2024-05-01T04"
+    }
+    assert all(r["result"]["n"] == 2 for r in out)
+
+    # next micro-batch arrives -> the same dataSource reflects it
+    (src / "b2.json").write_text(json.dumps(
+        {"event_id": 100, "ts": "2024-05-01T00:45:00", "event_type": "click",
+         "value": 5.0}))
+    q2 = realtime.realtime_index(
+        realtime.file_stream(spark, str(src), EVENT_SCHEMA, fmt="json"),
+        str(tmp_path / "tbl"), str(tmp_path / "ckpt"), time_column="ts"
+    )
+    q2.awaitTermination(120)
+    catalog2 = Catalog(spark)
+    catalog2.register("rt_events2", path=str(tmp_path / "tbl"), time_column="ts")
+    out2 = DruidEngine(spark, catalog2).execute(
+        {
+            "queryType": "timeBoundary",
+            "dataSource": "rt_events2",
+        }
+    )
+    assert out2[0]["result"]["maxTime"].startswith("2024-05-01T23")
+    n = DruidEngine(spark, catalog2).execute(
+        {"queryType": "timeseries", "dataSource": "rt_events2", "granularity": "all",
+         "aggregations": [{"type": "count", "name": "n"}],
+         "intervals": ["2024-05-01T00:00:00/2024-05-02T00:00:00"]}
+    )
+    assert n[0]["result"]["n"] == 49
+
+
+def test_remaining_aggregators(engine, duck):
+    from tests.conftest import assert_df_matches_duck
+
+    q = {
+        "queryType": "groupBy",
+        "dataSource": "events",
+        "granularity": "all",
+        "dimensions": ["event_type"],
+        "aggregations": [
+            {"type": "longMin", "name": "id_min", "fieldName": "event_id"},
+            {"type": "longMax", "name": "id_max", "fieldName": "event_id"},
+            {"type": "stringFirst", "name": "first_props", "fieldName": "props"},
+            {"type": "stringLast", "name": "last_props", "fieldName": "props"},
+            {"type": "floatSum", "name": "fsum", "fieldName": "value"},
+        ],
+        "postAggregations": [
+            {"type": "doubleGreatest", "name": "g",
+             "fields": [{"type": "fieldAccess", "fieldName": "id_min"},
+                        {"type": "constant", "value": 500}]},
+            {"type": "doubleLeast", "name": "l",
+             "fields": [{"type": "fieldAccess", "fieldName": "id_max"},
+                        {"type": "constant", "value": 500}]},
+        ],
+        "intervals": ["2024-01-01T00:00:00/2024-02-01T00:00:00"],
+    }
+    from pyspark.sql import functions as F
+
+    df = engine.plan(q).drop("ts_bucket").withColumn("fsum", F.round("fsum", 4))
+    sql = """
+    SELECT event_type,
+           CAST(min(event_id) AS BIGINT) AS id_min,
+           CAST(max(event_id) AS BIGINT) AS id_max,
+           arg_min(props, ts) AS first_props,
+           arg_max(props, ts) AS last_props,
+           round(sum(value), 4) AS fsum,
+           greatest(CAST(min(event_id) AS DOUBLE), 500) AS g,
+           least(CAST(max(event_id) AS DOUBLE), 500) AS l
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+    GROUP BY 1
+    """
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_hyperunique_close_to_exact(engine):
+    q = {
+        "queryType": "timeseries",
+        "dataSource": "events",
+        "granularity": "all",
+        "aggregations": [{"type": "hyperUnique", "name": "u", "fieldName": "user_id"}],
+        "intervals": ["2024-01-01T00:00:00/2024-02-01T00:00:00"],
+    }
+    approx = engine.execute(q)[0]["result"]["u"]
+    exact = engine.execute(
+        dict(q, context={"useExactCountDistinct": True})
+    )[0]["result"]["u"]
+    assert abs(approx - exact) / max(exact, 1) < 0.1  # HLL++ within 10%
+
+
+def test_priority_pool_plumbed(engine):
+    out = engine.execute(
+        {
+            "queryType": "timeBoundary",
+            "dataSource": "events",
+            "context": {"priority": 10},
+        }
+    )
+    assert out and out[0]["result"]["minTime"]
