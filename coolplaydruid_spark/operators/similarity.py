@@ -83,6 +83,85 @@ def sign_lsh_bucket(vec_col: str = "embedding", bits: int = 8):
     return F.concat(*chars)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    max_iter: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means partitions the
+    corpus into n_clusters cells; each query probes its n_probe nearest
+    cells and scores only those rows.
+
+    Scale: training samples the corpus (KMeans over a bounded sample),
+    assignment is one map pass, and the probe join is keyed on cell id —
+    per-query candidate volume is ~n_probe/n_clusters of the corpus.
+    Centroids (n_clusters × dim floats) broadcast trivially. Non-SQL
+    oracle (k-means is iterative) — tests check probe containment and
+    recall against brute force instead.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = array_to_vector(_dvec(F.col(vec_col))).alias("__features")
+    train = corpus.select(feat)
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter,
+                   featuresCol="__features").fit(train)
+
+    assigned = model.transform(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _dvec(F.col(vec_col)).alias("__cvec"),
+            _norm(_dvec(F.col(vec_col))).alias("__cn"),
+            feat,
+        )
+    ).select("neighbor_id", "__cvec", "__cn",
+             F.col(model.getPredictionCol()).alias("__cell"))
+
+    # Query → n_probe nearest cells, via a broadcast centroid table
+    # (euclidean, matching the k-means training metric).
+    centroids = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(centroids, f"__cell int, __centroid array<double>")
+    qbase = queries.select(
+        F.col(query_id_col),
+        _dvec(F.col(vec_col)).alias("__qvec"),
+        _norm(_dvec(F.col(vec_col))).alias("__qn"),
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("__qvec"), F.col("__centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("__dist").asc(), F.col("__cell").asc())
+    probes = (
+        qbase.join(F.broadcast(cent_df))
+        .withColumn("__dist", dist)
+        .withColumn("__pr", F.row_number().over(wq))
+        .where(F.col("__pr") <= n_probe)
+        .select(query_id_col, "__qvec", "__qn", "__cell")
+    )
+
+    scored = assigned.join(F.broadcast(probes), on="__cell").select(
+        F.col(query_id_col),
+        F.col("neighbor_id"),
+        F.round(_cosine(F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn")), 6)
+        .alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

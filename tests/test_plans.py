@@ -1,0 +1,120 @@
+"""Plan-quality regression tests: assert via .explain that the physical
+plans stay the ones the scale design requires — pushed filters, partition
+pruning, broadcast joins, no stray shuffles. These catch performance
+regressions unit tests can't see (SCALE.md is the spec)."""
+
+from pyspark.sql import functions as F
+
+from coolplaydruid_spark.operators import similarity
+from coolplaydruid_spark.sources import batch
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dimension_filters_pushed_to_parquet(engine):
+    df = engine.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "day",
+            "filter": {"type": "selector", "dimension": "event_type", "value": "click"},
+            "aggregations": [{"type": "count", "name": "n"}],
+            "intervals": ["2024-01-01T00:00:00/2024-01-08T00:00:00"],
+            "context": {"skipEmptyBuckets": True},
+        }
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(event_type,click)" in plan
+    # partial/final aggregation pair (the scatter/gather analogue)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_partition_pruning_on_ingested_table(spark, tmp_path):
+    dest = str(tmp_path / "tbl")
+    batch.index_task(
+        spark,
+        {"format": "parquet", "path": f"{SF_DIR}/events.parquet"},
+        dest,
+        time_column="ts",
+    )
+    from coolplaydruid_spark.catalog import Catalog
+    from coolplaydruid_spark.engine import DruidEngine
+
+    catalog = Catalog(spark)
+    catalog.register("pruned_events", path=dest, time_column="ts")
+    df = DruidEngine(spark, catalog).plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "pruned_events",
+            "granularity": "day",
+            "aggregations": [{"type": "count", "name": "n"}],
+            "intervals": ["2024-01-05T00:00:00/2024-01-07T00:00:00"],
+            "context": {"skipEmptyBuckets": True},
+        }
+    )
+    plan = _plan(df)
+    assert "PartitionFilters: [" in plan
+    assert "__dt" in plan.split("PartitionFilters: [", 1)[1][:200]
+
+
+def test_star_join_broadcasts_dimensions(engine):
+    df = engine.sql(
+        """
+        SELECT r_name, sum(l_extendedprice) AS revenue
+        FROM region JOIN nation ON r_regionkey = n_regionkey
+                    JOIN customer ON n_nationkey = c_nationkey
+                    JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1
+        """
+    )
+    plan = _plan(df)
+    # all four dimension joins broadcast — only the fact scan shuffles
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_zero_fill_spine_is_broadcast(engine):
+    df = engine.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "day",
+            "aggregations": [{"type": "count", "name": "n"}],
+            "intervals": ["2024-01-01T00:00:00/2024-02-01T00:00:00"],
+        }
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+
+
+def test_brute_force_topk_no_corpus_shuffle(engine):
+    emb = engine.catalog.table("embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = similarity.brute_force_topk(emb.where(F.col("vec_id") >= 3), queries, k=5)
+    plan = _plan(df)
+    # the query side broadcasts; the only exchange is the window's
+    # partitionBy(query_id) over already-scored rows
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_ivf_topk_probes_and_recall(engine):
+    emb = engine.catalog.table("embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    exact = similarity.brute_force_topk(corpus, queries, k=10)
+    approx = similarity.ivf_topk(corpus, queries, k=10, n_clusters=8, n_probe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(a) == len(e) == 50
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, recall  # random vectors cluster poorly; probe half the cells
