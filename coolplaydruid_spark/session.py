@@ -31,6 +31,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Fewer, larger Arrow batches for mapInPandas/pandas_udf stages
+        # (each Python roundtrip has fixed cost). For multi-MB media blobs
+        # lower this per job: batch bytes ≈ rows × row size × cores.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # Fixture parquet uses TIMESTAMP(NANOS); see catalog._nano_timestamp_columns
