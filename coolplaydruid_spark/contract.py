@@ -730,6 +730,82 @@ def topn_orders_priority_quarterly(spark, sf_dir):
     return df.withColumn("volume", F.round("volume", 2))
 
 
+@q(
+    "sql_tpch_q6",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25
+    """,
+)
+def sql_tpch_q6(spark, sf_dir):
+    eng = engine_for(spark, sf_dir)
+    return eng.sql(
+        """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25
+        """
+    )
+
+
+@q(
+    "sql_anti_join_idle_customers",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS idle FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def sql_anti_join_idle_customers(spark, sf_dir):
+    """NOT EXISTS → broadcast left-anti join."""
+    eng = engine_for(spark, sf_dir)
+    return eng.sql(
+        """
+        SELECT count(*) AS idle FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """
+    )
+
+
+@q(
+    "sql_window_top_customer_per_nation",
+    """
+    WITH rev AS (
+      SELECT n_name, c_custkey,
+             round(sum(o_totalprice), 2) AS total
+      FROM nation JOIN customer ON n_nationkey = c_nationkey
+                  JOIN orders ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY n_name
+                     ORDER BY total DESC, c_custkey ASC) AS INT) AS rn
+      FROM rev
+    )
+    SELECT n_name, c_custkey, total FROM ranked WHERE rn = 1
+    """,
+)
+def sql_window_top_customer_per_nation(spark, sf_dir):
+    """Window functions over a star join (pure-Spark bonus surface)."""
+    eng = engine_for(spark, sf_dir)
+    return eng.sql(
+        """
+        WITH rev AS (
+          SELECT n_name, c_custkey, round(sum(o_totalprice), 2) AS total
+          FROM nation JOIN customer ON n_nationkey = c_nationkey
+                      JOIN orders ON c_custkey = o_custkey
+          GROUP BY 1, 2
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY n_name
+                     ORDER BY total DESC, c_custkey ASC) AS rn
+          FROM rev
+        )
+        SELECT n_name, c_custkey, total FROM ranked WHERE rn = 1
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star: text analysis
 # ---------------------------------------------------------------------------
@@ -983,6 +1059,53 @@ def dedup_simhash_signatures(spark, sf_dir):
 def dedup_embedding_cosine(spark, sf_dir):
     eng = engine_for(spark, sf_dir)
     return dedup.embedding_neardup(eng.catalog.table("embeddings"), threshold=0.8)
+
+
+def _duck_dedup_filtered(threshold: float, num_hashes: int = 12, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    mh = ", ".join(f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(num_hashes))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sig".format(
+            b=b, concat=" || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return (
+        DUCK_SHINGLES
+        + f"""
+    , sig AS (SELECT doc_id, {mh} FROM shf GROUP BY doc_id)
+    , banded AS ({band_selects})
+    , cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    ), co AS (
+      SELECT doc_a, doc_b, count(*) AS n_common
+      FROM cand JOIN shf a ON cand.doc_a = a.doc_id
+                JOIN shf b ON cand.doc_b = b.doc_id AND a.shingle = b.shingle
+      GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1)
+    , drops AS (
+      SELECT DISTINCT doc_b FROM co
+        JOIN sizes sa ON co.doc_a = sa.doc_id
+        JOIN sizes sb ON co.doc_b = sb.doc_id
+      WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= {threshold}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    WHERE doc_id NOT IN (SELECT doc_b FROM drops)
+    """
+    )
+
+
+@q("dedup_filtered_corpus", _duck_dedup_filtered(0.5))
+def dedup_filtered_corpus(spark, sf_dir):
+    """End-to-end dedup pipeline: minhash-LSH pairs → keep-first filter →
+    surviving corpus size."""
+    eng = engine_for(spark, sf_dir)
+    docs = eng.catalog.table("documents")
+    pairs = dedup.minhash_lsh_dedup(docs, threshold=0.5)
+    survivors = dedup.apply_dedup_filter(docs, pairs)
+    return survivors.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
 
 
 # ---------------------------------------------------------------------------

@@ -226,6 +226,19 @@ def _verify_jaccard(candidates: DataFrame, sh: DataFrame, threshold: float,
     )
 
 
+def apply_dedup_filter(df: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Drop the higher-id member of every near-dup pair (doc_b) — the
+    standard keep-first policy. An anti-join on the (small) pair set:
+    broadcast, no shuffle of the corpus. For transitive clusters this
+    keeps the minimal element of each star rooted at its smallest id;
+    full connected-components clustering (iterative) is out of scope by
+    design — pair-based filtering is what production dedup pipelines
+    run."""
+    drops = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.join(F.broadcast(drops), on=id_col, how="left_anti")
+
+
 # ---- SimHash ------------------------------------------------------------
 
 SIMHASH_BITS = 32
