@@ -806,6 +806,255 @@ def sql_window_top_customer_per_nation(spark, sf_dir):
     )
 
 
+@q(
+    "sql_tpch_q3_building",
+    """
+    SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01' AND l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def sql_tpch_q3_building(spark, sf_dir):
+    """TPC-H Q3 (shipping priority), adapted to the fixture schema (no
+    o_shippriority column)."""
+    eng = engine_for(spark, sf_dir)
+    return eng.sql(
+        """
+        SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate > TIMESTAMP '1997-01-01'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+        """
+    )
+
+
+@q(
+    "sql_tpch_q5_region",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def sql_tpch_q5_region(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): 6-table star join. region/nation/
+    supplier broadcast; the orders↔lineitem shuffle join carries the
+    volume."""
+    eng = engine_for(spark, sf_dir)
+    return eng.sql(
+        """
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM region JOIN nation ON r_regionkey = n_regionkey
+                    JOIN customer ON c_nationkey = n_nationkey
+                    JOIN orders ON o_custkey = c_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+                    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        """
+    )
+
+
+@q(
+    "sql_tpch_q14_promo",
+    """
+    SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def sql_tpch_q14_promo(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): conditional aggregation over a
+    broadcast dim join."""
+    eng = engine_for(spark, sf_dir)
+    return eng.sql(
+        """
+        SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                       THEN l_extendedprice * (1 - l_discount)
+                                       ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dimension extraction + limitSpec + search specs (SURVEY §2.2 F13, §2.3, Q7)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "groupby_extraction_cascade",
+    f"""
+    SELECT upper(substr(event_type, 1, 2)) AS etype2,
+           CAST(count(*) AS BIGINT) AS rows, round(sum(value), 4) AS total
+    FROM events WHERE {EVENTS_WHERE} GROUP BY 1
+    """,
+)
+def groupby_extraction_cascade(spark, sf_dir):
+    """Cascade extractionFn (substring → upper) as a groupBy dimension
+    (DimensionSpecs, query-module-overview.md:45)."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "groupBy",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimensions": [
+                {
+                    "type": "extraction",
+                    "dimension": "event_type",
+                    "outputName": "etype2",
+                    "extractionFn": {
+                        "type": "cascade",
+                        "extractionFns": [
+                            {"type": "substring", "index": 0, "length": 2},
+                            {"type": "upper"},
+                        ],
+                    },
+                }
+            ],
+            "aggregations": [
+                {"type": "count", "name": "rows"},
+                {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            ],
+            "intervals": EVENTS_INTERVAL,
+        }
+    )
+    return _r4(df.drop("ts_bucket"), "total")
+
+
+@q(
+    "groupby_lookup_category",
+    f"""
+    SELECT CASE WHEN event_type = 'click' THEN 'engagement'
+                WHEN event_type = 'view' THEN 'engagement'
+                WHEN event_type = 'purchase' THEN 'conversion'
+                WHEN event_type = 'signup' THEN 'conversion'
+                ELSE 'other' END AS category,
+           CAST(count(*) AS BIGINT) AS rows
+    FROM events WHERE {EVENTS_WHERE} GROUP BY 1
+    """,
+)
+def groupby_lookup_category(spark, sf_dir):
+    """Lookup extractionFn (registered-map dimension rewrite)."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "groupBy",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimensions": [
+                {
+                    "type": "extraction",
+                    "dimension": "event_type",
+                    "outputName": "category",
+                    "extractionFn": {
+                        "type": "lookup",
+                        "lookup": {
+                            "type": "map",
+                            "map": {
+                                "click": "engagement",
+                                "view": "engagement",
+                                "purchase": "conversion",
+                                "signup": "conversion",
+                            },
+                        },
+                        "replaceMissingValueWith": "other",
+                    },
+                }
+            ],
+            "aggregations": [{"type": "count", "name": "rows"}],
+            "intervals": EVENTS_INTERVAL,
+        }
+    )
+    return df.drop("ts_bucket")
+
+
+@q(
+    "groupby_limitspec_top3",
+    f"""
+    SELECT event_type, round(sum(value), 4) AS total
+    FROM events WHERE {EVENTS_WHERE}
+    GROUP BY 1 ORDER BY sum(value) DESC, event_type ASC LIMIT 3
+    """,
+)
+def groupby_limitspec_top3(spark, sf_dir):
+    """DefaultLimitSpec: order grouped rows by aggregate, truncate —
+    compiles to TakeOrderedAndProject (per-partition top-K), no global
+    sort."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "groupBy",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimensions": ["event_type"],
+            "aggregations": [
+                {"type": "doubleSum", "name": "total", "fieldName": "value"}
+            ],
+            "limitSpec": {
+                "type": "default",
+                "columns": [
+                    {"dimension": "total", "direction": "descending"},
+                    {"dimension": "event_type", "direction": "ascending"},
+                ],
+                "limit": 3,
+            },
+            "intervals": EVENTS_INTERVAL,
+        }
+    )
+    return _r4(df.drop("ts_bucket"), "total")
+
+
+@q(
+    "search_fragment",
+    f"""
+    SELECT 'event_type' AS dimension, event_type AS value,
+           CAST(count(*) AS BIGINT) AS count
+    FROM events
+    WHERE {EVENTS_WHERE} AND contains(lower(event_type), 'ur')
+      AND contains(lower(event_type), 'ase')
+    GROUP BY 2
+    """,
+)
+def search_fragment(spark, sf_dir):
+    """Search query with a fragment SearchQuerySpec (all fragments must
+    match)."""
+    eng = engine_for(spark, sf_dir)
+    return eng.plan(
+        {
+            "queryType": "search",
+            "dataSource": "events",
+            "searchDimensions": ["event_type"],
+            "query": {"type": "fragment", "values": ["ur", "ase"]},
+            "intervals": EVENTS_INTERVAL,
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star: text analysis
 # ---------------------------------------------------------------------------
@@ -1053,12 +1302,12 @@ def dedup_simhash_signatures(spark, sf_dir):
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE round(list_dot_product(a.v, b.v) /
                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-          >= 0.8
+          >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
     eng = engine_for(spark, sf_dir)
-    return dedup.embedding_neardup(eng.catalog.table("embeddings"), threshold=0.8)
+    return dedup.embedding_neardup(eng.catalog.table("embeddings"), threshold=0.4)
 
 
 def _duck_dedup_filtered(threshold: float, num_hashes: int = 12, bands: int = 4) -> str:
