@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from coolplaydruid_spark.operators.text import tokens
+from coolplaydruid_spark.operators.util import spread
 
 DEFAULT_NUM_HASHES = 12
 DEFAULT_BANDS = 4  # 12 hashes / 4 bands = 3 rows per band
@@ -57,7 +58,7 @@ def shingles(df: DataFrame, k: int = 3, text_col: str = "text",
     The k-gram is built with element_at + concat rather than
     slice + concat_ws: identical strings, ~8× faster (no per-gram array
     allocation) — this stage dominates the dedup pipelines at scale."""
-    tok_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    tok_df = spread(df, by=id_col).select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     t = F.col("__toks")
     n = F.size(t)
 
@@ -266,7 +267,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     for i in range(SIMHASH_BITS):
         votes = F.aggregate(digests, F.lit(0), _vote(i))
         bit_chars.append(F.when(votes > 0, F.lit("1")).otherwise(F.lit("0")))
-    return df.select(F.col(id_col), F.concat(*bit_chars).alias("simhash"))
+    return spread(df, by=id_col).select(F.col(id_col), F.concat(*bit_chars).alias("simhash"))
 
 
 def simhash_dedup(
@@ -337,7 +338,7 @@ def embedding_neardup(
     similarity.sign_lsh_bucket) to turn it into a per-bucket join."""
     dv = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x))
-    base = df.select(
+    base = spread(df, by=id_col).select(
         F.col(id_col),
         dv.alias(vec_col),
         norm.alias("nrm"),

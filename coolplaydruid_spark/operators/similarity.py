@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+
 def _cosine(vec_a, vec_b, norm_a, norm_b):
     dot = F.aggregate(
         F.zip_with(vec_a, vec_b, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from coolplaydruid_spark.operators.util import spread
+
 # ASCII punctuation as an explicit class (identical semantics in Java
 # regex and RE2, unlike [[:punct:]]).
 PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
@@ -87,7 +89,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         0.25 * len_norm + 0.25 * (1 - punct_ratio) + 0.25 * (1 - digit_ratio)
         + 0.25 * stop_ratio
     )
-    return df.select(
+    return spread(df, by=id_col).select(
         F.col(id_col),
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
@@ -127,7 +129,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
     for lang, cls in reversed(SCRIPT_RANGES):
         guess = F.when(text.rlike(cls), F.lit(lang)).otherwise(guess)
-    return df.select(F.col(id_col), guess.alias("lang_guess"))
+    return spread(df, by=id_col).select(F.col(id_col), guess.alias("lang_guess"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
