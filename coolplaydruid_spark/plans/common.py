@@ -79,8 +79,13 @@ def bucket_spine(spark, gran: Granularity, intervals: list[str]) -> DataFrame:
     for iv in intervals:
         start, end = parse_interval(iv)
         buckets.update(gran.buckets_in(start, end))
-    rows = [(b,) for b in sorted(buckets)]
-    return spark.createDataFrame(rows, f"{BUCKET} timestamp")
+    # Arrow-backed conversion yields a LocalTableScan (pure JVM at
+    # execution); a list-of-tuples createDataFrame would instead plan a
+    # Python-RDD scan that re-serializes through the driver on every run.
+    import pandas as pd
+
+    pdf = pd.DataFrame({BUCKET: pd.Series(sorted(buckets), dtype="datetime64[us]")})
+    return spark.createDataFrame(pdf)
 
 
 def zero_fill(
