@@ -1243,7 +1243,8 @@ def _duck_minhash_lsh(threshold: float, num_hashes: int = 12, bands: int = 4) ->
 @q("dedup_minhash_lsh", _duck_minhash_lsh(0.5))
 def dedup_minhash_lsh(spark, sf_dir):
     eng = engine_for(spark, sf_dir)
-    return dedup.minhash_lsh_dedup(eng.catalog.table("documents"), threshold=0.5)
+    return dedup.minhash_lsh_dedup(eng.catalog.table("documents"), threshold=0.5,
+                                   cache=True)
 
 
 @q(
@@ -1352,7 +1353,7 @@ def dedup_filtered_corpus(spark, sf_dir):
     surviving corpus size."""
     eng = engine_for(spark, sf_dir)
     docs = eng.catalog.table("documents")
-    pairs = dedup.minhash_lsh_dedup(docs, threshold=0.5)
+    pairs = dedup.minhash_lsh_dedup(docs, threshold=0.5, cache=True)
     survivors = dedup.apply_dedup_filter(docs, pairs)
     return survivors.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
 

@@ -83,12 +83,14 @@ def shingles(df: DataFrame, k: int = 3, text_col: str = "text",
 def minhash_signatures(sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES,
                        id_col: str = "doc_id") -> DataFrame:
     """One row per document with columns mh0..mh{H-1}: the i-th minhash is
-    min over shingles of md5(i || '|' || shingle). A single groupBy pass
-    (map-side partial min) — no per-hash explode."""
+    min over shingles of md5(i || '|' || shingle), plus n_shingles (the
+    set size — free in the same pass, consumed by Jaccard verification).
+    A single groupBy pass (map-side partial min) — no per-hash explode."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
+    aggs.append(F.count(F.lit(1)).alias("n_shingles"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -117,9 +119,9 @@ def minhash_lsh_dedup(
     rows_per_band = num_hashes // bands
     sh = shingles(df, k=k, text_col=text_col, id_col=id_col)
     if cache:
-        # At cluster scale the shingle set is reused 4x (signatures, two
-        # verify joins, sizes) — persist it. Locally recompute is cheaper
-        # than materializing the cache; callers choose.
+        # The shingle set is reused 3x (signature pass + two verify
+        # joins) — persist it when the corpus is re-read from cold
+        # storage; for in-page-cache local runs recompute is comparable.
         sh = sh.persist()
     sig = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col)
 
@@ -145,7 +147,8 @@ def minhash_lsh_dedup(
         .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
         .distinct()
     )
-    return _verify_jaccard(candidates, sh, threshold, id_col)
+    sizes = sig.select(F.col(id_col), F.col("n_shingles"))
+    return _verify_jaccard(candidates, sh, threshold, id_col, sizes=sizes)
 
 
 def ngram_jaccard_pairs(
@@ -196,8 +199,11 @@ def ngram_jaccard_pairs(
 
 
 def _verify_jaccard(candidates: DataFrame, sh: DataFrame, threshold: float,
-                    id_col: str) -> DataFrame:
-    """Exact Jaccard for an explicit candidate-pair set."""
+                    id_col: str, sizes: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard for an explicit candidate-pair set. ``sizes``
+    ((id, n_shingles)) can be supplied by a caller that already computed
+    set sizes in an earlier aggregation pass (the minhash signature
+    groupBy yields it for free), saving one full re-scan of the corpus."""
     a, b = sh.alias("a"), sh.alias("b")
     pair_sh = (
         F.broadcast(candidates).join(a, F.col("doc_a") == F.col(f"a.{id_col}"))
@@ -209,7 +215,8 @@ def _verify_jaccard(candidates: DataFrame, sh: DataFrame, threshold: float,
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    if sizes is None:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     return (
         pair_sh.join(F.broadcast(sa), F.col("doc_a") == F.col(f"sa.{id_col}"))

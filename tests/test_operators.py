@@ -149,7 +149,10 @@ def test_minhash_signatures(engine, duck):
     sh = dedup.shingles(engine.catalog.table("documents"))
     df = dedup.minhash_signatures(sh, num_hashes=4)
     mh = ", ".join(f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(4))
-    sql = DUCK_SHINGLES + f"SELECT doc_id, {mh} FROM shf GROUP BY doc_id"
+    sql = DUCK_SHINGLES + (
+        f"SELECT doc_id, {mh}, CAST(count(*) AS BIGINT) AS n_shingles "
+        "FROM shf GROUP BY doc_id"
+    )
     assert_df_matches_duck(df, duck, sql)
 
 
