@@ -1,0 +1,103 @@
+"""Custom stateful streaming operators — applyInPandasWithState.
+
+Druid's realtime nodes keep an in-memory incremental index that is
+queryable while events are still arriving (reference:
+arch/druid-arch.md:29-32; the LSM in-memory index, TOC.md:42). Spark's
+built-in streaming aggregations cover the rollup case (realtime.py);
+these operators cover per-key state that built-in aggregates genuinely
+cannot express. State lives in the Structured Streaming state store
+(checkpointed, recoverable — the same guarantees as the built-ins).
+
+Current operators:
+ - streaming_reservoir_sample: a bounded uniform sample of raw events
+   per key, continuously maintained and emitted every micro-batch.
+   A training-data pipeline wants this for live inspection of what a
+   stream is ingesting per slice (language, source, event type) without
+   retaining the slice's full volume. No built-in expresses "keep at
+   most k raw rows per key, uniformly over everything seen so far".
+
+Scale: state is bounded at k values + a counter per key; the shuffle is
+keyed by the group columns, identical to a streaming groupBy. Arrow
+moves batches into Python; per-batch Python cost is O(rows) with an
+O(k) state merge — the canonical applyInPandasWithState shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _stable_priority(value: str, seen_index: int) -> float:
+    """Deterministic stand-in for random(): a uniform-ish priority in
+    [0, 1) derived from md5(value|index). Makes the reservoir
+    reproducible across runs/retries (a property seeded RNG state in a
+    distributed retry model does not give)."""
+    h = hashlib.md5(f"{value}|{seen_index}".encode()).digest()
+    return int.from_bytes(h[:8], "big") / 2**64
+
+
+def streaming_reservoir_sample(
+    grouped_stream: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Per-key bounded uniform sample over an unbounded stream.
+
+    ``grouped_stream`` is a *streaming* DataFrame; the operator groups by
+    ``key_cols`` and maintains, per key, a reservoir of at most ``k``
+    values of ``value_col`` plus the total count seen. Every micro-batch
+    emits the updated (key, n_seen, sample) rows — Druid's
+    "query the in-flight index" model, in Update output mode.
+
+    Algorithm: classic A-Res weighted reservoir with deterministic
+    priorities — each value gets priority md5(value|arrival_index); the
+    reservoir keeps the k largest priorities. Deterministic ⇒ exactly
+    reproducible output for a given input order, testable without
+    seeds."""
+    out_schema = ", ".join(f"{c} string" for c in key_cols) + \
+        ", n_seen long, sample array<string>"
+    state_schema = "n_seen long, prios array<double>, vals array<string>"
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n_seen, prios, vals = state.get
+            prios, vals = list(prios), list(vals)
+        else:
+            n_seen, prios, vals = 0, [], []
+        for pdf in pdfs:
+            for v in pdf[value_col].astype(str):
+                p = _stable_priority(v, n_seen)
+                n_seen += 1
+                if len(vals) < k:
+                    prios.append(p)
+                    vals.append(v)
+                elif p > min(prios):
+                    i = prios.index(min(prios))
+                    prios[i] = p
+                    vals[i] = v
+        state.update((n_seen, prios, vals))
+        row: dict[str, Any] = {c: [key[i]] for i, c in enumerate(key_cols)}
+        row["n_seen"] = [n_seen]
+        # emit sorted for a deterministic, order-insensitive contract
+        row["sample"] = [sorted(vals)]
+        yield pd.DataFrame(row)
+
+    return grouped_stream.groupBy(*key_cols).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="Update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

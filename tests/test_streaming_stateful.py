@@ -1,0 +1,74 @@
+"""Custom stateful streaming operator (applyInPandasWithState): per-key
+reservoir sample. Verifies (a) bounded state with exact seen-counts,
+(b) state carried across micro-batches via the checkpointed state store
+(two availableNow runs over the same checkpoint), (c) deterministic
+reservoir contents."""
+
+import json
+
+from pyspark.sql import types as T
+
+from coolplaydruid_spark.streaming import realtime
+from coolplaydruid_spark.streaming.stateful import streaming_reservoir_sample
+
+DOC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def _write_batch(src, name, rows):
+    (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def _run_once(spark, src, ckpt):
+    """One availableNow pass; returns the emitted rows (foreachBatch —
+    the memory sink refuses checkpoint recovery)."""
+    stream = realtime.file_stream(spark, str(src), DOC_SCHEMA, fmt="json")
+    sampled = streaming_reservoir_sample(stream, ["lang"], "doc_id", k=5)
+    collected = []
+
+    def sink(batch_df, _bid):
+        collected.extend(batch_df.collect())
+
+    q = (
+        sampled.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {r["lang"]: r for r in collected}
+
+
+def test_reservoir_sample_state_across_batches(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+
+    _write_batch(src, "b1.json", [
+        {"doc_id": i, "lang": "en" if i % 3 else "de", "text": f"t{i}"}
+        for i in range(30)
+    ])
+    first = _run_once(spark, src, ckpt)
+    assert first["en"]["n_seen"] == 20
+    assert first["de"]["n_seen"] == 10
+    assert len(first["en"]["sample"]) == 5  # bounded at k
+    assert len(first["de"]["sample"]) == 5
+    assert set(first["en"]["sample"]) <= {str(i) for i in range(30) if i % 3}
+
+    # second batch: state must resume from the checkpoint, counts add up
+    _write_batch(src, "b2.json", [
+        {"doc_id": 100 + i, "lang": "en", "text": f"u{i}"} for i in range(10)
+    ])
+    second = _run_once(spark, src, ckpt)
+    # only the updated key is re-emitted in update mode
+    assert second["en"]["n_seen"] == 30
+    assert len(second["en"]["sample"]) == 5
+
+    # determinism: same inputs -> identical reservoir (fresh checkpoint)
+    third = _run_once(spark, src, tmp_path / "ckpt2")
+    assert third["en"]["n_seen"] == 30
+    assert third["de"]["sample"] == first["de"]["sample"]
