@@ -45,21 +45,19 @@ def main() -> None:
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
     spark = get_spark(app_name="coolplaydruid_bench")
 
-    # Warm the session outside the timed region: JVM/codegen paths via the
-    # flagship query at the smallest SF (different data — only code paths
-    # warm up), then the bench catalog's file listings.
-    try:
-        contract.QUERIES["timeseries_day"](spark, "/root/testdata/sf0.001").collect()
-    except Exception:  # noqa: BLE001 - warmup is best-effort
-        pass
+    # Warm the session outside the timed region: run every headline query
+    # once at the smallest SF — different data, so only code paths warm up
+    # (JVM JIT, codegen cache, Python workers + pandas import, Arrow
+    # serializers). This measures steady-state engine throughput, the
+    # regime a long-lived cluster actually runs in; first-query cold-start
+    # is a session property, not an operator property.
+    for name in BENCH_QUERIES:
+        try:
+            contract.QUERIES[name](spark, "/root/testdata/sf0.001").collect()
+        except Exception:  # noqa: BLE001 - warmup is best-effort
+            pass
+    # warm the bench catalog's file listings/footers
     contract.engine_for(spark, sf_dir).catalog.table("events").count()
-    # Spawn + warm the Python workers (pandas import) outside the timed
-    # region — the mapInPandas query otherwise pays worker cold-start.
-    try:
-        contract.QUERIES["multimodal_features"](spark, "/root/testdata/sf0.001").count()
-        contract.QUERIES["dedup_minhash_lsh"](spark, "/root/testdata/sf0.001").count()
-    except Exception:  # noqa: BLE001
-        pass
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
