@@ -1030,6 +1030,55 @@ def groupby_limitspec_top3(spark, sf_dir):
 
 
 @q(
+    "groupby_multivalue_words",
+    """
+    SELECT word, CAST(count(*) AS BIGINT) AS n_parts,
+           round(CASE WHEN count(*) = 0 THEN 0.0
+                      ELSE sum(p_retailprice) / count(*) END, 4) AS avg_price
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word, p_retailprice FROM part)
+    GROUP BY 1
+    """,
+)
+def groupby_multivalue_words(spark, sf_dir):
+    """Multi-value dimension semantics (public Druid 0.12): an array-
+    valued dim groups once per element. The `words` dim is derived by
+    splitting p_name; avg price comes from the arithmetic post-agg
+    (sum / count) with Druid's divide-by-zero → 0 rule."""
+    eng = engine_for(spark, sf_dir)
+    if "part_tags" not in eng.catalog.names():
+        eng.catalog.register(
+            "part_tags",
+            df=eng.catalog.table("part").withColumn("words", F.split("p_name", " ")),
+        )
+    df = eng.plan(
+        {
+            "queryType": "groupBy",
+            "dataSource": "part_tags",
+            "granularity": "all",
+            "dimensions": [
+                {"type": "default", "dimension": "words", "outputName": "word"}
+            ],
+            "aggregations": [
+                {"type": "count", "name": "n_parts"},
+                {"type": "doubleSum", "name": "price_sum", "fieldName": "p_retailprice"},
+            ],
+            "postAggregations": [
+                {
+                    "type": "arithmetic",
+                    "name": "avg_price",
+                    "fn": "/",
+                    "fields": [
+                        {"type": "fieldAccess", "fieldName": "price_sum"},
+                        {"type": "fieldAccess", "fieldName": "n_parts"},
+                    ],
+                }
+            ],
+        }
+    )
+    return _r4(df.drop("ts_bucket", "price_sum"), "avg_price")
+
+
+@q(
     "search_fragment",
     f"""
     SELECT 'event_type' AS dimension, event_type AS value,
