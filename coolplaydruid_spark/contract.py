@@ -1476,6 +1476,21 @@ def similarity_topk_lsh(spark, sf_dir):
     return similarity.lsh_topk(emb.where(F.col("vec_id") >= 5), queries, k=10, bits=8)
 
 
+@q("similarity_topk_ivf")  # no SQL oracle: k-means is iterative (rows-only check)
+def similarity_topk_ivf(spark, sf_dir):
+    """IVF (k-means inverted file) ANN — the scale path: each query
+    scores only its n_probe nearest cells (~n_probe/n_clusters of the
+    corpus). Recall vs brute force is asserted in tests/test_plans.py."""
+    eng = engine_for(spark, sf_dir)
+    emb = eng.catalog.table("embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        emb.where(F.col("vec_id") >= 5), queries, k=10, n_clusters=8, n_probe=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star: multimodal plumbing (mapInPandas — Python stage is the point)
 # ---------------------------------------------------------------------------

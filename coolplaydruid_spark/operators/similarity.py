@@ -92,6 +92,7 @@ def ivf_topk(
     n_probe: int = 2,
     seed: int = 42,
     max_iter: int = 10,
+    train_sample: int = 100_000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
@@ -111,7 +112,12 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
 
     feat = array_to_vector(_dvec(F.col(vec_col))).alias("__features")
-    train = corpus.select(feat)
+    # Centroid quality needs a bounded sample, not the corpus: cap the
+    # training set (deterministic limit) and collapse it to few
+    # partitions so each k-means iteration is a handful of tasks rather
+    # than a full-width job — at 100 TB training on everything would
+    # dominate the whole query.
+    train = corpus.select(feat).limit(train_sample).coalesce(4)
     model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter,
                    featuresCol="__features").fit(train)
 

@@ -118,3 +118,37 @@ def test_ivf_topk_probes_and_recall(engine):
     assert len(a) == len(e) == 50
     recall = len(e & a) / len(e)
     assert recall >= 0.3, recall  # random vectors cluster poorly; probe half the cells
+
+
+def test_spread_adds_exchange_only_when_narrow(engine, spark):
+    """operators.util.spread: under-partitioned inputs get one hash
+    repartition; already-wide inputs pass through with no added
+    exchange."""
+    from coolplaydruid_spark.operators.util import spread
+
+    narrow = engine.catalog.table("documents")  # one-file fixture
+    assert narrow.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    widened = spread(narrow, by="doc_id")
+    assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert "hashpartitioning(doc_id" in _plan(widened)
+
+    wide = narrow.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    assert spread(wide, by="doc_id") is wide  # no second exchange
+
+
+def test_zero_fill_spine_is_local_table_scan(engine):
+    """The bucket spine must plan as an Arrow LocalTableScan, never a
+    Python-RDD scan (which would re-serialize through the driver on
+    every execution)."""
+    df = engine.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "day",
+            "aggregations": [{"type": "count", "name": "n"}],
+            "intervals": ["2024-01-01T00:00:00/2024-01-08T00:00:00"],
+        }
+    )
+    plan = _plan(df)
+    assert "ExistingRDD" not in plan
+    assert "LocalTableScan" in plan
