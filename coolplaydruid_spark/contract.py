@@ -900,6 +900,71 @@ def sql_tpch_q14_promo(spark, sf_dir):
     )
 
 
+@q(
+    "sql_tpch_q10_returns",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def sql_tpch_q10_returns(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting)."""
+    eng = engine_for(spark, sf_dir)
+    return eng.sql(
+        """
+        SELECT c_custkey, c_name, n_name,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+                      JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+        """
+    )
+
+
+@q(
+    "sql_tpch_q18_big_orders",
+    """
+    SELECT c_custkey, o_orderkey,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c_custkey, o_orderkey
+    """,
+)
+def sql_tpch_q18_big_orders(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): IN-subquery → left-semi join
+    on an aggregated subquery."""
+    eng = engine_for(spark, sf_dir)
+    return eng.sql(
+        """
+        SELECT c_custkey, o_orderkey,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 300
+        )
+        GROUP BY c_custkey, o_orderkey
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dimension extraction + limitSpec + search specs (SURVEY §2.2 F13, §2.3, Q7)
 # ---------------------------------------------------------------------------
