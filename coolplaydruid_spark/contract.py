@@ -609,7 +609,7 @@ def sql_tpch_q1(spark, sf_dir):
     "sql_join_top_customers",
     """
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderstatus = 'O'
@@ -625,7 +625,7 @@ def sql_join_top_customers(spark, sf_dir):
     return eng.sql(
         """
         SELECT c_custkey, c_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         FROM customer JOIN orders ON c_custkey = o_custkey
                       JOIN lineitem ON o_orderkey = l_orderkey
         WHERE o_orderstatus = 'O'
@@ -639,7 +639,7 @@ def sql_join_top_customers(spark, sf_dir):
 @q(
     "sql_join_region_revenue",
     """
-    SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT r_name, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM region JOIN nation ON r_regionkey = n_regionkey
                 JOIN customer ON n_nationkey = c_nationkey
                 JOIN orders ON c_custkey = o_custkey
@@ -652,7 +652,7 @@ def sql_join_region_revenue(spark, sf_dir):
     eng = engine_for(spark, sf_dir)
     return eng.sql(
         """
-        SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        SELECT r_name, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         FROM region JOIN nation ON r_regionkey = n_regionkey
                     JOIN customer ON n_nationkey = c_nationkey
                     JOIN orders ON c_custkey = o_custkey
@@ -698,7 +698,7 @@ def timeseries_lineitem_monthly(spark, sf_dir):
     WITH agg AS (
       SELECT CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS ts_bucket,
              o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-             round(sum(o_totalprice), 2) AS volume
+             CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS volume
       FROM orders
       WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '2002-01-01'
       GROUP BY 1, 2
@@ -733,7 +733,7 @@ def topn_orders_priority_quarterly(spark, sf_dir):
 @q(
     "sql_tpch_q6",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount, 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25
@@ -743,7 +743,7 @@ def sql_tpch_q6(spark, sf_dir):
     eng = engine_for(spark, sf_dir)
     return eng.sql(
         """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        SELECT CAST(sum(CAST(round(l_extendedprice * l_discount, 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25
@@ -774,7 +774,7 @@ def sql_anti_join_idle_customers(spark, sf_dir):
     """
     WITH rev AS (
       SELECT n_name, c_custkey,
-             round(sum(o_totalprice), 2) AS total
+             CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM nation JOIN customer ON n_nationkey = c_nationkey
                   JOIN orders ON c_custkey = o_custkey
       GROUP BY 1, 2
@@ -792,7 +792,7 @@ def sql_window_top_customer_per_nation(spark, sf_dir):
     return eng.sql(
         """
         WITH rev AS (
-          SELECT n_name, c_custkey, round(sum(o_totalprice), 2) AS total
+          SELECT n_name, c_custkey, CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total
           FROM nation JOIN customer ON n_nationkey = c_nationkey
                       JOIN orders ON c_custkey = o_custkey
           GROUP BY 1, 2
@@ -809,7 +809,7 @@ def sql_window_top_customer_per_nation(spark, sf_dir):
 @q(
     "sql_tpch_q3_building",
     """
-    SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT o_orderkey, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            o_orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -825,7 +825,7 @@ def sql_tpch_q3_building(spark, sf_dir):
     eng = engine_for(spark, sf_dir)
     return eng.sql(
         """
-        SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        SELECT o_orderkey, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
                o_orderdate
         FROM customer JOIN orders ON c_custkey = o_custkey
                       JOIN lineitem ON l_orderkey = o_orderkey
@@ -841,7 +841,7 @@ def sql_tpch_q3_building(spark, sf_dir):
 @q(
     "sql_tpch_q5_region",
     """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM region JOIN nation ON r_regionkey = n_regionkey
                 JOIN customer ON c_nationkey = n_nationkey
                 JOIN orders ON o_custkey = c_custkey
@@ -859,7 +859,7 @@ def sql_tpch_q5_region(spark, sf_dir):
     eng = engine_for(spark, sf_dir)
     return eng.sql(
         """
-        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        SELECT n_name, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         FROM region JOIN nation ON r_regionkey = n_regionkey
                     JOIN customer ON c_nationkey = n_nationkey
                     JOIN orders ON o_custkey = c_custkey
@@ -937,7 +937,7 @@ def sql_tpch_q10_returns(spark, sf_dir):
     "sql_tpch_q18_big_orders",
     """
     SELECT c_custkey, o_orderkey,
-           round(sum(l_quantity), 2) AS total_qty
+           CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
     WHERE o_orderkey IN (
@@ -953,7 +953,7 @@ def sql_tpch_q18_big_orders(spark, sf_dir):
     return eng.sql(
         """
         SELECT c_custkey, o_orderkey,
-               round(sum(l_quantity), 2) AS total_qty
+               CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         FROM customer JOIN orders ON c_custkey = o_custkey
                       JOIN lineitem ON l_orderkey = o_orderkey
         WHERE o_orderkey IN (
