@@ -901,6 +901,31 @@ def sql_tpch_q14_promo(spark, sf_dir):
 
 
 @q(
+    "sql_json_props_avg",
+    f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+                 / count(*), 4) AS avg_k
+    FROM events WHERE {EVENTS_WHERE} GROUP BY 1
+    """,
+)
+def sql_json_props_avg(spark, sf_dir):
+    """JSON scalar functions via the SQL front-end (§2.8: the scalar
+    library arrives wholesale with Q10): parse the props payload, cast,
+    aggregate. Integer sum is exact; one division keeps the hash
+    order-independent."""
+    eng = engine_for(spark, sf_dir)
+    return eng.sql(
+        f"""
+        SELECT event_type, count(*) AS n,
+               round(CAST(sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS DOUBLE)
+                     / count(*), 4) AS avg_k
+        FROM events WHERE {EVENTS_WHERE} GROUP BY 1
+        """
+    )
+
+
+@q(
     "sql_tpch_q10_returns",
     """
     SELECT c_custkey, c_name, n_name,
