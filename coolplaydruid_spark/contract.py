@@ -901,6 +901,38 @@ def sql_tpch_q14_promo(spark, sf_dir):
 
 
 @q(
+    "groupby_percentiles",
+    f"""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95
+    FROM events WHERE {EVENTS_WHERE} GROUP BY 1
+    """,
+)
+def groupby_percentiles(spark, sf_dir):
+    """Percentile aggregator (Druid approximate-histogram extension
+    surface, computed exactly — divergence documented in the compiler;
+    context.useApproxQuantile switches to the sketch-based scale path)."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "groupBy",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimensions": ["event_type"],
+            "aggregations": [
+                {"type": "percentile", "name": "p50", "fieldName": "value",
+                 "probability": 0.5},
+                {"type": "percentile", "name": "p95", "fieldName": "value",
+                 "probability": 0.95},
+            ],
+            "intervals": EVENTS_INTERVAL,
+        }
+    )
+    return _r4(df.drop("ts_bucket"), "p50", "p95")
+
+
+@q(
     "sql_json_props_avg",
     f"""
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,

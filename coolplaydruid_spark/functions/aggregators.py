@@ -118,6 +118,18 @@ def _compile_one(spec: dict, context: dict, filter_pred: Column | None):
         if context.get("useExactCountDistinct"):
             return F.count_distinct(col), 0
         return F.approx_count_distinct(col), 0
+    if atype in ("percentile", "approxHistogramFold"):
+        # Druid 0.12's approximate-histogram extension exposes quantiles;
+        # like topN we compute them EXACTLY (documented divergence — the
+        # approximate form is a context switch away). `probability` in
+        # [0,1]; exact percentile is oracle-testable against DuckDB
+        # quantile_cont. `context['useApproxQuantile']` switches to
+        # percentile_approx (sketch-based, mergeable — the 100 TB path).
+        p = float(spec.get("probability", 0.5))
+        col = guard(_field(spec)).cast("double")
+        if context.get("useApproxQuantile"):
+            return F.percentile_approx(col, p), None
+        return F.percentile(col, p), None
     if atype == "javascript":
         # Druid's JS fold/combine extension point (A9) — we accept a
         # *Python* callable (pd.Series -> scalar) instead of JS source
