@@ -189,3 +189,38 @@ def test_streaming_rollup_with_watermark(spark, tmp_path):
     # handed-off segment split.
     assert ("2024-03-01T00:00:00", 5) in rows_out
     assert all(ts.startswith("2024-03-01T00") for ts, _ in rows_out)
+
+
+def test_index_task_csv_and_json_sources(spark, tmp_path):
+    """I1 source formats: csv and json inputs land in the same
+    __dt-partitioned layout as parquet inputs."""
+    import json as jsonlib
+
+    rows = [
+        {"event_id": i, "ts": f"2024-03-0{1 + i % 3}T0{i % 9}:00:00",
+         "event_type": "click", "value": float(i)}
+        for i in range(30)
+    ]
+    jsrc = tmp_path / "src_json"
+    jsrc.mkdir()
+    (jsrc / "a.json").write_text("\n".join(jsonlib.dumps(r) for r in rows))
+    csrc = tmp_path / "src_csv"
+    csrc.mkdir()
+    (csrc / "a.csv").write_text(
+        "event_id,ts,event_type,value\n"
+        + "\n".join(f'{r["event_id"]},{r["ts"]},{r["event_type"]},{r["value"]}'
+                    for r in rows)
+    )
+
+    for fmt, src in [("json", jsrc), ("csv", csrc)]:
+        dest = tmp_path / f"tbl_{fmt}"
+        status = batch.index_task(
+            spark, {"format": fmt, "path": str(src)}, str(dest), time_column="ts"
+        )
+        assert status.status == "SUCCESS"
+        out = spark.read.parquet(str(dest))
+        assert out.count() == 30
+        assert sorted(str(r["__dt"]) for r in out.select("__dt").distinct().collect()) == [
+            "2024-03-01", "2024-03-02", "2024-03-03",
+        ]
+        assert out.schema["ts"].dataType.typeName() == "timestamp"
