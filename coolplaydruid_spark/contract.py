@@ -25,8 +25,12 @@ _ENGINES: dict[tuple[int, str], DruidEngine] = {}
 def engine_for(spark: SparkSession, sf_dir: str) -> DruidEngine:
     key = (id(spark), sf_dir)
     if key not in _ENGINES:
+        # Defensive runtime confs: the driver may own the session and not
+        # have gone through session.get_spark. All are runtime-settable.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
         _ENGINES[key] = DruidEngine(spark, register_fixtures(spark, sf_dir))
     return _ENGINES[key]
 
@@ -1461,6 +1465,40 @@ def _duck_simhash_bits() -> str:
 def dedup_simhash_signatures(spark, sf_dir):
     eng = engine_for(spark, sf_dir)
     return dedup.simhash_signatures(eng.catalog.table("documents"))
+
+
+def _duck_simhash_pairs(max_hamming: int) -> str:
+    bits = " || ".join(
+        "CASE WHEN list_sum(list_transform(dt, x -> CASE WHEN "
+        f"substr(md5(x), {i + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
+        "THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"
+        for i in range(32)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct(list_filter(
+        string_split_regex(trim(lower(coalesce(text,''))), '\\s+'),
+        x -> x <> '')) AS dt
+      FROM documents
+    ), s AS (SELECT doc_id, {bits} AS sh FROM t)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(list_sum(list_transform(range(1,33), i ->
+             CASE WHEN substr(a.sh, CAST(i AS INT), 1) <> substr(b.sh, CAST(i AS INT), 1)
+                  THEN 1 ELSE 0 END)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE list_sum(list_transform(range(1,33), i ->
+      CASE WHEN substr(a.sh, CAST(i AS INT), 1) <> substr(b.sh, CAST(i AS INT), 1)
+           THEN 1 ELSE 0 END)) <= {max_hamming}
+    """
+
+
+@q("dedup_simhash_pairs", _duck_simhash_pairs(3))
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs. The oracle does the exact O(n²) join; the
+    Spark side uses 4-band blocking, which pigeonhole guarantees is
+    lossless for hamming ≤ 3 — so both must match exactly."""
+    eng = engine_for(spark, sf_dir)
+    return dedup.simhash_dedup(eng.catalog.table("documents"), max_hamming=3)
 
 
 @q(
