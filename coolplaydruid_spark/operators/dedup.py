@@ -122,6 +122,11 @@ def minhash_lsh_dedup(
         # The shingle set is reused 3x (signature pass + two verify
         # joins) — persist it when the corpus is re-read from cold
         # storage; for in-page-cache local runs recompute is comparable.
+        # The persist is deliberately not unpersisted here (the returned
+        # DataFrame is lazy and still references it); long-lived callers
+        # issuing many dedup jobs should spark.catalog.clearCache()
+        # between them or pass cache=False — Spark's LRU eviction
+        # otherwise reclaims it under memory pressure.
         sh = sh.persist()
     sig = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col)
 

@@ -112,12 +112,22 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
 
     feat = array_to_vector(_dvec(F.col(vec_col))).alias("__features")
-    # Centroid quality needs a bounded sample, not the corpus: cap the
-    # training set (deterministic limit) and collapse it to few
-    # partitions so each k-means iteration is a handful of tasks rather
-    # than a full-width job — at 100 TB training on everything would
-    # dominate the whole query.
-    train = corpus.select(feat).limit(train_sample).coalesce(4)
+    # Centroid quality needs a bounded, UNBIASED sample, not the corpus:
+    # take the train_sample rows with the smallest md5(id) — hash order
+    # is uniform w.r.t. content, so a corpus written sorted/clustered
+    # (by time, source, language) cannot bias the centroids the way a
+    # prefix limit() would. orderBy+limit compiles to
+    # TakeOrderedAndProject (per-partition top-K + merge, no full sort);
+    # collapsing to few partitions keeps each k-means iteration a
+    # handful of tasks — at 100 TB training on everything would dominate
+    # the whole query.
+    train = (
+        corpus.select(feat, F.md5(F.col(id_col).cast("string")).alias("__h"))
+        .orderBy("__h")
+        .limit(train_sample)
+        .select("__features")
+        .coalesce(4)
+    )
     model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter,
                    featuresCol="__features").fit(train)
 
@@ -133,11 +143,19 @@ def ivf_topk(
 
     # Query → n_probe nearest cells, via a broadcast centroid table
     # (euclidean, matching the k-means training metric).
-    centroids = [
-        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
+    # pandas conversion → Arrow LocalTableScan, keeping the centroid
+    # table JVM-side at execution (a list-of-tuples createDataFrame would
+    # plan a Python-RDD scan).
+    import pandas as pd
+
+    cent_pdf = pd.DataFrame(
+        {
+            "__cell": range(len(model.clusterCenters())),
+            "__centroid": [[float(x) for x in c] for c in model.clusterCenters()],
+        }
+    )
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(centroids, f"__cell int, __centroid array<double>")
+    cent_df = spark.createDataFrame(cent_pdf, "__cell int, __centroid array<double>")
     qbase = queries.select(
         F.col(query_id_col),
         _dvec(F.col(vec_col)).alias("__qvec"),

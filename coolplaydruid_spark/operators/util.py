@@ -27,6 +27,11 @@ def spread(df: DataFrame, by: str | None = None,
     Reserve this for operators whose per-row cost dwarfs a row's shuffle
     cost; for cheap projections the added exchange is pure overhead.
     """
+    if df.isStreaming:
+        # Streaming frames cannot be probed via .rdd, and their
+        # parallelism is the micro-batch planner's concern — pass through
+        # so map-only operators stay usable on streams.
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

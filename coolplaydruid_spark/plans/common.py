@@ -82,10 +82,12 @@ def bucket_spine(spark, gran: Granularity, intervals: list[str]) -> DataFrame:
     # Arrow-backed conversion yields a LocalTableScan (pure JVM at
     # execution); a list-of-tuples createDataFrame would instead plan a
     # Python-RDD scan that re-serializes through the driver on every run.
+    # The explicit schema keeps the empty-spine case (degenerate interval,
+    # start == end) a valid empty result instead of a schema-inference error.
     import pandas as pd
 
     pdf = pd.DataFrame({BUCKET: pd.Series(sorted(buckets), dtype="datetime64[us]")})
-    return spark.createDataFrame(pdf)
+    return spark.createDataFrame(pdf, f"{BUCKET} timestamp")
 
 
 def zero_fill(

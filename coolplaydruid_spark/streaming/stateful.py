@@ -59,10 +59,16 @@ def streaming_reservoir_sample(
 
     Algorithm: classic A-Res weighted reservoir with deterministic
     priorities — each value gets priority md5(value|arrival_index); the
-    reservoir keeps the k largest priorities. Deterministic ⇒ exactly
-    reproducible output for a given input order, testable without
-    seeds."""
-    out_schema = ", ".join(f"{c} string" for c in key_cols) + \
+    reservoir keeps the k largest priorities. Deterministic for a fixed
+    per-key arrival order (single-partition sources, replayed files) —
+    testable without seeds; under multi-partition sources the arrival
+    order, and therefore the chosen sample, may differ between runs
+    (the sample stays uniform either way).
+
+    Null values are skipped: they neither enter the reservoir nor count
+    toward n_seen."""
+    key_fields = {f.name: f.dataType.simpleString() for f in grouped_stream.schema.fields}
+    out_schema = ", ".join(f"{c} {key_fields.get(c, 'string')}" for c in key_cols) + \
         ", n_seen long, sample array<string>"
     state_schema = "n_seen long, prios array<double>, vals array<string>"
 
@@ -77,7 +83,7 @@ def streaming_reservoir_sample(
         else:
             n_seen, prios, vals = 0, [], []
         for pdf in pdfs:
-            for v in pdf[value_col].astype(str):
+            for v in pdf[value_col].dropna().astype(str):
                 p = _stable_priority(v, n_seen)
                 n_seen += 1
                 if len(vals) < k:

@@ -72,3 +72,30 @@ def test_reservoir_sample_state_across_batches(spark, tmp_path):
     third = _run_once(spark, src, tmp_path / "ckpt2")
     assert third["en"]["n_seen"] == 30
     assert third["de"]["sample"] == first["de"]["sample"]
+
+
+def test_reservoir_sample_typed_keys_and_nulls(spark, tmp_path):
+    """Non-string key columns keep their type in the output schema; null
+    values are skipped entirely."""
+    import json as jsonlib
+
+    src = tmp_path / "src_typed"
+    src.mkdir()
+    rows = [{"doc_id": 7, "lang": "en", "text": f"t{i}"} for i in range(4)]
+    rows.append({"doc_id": 7, "lang": "en", "text": None})
+    (src / "b.json").write_text("\n".join(jsonlib.dumps(r) for r in rows))
+    stream = realtime.file_stream(spark, str(src), DOC_SCHEMA, fmt="json")
+    sampled = streaming_reservoir_sample(stream, ["doc_id"], "text", k=10)
+    assert sampled.schema["doc_id"].dataType.typeName() == "long"
+    out = []
+    q = (
+        sampled.writeStream.foreachBatch(lambda b, _: out.extend(b.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_typed"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(out) == 1 and out[0]["doc_id"] == 7
+    assert out[0]["n_seen"] == 4  # the null row neither counted nor sampled
+    assert sorted(out[0]["sample"]) == ["t0", "t1", "t2", "t3"]

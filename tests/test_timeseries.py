@@ -164,3 +164,18 @@ def test_timeseries_equals_groupby_no_dims(engine):
     ts_map = {r["timestamp"]: r["result"] for r in ts_rows}
     gb_map = {r["timestamp"]: r["event"] for r in gb_rows}
     assert ts_map == gb_map
+
+
+def test_degenerate_interval_returns_empty(engine):
+    """A zero-width interval yields zero buckets — an empty result, not a
+    schema-inference error (empty-spine regression guard)."""
+    rows = engine.execute(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "day",
+            "aggregations": [{"type": "count", "name": "n"}],
+            "intervals": ["2024-01-01T00:00:00/2024-01-01T00:00:00"],
+        }
+    )
+    assert rows == []
