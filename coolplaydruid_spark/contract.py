@@ -279,6 +279,39 @@ def topn_weekly_buckets(spark, sf_dir):
 
 
 @q(
+    "topn_inverted_bottom2",
+    f"""
+    WITH agg AS (
+      SELECT event_type, round(sum(value), 4) AS total
+      FROM events WHERE {EVENTS_WHERE} GROUP BY 1
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY total ASC, event_type ASC) AS rn FROM agg
+    )
+    SELECT event_type, total FROM ranked WHERE rn <= 2
+    """,
+)
+def topn_inverted_bottom2(spark, sf_dir):
+    """Inverted TopNMetricSpec — bottom-N by metric (public 0.12
+    surface)."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "topN",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimension": "event_type",
+            "metric": {"type": "inverted", "metric": {"type": "numeric", "metric": "total"}},
+            "threshold": 2,
+            "aggregations": [
+                {"type": "doubleSum", "name": "total", "fieldName": "value"}
+            ],
+            "intervals": EVENTS_INTERVAL,
+        }
+    )
+    return _r4(df.drop("ts_bucket"), "total")
+
+
+@q(
     "groupby_day_type_having",
     f"""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_bucket, event_type,
