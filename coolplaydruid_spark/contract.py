@@ -209,6 +209,57 @@ def timeseries_period_tz(spark, sf_dir):
     )
 
 
+@q(
+    "timeseries_gran_none",
+    """
+    SELECT ts AS ts_bucket, CAST(count(*) AS BIGINT) AS rows
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-02'
+    GROUP BY 1
+    """,
+)
+def timeseries_gran_none(spark, sf_dir):
+    """Granularity 'none': buckets are the raw event timestamps."""
+    eng = engine_for(spark, sf_dir)
+    return eng.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "none",
+            "aggregations": [{"type": "count", "name": "rows"}],
+            "intervals": ["2024-01-01T00:00:00/2024-01-02T00:00:00"],
+        }
+    )
+
+
+@q(
+    "scan_descending_limit",
+    """
+    SELECT event_id, ts FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+      AND event_type = 'purchase'
+    ORDER BY ts DESC, event_id DESC LIMIT 15
+    """,
+)
+def scan_descending_limit(spark, sf_dir):
+    """Scan with descending time order + limit → TakeOrderedAndProject
+    (per-partition top-K, no global sort)."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "scan",
+            "dataSource": "events",
+            "columns": ["event_id"],
+            "order": "descending",
+            "limit": 15,
+            "filter": {"type": "selector", "dimension": "event_type",
+                       "value": "purchase"},
+            "intervals": ["2024-01-01T00:00:00/2024-01-08T00:00:00"],
+        }
+    )
+    return df.withColumnRenamed("__time", "ts")
+
+
 # ---------------------------------------------------------------------------
 # Q2 topN / Q3 groupBy
 # ---------------------------------------------------------------------------
