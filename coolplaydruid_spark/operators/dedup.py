@@ -185,22 +185,37 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    return _attach_sizes_and_score(co, sizes, threshold, id_col)
+
+
+def _attach_sizes_and_score(co: DataFrame, sizes: DataFrame, threshold: float,
+                            id_col: str) -> DataFrame:
+    """(doc_a, doc_b, n_common) + per-doc set sizes → Jaccard pairs.
+
+    The broadcast hints go on the CANDIDATE-side aggregates (`co`, then
+    the once-joined result) — bounded by the blocking join's candidate
+    count, the same bound the whole pipeline rests on. The sizes table is
+    corpus-cardinality and is only ever scanned, never broadcast: a
+    forced sizes broadcast would ship one row per document to every
+    executor at 100 TB, and leaving Catalyst unhinted mis-plans locally
+    because aggregate output sizes are unestimable."""
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    out = (
-        co.join(F.broadcast(sa), F.col("doc_a") == F.col(f"sa.{id_col}"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col(f"sb.{id_col}"))
-        .select(
+    j1 = sa.join(F.broadcast(co), F.col("doc_a") == F.col(f"sa.{id_col}")).select(
+        "doc_a", "doc_b", "n_common", F.col("sa.n_shingles").alias("n_a")
+    )
+    j2 = sb.join(F.broadcast(j1), F.col("doc_b") == F.col(f"sb.{id_col}")).select(
+        "doc_a", "doc_b", "n_common", "n_a", F.col("sb.n_shingles").alias("n_b")
+    )
+    return (
+        j2.select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("n_common")
-                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")),
-                6,
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return out
 
 
 def _verify_jaccard(candidates: DataFrame, sh: DataFrame, threshold: float,
@@ -222,21 +237,7 @@ def _verify_jaccard(candidates: DataFrame, sh: DataFrame, threshold: float,
     )
     if sizes is None:
         sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    return (
-        pair_sh.join(F.broadcast(sa), F.col("doc_a") == F.col(f"sa.{id_col}"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col(f"sb.{id_col}"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_common")
-                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _attach_sizes_and_score(pair_sh, sizes, threshold, id_col)
 
 
 def apply_dedup_filter(df: DataFrame, pairs: DataFrame,
