@@ -24,6 +24,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TIME_COLUMN = "__time"
+# Raw int64-nanosecond shadow of the time column, kept only for tables whose
+# Parquet stores TIMESTAMP(NANOS) (which Spark reads as long). Interval
+# predicates are emitted against BOTH __time and this raw column: the __time
+# predicate wraps the scan column in timestamp_micros() arithmetic (not
+# pushable), while the raw-ns range predicate is a plain comparison on the
+# scan column, so it lands in PushedFilters and skips Parquet row groups —
+# the Spark analogue of Druid's interval→segment pruning
+# (query/query-internal-procedure.md:7). Never exposed in query results.
+RAW_TIME_NS = "__time_ns"
 
 
 @dataclass
@@ -53,6 +62,11 @@ class DataSource:
         df = reader.parquet(self.path)
         for c in nanos_cols:
             if c in df.columns:
+                if c == self.time_column:
+                    # Shadow the raw nanos under RAW_TIME_NS *before* the
+                    # conversion replaces the column, so interval filters
+                    # can push a plain int64 range into the Parquet scan.
+                    df = df.withColumn(RAW_TIME_NS, F.col(c))
                 df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         if self.time_column and self.time_column in df.columns:
             df = df.withColumn(TIME_COLUMN, F.col(self.time_column))

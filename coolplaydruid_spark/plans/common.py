@@ -3,10 +3,12 @@ and the zero-fill bucket spine."""
 
 from __future__ import annotations
 
+from datetime import datetime, timedelta
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from coolplaydruid_spark.catalog import TIME_COLUMN
+from coolplaydruid_spark.catalog import RAW_TIME_NS, TIME_COLUMN
 from coolplaydruid_spark.functions.filters import compile_filter
 from coolplaydruid_spark.functions.granularity import (
     Granularity,
@@ -15,6 +17,15 @@ from coolplaydruid_spark.functions.granularity import (
 )
 
 BUCKET = "ts_bucket"
+
+_EPOCH = datetime(1970, 1, 1)
+_US = timedelta(microseconds=1)
+
+
+def _epoch_ns(dt: datetime) -> int:
+    """Naive-UTC datetime → epoch nanoseconds, exact integer arithmetic
+    (float .timestamp() loses sub-second precision past 2^53 ns)."""
+    return ((dt - _EPOCH) // _US) * 1000
 
 
 def grouped_agg(base: DataFrame, key_cols: list, key_names: list[str], aggs) -> DataFrame:
@@ -46,6 +57,20 @@ def filtered_frame(df: DataFrame, query: dict) -> DataFrame:
         if isinstance(intervals, str):
             intervals = [intervals]
         df = df.filter(intervals_predicate(intervals, F.col(TIME_COLUMN)))
+        # Tables whose Parquet time column is raw int64 nanos carry a
+        # RAW_TIME_NS shadow (catalog.py): the __time predicate above is
+        # arithmetic over the scan column (not pushable), so also emit the
+        # equivalent plain int64 range — Catalyst pushes it through the
+        # Project into PushedFilters, restoring row-group skipping.
+        if RAW_TIME_NS in df.columns:
+            ns_pred = None
+            for iv in intervals:
+                start, end = parse_interval(iv)
+                p = (F.col(RAW_TIME_NS) >= F.lit(_epoch_ns(start))) & (
+                    F.col(RAW_TIME_NS) < F.lit(_epoch_ns(end))
+                )
+                ns_pred = p if ns_pred is None else (ns_pred | p)
+            df = df.filter(ns_pred)
         # Segment pruning (query/query-internal-procedure.md:7): on tables
         # ingested by sources.batch the partition column __dt carries the
         # date — derive an explicit __dt predicate so Catalyst prunes

@@ -22,7 +22,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from coolplaydruid_spark.catalog import TIME_COLUMN
+from coolplaydruid_spark.catalog import RAW_TIME_NS, TIME_COLUMN
 from coolplaydruid_spark.plans.common import filtered_frame
 
 
@@ -50,7 +50,7 @@ def plan_segment_metadata(engine, query: dict) -> DataFrame:
     df = filtered_frame(engine.resolve_datasource(query["dataSource"]), query)
     context = query.get("context") or {}
     exact = bool(context.get("useExactCountDistinct"))
-    cols = [f for f in df.schema.fields if f.name != TIME_COLUMN]
+    cols = [f for f in df.schema.fields if f.name not in (TIME_COLUMN, RAW_TIME_NS)]
     distinct_fn = F.count_distinct if exact else F.approx_count_distinct
 
     aggs = [F.count(F.lit(1)).alias("__rows")]

@@ -14,10 +14,10 @@ stable (time, row-id) ordering.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from coolplaydruid_spark.catalog import TIME_COLUMN
+from coolplaydruid_spark.catalog import RAW_TIME_NS, TIME_COLUMN
 from coolplaydruid_spark.plans.common import filtered_frame
 
 
@@ -30,7 +30,7 @@ def _projection(df: DataFrame, query: dict) -> DataFrame:
         if TIME_COLUMN in df.columns and TIME_COLUMN not in keep:
             keep = [TIME_COLUMN] + keep
         return df.select(*keep)
-    return df
+    return df.drop(RAW_TIME_NS)
 
 
 def plan_scan(engine, query: dict) -> DataFrame:
@@ -49,7 +49,13 @@ def plan_scan(engine, query: dict) -> DataFrame:
 def plan_select(engine, query: dict) -> DataFrame:
     """Select with pagingSpec {threshold, offset}. Later Druid deprecated
     select in favor of scan; we keep it for parity. A stable total order
-    (time, then remaining columns) makes pages deterministic."""
+    (time, then remaining columns) makes pages deterministic.
+
+    Plan shape: sort + offset + limit plans as TakeOrderedAndProject —
+    each partition keeps only its top offset+threshold rows, so no global
+    sort and no single-partition window materializes the whole table on
+    one executor (a page is small by construction; offset+threshold rows
+    reach the driver regardless of table size)."""
     df = filtered_frame(engine.resolve_datasource(query["dataSource"]), query)
     df = _projection(df, query)
     paging = query.get("pagingSpec") or {}
@@ -58,10 +64,4 @@ def plan_select(engine, query: dict) -> DataFrame:
     descending = bool(query.get("descending"))
     time_col = F.col(TIME_COLUMN).desc() if descending else F.col(TIME_COLUMN).asc()
     tiebreak = [F.col(c) for c in df.columns if c != TIME_COLUMN]
-    w = Window.orderBy(time_col, *tiebreak)
-    out = (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + threshold))
-        .drop("__rn")
-    )
-    return out
+    return df.orderBy(time_col, *tiebreak).offset(offset).limit(threshold)

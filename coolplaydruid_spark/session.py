@@ -36,6 +36,10 @@ def get_spark(
         # lower this per job: batch bytes ≈ rows × row size × cores.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
         .config("spark.ui.enabled", "false")
+        # Full PushedFilters/ReadSchema in explain output — the plan
+        # regression tests (tests/test_plans.py) assert on scan metadata
+        # that the 100-char default truncates.
+        .config("spark.sql.maxMetadataStringLength", "1000")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # Fixture parquet uses TIMESTAMP(NANOS); see catalog._nano_timestamp_columns
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -33,6 +33,45 @@ def test_dimension_filters_pushed_to_parquet(engine):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_interval_predicate_pushed_on_raw_nanos_table(engine):
+    """Fixture tables store TIMESTAMP(NANOS) (read as long); the interval
+    filter must reach PushedFilters as a plain int64 range on the raw
+    column — not stay post-scan as timestamp_micros() arithmetic — so
+    Parquet row-group stats prune at scale (catalog.RAW_TIME_NS shadow)."""
+    df = engine.plan(
+        {
+            "queryType": "topN",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimension": "event_type",
+            "metric": "total",
+            "threshold": 3,
+            "aggregations": [{"type": "doubleSum", "name": "total", "fieldName": "value"}],
+            "intervals": ["2024-01-01T00:00:00/2024-01-08T00:00:00"],
+        }
+    )
+    pushed = _plan(df).split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThanOrEqual(ts," in pushed
+    assert "LessThan(ts," in pushed
+
+
+def test_select_pages_via_take_ordered(engine):
+    """Select paging must plan as TakeOrderedAndProject (per-partition
+    top-K), never a single-partition global window (the one plan shape
+    that cannot survive a big table)."""
+    df = engine.plan(
+        {
+            "queryType": "select",
+            "dataSource": "events",
+            "intervals": ["2024-01-01T00:00:00/2024-01-08T00:00:00"],
+            "pagingSpec": {"threshold": 20, "offset": 20},
+        }
+    )
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
 def test_partition_pruning_on_ingested_table(spark, tmp_path):
     dest = str(tmp_path / "tbl")
     batch.index_task(
