@@ -138,6 +138,9 @@ class DruidEngine:
             if timer:
                 timer.cancel()
             sc.setJobGroup(str(uuid.uuid4()), "idle")
+            # Thread-local pool must not leak into the next query executed
+            # on a reused handler thread.
+            sc.setLocalProperty("spark.scheduler.pool", None)
 
     def execute_json(self, query: dict | str) -> str:
         """Like execute() but never raises: failures return the JSON error

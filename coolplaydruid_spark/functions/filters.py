@@ -8,46 +8,156 @@ public Druid v0.12 semantics.
 
 Every filter compiles to a boolean Column expression, so Catalyst pushes
 eligible predicates into the Parquet scan (PushedFilters) — the Spark
-analogue of Druid's bitmap-index row skipping (TOC.md:39-40). Null
-handling follows Druid 0.12: null and empty string are equivalent for
-string dimensions (SURVEY §7.5.3).
+analogue of Druid's bitmap-index row skipping (TOC.md:39-40).
+
+Null handling follows Druid 0.12 two-valued logic: null and empty string
+are equivalent for string dimensions (SURVEY §7.5.3), and a filter is
+never "unknown" — so ``not`` must match rows where the inner predicate
+evaluates to SQL NULL (null dimension), and leaf filters whose predicate
+is satisfied by "" (e.g. ``like '%'``, a regex matching the empty string,
+a bound with no lower edge) must match null dimensions too. Rather than
+coalescing the dimension to "" (which would wrap the scan column and kill
+predicate pushdown), we keep the raw-column predicate and OR in an
+``isNull`` branch exactly when "" would match — computed driver-side per
+filter spec. Parquet pushes ``Or(pred, IsNull(col))`` fine.
+
+Multi-value string dimensions (ArrayType columns): Druid's leaf string
+filters match when ANY element matches (core 0.12 multi-value semantics).
+selector/in compile to ``array_contains``/``arrays_overlap``; the other
+leaf types compile to ``F.exists`` with the same scalar predicate applied
+per element — all JVM-side, no explode needed at filter time.
 """
 
 from __future__ import annotations
 
+import re as _re
 from functools import reduce
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from coolplaydruid_spark.functions.extraction import apply_extraction
 from coolplaydruid_spark.functions.granularity import intervals_predicate
 
+# Leaf filter types whose semantics are "dimension value satisfies a
+# string predicate" — these get any-element-matches treatment on
+# ArrayType dimensions.
+_STRING_LEAVES = ("selector", "in", "bound", "like", "regex", "search")
 
-def compile_filter(spec: dict | None) -> Column | None:
-    """Compile a Druid filter spec to a boolean Column (None -> no filter)."""
+
+def compile_filter(spec: dict | None, df: DataFrame | None = None) -> Column | None:
+    """Compile a Druid filter spec to a boolean Column (None -> no filter).
+
+    ``df`` (optional) supplies the schema used to detect multi-value
+    (ArrayType) dimensions; without it, filters compile assuming scalar
+    dimensions (sufficient for post-aggregation having filters).
+    """
     if spec is None:
         return None
+    array_dims: set[str] = set()
+    if df is not None:
+        array_dims = {
+            f.name for f in df.schema.fields if f.dataType.typeName() == "array"
+        }
+    return _compile(spec, array_dims)
+
+
+def _compile(spec: dict, array_dims: set[str]) -> Column:
     ftype = spec.get("type")
     if ftype in ("and", "or"):
-        subs = [compile_filter(f) for f in spec["fields"]]
+        subs = [_compile(f, array_dims) for f in spec["fields"]]
         op = (lambda a, b: a & b) if ftype == "and" else (lambda a, b: a | b)
         return reduce(op, subs)
     if ftype == "not":
-        return ~compile_filter(spec["field"])
+        # Druid two-valued logic: the inner filter is false (not unknown)
+        # on null dimensions, so NOT must match those rows — coalesce the
+        # SQL NULL away before negating.
+        return ~F.coalesce(_compile(spec["field"], array_dims), F.lit(False))
+    if ftype == "columnComparison":
+        a, b = spec["dimensions"]
+        ca = F.col(a if isinstance(a, str) else a["dimension"])
+        cb = F.col(b if isinstance(b, str) else b["dimension"])
+        # null ≡ "" on both sides: two null dims compare equal.
+        return F.coalesce(ca.cast("string"), F.lit("")) == F.coalesce(
+            cb.cast("string"), F.lit("")
+        )
+    if ftype == "interval":
+        col = F.col(spec.get("dimension", "__time"))
+        return intervals_predicate(spec["intervals"], col)
+    if ftype == "javascript":
+        fn = spec.get("function")
+        if callable(fn):
+            return F.udf(fn, T.BooleanType())(_dim_col(spec))
+        raise NotImplementedError(
+            "javascript filter: pass a Python callable as 'function' "
+            "(JS source compat is out of scope, SURVEY §2.9)"
+        )
+    if ftype == "true":
+        return F.lit(True)
+    if ftype == "false":
+        return F.lit(False)
+    if ftype in _STRING_LEAVES:
+        if spec.get("dimension") in array_dims:
+            return _multivalue_leaf(spec, ftype)
+        return _scalar_leaf(spec, ftype)
+    raise ValueError(f"unknown filter type {ftype!r}")
+
+
+def _scalar_leaf(spec: dict, ftype: str) -> Column:
     dim = _dim_col(spec)
+    pred = _leaf_pred(dim, spec, ftype)
+    # null ≡ "": when the empty string satisfies this filter, null
+    # dimensions must match too. selector/in handle their null cases
+    # inside _leaf_pred; for the rest, OR in an isNull branch (kept
+    # outside the main predicate so pushdown still sees the raw
+    # comparison). Skipped when an extractionFn rewrites the value.
+    if (
+        ftype not in ("selector", "in")
+        and spec.get("extractionFn") is None
+        and spec.get("dimension") is not None
+        and _matches_empty(spec, ftype)
+    ):
+        pred = pred | F.col(spec["dimension"]).isNull()
+    return pred
+
+
+def _multivalue_leaf(spec: dict, ftype: str) -> Column:
+    """Any-element-matches over an ArrayType dimension. A null/empty array
+    is equivalent to a null scalar dimension (Druid 0.12)."""
+    arr = F.col(spec["dimension"])
+    ex = spec.get("extractionFn")
+    if ftype == "selector" and ex is None:
+        value = spec.get("value")
+        if value is None or value == "":
+            return arr.isNull() | (F.size(arr) == 0) | F.array_contains(arr, "")
+        return F.coalesce(F.array_contains(arr, F.lit(value)), F.lit(False))
+    if ftype == "in" and ex is None:
+        values = spec["values"]
+        non_null = [v for v in values if v is not None and v != ""]
+        pred = (
+            F.arrays_overlap(arr, F.array(*[F.lit(v) for v in non_null]))
+            if non_null
+            else F.lit(False)
+        )
+        if len(non_null) != len(values):
+            pred = pred | arr.isNull() | (F.size(arr) == 0) | F.array_contains(arr, "")
+        return F.coalesce(pred, F.lit(False))
+    per_element = lambda x: F.coalesce(  # noqa: E731
+        _leaf_pred(apply_extraction(x, ex), spec, ftype), F.lit(False)
+    )
+    return F.coalesce(F.exists(arr, per_element), F.lit(False))
+
+
+def _leaf_pred(dim: Column, spec: dict, ftype: str) -> Column:
+    """The scalar predicate for one dimension value (shared between the
+    scalar path and the per-element multi-value path)."""
     if ftype == "selector":
         value = spec.get("value")
         if value is None or value == "":
             # Druid 0.12: null and "" match each other for string dims.
             return dim.isNull() | (dim.cast("string") == F.lit(""))
         return dim == F.lit(value)
-    if ftype == "columnComparison":
-        a, b = spec["dimensions"]
-        return F.col(a if isinstance(a, str) else a["dimension"]) == F.col(
-            b if isinstance(b, str) else b["dimension"]
-        )
     if ftype == "in":
         values = spec["values"]
         non_null = [v for v in values if v is not None and v != ""]
@@ -65,10 +175,9 @@ def compile_filter(spec: dict | None) -> Column | None:
         q = spec.get("query", {})
         qtype = q.get("type", "insensitive_contains")
         if qtype == "contains":
-            pred = dim.contains(q["value"])
             if q.get("caseSensitive") is False:
-                pred = F.lower(dim).contains(q["value"].lower())
-            return pred
+                return F.lower(dim).contains(q["value"].lower())
+            return dim.contains(q["value"])
         if qtype == "insensitive_contains":
             return F.lower(dim).contains(q["value"].lower())
         if qtype == "fragment":
@@ -80,22 +189,39 @@ def compile_filter(spec: dict | None) -> Column | None:
             ]
             return reduce(lambda a, b: a & b, preds) if preds else F.lit(True)
         raise ValueError(f"unknown search query type {qtype!r}")
-    if ftype == "interval":
-        col = F.col(spec.get("dimension", "__time"))
-        return intervals_predicate(spec["intervals"], col)
-    if ftype == "javascript":
-        fn = spec.get("function")
-        if callable(fn):
-            return F.udf(fn, T.BooleanType())(dim)
-        raise NotImplementedError(
-            "javascript filter: pass a Python callable as 'function' "
-            "(JS source compat is out of scope, SURVEY §2.9)"
-        )
-    if ftype == "true":
-        return F.lit(True)
-    if ftype == "false":
-        return F.lit(False)
-    raise ValueError(f"unknown filter type {ftype!r}")
+    raise ValueError(f"unknown leaf filter type {ftype!r}")
+
+
+def _matches_empty(spec: dict, ftype: str) -> bool:
+    """Would Druid's null≡"" dimension value satisfy this leaf filter?
+    Computed driver-side so the isNull branch is only emitted when
+    needed."""
+    try:
+        if ftype == "bound":
+            if spec.get("ordering", "lexicographic") == "numeric":
+                return False  # "" does not parse as a number
+            ok = True
+            lo, hi = spec.get("lower"), spec.get("upper")
+            if lo is not None:
+                ok = ok and (("" > lo) if spec.get("lowerStrict") else ("" >= lo))
+            if hi is not None:
+                ok = ok and (("" < hi) if spec.get("upperStrict") else ("" <= hi))
+            return ok
+        if ftype == "like":
+            # a LIKE pattern matches "" iff it is all-wildcard
+            return set(spec["pattern"]) <= {"%"}
+        if ftype == "regex":
+            return bool(_re.search(spec["pattern"], ""))
+        if ftype == "search":
+            q = spec.get("query", {})
+            qtype = q.get("type", "insensitive_contains")
+            if qtype in ("contains", "insensitive_contains"):
+                return q.get("value", "") == ""
+            if qtype == "fragment":
+                return all(v == "" for v in q.get("values", []))
+        return False
+    except Exception:
+        return False
 
 
 def _dim_col(spec: dict) -> Column:

@@ -49,6 +49,53 @@ _PERIOD_RE = re.compile(
 EPOCH = datetime(1970, 1, 1)
 
 
+def _trunc_grain(ts: datetime, g: str) -> datetime:
+    """Wall-clock truncation of a naive datetime to a grain start."""
+    if g == "second":
+        return ts.replace(microsecond=0)
+    if g == "minute":
+        return ts.replace(second=0, microsecond=0)
+    if g == "hour":
+        return ts.replace(minute=0, second=0, microsecond=0)
+    if g == "day":
+        return ts.replace(hour=0, minute=0, second=0, microsecond=0)
+    if g == "week":
+        day = ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        return day - timedelta(days=day.weekday())
+    if g == "month":
+        return ts.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    if g == "quarter":
+        month = 3 * ((ts.month - 1) // 3) + 1
+        return ts.replace(month=month, day=1, hour=0, minute=0, second=0, microsecond=0)
+    if g == "year":
+        return ts.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0)
+    raise ValueError(f"unknown grain {g!r}")
+
+
+def _step_grain(bucket: datetime, g: str) -> datetime:
+    """Wall-clock start of the grain bucket after `bucket` (naive)."""
+    if g == "second":
+        return bucket + timedelta(seconds=1)
+    if g == "minute":
+        return bucket + timedelta(minutes=1)
+    if g == "hour":
+        return bucket + timedelta(hours=1)
+    if g == "day":
+        return bucket + timedelta(days=1)
+    if g == "week":
+        return bucket + timedelta(days=7)
+    if g == "month":
+        y, m = bucket.year + (bucket.month // 12), bucket.month % 12 + 1
+        return bucket.replace(year=y, month=m)
+    if g == "quarter":
+        m0 = bucket.month + 3
+        y, m = bucket.year + (m0 - 1) // 12, (m0 - 1) % 12 + 1
+        return bucket.replace(year=y, month=m)
+    if g == "year":
+        return bucket.replace(year=bucket.year + 1)
+    raise ValueError(f"cannot step grain {g!r}")
+
+
 @dataclass(frozen=True)
 class Granularity:
     """Normalized granularity: either a trunc grain, a fixed duration in
@@ -81,7 +128,13 @@ class Granularity:
 
     def bucket_py(self, ts: datetime) -> datetime:
         """Driver-side bucketing (for zero-fill spine generation; spine
-        cardinality = #buckets, always tiny relative to data)."""
+        cardinality = #buckets, always tiny relative to data).
+
+        Mirrors ``bucket()`` exactly — including time_zone: a period
+        granularity with a timeZone truncates in the target zone's wall
+        clock and the result converts back to UTC, so spine bucket starts
+        line up with the Spark-side aggregate buckets (otherwise the
+        zero-fill left join would drop every real aggregate row)."""
         if self.kind == "all":
             return EPOCH
         if self.kind == "none":
@@ -92,52 +145,37 @@ class Granularity:
             )
             b = self.origin_s + ((e - self.origin_s) // self.duration_s) * self.duration_s
             return datetime.fromtimestamp(b, tz=timezone.utc).replace(tzinfo=None)
-        g = self.grain
-        if g == "second":
-            return ts.replace(microsecond=0)
-        if g == "minute":
-            return ts.replace(second=0, microsecond=0)
-        if g == "hour":
-            return ts.replace(minute=0, second=0, microsecond=0)
-        if g == "day":
-            return ts.replace(hour=0, minute=0, second=0, microsecond=0)
-        if g == "week":
-            day = ts.replace(hour=0, minute=0, second=0, microsecond=0)
-            return day - timedelta(days=day.weekday())
-        if g == "month":
-            return ts.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
-        if g == "quarter":
-            month = 3 * ((ts.month - 1) // 3) + 1
-            return ts.replace(month=month, day=1, hour=0, minute=0, second=0, microsecond=0)
-        if g == "year":
-            return ts.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0)
-        raise ValueError(f"unknown grain {g!r}")
+        if self.time_zone:
+            return self._local_to_utc(_trunc_grain(self._utc_to_local(ts), self.grain))
+        return _trunc_grain(ts, self.grain)
 
     def next_bucket_py(self, bucket: datetime) -> datetime:
-        """Start of the bucket after `bucket` (driver-side, for spines)."""
+        """Start of the bucket after `bucket` (driver-side, for spines).
+        With a time_zone, the step happens in local wall-clock time (a
+        'day' in a DST zone can be 23 or 25 UTC hours)."""
         if self.kind == "duration":
             return bucket + timedelta(seconds=self.duration_s)
-        g = self.grain
-        if g == "second":
-            return bucket + timedelta(seconds=1)
-        if g == "minute":
-            return bucket + timedelta(minutes=1)
-        if g == "hour":
-            return bucket + timedelta(hours=1)
-        if g == "day":
-            return bucket + timedelta(days=1)
-        if g == "week":
-            return bucket + timedelta(days=7)
-        if g == "month":
-            y, m = bucket.year + (bucket.month // 12), bucket.month % 12 + 1
-            return bucket.replace(year=y, month=m)
-        if g == "quarter":
-            m0 = bucket.month + 3
-            y, m = bucket.year + (m0 - 1) // 12, (m0 - 1) % 12 + 1
-            return bucket.replace(year=y, month=m)
-        if g == "year":
-            return bucket.replace(year=bucket.year + 1)
-        raise ValueError(f"cannot step grain {g!r}")
+        if self.time_zone:
+            return self._local_to_utc(_step_grain(self._utc_to_local(bucket), self.grain))
+        return _step_grain(bucket, self.grain)
+
+    def _utc_to_local(self, ts: datetime) -> datetime:
+        from zoneinfo import ZoneInfo
+
+        return (
+            ts.replace(tzinfo=timezone.utc)
+            .astimezone(ZoneInfo(self.time_zone))
+            .replace(tzinfo=None)
+        )
+
+    def _local_to_utc(self, local: datetime) -> datetime:
+        from zoneinfo import ZoneInfo
+
+        return (
+            local.replace(tzinfo=ZoneInfo(self.time_zone))
+            .astimezone(timezone.utc)
+            .replace(tzinfo=None)
+        )
 
     def buckets_in(self, start: datetime, end: datetime) -> list[datetime]:
         """All bucket starts for buckets intersecting [start, end) —

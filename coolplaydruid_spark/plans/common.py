@@ -84,7 +84,7 @@ def filtered_frame(df: DataFrame, query: dict) -> DataFrame:
                 )
                 dt_pred = p if dt_pred is None else (dt_pred | p)
             df = df.filter(dt_pred)
-    pred = compile_filter(query.get("filter"))
+    pred = compile_filter(query.get("filter"), df)
     if pred is not None:
         df = df.filter(pred)
     return df

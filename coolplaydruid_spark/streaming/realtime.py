@@ -11,8 +11,10 @@ data-ingest/kis.md; TOC.md:42 LSM in-memory index):
    SURVEY §7.5.6).
  - windowPeriod late-event dropping → watermark + optional hard filter:
    Druid 0.12 rejects events outside the task window; a watermark alone
-   only bounds *aggregation* state, so for append-mode ingest we also
-   drop events older than `late_threshold` against the batch's max time.
+   only bounds *aggregation* state, so append-mode ingest accepts an
+   optional ``late_threshold`` that drops events older than the wall
+   clock minus the threshold at batch time (Druid's windowPeriod is
+   likewise wall-clock-based). Without it, raw append keeps late events.
  - Kafka exactly-once (KIS goal) → source offsets in the checkpoint +
    idempotent file sink — built into Structured Streaming.
 
@@ -70,13 +72,17 @@ def realtime_index(
     rollup: dict | None = None,
     trigger_seconds: int | None = None,
     query_name: str = "realtime_index",
+    late_threshold: str | None = None,
 ) -> StreamingQuery:
     """The `index_realtime` task (I3): stream → (optional rollup agg with
     watermarked windows) → append-only __dt-partitioned Parquet.
 
     Without rollup: append raw rows (late rows beyond the watermark are
     still appended — matching Druid's "query-time granularity" model where
-    raw ingest keeps everything inside the task window).
+    raw ingest keeps everything inside the task window). Pass
+    ``late_threshold`` (e.g. "1 hour") to emulate Druid's windowPeriod
+    rejection: events with event time older than wall clock minus the
+    threshold are dropped at batch time.
     With rollup: {"window": "1 hour", "dimensions": [...], "aggregations":
     [(name, spark-agg-column)]} — watermarked tumbling-window aggregation;
     the watermark closes windows and drops late events exactly like
@@ -100,6 +106,14 @@ def realtime_index(
         output_mode = "append"  # closed windows only — immutable segments
     else:
         out = stream
+        if late_threshold:
+            # windowPeriod rejection: current_timestamp() re-evaluates per
+            # micro-batch, so this is "not older than threshold at batch
+            # time" — a plain filter, no state.
+            out = out.filter(
+                F.col(time_column)
+                >= F.current_timestamp() - F.expr(f"INTERVAL {late_threshold}")
+            )
         output_mode = "append"
     out = out.withColumn(DT_COLUMN, F.to_date(F.col(time_column)).cast("string"))
     writer = (

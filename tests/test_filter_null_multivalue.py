@@ -1,0 +1,128 @@
+"""Druid 0.12 null≡"" filter semantics and multi-value (ArrayType)
+dimension filters — the two-valued-logic cases SQL three-valued logic gets
+wrong (ADVICE r01: not-filter on null dims, filters on array dims)."""
+
+from datetime import datetime
+
+import pytest
+
+from coolplaydruid_spark.catalog import Catalog
+from coolplaydruid_spark.engine import DruidEngine
+
+BASE = {
+    "queryType": "timeseries",
+    "dataSource": "t",
+    "granularity": "all",
+    "intervals": ["2024-01-01T00:00:00/2024-02-01T00:00:00"],
+    "aggregations": [{"type": "count", "name": "rows"}],
+    "context": {"skipEmptyBuckets": True},
+}
+
+
+@pytest.fixture(scope="module")
+def nengine(spark):
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 1), "a", ["x", "y"]),
+            (2, datetime(2024, 1, 2, 1), None, None),
+            (3, datetime(2024, 1, 3, 1), "", []),
+            (4, datetime(2024, 1, 4, 1), "b", ["y", "z"]),
+        ],
+        "id long, ts timestamp, d string, tags array<string>",
+    )
+    catalog = Catalog(spark)
+    catalog.register("t", df=df, time_column="ts", as_view=False)
+    return DruidEngine(spark, catalog)
+
+
+def _count(nengine, dfilter) -> int:
+    rows = nengine.execute(dict(BASE, filter=dfilter))
+    return rows[0]["result"]["rows"] if rows else 0
+
+
+# --- null ≡ "" on scalar dims -------------------------------------------
+
+def test_not_selector_matches_null_dims(nengine):
+    # Druid: d null ≡ "", so not(d='a') matches rows 2 (null), 3 (""), 4 ('b')
+    f = {"type": "not", "field": {"type": "selector", "dimension": "d", "value": "a"}}
+    assert _count(nengine, f) == 3
+
+
+def test_selector_empty_matches_null(nengine):
+    assert _count(nengine, {"type": "selector", "dimension": "d", "value": ""}) == 2
+
+
+def test_not_not_roundtrip(nengine):
+    inner = {"type": "selector", "dimension": "d", "value": "a"}
+    double_not = {"type": "not", "field": {"type": "not", "field": inner}}
+    assert _count(nengine, double_not) == _count(nengine, inner) == 1
+
+
+def test_like_all_wildcard_matches_null(nengine):
+    # LIKE '%' matches "" in Druid, hence also null dims
+    assert _count(nengine, {"type": "like", "dimension": "d", "pattern": "%"}) == 4
+    assert _count(nengine, {"type": "like", "dimension": "d", "pattern": "a%"}) == 1
+
+
+def test_regex_matching_empty_matches_null(nengine):
+    assert _count(nengine, {"type": "regex", "dimension": "d", "pattern": "^$"}) == 2
+    assert _count(nengine, {"type": "regex", "dimension": "d", "pattern": "^a"}) == 1
+
+
+def test_bound_lower_unset_matches_null(nengine):
+    # "" <= 'c' satisfies the bound, so null dims match too
+    f = {"type": "bound", "dimension": "d", "upper": "c"}
+    assert _count(nengine, f) == 4
+    # a lower bound > "" excludes null/"" rows
+    f = {"type": "bound", "dimension": "d", "lower": "a"}
+    assert _count(nengine, f) == 2
+
+
+def test_not_bound_matches_null(nengine):
+    f = {"type": "not", "field": {"type": "bound", "dimension": "d", "lower": "a"}}
+    assert _count(nengine, f) == 2  # null and ""
+
+
+# --- multi-value (ArrayType) dims ---------------------------------------
+
+def test_multivalue_selector_any_element(nengine):
+    assert _count(nengine, {"type": "selector", "dimension": "tags", "value": "y"}) == 2
+    assert _count(nengine, {"type": "selector", "dimension": "tags", "value": "x"}) == 1
+
+
+def test_multivalue_selector_empty_matches_null_and_empty_array(nengine):
+    assert _count(nengine, {"type": "selector", "dimension": "tags", "value": ""}) == 2
+
+
+def test_multivalue_not_selector(nengine):
+    f = {"type": "not", "field": {"type": "selector", "dimension": "tags", "value": "y"}}
+    assert _count(nengine, f) == 2  # rows 2 (null) and 3 (empty)
+
+
+def test_multivalue_in_filter(nengine):
+    f = {"type": "in", "dimension": "tags", "values": ["x", "z"]}
+    assert _count(nengine, f) == 2
+
+
+def test_multivalue_bound_and_regex(nengine):
+    f = {"type": "bound", "dimension": "tags", "lower": "y", "ordering": "lexicographic"}
+    assert _count(nengine, f) == 2  # any element >= 'y': rows 1, 4
+    f = {"type": "regex", "dimension": "tags", "pattern": "^z"}
+    assert _count(nengine, f) == 1
+
+
+def test_multivalue_groupby_filter_then_explode(nengine):
+    """The ADVICE r01 scenario: filter on a multi-value dim (runs before
+    the group-by explode) must use any-element semantics, not array==lit."""
+    q = {
+        "queryType": "groupBy",
+        "dataSource": "t",
+        "granularity": "all",
+        "dimensions": ["tags"],
+        "filter": {"type": "selector", "dimension": "tags", "value": "y"},
+        "aggregations": [{"type": "count", "name": "rows"}],
+        "intervals": BASE["intervals"],
+    }
+    rows = nengine.execute(q)
+    by_tag = {r["event"]["tags"]: r["event"]["rows"] for r in rows}
+    assert by_tag == {"x": 1, "y": 2, "z": 1}

@@ -146,6 +146,26 @@ def test_period_granularity_with_timezone(engine):
     assert all(r["timestamp"].endswith("T08:00:00Z") for r in rows)
 
 
+def test_period_timezone_zero_fill_alignment(engine):
+    """tz-aware zero-fill: the driver-side spine must bucket in the same
+    zone as the Spark-side aggregate (granularity.bucket_py honoring
+    time_zone) — a mismatch makes the left join drop every real aggregate
+    row and return all-zero buckets."""
+    q = {
+        "queryType": "timeseries",
+        "dataSource": "events",
+        "intervals": ["2024-01-01T00:00:00/2024-01-05T00:00:00"],
+        "granularity": {"type": "period", "period": "P1D", "timeZone": "America/Los_Angeles"},
+        "aggregations": [{"type": "count", "name": "rows"}],
+    }
+    filled = engine.execute(q)
+    skipped = engine.execute(dict(q, context={"skipEmptyBuckets": True}))
+    assert all(r["timestamp"].endswith("T08:00:00Z") for r in filled)
+    nonzero = {r["timestamp"]: r["result"]["rows"] for r in filled if r["result"]["rows"]}
+    assert nonzero == {r["timestamp"]: r["result"]["rows"] for r in skipped}
+    assert nonzero, "zero-fill dropped every real aggregate bucket"
+
+
 def test_timeseries_equals_groupby_no_dims(engine):
     """Metamorphic identity (query-module-overview.md:51-52): timeseries ≡
     groupBy with zero dimensions."""
