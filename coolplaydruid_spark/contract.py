@@ -1720,6 +1720,32 @@ def similarity_topk_lsh(spark, sf_dir):
     return similarity.lsh_topk(emb.where(F.col("vec_id") >= 5), queries, k=10, bits=8)
 
 
+@q(
+    "dedup_embedding_cosine_blocked",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_duck_bucket('embedding')} AS bucket FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+             AS cosine
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+          >= 0.2
+    """,
+)
+def dedup_embedding_cosine_blocked(spark, sf_dir):
+    """The 100 TB path of embedding_neardup: sign-LSH bucket as block_col
+    turns the O(n²) self-join into a per-bucket join (the oracle mirrors
+    the bucket expression exactly, so both sides see the same pairs)."""
+    eng = engine_for(spark, sf_dir)
+    emb = eng.catalog.table("embeddings").withColumn(
+        "bucket", similarity.sign_lsh_bucket("embedding", bits=8)
+    )
+    return dedup.embedding_neardup(emb, threshold=0.2, block_col="bucket")
+
+
 @q("similarity_topk_ivf")  # no SQL oracle: k-means is iterative (rows-only check)
 def similarity_topk_ivf(spark, sf_dir):
     """IVF (k-means inverted file) ANN — the scale path: each query

@@ -162,16 +162,32 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs. Candidates = documents
     sharing at least one shingle (the co-shingle join IS the blocking);
     exact |A∩B| / |A∪B| computed from the co-shingle counts. Returns
     (doc_a, doc_b, jaccard ≥ threshold).
 
-    Scale: for corpora with heavy-tail shingles, cap blocking cost by
-    dropping ubiquitous shingles (stop-shingles) before the join — exposed
-    via max_shingle_freq."""
+    Scale: for corpora with heavy-tail shingles, cap blocking cost with
+    ``max_shingle_freq``: shingles appearing in more than that many
+    documents (stop-shingles) are dropped BEFORE the self-join — a
+    shingle in d documents contributes d² candidate pairs, so one
+    boilerplate shingle otherwise degenerates the join to all-pairs.
+    Scores then measure Jaccard over the non-stop shingle space (both
+    intersection and sizes exclude stop-shingles, so the measure stays
+    self-consistent). The stop set is tiny by construction (≤ total
+    shingle occurrences / max_shingle_freq entries), so the anti-join
+    broadcasts it; the corpus side never reshuffles."""
     sh = shingles(df, k=k, text_col=text_col, id_col=id_col)
+    if max_shingle_freq is not None:
+        stops = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > int(max_shingle_freq))
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(stops), on="shingle", how="left_anti")
     a, b = sh.alias("a"), sh.alias("b")
     co = (
         a.join(

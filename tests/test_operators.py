@@ -175,6 +175,44 @@ def test_ngram_jaccard_pairs(engine, duck):
     assert_df_matches_duck(df, duck, sql)
 
 
+def test_ngram_jaccard_max_shingle_freq(spark):
+    """Stop-shingle cap: with no ubiquitous shingle the cap is a no-op;
+    a boilerplate shingle shared by every doc stops generating candidate
+    pairs once its document frequency exceeds the cap."""
+    distinct = spark.createDataFrame(
+        [(i, f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    base = dedup.ngram_jaccard_pairs(distinct, threshold=0.01)
+    capped = dedup.ngram_jaccard_pairs(distinct, threshold=0.01, max_shingle_freq=3)
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, capped.collect()))
+
+    boiler = spark.createDataFrame(
+        [(i, f"alpha{i} beta{i} gamma{i} shared common boilerplate tail") for i in range(6)],
+        "doc_id long, text string",
+    )
+    pairs_nocap = dedup.ngram_jaccard_pairs(boiler, threshold=0.01)
+    assert pairs_nocap.count() == 15  # all C(6,2) pairs share the boilerplate shingles
+    pairs_cap = dedup.ngram_jaccard_pairs(boiler, threshold=0.01, max_shingle_freq=3)
+    assert pairs_cap.count() == 0  # stop-shingles dropped → no co-shingle candidates
+
+
+def test_embedding_neardup_blocked_subset_of_unblocked(engine):
+    """block_col output must be the same-bucket subset of the exact
+    O(n²) pairs (the 100 TB path returns no false positives)."""
+    emb = engine.catalog.table("embeddings").limit(200)
+    exact = dedup.embedding_neardup(emb, threshold=0.2)
+    blocked = dedup.embedding_neardup(
+        emb.withColumn("bucket", similarity.sign_lsh_bucket("embedding", bits=8)),
+        threshold=0.2,
+        block_col="bucket",
+    )
+    e = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    b = {(r["id_a"], r["id_b"]) for r in blocked.collect()}
+    assert b <= e
+    assert b, "blocking dropped every pair — bucket expression is broken"
+
+
 def test_minhash_lsh_runs_and_verifies(engine):
     # LSH candidates ⊆ all pairs; every reported pair's jaccard must agree
     # with the exact n-gram computation at the same threshold.
