@@ -98,6 +98,47 @@ class Catalog:
         self.spark = spark
         self._sources: dict[str, DataSource] = {}
         self._frames: dict[str, DataFrame] = {}
+        self._lookups: dict[str, DataFrame] = {}
+
+    # ---- registered lookups (Druid's lookup dataSources) ----------------
+
+    def register_lookup(
+        self,
+        name: str,
+        mapping: dict | None = None,
+        df: DataFrame | None = None,
+        key_col: str | None = None,
+        value_col: str | None = None,
+    ) -> None:
+        """Register a named lookup (Druid's registered/namespaced lookups,
+        DimensionSpecs component query/query-module-overview.md:45).
+
+        Druid holds lookups as replicated in-heap maps on every node; the
+        Spark analogue is a key/value DataFrame applied via BROADCAST
+        left join at plan time (plans/lookups.py) — so a lookup can be
+        millions of rows without driver-side create_map literals. Pass
+        either a plain dict or a DataFrame (+ key/value column names,
+        default: first two columns)."""
+        if df is None:
+            if mapping is None:
+                raise ValueError("register_lookup needs a mapping or a DataFrame")
+            df = self.spark.createDataFrame(
+                list(mapping.items()), "key string, value string"
+            )
+            key_col, value_col = "key", "value"
+        key_col = key_col or df.columns[0]
+        value_col = value_col or df.columns[1]
+        self._lookups[name] = df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(value_col).cast("string").alias("value"),
+        )
+
+    def lookup(self, name: str) -> DataFrame:
+        if name not in self._lookups:
+            raise KeyError(
+                f"unknown lookup {name!r}; registered: {sorted(self._lookups)}"
+            )
+        return self._lookups[name]
 
     def register(
         self,

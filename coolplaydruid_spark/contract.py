@@ -1204,6 +1204,49 @@ def groupby_lookup_category(spark, sf_dir):
 
 
 @q(
+    "groupby_lookup_registered",
+    """
+    SELECT coalesce(n.n_name, 'UNKNOWN') AS nation,
+           CAST(count(*) AS BIGINT) AS rows
+    FROM customer c
+    LEFT JOIN nation n ON CAST(c.c_nationkey AS VARCHAR) = CAST(n.n_nationkey AS VARCHAR)
+    GROUP BY 1
+    """,
+)
+def groupby_lookup_registered(spark, sf_dir):
+    """Registered lookup dataSource (DimensionSpecs,
+    query/query-module-overview.md:45): the lookup lives in the catalog as
+    a key/value DataFrame and resolves via broadcast left join at plan
+    time (plans/lookups.py) — not an inline create_map literal."""
+    eng = engine_for(spark, sf_dir)
+    nation = eng.catalog.table("nation")
+    eng.catalog.register_lookup(
+        "nation_names", df=nation, key_col="n_nationkey", value_col="n_name"
+    )
+    df = eng.plan(
+        {
+            "queryType": "groupBy",
+            "dataSource": "customer",
+            "granularity": "all",
+            "dimensions": [
+                {
+                    "type": "extraction",
+                    "dimension": "c_nationkey",
+                    "outputName": "nation",
+                    "extractionFn": {
+                        "type": "registeredLookup",
+                        "lookup": "nation_names",
+                        "replaceMissingValueWith": "UNKNOWN",
+                    },
+                }
+            ],
+            "aggregations": [{"type": "count", "name": "rows"}],
+        }
+    )
+    return df.drop("ts_bucket")
+
+
+@q(
     "groupby_limitspec_top3",
     f"""
     SELECT event_type, round(sum(value), 4) AS total

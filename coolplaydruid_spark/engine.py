@@ -34,6 +34,7 @@ from coolplaydruid_spark.errors import (
 )
 from coolplaydruid_spark.plans.common import BUCKET
 from coolplaydruid_spark.plans.groupby import plan_groupby
+from coolplaydruid_spark.plans.lookups import resolve_registered_lookups
 from coolplaydruid_spark.plans.metadata import (
     plan_datasource_metadata,
     plan_segment_metadata,
@@ -86,6 +87,7 @@ class DruidEngine:
             raise UnknownQueryError(
                 f"unknown queryType {qtype!r}", error_class="IllegalArgumentException"
             )
+        query = resolve_registered_lookups(self, query)
         return planner(self, query)
 
     # ---- execution with the operational contract ------------------------

@@ -34,11 +34,27 @@ class CompiledAggs:
     py_exprs: list[Column] = None  # type: ignore[assignment]
 
 
-def compile_aggregators(specs: list[dict] | None, context: dict | None = None) -> CompiledAggs:
+def compile_aggregators(
+    specs: list[dict] | None,
+    context: dict | None = None,
+    df=None,
+) -> CompiledAggs:
     """Compile an ``aggregations`` list. ``context['useExactCountDistinct']``
     switches cardinality/hyperUnique from HLL (approx_count_distinct,
-    Druid-faithful) to exact count distinct (oracle-testable)."""
+    Druid-faithful) to exact count distinct (oracle-testable).
+
+    ``df`` (optional) supplies the input schema: a ``hyperUnique`` whose
+    field is a BinaryType column is treated as a pre-built HLL sketch
+    column (Druid ingests hyperUnique *sketch* columns at rollup,
+    TOC.md:41) and folds it with ``hll_union_agg`` instead of re-counting
+    raw values."""
     context = context or {}
+    binary_cols: set[str] = set()
+    if df is not None:
+        binary_cols = {
+            f.name for f in df.schema.fields if f.dataType.typeName() == "binary"
+        }
+    context = dict(context, _binary_cols=binary_cols)
     exprs: list[Column] = []
     py_exprs: list[Column] = []
     names: list[str] = []
@@ -112,9 +128,21 @@ def _compile_one(spec: dict, context: dict, filter_pred: Column | None):
             return F.count_distinct(*cols), 0
         return F.approx_count_distinct(cols[0] if len(cols) == 1 else F.struct(*cols)), 0
     if atype == "hyperUnique":
-        # We keep raw values rather than HLL sketch columns (SURVEY §7.5.5);
-        # approx_count_distinct is Spark's HLL++ over the raw column.
         col = guard(_field(spec))
+        if spec["fieldName"] in context.get("_binary_cols", ()):
+            # Pre-built HLL sketch column (written by rollup ingest with
+            # buildSketches — Druid's mergeable HyperLogLog metric,
+            # TOC.md:41): fold sketches, estimate at the end. Merging is
+            # lossless, so distinct counts survive rollup. Exactness is
+            # unrecoverable from a sketch; useExactCountDistinct cannot
+            # apply here.
+            return F.hll_sketch_estimate(F.hll_union_agg(col)), 0
+        if context.get("buildSketches"):
+            # Ingest-time form: BUILD the mergeable sketch (binary) so the
+            # rolled-up table can answer distinct-count queries later.
+            return F.hll_sketch_agg(col), None
+        # Raw-value form: approx_count_distinct is Spark's HLL++ over the
+        # raw column (SURVEY §7.5.5).
         if context.get("useExactCountDistinct"):
             return F.count_distinct(col), 0
         return F.approx_count_distinct(col), 0

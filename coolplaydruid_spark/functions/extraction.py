@@ -48,6 +48,16 @@ def apply_extraction(col: Column, spec: dict | None) -> Column:
         return F.date_format(ts, fmt)
     if etype == "lookup":
         return _lookup(col, spec)
+    if etype == "_joinedLookup":
+        # Internal: a registered lookup already broadcast-joined by
+        # plans/lookups.py — the value column carries the mapped value.
+        looked = F.col(spec["column"])
+        if spec.get("retainMissingValue"):
+            return F.coalesce(looked, col)
+        missing = spec.get("replaceMissingValueWith")
+        if missing is not None:
+            return F.coalesce(looked, F.lit(missing))
+        return looked
     if etype == "cascade":
         for sub in spec["extractionFns"]:
             col = apply_extraction(col, sub)
@@ -68,6 +78,13 @@ def _lookup(col: Column, spec: dict) -> Column:
     in codegen). At scale a lookup table would be a broadcast join; the
     inline-literal form matches the reference's registered-lookup use."""
     lookup = spec.get("lookup", {})
+    if isinstance(lookup, str):
+        raise ValueError(
+            f"registered lookup {lookup!r} reached the Column compiler — "
+            "registered lookups resolve via DruidEngine.plan (broadcast "
+            "join, plans/lookups.py); register it with "
+            "catalog.register_lookup and query through the engine"
+        )
     mapping: dict = lookup.get("map", {})
     pairs = list(chain.from_iterable((F.lit(k), F.lit(v)) for k, v in mapping.items()))
     looked = F.element_at(F.create_map(*pairs), col) if pairs else F.lit(None).cast("string")

@@ -62,7 +62,7 @@ def plan_groupby(engine, query: dict) -> DataFrame:
     else:
         bucket = gran.bucket(F.col(TIME_COLUMN)).alias(BUCKET)
 
-    aggs = compile_aggregators(query.get("aggregations"), context)
+    aggs = compile_aggregators(query.get("aggregations"), context, df=base)
     out = grouped_agg(base, [bucket, *dim_cols], [BUCKET, *dim_names], aggs)
 
     for name, col in compile_post_aggregators(query.get("postAggregations")):

@@ -30,7 +30,8 @@ def _projection(df: DataFrame, query: dict) -> DataFrame:
         if TIME_COLUMN in df.columns and TIME_COLUMN not in keep:
             keep = [TIME_COLUMN] + keep
         return df.select(*keep)
-    return df.drop(RAW_TIME_NS)
+    internal = [RAW_TIME_NS] + [c for c in df.columns if c.startswith("__lkp_")]
+    return df.drop(*internal)
 
 
 def plan_scan(engine, query: dict) -> DataFrame:

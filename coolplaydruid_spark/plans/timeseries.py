@@ -39,7 +39,7 @@ def plan_timeseries(engine, query: dict) -> DataFrame:
     gran = parse_granularity(query.get("granularity", "all"))
     base = filtered_frame(df, query)
 
-    aggs = compile_aggregators(query.get("aggregations"), context)
+    aggs = compile_aggregators(query.get("aggregations"), context, df=base)
     if gran.kind == "all":
         # Single bucket keyed by the earliest interval start (Druid keys
         # the 'all' bucket by interval start).

@@ -46,7 +46,7 @@ def plan_topn(engine, query: dict) -> DataFrame:
     else:
         bucket = gran.bucket(F.col(TIME_COLUMN)).alias(BUCKET)
 
-    aggs = compile_aggregators(query.get("aggregations"), context)
+    aggs = compile_aggregators(query.get("aggregations"), context, df=base)
     out = grouped_agg(base, [bucket, dim_col.alias(dim_name)], [BUCKET, dim_name], aggs)
     for name, col in compile_post_aggregators(query.get("postAggregations")):
         out = out.withColumn(name, col)

@@ -132,7 +132,10 @@ def index_task(
         if rollup:
             gran = parse_granularity(rollup.get("granularity", "hour"))
             df = df.withColumn(TIME_COLUMN, ts)
-            aggs = compile_aggregators(rollup.get("aggregations"), {})
+            # buildSketches: hyperUnique metrics materialize as mergeable
+            # HLL sketch columns (binary) so rollup preserves distinct
+            # counts — Druid's HyperLogLog ingest metric (TOC.md:41).
+            aggs = compile_aggregators(rollup.get("aggregations"), {"buildSketches": True})
             bucket = gran.bucket(F.col(TIME_COLUMN)).alias(time_column)
             dims = [F.col(d) for d in rollup.get("dimensions", [])]
             df = df.groupBy(bucket, *dims).agg(*aggs.exprs)

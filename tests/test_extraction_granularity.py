@@ -42,6 +42,116 @@ def test_lookup_extraction(engine):
     assert rows["engagement"] > rows["revenue"] > 0
 
 
+def test_registered_lookup_broadcast_join(engine):
+    """Registered lookup (named, catalog-resolved): rewritten to a
+    broadcast left join at plan time — correct values, retain/replace
+    semantics, and a BroadcastHashJoin in the physical plan."""
+    engine.catalog.register_lookup(
+        "event_kinds",
+        {"click": "engagement", "view": "engagement", "purchase": "revenue"},
+    )
+    q = {
+        "queryType": "groupBy",
+        "dataSource": "events",
+        "granularity": "all",
+        "dimensions": [
+            {
+                "type": "extraction",
+                "dimension": "event_type",
+                "outputName": "kind",
+                "extractionFn": {
+                    "type": "registeredLookup",
+                    "lookup": "event_kinds",
+                    "replaceMissingValueWith": "other",
+                },
+            }
+        ],
+        "aggregations": [{"type": "count", "name": "n"}],
+        "intervals": INTERVAL,
+    }
+    df = engine.plan(q)
+    assert "BroadcastHashJoin" in df._jdf.queryExecution().executedPlan().toString()
+    rows = {r["kind"]: r["n"] for r in df.collect()}
+    assert set(rows) == {"engagement", "revenue", "other"}
+
+    # identical to the inline-map form of the same lookup
+    q_inline = {
+        **q,
+        "dimensions": [
+            {
+                "type": "extraction",
+                "dimension": "event_type",
+                "outputName": "kind",
+                "extractionFn": {
+                    "type": "lookup",
+                    "lookup": {"type": "map",
+                               "map": {"click": "engagement", "view": "engagement",
+                                       "purchase": "revenue"}},
+                    "replaceMissingValueWith": "other",
+                },
+            }
+        ],
+    }
+    assert rows == {r["kind"]: r["n"] for r in engine.plan(q_inline).collect()}
+
+
+def test_registered_lookup_in_filter(engine):
+    engine.catalog.register_lookup(
+        "event_kinds",
+        {"click": "engagement", "view": "engagement", "purchase": "revenue"},
+    )
+    q = {
+        "queryType": "timeseries",
+        "dataSource": "events",
+        "granularity": "all",
+        "filter": {
+            "type": "selector",
+            "dimension": "event_type",
+            "value": "engagement",
+            "extractionFn": {"type": "registeredLookup", "lookup": "event_kinds"},
+        },
+        "aggregations": [{"type": "count", "name": "n"}],
+        "intervals": INTERVAL,
+        "context": {"skipEmptyBuckets": True},
+    }
+    filtered = engine.plan(q).collect()[0]["n"]
+    base = {
+        "queryType": "timeseries",
+        "dataSource": "events",
+        "granularity": "all",
+        "filter": {"type": "in", "dimension": "event_type", "values": ["click", "view"]},
+        "aggregations": [{"type": "count", "name": "n"}],
+        "intervals": INTERVAL,
+        "context": {"skipEmptyBuckets": True},
+    }
+    assert filtered == engine.plan(base).collect()[0]["n"] > 0
+
+
+def test_registered_lookup_retain_missing(engine):
+    engine.catalog.register_lookup("partial", {"click": "CLICK"})
+    q = {
+        "queryType": "groupBy",
+        "dataSource": "events",
+        "granularity": "all",
+        "dimensions": [
+            {
+                "type": "extraction",
+                "dimension": "event_type",
+                "outputName": "kind",
+                "extractionFn": {
+                    "type": "registeredLookup",
+                    "lookup": "partial",
+                    "retainMissingValue": True,
+                },
+            }
+        ],
+        "aggregations": [{"type": "count", "name": "n"}],
+        "intervals": INTERVAL,
+    }
+    kinds = {r["kind"] for r in engine.plan(q).collect()}
+    assert "CLICK" in kinds and "view" in kinds and "click" not in kinds
+
+
 def test_timeformat_extraction(engine):
     q = {
         "queryType": "groupBy",

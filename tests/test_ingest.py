@@ -75,6 +75,57 @@ def test_rollup_invariance(spark, tmp_path):
     assert rolled.count() < raw.count()  # rollup actually reduced rows
 
 
+def test_rollup_hll_sketch_preserves_distinct_counts(spark, engine, tmp_path):
+    """Mergeable HLL sketch columns (Druid's HyperLogLog ingest metric,
+    TOC.md:41): a hyperUnique rollup metric materializes a binary sketch;
+    querying hyperUnique over the rolled-up table folds the per-bucket
+    sketches — and because HLL union is lossless, the folded estimate is
+    IDENTICAL to a sketch built over the raw rows in one pass."""
+    from coolplaydruid_spark.catalog import Catalog
+    from coolplaydruid_spark.engine import DruidEngine
+
+    dest = str(tmp_path / "events_hll")
+    batch.index_task(
+        spark,
+        {"format": "parquet", "path": f"{SF_DIR}/events.parquet"},
+        dest,
+        time_column="ts",
+        rollup={
+            "granularity": "day",
+            "dimensions": ["event_type"],
+            "aggregations": [
+                {"type": "count", "name": "n"},
+                {"type": "hyperUnique", "name": "uniq_users", "fieldName": "user_id"},
+            ],
+        },
+    )
+    rolled = spark.read.parquet(dest)
+    assert dict(rolled.dtypes)["uniq_users"] == "binary"
+
+    catalog = Catalog(spark)
+    catalog.register("rolled", path=dest, time_column="ts", as_view=False)
+    rows = DruidEngine(spark, catalog).execute(
+        {
+            "queryType": "timeseries",
+            "dataSource": "rolled",
+            "granularity": "all",
+            "aggregations": [
+                {"type": "hyperUnique", "name": "uniq_users", "fieldName": "uniq_users"}
+            ],
+            "intervals": ["2024-01-01T00:00:00/2024-02-01T00:00:00"],
+        }
+    )
+    folded = rows[0]["result"]["uniq_users"]
+
+    raw = engine.catalog.table("events")
+    one_pass = raw.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).collect()[0]["e"]
+    exact = raw.agg(F.count_distinct("user_id").alias("d")).collect()[0]["d"]
+    assert folded == one_pass  # sketch union is lossless
+    assert abs(folded - exact) / exact < 0.05  # and the estimate is sane
+
+
 def test_append_merge_kill_archive(spark, tmp_path):
     dest = str(tmp_path / "tbl")
     arch = str(tmp_path / "archive")
