@@ -144,6 +144,38 @@ class DruidEngine:
             # on a reused handler thread.
             sc.setLocalProperty("spark.scheduler.pool", None)
 
+    def execute_stream(self, query: dict | str):
+        """Streamed execution for row-returning queries — the analogue of
+        the reference's chunked JSON result sink
+        (query/query-internal-procedure.md:152-189).
+
+        scan/select/search results are yielded one serialized entry at a
+        time from ``toLocalIterator``: partitions arrive at the driver one
+        at a time, so an unbounded scan is O(partition) driver memory, not
+        O(table). Aggregation query types are bucket-bounded and fall back
+        to execute(). Cancellation still works via the query-id job group.
+        """
+        if isinstance(query, str):
+            try:
+                query = json.loads(query)
+            except json.JSONDecodeError as e:
+                raise UnknownQueryError(str(e), error_class="JsonParseException") from e
+        qtype = query.get("queryType")
+        if qtype not in ("scan", "select", "search", "segmentMetadata"):
+            yield from self.execute(query)
+            return
+        context = query.get("context") or {}
+        query_id = context.get("queryId") or str(uuid.uuid4())
+        sc = self.spark.sparkContext
+        sc.setJobGroup(query_id, f"druid query {query_id} (streamed)",
+                       interruptOnCancel=True)
+        try:
+            df = self.plan(query)
+            for row in df.toLocalIterator(prefetchPartitions=True):
+                yield self.serialize(query, [row.asDict(recursive=True)])[0]
+        finally:
+            sc.setJobGroup(str(uuid.uuid4()), "idle")
+
     def execute_json(self, query: dict | str) -> str:
         """Like execute() but never raises: failures return the JSON error
         envelope exactly as the reference's QueryResource does

@@ -48,6 +48,30 @@ def make_handler(engine: DruidEngine):
             length = int(self.headers.get("Content-Length", 0))
             return self.rfile.read(length)
 
+        def _send_stream(self, entries, headers: dict | None = None):
+            """Chunked JSON-array response — the reference's streamed
+            result sink (query/query-internal-procedure.md:152-189): rows
+            go out as they arrive from the executors, so an unbounded
+            scan never builds the whole payload in server memory."""
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Transfer-Encoding", "chunked")
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
+            self.end_headers()
+
+            def chunk(b: bytes):
+                self.wfile.write(f"{len(b):X}\r\n".encode() + b + b"\r\n")
+
+            chunk(b"[")
+            first = True
+            for entry in entries:
+                piece = json.dumps(entry, default=str).encode()
+                chunk(piece if first else b"," + piece)
+                first = False
+            chunk(b"]")
+            self.wfile.write(b"0\r\n\r\n")
+
         def do_GET(self):  # noqa: N802
             if self.path == "/status":
                 self._send(200, json.dumps(
@@ -85,6 +109,14 @@ def make_handler(engine: DruidEngine):
                     self._send(304, b"", {"ETag": etag})
                     return
                 try:
+                    if query.get("queryType") in ("scan", "select"):
+                        # Row-returning queries stream chunked. Plan once
+                        # up front so spec/analysis errors still return
+                        # the 500 envelope instead of a broken stream.
+                        engine.plan(query)
+                        entries = engine.execute_stream(query)
+                        self._send_stream(entries, {"ETag": etag} if etag else None)
+                        return
                     rows = engine.execute(query)
                     payload = json.dumps(rows, default=str).encode()
                     self._send(200, payload, {"ETag": etag} if etag else None)

@@ -46,6 +46,17 @@ def file_stream(spark: SparkSession, source_path: str, schema,
     raise ValueError(f"unsupported stream format {fmt!r}")
 
 
+def decode_kafka_values(records: DataFrame, value_schema) -> DataFrame:
+    """Decode Kafka-shaped records (binary ``value`` column, as the Kafka
+    source emits: key/value/topic/partition/offset/timestamp) into typed
+    rows via from_json. Split out from kafka_stream so the decode path is
+    exercised in CI without a broker (tests feed it a Kafka-schema batch
+    frame; the projection is identical either way)."""
+    return records.select(
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v")
+    ).select("v.*")
+
+
 def kafka_stream(spark: SparkSession, brokers: str, topic: str,
                  value_schema, starting_offsets: str = "earliest") -> DataFrame:
     """Kafka source (KIS analogue, I4). Requires the spark-sql-kafka
@@ -58,9 +69,7 @@ def kafka_stream(spark: SparkSession, brokers: str, topic: str,
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), value_schema).alias("v")
-    ).select("v.*")
+    return decode_kafka_values(raw, value_schema)
 
 
 def realtime_index(

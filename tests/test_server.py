@@ -132,3 +132,45 @@ def test_multivalue_dimension_groupby(spark, engine):
     ).collect()
     got = {r["tags"]: r["n"] for r in rows}
     assert got == {"a": 1, "b": 2, None: 1}
+
+
+def test_execute_stream_scan_matches_collect(engine):
+    """Streamed scan (toLocalIterator) must yield exactly the rows the
+    collected path returns — and be a true generator, not a list."""
+    q = {
+        "queryType": "scan",
+        "dataSource": "events",
+        "columns": ["event_id", "event_type"],
+        "intervals": ["2024-01-01T00:00:00/2024-01-08T00:00:00"],
+    }
+    gen = engine.execute_stream(q)
+    assert not isinstance(gen, list)
+    streamed = list(gen)
+    collected = engine.execute(q)
+    assert streamed == collected
+    assert len(streamed) > 100  # no implicit limit on the streamed path
+
+
+def test_http_scan_streams_chunked(server):
+    q = {
+        "queryType": "scan",
+        "dataSource": "events",
+        "columns": ["event_id", "event_type"],
+        "intervals": ["2024-01-01T00:00:00/2024-01-03T00:00:00"],
+    }
+    status, headers, body = _req(server, "POST", "/druid/v2", q)
+    assert status == 200
+    assert headers.get("Transfer-Encoding") == "chunked"
+    rows = json.loads(body)
+    assert len(rows) > 0 and "event_id" in rows[0]
+
+
+def test_http_scan_bad_spec_still_enveloped(server):
+    q = {
+        "queryType": "scan",
+        "dataSource": "no_such_table",
+        "intervals": ["2024-01-01T00:00:00/2024-01-03T00:00:00"],
+    }
+    status, _, body = _req(server, "POST", "/druid/v2", q)
+    assert status == 500
+    assert "error" in json.loads(body)

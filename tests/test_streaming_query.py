@@ -158,3 +158,47 @@ def test_priority_pool_plumbed(engine):
         }
     )
     assert out and out[0]["result"]["minTime"]
+
+
+def test_kafka_value_decode_projection(spark, tmp_path):
+    """KIS decode path (I4) without a broker: feed Kafka-shaped records
+    (binary key/value + topic/partition/offset/timestamp) through the
+    same projection kafka_stream applies, as a file-backed STREAM, and
+    check the typed rows land in the realtime sink layout."""
+    import json as _json
+    from datetime import datetime, timezone
+
+    events = [
+        {"ts": "2024-01-01T00:00:05", "event_type": "click", "value": 1.5},
+        {"ts": "2024-01-01T01:00:05", "event_type": "view", "value": 2.0},
+        {"ts": "2024-01-02T00:00:05", "event_type": "click", "value": 3.0},
+    ]
+    kafka_shaped = spark.createDataFrame(
+        [
+            (None, _json.dumps(e).encode(), "events", 0, i,
+             datetime(2024, 1, 1, tzinfo=timezone.utc))
+            for i, e in enumerate(events)
+        ],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp",
+    )
+    src = str(tmp_path / "kafka_records")
+    kafka_shaped.write.parquet(src)
+
+    stream = realtime.file_stream(
+        spark, src, kafka_shaped.schema, fmt="parquet"
+    )
+    decoded = realtime.decode_kafka_values(
+        stream, "ts timestamp, event_type string, value double"
+    )
+    assert decoded.isStreaming
+    dest = str(tmp_path / "sink")
+    q = realtime.realtime_index(
+        decoded, dest, str(tmp_path / "ckpt"), time_column="ts"
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(dest)
+    assert out.count() == 3
+    assert {r["event_type"] for r in out.collect()} == {"click", "view"}
+    assert dict(out.dtypes)["value"] == "double"
+    assert out.select(realtime.DT_COLUMN).distinct().count() == 2
