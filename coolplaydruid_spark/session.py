@@ -26,6 +26,12 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # Local mode hosts all executor threads inside the driver JVM —
+        # Spark's 1g default heap dies with GCLocker alloc failures on
+        # multi-GB shuffles. Sized for the 128 GiB bench host; applies
+        # only when this factory creates the JVM (a driver-owned session
+        # keeps its own sizing).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
