@@ -1110,6 +1110,193 @@ def sql_tpch_q18_big_orders(spark, sf_dir):
     )
 
 
+# The fixture carries no partsupp table and no commit/receipt dates or
+# ship modes, so Q2/Q11/Q12/Q16/Q20/Q21/Q22 are out of reach; the eight
+# below adapt the remaining TPC-H shapes onto the available columns.
+# Revenue sums round per-row then accumulate as DECIMAL so FP order can
+# never flip the hash (file-header conventions).
+
+_REV = "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+@q(
+    "sql_tpch_q4_exists",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_tpch_q4_exists(spark, sf_dir):
+    """TPC-H Q4 shape (correlated EXISTS → left-semi join); late-shipment
+    predicate adapted to l_shipdate (fixture has no commitdate)."""
+    return engine_for(spark, sf_dir).sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+_Q7 = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           {rev} AS revenue
+    FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+"""
+
+
+@q("sql_tpch_q7_volume", _Q7.format(rev=_REV))
+def sql_tpch_q7_volume(spark, sf_dir):
+    """TPC-H Q7 (bilateral trade volume): 5-way star join with nation
+    aliased twice — both nation joins must broadcast."""
+    return engine_for(spark, sf_dir).sql(_Q7.format(rev=_REV))
+
+
+_Q8 = """
+    WITH vol AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4)) AS v,
+             n_name AS nation
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN nation = 'NATION_2' THEN v ELSE CAST(0 AS DECIMAL(18,4)) END)
+                      / sum(v) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY o_year
+"""
+
+
+@q("sql_tpch_q8_market_share", _Q8)
+def sql_tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (market share): ratio of conditional to total volume per
+    year — DECIMAL accumulation keeps the ratio hash-stable."""
+    return engine_for(spark, sf_dir).sql(_Q8)
+
+
+_Q9 = """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           {rev} AS profit
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_type = 'PROMO'
+    GROUP BY 1, 2
+"""
+
+
+@q("sql_tpch_q9_profit", _Q9.format(rev=_REV))
+def sql_tpch_q9_profit(spark, sf_dir):
+    """TPC-H Q9 shape (profit by supplier nation and year; supplycost
+    term dropped — no partsupp in the fixture)."""
+    return engine_for(spark, sf_dir).sql(_Q9.format(rev=_REV))
+
+
+@q(
+    "sql_tpch_q13_custdist",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def sql_tpch_q13_custdist(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): outer join + double
+    aggregation."""
+    return engine_for(spark, sf_dir).sql(
+        """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        """
+    )
+
+
+_Q15 = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, {rev} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@q("sql_tpch_q15_top_supplier", _Q15.format(rev=_REV))
+def sql_tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier): CTE reused for both the join and a
+    scalar max subquery."""
+    return engine_for(spark, sf_dir).sql(_Q15.format(rev=_REV))
+
+
+_Q17 = """
+    SELECT round(CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
+                 AS DOUBLE) / 7.0, 4) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#2'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@q("sql_tpch_q17_small_qty", _Q17)
+def sql_tpch_q17_small_qty(spark, sf_dir):
+    """TPC-H Q17 (small-quantity orders): correlated scalar aggregate
+    subquery per part."""
+    return engine_for(spark, sf_dir).sql(_Q17)
+
+
+_Q19 = """
+    SELECT {rev} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+"""
+
+
+@q("sql_tpch_q19_range", _Q19.format(rev=_REV))
+def sql_tpch_q19_range(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive brand/size/quantity ranges — the
+    classic OR-of-ANDs predicate pushdown case)."""
+    return engine_for(spark, sf_dir).sql(_Q19.format(rev=_REV))
+
+
 # ---------------------------------------------------------------------------
 # Dimension extraction + limitSpec + search specs (SURVEY §2.2 F13, §2.3, Q7)
 # ---------------------------------------------------------------------------

@@ -28,12 +28,25 @@ def spread(df: DataFrame, by: str | None = None,
     cost; for cheap projections the added exchange is pure overhead.
     """
     if df.isStreaming:
-        # Streaming frames cannot be probed via .rdd, and their
-        # parallelism is the micro-batch planner's concern — pass through
-        # so map-only operators stay usable on streams.
+        # Streaming frames cannot be probed, and their parallelism is the
+        # micro-batch planner's concern — pass through so map-only
+        # operators stay usable on streams.
         return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
+    # Two-stage width probe. inputFiles() is a cheap metadata call and
+    # lower-bounds the scan partition count, so the common 100 TB case —
+    # a many-files table — passes through with zero planning overhead.
+    # Only when it reports narrow do we pay the precise probe
+    # (df.rdd.getNumPartitions() converts the plan to an RDD — measurable
+    # per call), because at that point the alternative is adding a real
+    # shuffle: being wrong would cost far more than the probe.
+    try:
+        width = len(df.inputFiles())
+    except Exception:
+        width = 0
+    if width >= target:
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     if by is not None and by in df.columns:
