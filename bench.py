@@ -59,16 +59,16 @@ def main() -> None:
     # warm the bench catalog's file listings/footers
     contract.engine_for(spark, sf_dir).catalog.table("events").count()
 
-    # Best-of-2 per query, clearing the SQL cache between runs so any
+    # Best-of-3 per query, clearing the SQL cache between runs so any
     # operator-internal .persist (the minhash shingle cache) cannot make
-    # the second run artificially warm: both runs do the full cold-data
-    # work, and the min strips scheduler/GC jitter from the shared host,
-    # not real computation.
+    # later runs artificially warm: every run does the full cold-data
+    # work, and the min strips scheduler/GC jitter from the shared host
+    # (measured swings of 4x on identical plans), not real computation.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = contract.QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).collect()

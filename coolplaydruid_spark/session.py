@@ -35,6 +35,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE: spark.sql.files.minPartitionNum is deliberately NOT set.
+        # It slices small files below row-group granularity, producing
+        # mostly-EMPTY scan partitions: effective parallelism stays at the
+        # row-group count while every partition-count probe (including
+        # operators.util.spread) reports "wide" and skips the repartition
+        # that actually distributes compute-heavy stages — measured 3.8x
+        # slower minhash. Single-file parallelism is spread()'s job;
+        # at cluster scale tables have many files and need no floor.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Fewer, larger Arrow batches for mapInPandas/pandas_udf stages
