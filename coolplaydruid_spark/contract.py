@@ -1544,6 +1544,67 @@ def search_fragment(spark, sf_dir):
     )
 
 
+@q(
+    "search_strlen_limit",
+    f"""
+    WITH matches AS (
+      SELECT 'event_type' AS dimension, event_type AS value,
+             CAST(count(*) AS BIGINT) AS count
+      FROM events
+      WHERE {EVENTS_WHERE} AND contains(lower(event_type), 'i')
+      GROUP BY 2
+    )
+    SELECT dimension, value, count FROM matches
+    ORDER BY length(value), value LIMIT 2
+    """,
+)
+def search_strlen_limit(spark, sf_dir):
+    """SearchSortSpec strlen + limit: the sort picks WHICH values survive
+    the limit, so the oracle observes it through the surviving set."""
+    eng = engine_for(spark, sf_dir)
+    return eng.plan(
+        {
+            "queryType": "search",
+            "dataSource": "events",
+            "searchDimensions": ["event_type"],
+            "query": {"type": "insensitive_contains", "value": "i"},
+            "sort": {"type": "strlen"},
+            "limit": 2,
+            "intervals": EVENTS_INTERVAL,
+        }
+    )
+
+
+@q(
+    "timeseries_orders_yearly",
+    """
+    SELECT CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS ts_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 4) AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '2001-01-01'
+    GROUP BY 1
+    """,
+)
+def timeseries_orders_yearly(spark, sf_dir):
+    """Year granularity over the orders dataSource (six full years)."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "orders",
+            "granularity": "year",
+            "aggregations": [
+                {"type": "count", "name": "n_orders"},
+                {"type": "doubleSum", "name": "revenue", "fieldName": "o_totalprice"},
+            ],
+            "intervals": ["1995-01-01T00:00:00/2001-01-01T00:00:00"],
+            "context": {"skipEmptyBuckets": True},
+        }
+    )
+    return _r4(df, "revenue")
+
+
 # ---------------------------------------------------------------------------
 # North-star: text analysis
 # ---------------------------------------------------------------------------

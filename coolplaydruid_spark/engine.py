@@ -270,6 +270,17 @@ class DruidEngine:
                  "result": {"maxIngestedEventTime": iso(r["maxIngestedEventTime"])}}
                 for r in rows
             ]
+        if qtype == "scan" and query.get("resultFormat") == "compactedList":
+            # Druid scan compactedList (public v0.12): one batch object
+            # with the column list once and each event as a value array —
+            # the wire-size-efficient form for wide scans.
+            cols = list(rows[0].keys()) if rows else []
+            return [
+                {
+                    "columns": cols,
+                    "events": [[iso(r[c]) for c in cols] for r in rows],
+                }
+            ]
         # scan/select/search/segmentMetadata: row-per-entry
         return [{k: iso(v) for k, v in r.items()} for r in rows]
 

@@ -56,7 +56,16 @@ def plan_search(engine, query: dict) -> DataFrame:
         )
         parts.append(part)
     out = reduce(lambda a, b: a.unionByName(b), parts)
-    out = out.orderBy(F.col("dimension").asc(), F.col("value").asc())
+    # SearchSortSpec (public v0.12): lexicographic (default) or strlen
+    # (shortest value first, lexicographic tiebreak).
+    sort = (query.get("sort") or {}).get("type", "lexicographic")
+    if sort == "lexicographic":
+        value_order = [F.col("value").asc()]
+    elif sort == "strlen":
+        value_order = [F.length("value").asc(), F.col("value").asc()]
+    else:
+        raise ValueError(f"unknown search sort type {sort!r}")
+    out = out.orderBy(F.col("dimension").asc(), *value_order)
     limit = query.get("limit")
     if limit is not None:
         out = out.limit(int(limit))

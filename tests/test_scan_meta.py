@@ -125,3 +125,35 @@ def test_sql_frontend(engine, duck):
     """)
     sql = "SELECT event_type, CAST(count(*) AS BIGINT) AS rows FROM events GROUP BY 1"
     assert_df_matches_duck(df, duck, sql)
+
+
+def test_search_strlen_sort(engine):
+    base = {
+        "queryType": "search",
+        "dataSource": "events",
+        "searchDimensions": ["event_type"],
+        "query": {"type": "insensitive_contains", "value": "i"},
+        "intervals": ["2024-01-01T00:00:00/2024-02-01T00:00:00"],
+    }
+    lex = [r["value"] for r in engine.execute(base)]
+    assert lex == sorted(lex)
+    strlen = [r["value"] for r in engine.execute(dict(base, sort={"type": "strlen"}))]
+    assert strlen == sorted(strlen, key=lambda v: (len(v), v))
+    assert set(lex) == set(strlen)
+
+
+def test_scan_compacted_list_format(engine):
+    q = {
+        "queryType": "scan",
+        "dataSource": "events",
+        "columns": ["event_id", "event_type"],
+        "intervals": ["2024-01-01T00:00:00/2024-01-03T00:00:00"],
+        "limit": 10,
+    }
+    rows = engine.execute(q)
+    batches = engine.execute(dict(q, resultFormat="compactedList"))
+    assert len(batches) == 1
+    batch = batches[0]
+    assert batch["columns"] == list(rows[0].keys())
+    assert len(batch["events"]) == len(rows) == 10
+    assert batch["events"][0] == [rows[0][c] for c in batch["columns"]]
