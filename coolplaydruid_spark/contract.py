@@ -1755,6 +1755,27 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(eng.catalog.table("documents"))
 
 
+@q(
+    "text_contamination_check",
+    DUCK_SHINGLES
+    + """
+    , probe AS (SELECT DISTINCT shingle FROM shf WHERE doc_id < 20)
+    , corpus AS (SELECT doc_id, shingle FROM shf WHERE doc_id >= 20)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+    FROM corpus JOIN probe USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def text_contamination_check(spark, sf_dir):
+    """Decontamination: corpus docs sharing any shingle with a probe
+    (benchmark) set — probe shingles broadcast, corpus never shuffles."""
+    eng = engine_for(spark, sf_dir)
+    docs = eng.catalog.table("documents")
+    return text.contamination_check(
+        docs.where(F.col("doc_id") >= 20), docs.where(F.col("doc_id") < 20)
+    )
+
+
 def _duck_minhash_lsh(threshold: float, num_hashes: int = 12, bands: int = 4) -> str:
     rows = num_hashes // bands
     mh = ", ".join(

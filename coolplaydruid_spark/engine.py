@@ -46,6 +46,11 @@ from coolplaydruid_spark.plans.timeseries import plan_timeseries
 from coolplaydruid_spark.plans.topn import plan_topn
 
 
+def _iso(v):
+    """Result timestamps in Druid's ISO-8601 Z form."""
+    return v.isoformat() + "Z" if hasattr(v, "isoformat") else v
+
+
 class DruidEngine:
     def __init__(self, spark: SparkSession, catalog: Catalog | None = None):
         self.spark = spark
@@ -172,7 +177,14 @@ class DruidEngine:
         try:
             df = self.plan(query)
             for row in df.toLocalIterator(prefetchPartitions=True):
-                yield self.serialize(query, [row.asDict(recursive=True)])[0]
+                r = row.asDict(recursive=True)
+                if qtype == "select":
+                    # The select envelope (pagingIdentifiers) is a batch
+                    # concept; the streamed form delivers plain rows like
+                    # scan (select's successor) does.
+                    yield {k: _iso(v) for k, v in r.items()}
+                else:
+                    yield self.serialize(query, [r])[0]
         finally:
             sc.setJobGroup(str(uuid.uuid4()), "idle")
 
@@ -230,7 +242,7 @@ class DruidEngine:
         """Shape collected rows like Druid's native JSON results
         (timeseries: query/query-timeseries.md:60-72; others public)."""
         qtype = query.get("queryType")
-        iso = lambda v: v.isoformat() + "Z" if hasattr(v, "isoformat") else v  # noqa: E731
+        iso = _iso
         if qtype == "timeseries":
             return [
                 {
@@ -269,6 +281,34 @@ class DruidEngine:
                 {"timestamp": iso(r["maxIngestedEventTime"]),
                  "result": {"maxIngestedEventTime": iso(r["maxIngestedEventTime"])}}
                 for r in rows
+            ]
+        if qtype == "select":
+            # Druid 0.12 select envelope: one entry whose result carries
+            # pagingIdentifiers (segment → next offset, what the client
+            # feeds back to page forward) and offset-stamped events. Our
+            # "segment" is the dataSource (a Parquet table is the unit of
+            # paging here; per-file offsets would leak physical layout).
+            paging = query.get("pagingSpec") or {}
+            offset = int(paging.get("offset", 0))
+            ds = query.get("dataSource")
+            seg = ds if isinstance(ds, str) else "dataSource"
+            events = [
+                {
+                    "segmentId": seg,
+                    "offset": offset + i,
+                    "event": {k: iso(v) for k, v in r.items()},
+                }
+                for i, r in enumerate(rows)
+            ]
+            first_ts = iso(rows[0].get("__time")) if rows else None
+            return [
+                {
+                    "timestamp": first_ts,
+                    "result": {
+                        "pagingIdentifiers": {seg: offset + len(rows)},
+                        "events": events,
+                    },
+                }
             ]
         if qtype == "scan" and query.get("resultFormat") == "compactedList":
             # Druid scan compactedList (public v0.12): one batch object

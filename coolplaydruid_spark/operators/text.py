@@ -145,3 +145,38 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(text).alias("exact_md5"),
         F.md5(F.concat_ws(" ", sorted_toks)).alias("shuffle_md5"),
     )
+
+
+def contamination_check(
+    docs: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Training-data decontamination: flag corpus documents sharing any
+    k-gram shingle with a probe (benchmark/eval) set. Returns
+    (id_col, n_contaminated) — one row per flagged document with its
+    count of distinct probe-overlapping shingles.
+
+    Plan shape for 100 TB: the probe side collapses to a DISTINCT
+    shingle set (benchmark-sized — thousands of docs, always tiny next
+    to a training corpus) and BROADCASTS; the corpus streams through one
+    map + broadcast-hash-join + partial-agg pass — the corpus is never
+    shuffled by shingle. Real pipelines run exactly this shape (e.g.
+    13-gram decontamination); k is a parameter because the fixture's
+    short documents need smaller grams to exercise hits."""
+    from coolplaydruid_spark.operators.dedup import shingles
+
+    probe_sh = (
+        shingles(probes, k=k, text_col=probe_text_col, id_col=id_col)
+        .select("shingle")
+        .distinct()
+    )
+    doc_sh = shingles(docs, k=k, text_col=text_col, id_col=id_col)
+    return (
+        doc_sh.join(F.broadcast(probe_sh), on="shingle", how="inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    )

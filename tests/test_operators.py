@@ -339,3 +339,22 @@ def test_multimodal_stubs_run(engine):
     frames = multimodal.frame_sample_stub(media, every_ms=5000)
     assert frames.columns == ["media_id", "frame_ts_ms", "frame"]
     assert frames.count() >= 20
+
+
+def test_contamination_check_broadcasts_probes(engine):
+    """Probe shingles must broadcast; the corpus side must not shuffle by
+    shingle (one exchange only, for the per-doc count)."""
+    docs = engine.catalog.table("documents")
+    out = text.contamination_check(
+        docs.where(F.col("doc_id") >= 20), docs.where(F.col("doc_id") < 20)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    rows = {r["doc_id"]: r["n_contaminated"] for r in out.collect()}
+    assert all(k >= 20 for k in rows)
+    # a doc compared against itself is fully contaminated — sanity berth
+    self_hit = text.contamination_check(
+        docs.where(F.col("doc_id") == 30), docs.where(F.col("doc_id") == 30)
+    ).collect()
+    assert len(self_hit) == 1 and self_hit[0]["n_contaminated"] > 0

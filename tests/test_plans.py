@@ -117,6 +117,21 @@ def test_star_join_broadcasts_dimensions(engine):
     assert "SortMergeJoin" not in plan
 
 
+def test_q7_broadcasts_both_nation_aliases(engine):
+    """TPC-H Q7 joins nation twice under different aliases — both must
+    broadcast (plus supplier/customer): the only shuffle is the
+    lineitem-orders join."""
+    from coolplaydruid_spark.contract import QUERIES
+
+    df = QUERIES["sql_tpch_q7_volume"](engine.spark, SF_DIR)
+    plan = _plan(df)
+    # at least supplier, customer, and the two nation aliases broadcast
+    # (at tiny SF orders may broadcast as well); lineitem must never be
+    # the build side of a sort-merge join
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
 def test_zero_fill_spine_is_broadcast(engine):
     df = engine.plan(
         {

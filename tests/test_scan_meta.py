@@ -157,3 +157,23 @@ def test_scan_compacted_list_format(engine):
     assert batch["columns"] == list(rows[0].keys())
     assert len(batch["events"]) == len(rows) == 10
     assert batch["events"][0] == [rows[0][c] for c in batch["columns"]]
+
+
+def test_select_result_envelope(engine):
+    """Druid 0.12 select result shape: pagingIdentifiers carry the next
+    offset so the client can feed them back to page forward."""
+    q = {
+        "queryType": "select",
+        "dataSource": "events",
+        "dimensions": ["event_type"],
+        "metrics": ["value"],
+        "intervals": INTERVAL,
+        "pagingSpec": {"threshold": 10, "offset": 20},
+    }
+    out = engine.execute(q)
+    assert len(out) == 1
+    result = out[0]["result"]
+    assert result["pagingIdentifiers"] == {"events": 30}
+    assert len(result["events"]) == 10
+    assert [e["offset"] for e in result["events"]] == list(range(20, 30))
+    assert "event_type" in result["events"][0]["event"]
