@@ -1776,6 +1776,95 @@ def text_contamination_check(spark, sf_dir):
     )
 
 
+def _duck_shingle_cte(src: str, name: str) -> str:
+    """Shingle CTE over an arbitrary (doc_id, txt, toks) source CTE."""
+    return f"""
+    , {name}0 AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                  ELSE [array_to_string(toks, ' ')] END AS arr
+      FROM {src}
+    ), {name} AS (
+      SELECT DISTINCT doc_id, unnest(arr) AS shingle FROM {name}0
+      WHERE len(arr) > 0
+    )"""
+
+
+_PIPELINE_SQL = f"""
+    WITH surv AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(coalesce(text,''))
+    ), t AS (
+      SELECT d.doc_id, coalesce(d.text,'') AS txt, {{toks}} AS toks
+      FROM documents d JOIN surv USING (doc_id)
+    ), m AS (
+      SELECT doc_id, toks, length(txt) AS n_chars, len(toks) AS n_tokens,
+             length(txt) - length(regexp_replace(txt, '[!-/:-@\\[-`{{{{-~]', '', 'g')) AS punct,
+             length(txt) - length(regexp_replace(txt, '[0-9]', '', 'g')) AS digits,
+             len(list_filter(toks, x -> list_contains(
+                 ['the','and','of','to','is','in','that','with'], x))) AS stop
+      FROM t
+    ), keep AS (
+      SELECT doc_id, toks FROM m
+      WHERE round(0.25 * least(n_chars / 500.0, 1.0)
+              + 0.25 * (1 - CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0 END)
+              + 0.25 * (1 - CASE WHEN n_chars > 0 THEN digits / n_chars ELSE 0 END)
+              + 0.25 * CASE WHEN n_tokens > 0 THEN stop / n_tokens ELSE 0 END, 6) >= 0.5
+    ), probe_t AS (
+      SELECT doc_id, coalesce(text,'') AS txt, {{toks}} AS toks
+      FROM documents WHERE doc_id < 20
+    ){{sh_keep}}{{sh_probe}}
+    , flagged AS (
+      SELECT DISTINCT k.doc_id
+      FROM sh_keep k JOIN (SELECT DISTINCT shingle FROM sh_probe WHERE shingle <> '') p
+        USING (shingle)
+      WHERE k.shingle <> ''
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+    FROM keep WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+"""
+
+
+@q(
+    "pipeline_clean_corpus",
+    _PIPELINE_SQL.format(
+        toks=DUCK_TOKS,
+        sh_keep=_duck_shingle_cte("keep", "sh_keep"),
+        sh_probe=_duck_shingle_cte("probe_t", "sh_probe"),
+    ),
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """End-to-end training-data cleaning pipeline composed from the
+    operator library: exact dedup (keep-first) → quality-score filter →
+    benchmark decontamination → corpus stats. Every stage is the
+    operators' own scale path (digest-keyed dedup, map-only scoring,
+    broadcast probe shingles)."""
+    eng = engine_for(spark, sf_dir)
+    docs = eng.catalog.table("documents")
+    survivors = docs.join(
+        dedup.exact_dedup(docs).select(F.col("survivor_id").alias("doc_id")),
+        on="doc_id",
+        how="inner",
+    )
+    good = survivors.join(
+        text.quality_score(survivors)
+        .where(F.col("quality_score") >= 0.5)
+        .select("doc_id"),
+        on="doc_id",
+        how="inner",
+    )
+    flagged = text.contamination_check(
+        good, docs.where(F.col("doc_id") < 20)
+    ).select("doc_id")
+    clean = good.join(F.broadcast(flagged), on="doc_id", how="left_anti")
+    return text.token_count(clean).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("total_tokens"),
+    )
+
+
 def _duck_minhash_lsh(threshold: float, num_hashes: int = 12, bands: int = 4) -> str:
     rows = num_hashes // bands
     mh = ", ".join(
@@ -2096,3 +2185,40 @@ def multimodal_features(spark, sf_dir):
         F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("media"),
     )
     return multimodal.extract_features(media).select("media_id", "n_bytes", "digest")
+
+
+@q(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, coalesce(text,'') AS raw,
+             CASE WHEN length(coalesce(text,'')) > 0
+                  THEN length(coalesce(text,'')) ELSE 1 END AS dur
+      FROM documents
+    ), f AS (
+      SELECT media_id, raw, dur,
+             unnest(range(0, dur, 500)) AS frame_ts_ms
+      FROM m
+    )
+    SELECT media_id, CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms,
+           md5(substring(raw,
+                CAST(FLOOR((frame_ts_ms * 1.0 / dur) *
+                     greatest(length(raw) - 16, 0)) AS INT) + 1, 16)) AS frame_md5
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing (one row per sampled timestamp via
+    mapInPandas): duration := text length ms, frame := 16-byte slice at
+    the proportional position — ASCII fixture text makes the byte slice
+    equal the VARCHAR slice, so the md5 has an exact oracle."""
+    eng = engine_for(spark, sf_dir)
+    media = eng.catalog.table("documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("media"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("duration_ms"),
+    )
+    frames = multimodal.frame_sample_stub(media, every_ms=500)
+    return frames.select(
+        "media_id", "frame_ts_ms", F.md5(F.col("frame")).alias("frame_md5")
+    )
