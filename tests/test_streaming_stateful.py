@@ -99,3 +99,51 @@ def test_reservoir_sample_typed_keys_and_nulls(spark, tmp_path):
     assert len(out) == 1 and out[0]["doc_id"] == 7
     assert out[0]["n_seen"] == 4  # the null row neither counted nor sampled
     assert sorted(out[0]["sample"]) == ["t0", "t1", "t2", "t3"]
+
+
+def _run_dedup_once(spark, src, ckpt):
+    from coolplaydruid_spark.streaming.stateful import streaming_exact_dedup
+
+    stream = realtime.file_stream(spark, str(src), DOC_SCHEMA, fmt="json")
+    deduped = streaming_exact_dedup(stream)
+    collected = []
+
+    def sink(batch_df, _bid):
+        collected.extend(batch_df.collect())
+
+    q = (
+        deduped.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return collected
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """First occurrence passes, duplicates are suppressed — including
+    duplicates arriving in a LATER micro-batch (digest set survives in
+    the checkpointed state store)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+
+    _write_batch(src, "b1.json", [
+        {"doc_id": 1, "lang": "en", "text": "alpha beta"},
+        {"doc_id": 2, "lang": "en", "text": "gamma delta"},
+        {"doc_id": 3, "lang": "en", "text": "alpha beta"},   # dup of 1, same batch
+    ])
+    first = _run_dedup_once(spark, src, ckpt)
+    assert {r["doc_id"] for r in first} == {1, 2}
+
+    _write_batch(src, "b2.json", [
+        {"doc_id": 4, "lang": "en", "text": "gamma delta"},  # dup of 2, later batch
+        {"doc_id": 5, "lang": "en", "text": "epsilon zeta"},
+    ])
+    second = _run_dedup_once(spark, src, ckpt)
+    assert {r["doc_id"] for r in second} == {5}
+
+    digests = {r["digest"] for r in first + second}
+    assert len(digests) == 3  # three distinct texts total
