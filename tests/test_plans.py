@@ -206,3 +206,20 @@ def test_zero_fill_spine_is_local_table_scan(engine):
     plan = _plan(df)
     assert "ExistingRDD" not in plan
     assert "LocalTableScan" in plan
+
+
+def test_contract_sweep_no_cartesian_products(engine):
+    """Plan every contract query and reject CartesianProduct anywhere but
+    the one operator that is O(n²) BY DESIGN (unblocked embedding dedup,
+    whose blocked twin is the scale path). Also catches analysis-time
+    regressions: every contract entry must at least plan."""
+    from coolplaydruid_spark.contract import QUERIES
+
+    allowed_cartesian = {"dedup_embedding_cosine"}
+    offenders = []
+    for name, fn in QUERIES.items():
+        df = fn(engine.spark, SF_DIR)
+        plan = _plan(df)
+        if "CartesianProduct" in plan and name not in allowed_cartesian:
+            offenders.append(name)
+    assert not offenders, f"unexpected cartesian joins in: {offenders}"
