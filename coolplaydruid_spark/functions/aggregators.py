@@ -121,9 +121,23 @@ def _compile_one(spec: dict, context: dict, filter_pred: Column | None):
         ts = spec.get("timeColumn", TIME_COLUMN)
         return F.max_by(guard(_field(spec)), guard(F.col(ts))), None
     if atype == "cardinality":
-        # Distinct count of the dimension tuple (byRow=true semantics).
         fields = spec.get("fields") or [spec["fieldName"]]
         cols = [guard(F.col(f if isinstance(f, str) else f["dimension"])) for f in fields]
+        by_row = spec.get("byRow", False)
+        if len(cols) > 1 and not by_row:
+            # Druid byRow=false: cardinality of the UNION of the fields'
+            # value sets (not of tuples). One pass: build a sketch per
+            # field and union them — JVM-side, mergeable, no explode.
+            # hll_sketch_agg skips null AND "" — which is exactly Druid
+            # 0.12's cardinality behavior under null≡"". Exactness over a
+            # union is not a single aggregate; the exact switch applies
+            # to the byRow/tuple form only.
+            sketches = [F.hll_sketch_agg(c.cast("string")) for c in cols]
+            union = sketches[0]
+            for s in sketches[1:]:
+                union = F.hll_union(union, s)
+            return F.hll_sketch_estimate(union), 0
+        # single field, or byRow=true: distinct count of the value/tuple
         if context.get("useExactCountDistinct"):
             return F.count_distinct(*cols), 0
         return F.approx_count_distinct(cols[0] if len(cols) == 1 else F.struct(*cols)), 0

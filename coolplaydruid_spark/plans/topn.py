@@ -36,6 +36,18 @@ def plan_topn(engine, query: dict) -> DataFrame:
     dim_col, dim_name = dimension_column(query["dimension"])
     threshold = int(query["threshold"])
 
+    # Multi-value string dimension: one group per element, same core 0.12
+    # semantics as groupBy (the filter has already run with any-element
+    # semantics — explode only for the grouping).
+    raw_dim = (
+        query["dimension"]
+        if isinstance(query["dimension"], str)
+        else query["dimension"].get("dimension")
+    )
+    array_dims = {f.name for f in base.schema.fields if f.dataType.typeName() == "array"}
+    if raw_dim in array_dims:
+        base = base.withColumn(raw_dim, F.explode_outer(F.col(raw_dim)))
+
     if gran.kind == "all":
         start = (
             min(parse_interval(iv)[0] for iv in _intervals(query))

@@ -126,3 +126,45 @@ def test_multivalue_groupby_filter_then_explode(nengine):
     rows = nengine.execute(q)
     by_tag = {r["event"]["tags"]: r["event"]["rows"] for r in rows}
     assert by_tag == {"x": 1, "y": 2, "z": 1}
+
+
+def test_topn_multivalue_dimension(nengine):
+    """topN over an ArrayType dimension groups once per element (same
+    explode semantics as groupBy)."""
+    rows = nengine.execute(
+        {
+            "queryType": "topN",
+            "dataSource": "t",
+            "granularity": "all",
+            "dimension": "tags",
+            "metric": "n",
+            "threshold": 2,
+            "aggregations": [{"type": "count", "name": "n"}],
+            "intervals": BASE["intervals"],
+        }
+    )
+    top = rows[0]["result"]
+    # groups: y:2, null(+empty):2, x:1, z:1 — the two count-2 groups win
+    assert {(r["tags"], r["n"]) for r in top} == {(None, 2), ("y", 2)}
+
+
+def test_cardinality_by_row_false_union(nengine, spark):
+    """cardinality byRow=false counts the UNION of the fields' value
+    sets. Druid 0.12 ignores null dimension values in cardinality and
+    treats "" as null — hll_sketch_agg's skip-null-and-empty behavior
+    matches exactly."""
+    rows = nengine.execute(
+        {
+            "queryType": "timeseries",
+            "dataSource": "t",
+            "granularity": "all",
+            "aggregations": [
+                {"type": "cardinality", "name": "u", "fields": ["d", "id"]}
+            ],
+            "intervals": BASE["intervals"],
+            "context": {"skipEmptyBuckets": True},
+        }
+    )
+    # union of d values {'a','b'} (null and ""≡null not counted) and
+    # id strings {'1','2','3','4'} -> 6 distinct; HLL exact at this size
+    assert rows[0]["result"]["u"] == 6
