@@ -1545,6 +1545,46 @@ def search_fragment(spark, sf_dir):
 
 
 @q(
+    "timeseries_two_intervals",
+    """
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                    TIMESTAMP '2024-01-03', INTERVAL 1 DAY)) AS ts_bucket
+      UNION ALL
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-10',
+                                    TIMESTAMP '2024-01-12', INTERVAL 1 DAY))
+    ), agg AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_bucket,
+             CAST(count(*) AS BIGINT) AS rows
+      FROM events
+      WHERE (ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-04')
+         OR (ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13')
+      GROUP BY 1
+    )
+    SELECT spine.ts_bucket, coalesce(agg.rows, 0) AS rows
+    FROM spine LEFT JOIN agg USING (ts_bucket)
+    """,
+)
+def timeseries_two_intervals(spark, sf_dir):
+    """Multiple disjoint intervals in one query: the OR'd range predicate
+    still pushes, and the zero-fill spine covers only the queried
+    intervals (no buckets for the gap)."""
+    eng = engine_for(spark, sf_dir)
+    return eng.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "day",
+            "aggregations": [{"type": "count", "name": "rows"}],
+            "intervals": [
+                "2024-01-01T00:00:00/2024-01-04T00:00:00",
+                "2024-01-10T00:00:00/2024-01-13T00:00:00",
+            ],
+        }
+    )
+
+
+@q(
     "search_strlen_limit",
     f"""
     WITH matches AS (
