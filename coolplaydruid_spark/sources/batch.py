@@ -108,6 +108,7 @@ def index_task(
     time_column: str,
     rollup: dict | None = None,
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
     mode: str = "overwrite",
     repartition_by_dt: bool = True,
 ) -> TaskStatus:
@@ -142,7 +143,17 @@ def index_task(
         out = df.withColumn(DT_COLUMN, F.to_date(F.col(time_column)).cast("string"))
         if repartition_by_dt:
             out = out.repartition(DT_COLUMN)
-        if sort_by:
+        if zorder_by:
+            # Multi-column row-group locality — the Parquet substitute for
+            # Druid's per-dimension bitmap indexes (sources/zorder.py).
+            from coolplaydruid_spark.sources.zorder import Z_COLUMN, zorder_value
+
+            out = (
+                out.withColumn(Z_COLUMN, zorder_value(df, zorder_by))
+                .sortWithinPartitions(Z_COLUMN)
+                .drop(Z_COLUMN)
+            )
+        elif sort_by:
             out = out.sortWithinPartitions(*sort_by)
         out.write.mode(mode).partitionBy(DT_COLUMN).parquet(dest_path)
         REGISTRY.finish(status.task_id, True, f"wrote {dest_path}")

@@ -275,3 +275,46 @@ def test_index_task_csv_and_json_sources(spark, tmp_path):
             "2024-03-01", "2024-03-02", "2024-03-03",
         ]
         assert out.schema["ts"].dataType.typeName() == "timestamp"
+
+
+def test_zorder_clusters_both_columns(spark, engine):
+    """Z-order write policy (the bitmap-index substitute): slicing the
+    z-sorted frame into chunks, EVERY participating column shows
+    locality — each chunk covers a small slice of the column's range,
+    so row-group min/max stats prune filters on any of them. A
+    single-column sort gives the other column no locality (span ~1)."""
+    from coolplaydruid_spark.sources.zorder import zorder_value
+
+    df = engine.catalog.table("events").select("user_id", "value")
+    z = df.withColumn("__z", zorder_value(df, ["user_id", "value"]))
+    rows = z.orderBy("__z").select("user_id", "value").collect()
+    n_chunks = 16
+    chunk = max(len(rows) // n_chunks, 1)
+
+    def mean_span(col):
+        vals = [float(r[col]) for r in rows]
+        lo, hi = min(vals), max(vals)
+        spans = []
+        for i in range(0, len(rows) - chunk + 1, chunk):
+            c = vals[i:i + chunk]
+            spans.append((max(c) - min(c)) / (hi - lo))
+        return sum(spans) / len(spans)
+
+    assert mean_span("user_id") < 0.5
+    assert mean_span("value") < 0.5
+
+
+def test_index_task_zorder_roundtrip(spark, tmp_path):
+    dest = str(tmp_path / "events_z")
+    status = batch.index_task(
+        spark,
+        {"format": "parquet", "path": f"{SF_DIR}/events.parquet"},
+        dest,
+        time_column="ts",
+        zorder_by=["user_id", "value"],
+    )
+    assert status.status == "SUCCESS"
+    out = spark.read.parquet(dest)
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert out.count() == src.count()
+    assert "__z" not in out.columns
