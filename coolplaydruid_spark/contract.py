@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from coolplaydruid_spark.catalog import Catalog, register_fixtures
 from coolplaydruid_spark.engine import DruidEngine
-from coolplaydruid_spark.operators import dedup, multimodal, similarity, text
+from coolplaydruid_spark.operators import dedup, multimodal, sampling, similarity, text
 
 _ENGINES: dict[tuple[int, str], DruidEngine] = {}
 
@@ -1813,6 +1813,49 @@ def text_contamination_check(spark, sf_dir):
     docs = eng.catalog.table("documents")
     return text.contamination_check(
         docs.where(F.col("doc_id") >= 20), docs.where(F.col("doc_id") < 20)
+    )
+
+
+_SAMPLE_DENOM = 1 << 24
+_DUCK_BUCKET_ID = (
+    "CAST(('0x' || substring(md5('|' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)"
+)
+
+
+@q(
+    "sampling_hash_10pct",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_DUCK_BUCKET_ID} < {int(0.1 * _SAMPLE_DENOM)}
+    """,
+)
+def sampling_hash_10pct(spark, sf_dir):
+    """Deterministic hash sampling (retry-safe, engine-stable): keep iff
+    md5-bucket(id) < rate — the oracle runs the identical arithmetic."""
+    eng = engine_for(spark, sf_dir)
+    return sampling.hash_sample(
+        eng.catalog.table("documents").select("doc_id", "lang"), 0.1
+    )
+
+
+@q(
+    "sampling_stratified_mix",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_DUCK_BUCKET_ID} <
+          CASE lang WHEN 'en' THEN {int(0.5 * _SAMPLE_DENOM)}
+                    WHEN 'de' THEN {int(0.25 * _SAMPLE_DENOM)}
+                    ELSE 0 END
+    """,
+)
+def sampling_stratified_mix(spark, sf_dir):
+    """Per-stratum mixture ratios (50% en, 25% de, drop the rest) —
+    map-only CASE over the fractions dict, no join or shuffle."""
+    eng = engine_for(spark, sf_dir)
+    return sampling.stratified_sample(
+        eng.catalog.table("documents").select("doc_id", "lang"),
+        "lang",
+        {"en": 0.5, "de": 0.25},
     )
 
 

@@ -1,0 +1,66 @@
+"""Deterministic sampling — the data-mixing primitive of a training
+pipeline (hold out eval slices, hit per-source mixture ratios, thin a
+crawl to a token budget).
+
+Everything is HASH-based, not RNG-based: a row is kept iff
+``md5(salt|id) mod DENOM < rate * DENOM``. That makes sampling
+
+ - deterministic and retry-safe (a recomputed partition keeps the same
+   rows — Spark's ``sample()`` with a seed only guarantees this per
+   partitioning, and resamples under AQE re-planning);
+ - mirrorable in exact SQL (the correctness oracle runs the same md5
+   arithmetic in DuckDB);
+ - stable across engines and runs: downstream incremental jobs see a
+   frozen sample as the corpus grows (rows never flip in/out when other
+   rows appear);
+ - map-only: no shuffle, no state, whole-stage codegen.
+
+The salt decorrelates independent samples: two samples with different
+salts over the same corpus overlap proportionally (P(both) = r1*r2),
+while the SAME salt at growing rates gives NESTED samples (the 1% set is
+a subset of the 10% set) — both properties training pipelines rely on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^24 buckets: rate granularity ~6e-8, and the 6-hex-digit slice stays
+# exact in every engine's integer arithmetic.
+_DENOM = 1 << 24
+
+
+def hash_bucket(id_col: Column, salt: str = "") -> Column:
+    """Uniform bucket in [0, 2^24) from md5(salt|id) — the first 6 hex
+    digits of the digest parsed as an int. JVM-side, deterministic."""
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 6), 16, 10).cast("long")
+
+
+def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id",
+                salt: str = "") -> DataFrame:
+    """Keep ~rate of rows, deterministically by id hash."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.where(hash_bucket(F.col(id_col), salt) < int(rate * _DENOM))
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict[str, float],
+                      id_col: str = "doc_id", salt: str = "",
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling — mixture ratios by source/
+    language/quality-band. ``fractions`` maps stratum value → keep rate;
+    strata not listed keep ``default_fraction``.
+
+    The rate lookup compiles to a CASE chain over the (small) fractions
+    dict — no join, no shuffle; the filter is map-only like hash_sample.
+    """
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {v}")
+    rate = F.lit(int(default_fraction * _DENOM))
+    for k, v in sorted(fractions.items()):
+        rate = F.when(F.col(strata_col) == F.lit(k), F.lit(int(v * _DENOM))).otherwise(rate)
+    return df.where(hash_bucket(F.col(id_col), salt) < rate)

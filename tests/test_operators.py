@@ -358,3 +358,40 @@ def test_contamination_check_broadcasts_probes(engine):
         docs.where(F.col("doc_id") == 30), docs.where(F.col("doc_id") == 30)
     ).collect()
     assert len(self_hit) == 1 and self_hit[0]["n_contaminated"] > 0
+
+
+def test_hash_sampling_invariants(engine):
+    """Deterministic sampling contract: same-salt samples NEST across
+    rates, different salts decorrelate, and re-evaluation returns the
+    identical row set (retry-safety — seeded sample() can't promise
+    this under re-planning)."""
+    from coolplaydruid_spark.operators import sampling
+
+    docs = engine.catalog.table("documents").select("doc_id")
+    s10 = {r["doc_id"] for r in sampling.hash_sample(docs, 0.10).collect()}
+    s50 = {r["doc_id"] for r in sampling.hash_sample(docs, 0.50).collect()}
+    assert s10 <= s50  # nested
+    again = {r["doc_id"] for r in sampling.hash_sample(docs, 0.10).collect()}
+    assert s10 == again  # deterministic
+    other = {r["doc_id"] for r in sampling.hash_sample(docs, 0.10, salt="b").collect()}
+    n = docs.count()
+    # independent 10% samples overlap ~1%: allow generous slack at n=500
+    assert len(s10 & other) < 0.05 * n
+    # rate accuracy at 2^24 buckets: within a few points at this n
+    assert abs(len(s50) / n - 0.5) < 0.1
+
+
+def test_stratified_sample_rates(engine):
+    from coolplaydruid_spark.operators import sampling
+
+    docs = engine.catalog.table("documents").select("doc_id", "lang")
+    out = sampling.stratified_sample(docs, "lang", {"en": 1.0, "de": 0.0},
+                                     default_fraction=0.5)
+    by_lang = {r["lang"]: r["n"] for r in
+               out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_lang["en"] == totals["en"]          # keep-all stratum
+    assert "de" not in by_lang                     # drop-all stratum
+    for lang in ("fr", "es", "zh"):                # default 0.5 within slack
+        assert 0.25 < by_lang[lang] / totals[lang] < 0.75
