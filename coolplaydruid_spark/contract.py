@@ -1545,6 +1545,36 @@ def search_fragment(spark, sf_dir):
 
 
 @q(
+    "topn_dimension_metric",
+    f"""
+    WITH agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE {EVENTS_WHERE}
+      GROUP BY 1
+    )
+    SELECT event_type, n FROM agg ORDER BY event_type ASC LIMIT 3
+    """,
+)
+def topn_dimension_metric(spark, sf_dir):
+    """TopNMetricSpec {'type':'dimension'}: rank by the dimension VALUE
+    (lexicographic), not by a metric — first 3 event types alphabetically."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "topN",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimension": "event_type",
+            "metric": {"type": "dimension", "ordering": "lexicographic"},
+            "threshold": 3,
+            "aggregations": [{"type": "count", "name": "n"}],
+            "intervals": EVENTS_INTERVAL,
+        }
+    )
+    return df.drop("ts_bucket")
+
+
+@q(
     "timeseries_two_intervals",
     """
     WITH spine AS (
