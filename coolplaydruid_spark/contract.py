@@ -2260,6 +2260,21 @@ def dedup_embedding_cosine_blocked(spark, sf_dir):
     return dedup.embedding_neardup(emb, threshold=0.2, block_col="bucket")
 
 
+@q("pack_training_sequences")  # no SQL oracle: bin assignment is
+# order-dependent (rows-only check; invariants asserted in
+# tests/test_operators.py::test_pack_sequences_invariants)
+def pack_training_sequences(spark, sf_dir):
+    """Token-budget sequence packing (per-partition first-fit-decreasing):
+    documents → training sequences of ≤128 whitespace tokens."""
+    from coolplaydruid_spark.operators import packing
+
+    eng = engine_for(spark, sf_dir)
+    docs = text.token_count(eng.catalog.table("documents")).select(
+        "doc_id", "ws_tokens"
+    )
+    return packing.pack_sequences(docs, budget=128)
+
+
 @q("similarity_topk_ivf")  # no SQL oracle: k-means is iterative (rows-only check)
 def similarity_topk_ivf(spark, sf_dir):
     """IVF (k-means inverted file) ANN — the scale path: each query

@@ -395,3 +395,33 @@ def test_stratified_sample_rates(engine):
     assert "de" not in by_lang                     # drop-all stratum
     for lang in ("fr", "es", "zh"):                # default 0.5 within slack
         assert 0.25 < by_lang[lang] / totals[lang] < 0.75
+
+
+def test_pack_sequences_invariants(engine):
+    """FFD packing contract: exact cover (every doc in exactly one bin),
+    budget respected except oversized singletons, deterministic across
+    runs, and FFD density — bins used ≤ 2x the volume lower bound."""
+    from coolplaydruid_spark.operators import packing
+
+    docs = text.token_count(engine.catalog.table("documents")).select(
+        "doc_id", "ws_tokens"
+    )
+    budget = 64
+    bins = packing.pack_sequences(docs, budget=budget).collect()
+
+    all_docs = [d for b in bins for d in b["doc_ids"]]
+    assert len(all_docs) == len(set(all_docs)) == docs.count()  # exact cover
+    toks = {r["doc_id"]: r["ws_tokens"] for r in docs.collect()}
+    for b in bins:
+        assert b["total_tokens"] == sum(toks[d] for d in b["doc_ids"])
+        if b["n_docs"] > 1:
+            assert b["total_tokens"] <= budget
+        else:  # singleton bins may legitimately exceed the budget
+            assert b["total_tokens"] <= budget or toks[b["doc_ids"][0]] > budget
+    # density: FFD stays within 2x of the volume lower bound even with
+    # the per-partition split (per-partition waste is ≤1 bin each)
+    lower = -(-sum(toks.values()) // budget)
+    assert len(bins) <= 2 * lower + 32
+
+    again = packing.pack_sequences(docs, budget=budget).collect()
+    assert sorted(b["seq_id"] for b in bins) == sorted(b["seq_id"] for b in again)
