@@ -989,6 +989,103 @@ def sql_tpch_q14_promo(spark, sf_dir):
 
 
 @q(
+    "groupby_postagg_greatest",
+    f"""
+    SELECT event_type,
+           round(greatest(max(value), -min(value)), 4) AS peak,
+           round(least(avg(value), 100.0), 4) AS capped_avg
+    FROM events WHERE {EVENTS_WHERE} GROUP BY 1
+    """,
+)
+def groupby_postagg_greatest(spark, sf_dir):
+    """doubleGreatest/doubleLeast post-aggregators (P4) over aggregate +
+    expression operands."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "groupBy",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimensions": ["event_type"],
+            "aggregations": [
+                {"type": "doubleMax", "name": "vmax", "fieldName": "value"},
+                {"type": "doubleMin", "name": "vmin", "fieldName": "value"},
+                {"type": "doubleSum", "name": "vsum", "fieldName": "value"},
+                {"type": "count", "name": "n"},
+            ],
+            "postAggregations": [
+                {
+                    "type": "doubleGreatest",
+                    "name": "peak",
+                    "fields": [
+                        {"type": "fieldAccess", "fieldName": "vmax"},
+                        {
+                            "type": "arithmetic",
+                            "fn": "*",
+                            "fields": [
+                                {"type": "constant", "value": -1},
+                                {"type": "fieldAccess", "fieldName": "vmin"},
+                            ],
+                        },
+                    ],
+                },
+                {
+                    "type": "doubleLeast",
+                    "name": "capped_avg",
+                    "fields": [
+                        {
+                            "type": "arithmetic",
+                            "fn": "/",
+                            "fields": [
+                                {"type": "fieldAccess", "fieldName": "vsum"},
+                                {"type": "fieldAccess", "fieldName": "n"},
+                            ],
+                        },
+                        {"type": "constant", "value": 100.0},
+                    ],
+                },
+            ],
+            "intervals": EVENTS_INTERVAL,
+        }
+    )
+    return _r4(
+        df.drop("ts_bucket", "vmax", "vmin", "vsum", "n"), "peak", "capped_avg"
+    )
+
+
+@q(
+    "groupby_python_udaf",
+    f"""
+    SELECT event_type, round(sum(value * value), 4) AS sum_sq
+    FROM events WHERE {EVENTS_WHERE} GROUP BY 1
+    """,
+)
+def groupby_python_udaf(spark, sf_dir):
+    """A9 javascript-slot aggregator as a Python callable (Arrow
+    GROUPED_AGG pandas UDF) — the one aggregator that leaves the JVM,
+    under the same DuckDB oracle gate as everything else."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "groupBy",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimensions": ["event_type"],
+            "aggregations": [
+                {
+                    "type": "javascript",
+                    "name": "sum_sq",
+                    "fieldName": "value",
+                    "fn": lambda s: float((s * s).sum()),
+                }
+            ],
+            "intervals": EVENTS_INTERVAL,
+        }
+    )
+    return _r4(df.drop("ts_bucket"), "sum_sq")
+
+
+@q(
     "groupby_percentiles",
     f"""
     SELECT event_type,
