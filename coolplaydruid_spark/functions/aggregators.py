@@ -179,13 +179,28 @@ def _compile_one(spec: dict, context: dict, filter_pred: Column | None):
         # GROUPED_AGG pandas_udf — the only aggregator that leaves the JVM.
         fn = spec.get("fn") or spec.get("function")
         if callable(fn):
-            import pandas as pd  # noqa: F401
+            import pandas as pd
 
-            from pyspark.sql.functions import PandasUDFType, pandas_udf
+            from pyspark.sql.functions import pandas_udf
 
             return_type = spec.get("returnType", "double")
-            udaf = pandas_udf(fn, return_type, PandasUDFType.GROUPED_AGG)
             fields = spec.get("fieldNames") or [spec["fieldName"]]
+            # Series->scalar type hints select the GROUPED_AGG form (the
+            # PandasUDFType enum is deprecated). Annotations are set as
+            # live objects because this module's postponed evaluation
+            # (`from __future__ import annotations`) would otherwise hand
+            # pyspark unresolvable strings.
+            if len(fields) == 1:
+                def wrapper(s):
+                    return fn(s)
+
+                wrapper.__annotations__ = {"s": pd.Series, "return": float}
+            else:
+                def wrapper(*series):
+                    return fn(*series)
+
+                wrapper.__annotations__ = {"series": pd.Series, "return": float}
+            udaf = pandas_udf(wrapper, return_type)
             return udaf(*[guard(F.col(f)) for f in fields]), None
         raise NotImplementedError(
             "javascript aggregator source strings unsupported — pass a "
