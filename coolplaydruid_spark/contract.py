@@ -989,6 +989,47 @@ def sql_tpch_q14_promo(spark, sf_dir):
 
 
 @q(
+    "timeseries_unique_ratio",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS uniq,
+           round(count(*) / count(DISTINCT user_id), 4) AS events_per_user
+    FROM events WHERE {EVENTS_WHERE} GROUP BY 1
+    """,
+)
+def timeseries_unique_ratio(spark, sf_dir):
+    """hyperUnique aggregator + hyperUniqueCardinality post-aggregator
+    (P5) inside arithmetic — exact-count mode for the oracle."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "day",
+            "aggregations": [
+                {"type": "count", "name": "n"},
+                {"type": "hyperUnique", "name": "uniq", "fieldName": "user_id"},
+            ],
+            "postAggregations": [
+                {
+                    "type": "arithmetic",
+                    "name": "events_per_user",
+                    "fn": "/",
+                    "fields": [
+                        {"type": "fieldAccess", "fieldName": "n"},
+                        {"type": "hyperUniqueCardinality", "fieldName": "uniq"},
+                    ],
+                }
+            ],
+            "intervals": EVENTS_INTERVAL,
+            "context": {"skipEmptyBuckets": True, "useExactCountDistinct": True},
+        }
+    )
+    return _r4(df, "events_per_user")
+
+
+@q(
     "groupby_postagg_greatest",
     f"""
     SELECT event_type,
