@@ -52,9 +52,14 @@ def _iso(v):
 
 
 class DruidEngine:
-    def __init__(self, spark: SparkSession, catalog: Catalog | None = None):
+    def __init__(self, spark: SparkSession, catalog: Catalog | None = None,
+                 result_cache_entries: int = 1024):
         self.spark = spark
         self.catalog = catalog or Catalog(spark)
+        # ETag-keyed result cache (see execute()); plain FIFO bound —
+        # entries are invalidated by key churn, not eviction policy.
+        self._result_cache: dict[str, list] = {}
+        self._result_cache_max = result_cache_entries
 
     # ---- planning -------------------------------------------------------
 
@@ -109,6 +114,22 @@ class DruidEngine:
         context = query.get("context") or {}
         query_id = context.get("queryId") or str(uuid.uuid4())
         timeout_ms = context.get("timeout")
+        # Result cache (context.useCache / populateCache, both default
+        # true in Druid; the reference's caching/ETag machinery is
+        # query/query-internal-procedure.md:41-47). Keyed by the ETag —
+        # canonical query + source files + mtimes — so any segment
+        # change mints a new key and stale entries simply stop being
+        # referenced. Entries hold serialized results (aggregation-sized);
+        # scan/select are never cached (Druid likewise only caches
+        # per-segment aggregates).
+        cacheable = query.get("queryType") not in ("scan", "select")
+        cache_key = None
+        if cacheable and (context.get("useCache", True) or context.get("populateCache", True)):
+            cache_key = self.etag(query)
+        if cache_key and context.get("useCache", True):
+            hit = self._result_cache.get(cache_key)
+            if hit is not None:
+                return hit
         sc = self.spark.sparkContext
         sc.setJobGroup(query_id, f"druid query {query_id}", interruptOnCancel=True)
         # Query prioritization (query/query-module-overview.md: context
@@ -134,7 +155,12 @@ class DruidEngine:
                 # The deadline passed while planning/collecting (the cancel
                 # may have landed between jobs) — the timeout contract wins.
                 raise QueryTimeoutError()
-            return self.serialize(query, rows)
+            result = self.serialize(query, rows)
+            if cache_key and context.get("populateCache", True):
+                if len(self._result_cache) >= self._result_cache_max:
+                    self._result_cache.pop(next(iter(self._result_cache)))
+                self._result_cache[cache_key] = result
+            return result
         except DruidQueryError:
             raise
         except Exception as e:
