@@ -209,6 +209,35 @@ def kill_task(table_path: str, dt_values: list[str]) -> TaskStatus:
     return status
 
 
+def retention_task(table_path: str, drop_before: str,
+                   archive_path: str | None = None) -> TaskStatus:
+    """Coordinator retention rules (arch/druid-arch.md: the Coordinator
+    assigns/balances and applies load/drop rules to segments): drop — or
+    archive, when ``archive_path`` is given — every ``__dt`` partition
+    strictly before ``drop_before`` (YYYY-MM-DD). Partition-directory
+    listing only; no data is read."""
+    status = REGISTRY.start("retention")
+    try:
+        victims = sorted(
+            p.name.split("=", 1)[1]
+            for p in Path(table_path).glob(f"{DT_COLUMN}=*")
+            if p.name.split("=", 1)[1] < drop_before
+        )
+        if victims:
+            if archive_path:
+                archive_task(table_path, archive_path, victims)
+            else:
+                kill_task(table_path, victims)
+        REGISTRY.finish(
+            status.task_id, True,
+            f"{'archived' if archive_path else 'dropped'} {len(victims)} partitions"
+        )
+    except Exception as e:  # noqa: BLE001
+        REGISTRY.finish(status.task_id, False, str(e))
+        raise
+    return status
+
+
 def archive_task(table_path: str, archive_path: str, dt_values: list[str],
                  restore: bool = False) -> TaskStatus:
     """Druid `archive`/`restore`/`move` tasks (I6): relocate segment

@@ -318,3 +318,30 @@ def test_index_task_zorder_roundtrip(spark, tmp_path):
     src = spark.read.parquet(f"{SF_DIR}/events.parquet")
     assert out.count() == src.count()
     assert "__z" not in out.columns
+
+
+def test_retention_task(spark, tmp_path):
+    """Coordinator retention rules: partitions strictly before the cutoff
+    drop (or archive); newer partitions survive."""
+    dest = str(tmp_path / "tbl")
+    arch = str(tmp_path / "arch")
+    batch.index_task(
+        spark,
+        {"format": "parquet", "path": f"{SF_DIR}/events.parquet"},
+        dest,
+        time_column="ts",
+    )
+    before = spark.read.parquet(dest).select(batch.DT_COLUMN).distinct().count()
+    st = batch.retention_task(dest, drop_before="2024-01-05", archive_path=arch)
+    assert st.status == "SUCCESS"
+    kept = {str(r[0]) for r in
+            spark.read.parquet(dest).select(batch.DT_COLUMN).distinct().collect()}
+    assert min(kept) == "2024-01-05" and len(kept) == before - 4
+    archived = {str(r[0]) for r in
+                spark.read.parquet(arch).select(batch.DT_COLUMN).distinct().collect()}
+    assert archived == {"2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"}
+
+    batch.retention_task(dest, drop_before="2024-01-07")  # hard drop
+    kept = {str(r[0]) for r in
+            spark.read.parquet(dest).select(batch.DT_COLUMN).distinct().collect()}
+    assert min(kept) == "2024-01-07"
