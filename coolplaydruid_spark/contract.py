@@ -1435,6 +1435,186 @@ def sql_tpch_q19_range(spark, sf_dir):
     return engine_for(spark, sf_dir).sql(_Q19.format(rev=_REV))
 
 
+# The seven remaining TPC-H shapes (Q2/Q11/Q12/Q16/Q20/Q21/Q22), adapted:
+# partsupp-based predicates become lineitem aggregates, shipmode/commitdate
+# become returnflag/shipdate-vs-orderdate, and c_phone country codes become
+# c_nationkey. The SHAPES (correlated min subquery, HAVING-vs-scalar
+# threshold, CASE-pivot, NOT IN, nested IN + grouped HAVING, double
+# correlated EXISTS/NOT EXISTS, scalar-avg + anti-join) are intact, which is
+# what matters for the SQL front-end and Catalyst's decorrelation.
+
+_Q2 = """
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size = 10 AND p_type = 'PROMO' AND r_name = 'EUROPE'
+      AND l_extendedprice = (
+        SELECT min(l2.l_extendedprice)
+        FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+                         JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                         JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+"""
+
+
+@q("sql_tpch_q2_min_cost", _Q2)
+def sql_tpch_q2_min_cost(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): correlated scalar-min
+    subquery over the same 4-way join as the outer block. Min sale price
+    from lineitem stands in for ps_supplycost (no partsupp in fixture)."""
+    return engine_for(spark, sf_dir).sql(_Q2)
+
+
+_Q11 = """
+    WITH natval AS (
+      SELECT l_partkey,
+             CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS v
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_2', 'NATION_7')
+    )
+    SELECT l_partkey, CAST(sum(v) AS DOUBLE) AS value
+    FROM natval
+    GROUP BY l_partkey
+    HAVING sum(v) > (SELECT sum(v) * 0.001 FROM natval)
+"""
+
+
+@q("sql_tpch_q11_important_stock", _Q11)
+def sql_tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): HAVING compared against a
+    scalar subquery over the SAME aggregate input — the CTE is read twice.
+    DECIMAL accumulation keeps the threshold comparison exact on both
+    engines. Lineitem value stands in for ps_supplycost*ps_availqty."""
+    return engine_for(spark, sf_dir).sql(_Q11)
+
+
+_Q12 = """
+    SELECT l_returnflag AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+"""
+
+
+@q("sql_tpch_q12_late_priority", _Q12)
+def sql_tpch_q12_late_priority(spark, sf_dir):
+    """TPC-H Q12 shape (shipping priority pivot): conditional CASE-sum
+    pivot on order priority. returnflag stands in for l_shipmode and
+    shipdate-vs-orderdate lateness for the receipt/commit comparison."""
+    return engine_for(spark, sf_dir).sql(_Q12)
+
+
+_Q16 = """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#2' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+"""
+
+
+@q("sql_tpch_q16_supplier_cnt", _Q16)
+def sql_tpch_q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship): COUNT DISTINCT per part
+    attribute triple with a NOT IN anti-join (negative-balance suppliers
+    stand in for the complaints LIKE predicate)."""
+    return engine_for(spark, sf_dir).sql(_Q16)
+
+
+_Q20 = """
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > 30)
+"""
+
+
+@q("sql_tpch_q20_promo_suppliers", _Q20)
+def sql_tpch_q20_promo_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (part-promotion suppliers): IN over a grouped
+    HAVING subquery that itself contains an IN-style join on a LIKE-
+    filtered part list. Shipped-quantity threshold stands in for the
+    correlated availqty comparison (no partsupp)."""
+    return engine_for(spark, sf_dir).sql(_Q20)
+
+
+_Q21 = """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+                  JOIN orders ON o_orderkey = l1.l_orderkey
+                  JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_1'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 45 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 45 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 100
+"""
+
+
+@q("sql_tpch_q21_waiting", _Q21)
+def sql_tpch_q21_waiting(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting): the double
+    correlated EXISTS / NOT EXISTS — the only supplier late on a
+    multi-supplier order. Shipdate-vs-orderdate lateness stands in for
+    receiptdate > commitdate."""
+    return engine_for(spark, sf_dir).sql(_Q21)
+
+
+_Q22 = """
+    SELECT CAST(c_nationkey AS INT) AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(round(c_acctbal, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+    FROM customer
+    WHERE c_nationkey IN (1, 3, 5, 7, 11, 13, 17)
+      AND c_acctbal > (
+        SELECT CAST(sum(CAST(round(c_acctbal, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*)
+        FROM customer
+        WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 11, 13, 17))
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-06-01')
+    GROUP BY c_nationkey
+"""
+
+
+@q("sql_tpch_q22_idle_balance", _Q22)
+def sql_tpch_q22_idle_balance(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity): scalar-average threshold
+    subquery plus NOT EXISTS anti-join on recent orders. c_nationkey
+    stands in for the c_phone country-code substring; the average is
+    computed as exact-DECIMAL sum / count so the threshold comparison
+    cannot diverge between engines."""
+    return engine_for(spark, sf_dir).sql(_Q22)
+
+
 # ---------------------------------------------------------------------------
 # Dimension extraction + limitSpec + search specs (SURVEY §2.2 F13, §2.3, Q7)
 # ---------------------------------------------------------------------------
