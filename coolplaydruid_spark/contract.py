@@ -17,7 +17,15 @@ from pyspark.sql import functions as F
 
 from coolplaydruid_spark.catalog import Catalog, register_fixtures
 from coolplaydruid_spark.engine import DruidEngine
-from coolplaydruid_spark.operators import dedup, multimodal, sampling, similarity, text
+from coolplaydruid_spark.operators import (
+    corpus,
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
+from coolplaydruid_spark.operators.corpus import EMAIL_RE, IPV4_RE, LONGNUM_RE
 
 _ENGINES: dict[tuple[int, str], DruidEngine] = {}
 
@@ -2668,3 +2676,116 @@ def multimodal_frame_sample(spark, sf_dir):
     return frames.select(
         "media_id", "frame_ts_ms", F.md5(F.col("frame")).alias("frame_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics & cleaning (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "corpus_bigram_top50",
+    f"""
+    WITH toks AS (
+      SELECT {DUCK_TOKS} AS t FROM documents
+    ), g AS (
+      SELECT unnest(CASE WHEN len(t) >= 2
+                         THEN list_transform(range(1, len(t)),
+                              i -> array_to_string(list_slice(t, i, i + 1), ' '))
+                         ELSE CAST([] AS VARCHAR[]) END) AS ngram
+      FROM toks
+    )
+    SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+    FROM g GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50
+    """,
+)
+def corpus_bigram_top50(spark, sf_dir):
+    """Corpus bigram frequency top-50 (every occurrence counted, unlike
+    per-doc-distinct shingles): partial-agg → one gram shuffle →
+    TakeOrdered with the (cnt DESC, gram ASC) total order."""
+    eng = engine_for(spark, sf_dir)
+    return corpus.ngram_top_k(eng.catalog.table("documents"), n=2, k=50)
+
+
+# Deterministic synthetic PII appended per doc so the redactor provably
+# rewrites (the fixture corpus itself contains no emails/IPs): an email
+# whose local part embeds the doc_id, an IPv4 from doc_id arithmetic,
+# and a 10-digit account number.
+_PII_SUFFIX_SPARK = (
+    "concat(text, ' contact u', CAST(doc_id AS STRING), '@example.com ip 10.0.',"
+    " CAST(doc_id % 256 AS STRING), '.7 acct ', CAST(7770000000 + doc_id AS STRING))"
+)
+_PII_SUFFIX_DUCK = (
+    "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.7 acct ' || CAST(7770000000 + doc_id AS VARCHAR)"
+)
+
+
+@q(
+    "corpus_pii_redact",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id, {_PII_SUFFIX_DUCK} AS text FROM documents
+    ), s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+             regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+      FROM seeded
+    ), s2 AS (
+      SELECT doc_id, n_emails,
+             len(regexp_extract_all(t1, '{IPV4_RE}')) AS n_ips,
+             regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2
+      FROM s1
+    )
+    SELECT doc_id,
+           md5(regexp_replace(t2, '{LONGNUM_RE}', '<NUM>', 'g')) AS redacted_md5,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_ips AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t2, '{LONGNUM_RE}')) AS BIGINT) AS n_long_numbers
+    FROM s2
+    """,
+)
+def corpus_pii_redact(spark, sf_dir):
+    """PII scrubbing (emails → IPs → long numbers, counted as removed)
+    over docs seeded with deterministic synthetic PII; result is the
+    md5 of the redacted text plus per-category counts. Map-only."""
+    eng = engine_for(spark, sf_dir)
+    seeded = eng.catalog.table("documents").select(
+        "doc_id", F.expr(_PII_SUFFIX_SPARK).alias("text")
+    )
+    out = corpus.pii_redact(seeded)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+        "n_emails",
+        "n_ips",
+        "n_long_numbers",
+    )
+
+
+@q(
+    "corpus_mixture_report",
+    f"""
+    WITH per AS (
+      SELECT lang, source, len({DUCK_TOKS}) AS tok FROM documents
+    ), grp AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS total_tokens
+      FROM per GROUP BY lang, source
+    ), grand AS (
+      SELECT CAST(count(*) AS BIGINT) AS all_docs,
+             CAST(sum(tok) AS BIGINT) AS all_tokens FROM per
+    )
+    SELECT lang, source, n_docs, total_tokens,
+           round(n_docs / all_docs, 6) AS doc_share,
+           round(total_tokens / all_tokens, 6) AS token_share
+    FROM grp, grand
+    """,
+)
+def corpus_mixture_report(spark, sf_dir):
+    """Language × source mixture composition (docs, tokens, shares) in
+    ONE corpus pass: a single agg shuffle collapses the corpus to the
+    group rows; grand totals are a constant-partition window over that
+    tiny set."""
+    eng = engine_for(spark, sf_dir)
+    return corpus.mixture_report(eng.catalog.table("documents"))

@@ -1,0 +1,133 @@
+"""Corpus-level statistics and cleaning operators for training-data
+pipelines: n-gram frequency tables, PII redaction, dataset-mixture
+composition reports.
+
+Design rules (same as operators/text.py):
+ - built-in Spark SQL expressions only — whole-stage codegen, no Python;
+ - deterministic formulas mirrored 1:1 by the DuckDB oracles in
+   contract.py;
+ - one scan, one shuffle where an aggregation is inherent, none where it
+   isn't.
+
+100 TB shapes:
+ - ngram_top_k: map-side partial counts collapse the per-partition gram
+   stream before the single hash shuffle on the gram; the final top-k is
+   a TakeOrdered over the (much smaller) distinct-gram space.
+ - pii_redact: map-only projection — the cost is the scan.
+ - mixture_report: ONE pass — a single agg shuffle collapses the corpus
+   to the group rows; grand totals are a constant-partition window over
+   that tiny set, so the corpus is never scanned twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from coolplaydruid_spark.operators.text import tokens
+
+# Shared with the DuckDB oracle (RE2-compatible: explicit classes, no
+# lookaround, no \d shorthand — identical semantics in Java regex).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONGNUM_RE = r"[0-9]{7,}"
+IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def ngram_top_k(
+    df: DataFrame, n: int = 2, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Top-k word n-grams by corpus frequency (count DESC, gram ASC —
+    a total order, so the cut is deterministic).
+
+    Unlike dedup.shingles this keeps EVERY occurrence (frequency
+    statistics, not per-doc membership) and documents shorter than n
+    tokens contribute nothing. This is the corpus-statistics primitive
+    behind BPE-merge candidate mining and boilerplate detection."""
+    t = tokens(F.col(text_col))
+
+    def gram(i):
+        parts = []
+        for j in range(n):
+            if j:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at(t, i + j))
+        return F.concat(*parts)
+
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub emails, IPv4 addresses, and long (>= 7 digit) numbers from
+    the text, in that order, counting each as it is removed. Later
+    patterns run on the already-redacted text so an email's local part
+    or an IP's octets are never double-counted as numbers.
+
+    Returns (id, redacted, n_emails, n_ips, n_long_numbers). Map-only:
+    at 100 TB the cost is the scan + regex CPU; no shuffle."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n_emails = F.size(F.regexp_extract_all(txt, F.lit(EMAIL_RE), 0))
+    step1 = F.regexp_replace(txt, EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(step1, F.lit(IPV4_RE), 0))
+    step2 = F.regexp_replace(step1, IPV4_RE, "<IP>")
+    n_nums = F.size(F.regexp_extract_all(step2, F.lit(LONGNUM_RE), 0))
+    step3 = F.regexp_replace(step2, LONGNUM_RE, "<NUM>")
+    return df.select(
+        F.col(id_col),
+        step3.alias("redacted"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_nums.cast("long").alias("n_long_numbers"),
+    )
+
+
+def mixture_report(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-composition report: per group (e.g. language × source),
+    document count, total whitespace tokens, and each group's share of
+    corpus documents/tokens — the report every mixture-weighted training
+    run starts from.
+
+    Single-pass: ONE scan + one aggregation shuffle collapse the corpus
+    to the per-group rows; the grand totals are then a window over that
+    already-tiny group set (cardinality = langs × sources, bounded by
+    construction), partitioned by a constant so the one-partition step
+    only ever sees group rows, never documents."""
+    from pyspark.sql import Window
+
+    counted = df.select(
+        *[F.col(c) for c in group_cols],
+        F.size(tokens(F.col(text_col))).cast("long").alias("__tok"),
+    )
+    grouped = counted.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__tok").cast("long").alias("total_tokens"),
+    )
+    # pmod(n_docs, n_docs) is 0 on every row (one partition — the
+    # bounded group set) but not constant-foldable, so Spark keeps a
+    # partition spec and doesn't emit the "No Partition Defined" warning
+    # meant for accidental global windows over raw data.
+    w = Window.partitionBy(F.pmod(F.col("n_docs"), F.col("n_docs")))
+    return grouped.select(
+        *[F.col(c) for c in group_cols],
+        F.col("n_docs"),
+        F.col("total_tokens"),
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("doc_share"),
+        F.round(
+            F.col("total_tokens") / F.sum("total_tokens").over(w), 6
+        ).alias("token_share"),
+    )

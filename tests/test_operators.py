@@ -425,3 +425,56 @@ def test_pack_sequences_invariants(engine):
 
     again = packing.pack_sequences(docs, budget=budget).collect()
     assert sorted(b["seq_id"] for b in bins) == sorted(b["seq_id"] for b in again)
+
+
+def test_ngram_top_k_counts_every_occurrence(spark):
+    from coolplaydruid_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (3, "x"), (4, None), (5, "")],
+        ["doc_id", "text"],
+    )
+    rows = corpus.ngram_top_k(df, n=2, k=10).collect()
+    got = {r["ngram"]: r["cnt"] for r in rows}
+    # "a b" appears twice in doc 1 and once in doc 2; short/empty docs
+    # contribute nothing (no whole-doc fallback, unlike shingles).
+    assert got == {"a b": 3, "b a": 1, "b c": 1}
+    # deterministic cut order: cnt DESC then gram ASC
+    assert [r["ngram"] for r in rows] == ["a b", "b a", "b c"]
+
+
+def test_pii_redact_order_and_counts(spark):
+    from coolplaydruid_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob123456789@corp.example.org now"),
+            (2, "ip 192.168.254.001 acct 7770001234"),
+            (3, "clean text"),
+            (4, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in corpus.pii_redact(df).collect()}
+    # the email's 9-digit local part must NOT also count as a long number
+    assert out[1]["n_emails"] == 1 and out[1]["n_long_numbers"] == 0
+    assert out[1]["redacted"] == "mail <EMAIL> now"
+    assert out[2]["n_ips"] == 1 and out[2]["n_long_numbers"] == 1
+    assert out[2]["redacted"] == "ip <IP> acct <NUM>"
+    assert out[3]["redacted"] == "clean text"
+    assert out[4]["redacted"] == ""
+
+
+def test_mixture_report_single_pass_and_shares(engine):
+    from coolplaydruid_spark.operators import corpus
+
+    df = corpus.mixture_report(engine.catalog.table("documents"))
+    rows = df.collect()
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-3
+    # no group value is NULL in the output (grouping_id, not null-ness,
+    # distinguishes subtotal rows)
+    assert all(r["lang"] is not None and r["source"] is not None for r in rows)
+    # single-pass plan: exactly one scan of the documents parquet
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("parquet coolplaydruid") + plan.lower().count("filescan") <= 2
