@@ -2789,3 +2789,99 @@ def corpus_mixture_report(spark, sf_dir):
     tiny set."""
     eng = engine_for(spark, sf_dir)
     return corpus.mixture_report(eng.catalog.table("documents"))
+
+
+# ---------------------------------------------------------------------------
+# JavaScript-source compatibility (functions/jsexpr.py — transpiled, JVM-side)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "groupby_js_extraction",
+    f"""
+    SELECT upper(substr(event_type, 1, 1)) || ':'
+             || CAST(length(event_type) AS VARCHAR) AS jskey,
+           CAST(count(*) AS BIGINT) AS rows
+    FROM events WHERE {EVENTS_WHERE} GROUP BY 1
+    """,
+)
+def groupby_js_extraction(spark, sf_dir):
+    """JS-SOURCE extractionFn as a groupBy dimension: the source string
+    is transpiled to a native Column (no script engine, no UDF —
+    functions/jsexpr.py), matching Druid's javascript extractionFn
+    (DimensionSpecs, query-module-overview.md:45)."""
+    eng = engine_for(spark, sf_dir)
+    return eng.plan(
+        {
+            "queryType": "groupBy",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimensions": [
+                {
+                    "type": "extraction",
+                    "dimension": "event_type",
+                    "outputName": "jskey",
+                    "extractionFn": {
+                        "type": "javascript",
+                        "function": (
+                            "function(x) { return x.charAt(0).toUpperCase()"
+                            " + ':' + String(x.length) }"
+                        ),
+                    },
+                }
+            ],
+            "aggregations": [{"type": "count", "name": "rows"}],
+            "intervals": EVENTS_INTERVAL,
+        }
+    ).drop("ts_bucket")
+
+
+@q(
+    "timeseries_js_filter_agg",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_bucket,
+           CAST(count(*) AS BIGINT) AS rows,
+           round(sum(value * value), 2) AS sumsq
+    FROM events
+    WHERE {EVENTS_WHERE}
+      AND position('c' IN event_type) >= 1 AND length(event_type) >= 5
+    GROUP BY 1
+    """,
+)
+def timeseries_js_filter_agg(spark, sf_dir):
+    """JS-SOURCE filter + JS-SOURCE additive-fold aggregator in one
+    timeseries: both transpiled to whole-stage-codegen expressions — the
+    filter to a predicate, the fnAggregate to a native sum of the
+    per-row increment (functions/jsexpr.py)."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "day",
+            "filter": {
+                "type": "javascript",
+                "dimension": "event_type",
+                "function": (
+                    "function(t) { return t.indexOf('c') >= 0"
+                    " && t.length >= 5 }"
+                ),
+            },
+            "aggregations": [
+                {"type": "count", "name": "rows"},
+                {
+                    "type": "javascript",
+                    "name": "sumsq",
+                    "fieldNames": ["value"],
+                    "fnAggregate": (
+                        "function(current, v) { return current + v * v }"
+                    ),
+                    "fnCombine": "function(a, b) { return a + b }",
+                    "fnReset": "function() { return 0 }",
+                },
+            ],
+            "intervals": EVENTS_INTERVAL,
+            "context": {"skipEmptyBuckets": True},
+        }
+    )
+    return df.withColumn("sumsq", F.round(F.col("sumsq"), 2))

@@ -202,8 +202,26 @@ def _compile_one(spec: dict, context: dict, filter_pred: Column | None):
                 wrapper.__annotations__ = {"series": pd.Series, "return": float}
             udaf = pandas_udf(wrapper, return_type)
             return udaf(*[guard(F.col(f)) for f in fields]), None
+        if isinstance(spec.get("fnAggregate"), str):
+            # JS-source additive folds (`return current + <expr>`) are
+            # transpiled to a native sum over the per-row increment
+            # (functions/jsexpr.py) — fully JVM-side and mergeable, which
+            # is the only JS-aggregator shape with a distributed
+            # equivalent that needs no per-row script engine. fnCombine/
+            # fnReset are implied by sum semantics and ignored.
+            from coolplaydruid_spark.functions.jsexpr import (
+                compile_additive_aggregator,
+            )
+
+            fields = spec.get("fieldNames") or [spec["fieldName"]]
+            return (
+                compile_additive_aggregator(
+                    spec["fnAggregate"], [guard(F.col(f)) for f in fields]
+                ),
+                0.0,
+            )
         raise NotImplementedError(
-            "javascript aggregator source strings unsupported — pass a "
-            "Python callable as 'fn' (SURVEY §2.9)"
+            "javascript aggregator: pass JS fnAggregate source (additive "
+            "fold subset) or a Python callable as 'fn' (SURVEY §2.9)"
         )
     raise ValueError(f"unknown aggregator type {atype!r}")

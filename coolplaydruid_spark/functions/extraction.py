@@ -66,9 +66,16 @@ def apply_extraction(col: Column, spec: dict | None) -> Column:
         fn = spec.get("function")
         if callable(fn):
             return F.udf(fn, T.StringType())(col)
+        if isinstance(fn, str):
+            # JS source transpiled to a native Column (functions/jsexpr.py):
+            # JVM-side, codegen-friendly, no script engine. Druid
+            # extractionFns emit strings, so the result is cast.
+            from coolplaydruid_spark.functions.jsexpr import compile_scalar
+
+            return compile_scalar(fn, [col]).cast("string")
         raise NotImplementedError(
-            "javascript extractionFn: pass a Python callable as 'function' "
-            "(JS source compat is out of scope, SURVEY §2.9)"
+            "javascript extractionFn: pass JS source (transpiled subset) "
+            "or a Python callable as 'function' (SURVEY §2.9)"
         )
     raise ValueError(f"unknown extractionFn type {etype!r}")
 

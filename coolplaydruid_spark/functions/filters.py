@@ -89,9 +89,16 @@ def _compile(spec: dict, array_dims: set[str]) -> Column:
         fn = spec.get("function")
         if callable(fn):
             return F.udf(fn, T.BooleanType())(_dim_col(spec))
+        if isinstance(fn, str):
+            # JS source is TRANSPILED to a native Column predicate
+            # (functions/jsexpr.py) — runs in whole-stage codegen, no
+            # script engine, no UDF. Out-of-subset source raises.
+            from coolplaydruid_spark.functions.jsexpr import compile_predicate
+
+            return compile_predicate(fn, [_dim_col(spec)])
         raise NotImplementedError(
-            "javascript filter: pass a Python callable as 'function' "
-            "(JS source compat is out of scope, SURVEY §2.9)"
+            "javascript filter: pass JS source (transpiled subset) or a "
+            "Python callable as 'function' (SURVEY §2.9)"
         )
     if ftype == "true":
         return F.lit(True)

@@ -1,0 +1,172 @@
+"""JS-source transpiler (functions/jsexpr.py): expression battery,
+truthiness, the three integration points (filter / extractionFn /
+aggregator), and subset rejection."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from coolplaydruid_spark.functions import jsexpr
+from coolplaydruid_spark.functions.jsexpr import JsSubsetError
+
+
+def _eval_scalar(spark, src, value):
+    df = spark.createDataFrame([(value,)], ["x"])
+    out = df.select(jsexpr.compile_scalar(src, [F.col("x")]).alias("r"))
+    return out.collect()[0]["r"]
+
+
+@pytest.mark.parametrize(
+    "src,value,expected",
+    [
+        ("function(x) { return x.substring(0, 3) }", "hello", "hel"),
+        ("function(x) { return x.substring(2) }", "hello", "llo"),
+        ("function(x) { return x.substr(1, 3) }", "hello", "ell"),
+        ("function(x) { return x.charAt(1) }", "hello", "e"),
+        ("function(x) { return x.toUpperCase() }", "hello", "HELLO"),
+        ("function(x) { return x.trim() }", "  hi  ", "hi"),
+        ("function(x) { return x.concat('!') }", "hi", "hi!"),
+        # JS replace: FIRST occurrence only
+        ("function(x) { return x.replace('l', 'L') }", "hello", "heLlo"),
+        ("function(x) { return x.replace('zz', 'L') }", "hello", "hello"),
+        ("function(x) { return x + '-suffix' }", "a", "a-suffix"),
+        ("function(x) { return 'pre-' + x }", "a", "pre-a"),
+        ("function(x) { return String(x.length) }", "hello", "5"),
+        (
+            "function(x) { var h = x.substring(0, 2); return h + ':' + h }",
+            "hello",
+            "he:he",
+        ),
+        (
+            "function(x) { return x.indexOf('l') >= 0 ? 'has-l' : 'no-l' }",
+            "hello",
+            "has-l",
+        ),
+        (
+            "function(x) { return x.indexOf('z') >= 0 ? 'has-z' : 'no-z' }",
+            "hello",
+            "no-z",
+        ),
+    ],
+)
+def test_scalar_string_exprs(spark, src, value, expected):
+    assert _eval_scalar(spark, src, value) == expected
+
+
+@pytest.mark.parametrize(
+    "src,value,expected",
+    [
+        ("function(x) { return Number(x) * 2 + 1 }", "10", 21.0),
+        ("function(x) { return parseInt(x) / 4 }", "10", 2.5),
+        ("function(x) { return Math.min(Number(x), 5) }", "10", 5.0),
+        ("function(x) { return Math.max(Number(x), 5) }", "3", 5.0),
+        ("function(x) { return Math.abs(0 - Number(x)) }", "7", 7.0),
+        ("function(x) { return Math.floor(Number(x) / 3) }", "10", 3.0),
+        ("function(x) { return Math.ceil(Number(x) / 3) }", "10", 4.0),
+        ("function(x) { return Math.pow(Number(x), 2) }", "3", 9.0),
+        # JS Math.round(-2.5) == -2 (floor(x+0.5)), unlike SQL HALF_UP
+        ("function(x) { return Math.round(Number(x)) }", "-2.5", -2.0),
+        ("function(x) { return Math.round(Number(x)) }", "2.5", 3.0),
+        ("function(x) { return Number(x) % 3 }", "10", 1.0),
+        ("function(x) { return -Number(x) % 3 }", "10", -1.0),
+        ("function(x) { return x.length * 1 }", "hello", 5.0),
+    ],
+)
+def test_scalar_numeric_exprs(spark, src, value, expected):
+    assert _eval_scalar(spark, src, value) == pytest.approx(expected)
+
+
+def test_predicate_truthiness_and_filter_integration(spark):
+    df = spark.createDataFrame(
+        [("apple",), ("banana",), ("",), ("cherry",)], ["d"]
+    )
+    # boolean return
+    p = jsexpr.compile_predicate(
+        "function(d) { return d.indexOf('an') >= 0 }", [F.col("d")]
+    )
+    assert [r["d"] for r in df.where(p).collect()] == ["banana"]
+    # string return -> truthy iff non-empty (JS semantics)
+    p2 = jsexpr.compile_predicate("function(d) { return d }", [F.col("d")])
+    assert sorted(r["d"] for r in df.where(p2).collect()) == [
+        "apple", "banana", "cherry",
+    ]
+    # via the filter compiler with JS SOURCE (not a callable)
+    from coolplaydruid_spark.functions.filters import compile_filter
+
+    pred = compile_filter(
+        {
+            "type": "javascript",
+            "dimension": "d",
+            "function": "function(d) { return d.length > 5 }",
+        }
+    )
+    assert sorted(r["d"] for r in df.where(pred).collect()) == ["banana", "cherry"]
+    # plan stays JVM-side: no BatchEvalPython / pythonUDF in the plan
+    plan = df.where(pred)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_extraction_fn_js_source(spark):
+    from coolplaydruid_spark.functions.extraction import apply_extraction
+
+    df = spark.createDataFrame([("click",), ("purchase",)], ["event_type"])
+    col = apply_extraction(
+        F.col("event_type"),
+        {
+            "type": "javascript",
+            "function": "function(x) { return x.substring(0, 2).toUpperCase() }",
+        },
+    )
+    assert [r["r"] for r in df.select(col.alias("r")).collect()] == ["CL", "PU"]
+
+
+def test_js_aggregator_additive_fold(spark):
+    from coolplaydruid_spark.functions.jsexpr import compile_additive_aggregator
+
+    df = spark.createDataFrame(
+        [(1, 2.0, 10.0), (1, 3.0, 20.0), (2, 4.0, 30.0)], ["k", "a", "b"]
+    )
+    agg = compile_additive_aggregator(
+        "function(current, a, b) { return current + a * b }",
+        [F.col("a"), F.col("b")],
+    )
+    got = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k").agg(agg.alias("s")).collect()
+    }
+    assert got == {1: pytest.approx(80.0), 2: pytest.approx(120.0)}
+    # engine-level: javascript aggregator with JS source strings
+    from coolplaydruid_spark.functions.aggregators import compile_aggregators
+
+    compiled = compile_aggregators(
+        [
+            {
+                "type": "javascript",
+                "name": "wsum",
+                "fieldNames": ["a", "b"],
+                "fnAggregate": "function(current, a, b) { return current + a * b }",
+                "fnCombine": "function(pa, pb) { return pa + pb }",
+                "fnReset": "function() { return 0 }",
+            }
+        ],
+        {},
+    )
+    assert not compiled.py_exprs  # native, not pandas-UDF path
+    row = df.agg(*compiled.exprs).collect()[0]
+    assert row["wsum"] == pytest.approx(200.0)
+
+
+@pytest.mark.parametrize(
+    "src",
+    [
+        "function(current, a) { return current * a }",  # non-additive fold
+        "function(x) { return x.split(',') }",  # unsupported method
+        "function(x) { while(true) { } return x }",  # unsupported statement
+        "function(x) { return y }",  # unknown identifier
+    ],
+)
+def test_subset_rejection(src):
+    with pytest.raises((JsSubsetError, NotImplementedError)):
+        if "current" in src:
+            jsexpr.compile_additive_aggregator(src, [F.lit(1.0)])
+        else:
+            jsexpr.compile_scalar(src, [F.lit("x")])
