@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from coolplaydruid_spark.operators.text import tokens
+from coolplaydruid_spark.operators.util import spread
 
 # Shared with the DuckDB oracle (RE2-compatible: explicit classes, no
 # lookaround, no \d shorthand — identical semantics in Java regex).
@@ -43,7 +44,13 @@ def ngram_top_k(
     statistics, not per-doc membership) and documents shorter than n
     tokens contribute nothing. This is the corpus-statistics primitive
     behind BPE-merge candidate mining and boilerplate detection."""
-    t = tokens(F.col(text_col))
+    # Materialize the token array as a named column FIRST: inside the
+    # transform() lambda below, a bare tokens(text) expression would be
+    # re-evaluated (regex split and all) for every element of the
+    # sequence — O(tokens^2) per document. A column reference binds the
+    # array once per row (same rule as dedup.shingles).
+    tok_df = spread(df).select(tokens(F.col(text_col)).alias("__toks"))
+    t = F.col("__toks")
 
     def gram(i):
         parts = []
@@ -58,7 +65,7 @@ def ngram_top_k(
         F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)), gram),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.explode(grams).alias("ngram"))
+        tok_df.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("ngram"))
