@@ -20,6 +20,7 @@ from coolplaydruid_spark.engine import DruidEngine
 from coolplaydruid_spark.operators import (
     corpus,
     dedup,
+    graph,
     multimodal,
     sampling,
     similarity,
@@ -2364,6 +2365,54 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_ngram_jaccard(spark, sf_dir):
     eng = engine_for(spark, sf_dir)
     return dedup.ngram_jaccard_pairs(eng.catalog.table("documents"), threshold=0.5)
+
+
+@q(
+    "dedup_cluster_sizes",
+    # the reach CTE is recursive, and RECURSIVE must be declared on the
+    # (shared) leading WITH
+    DUCK_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+    , co AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+    p AS (
+      SELECT doc_a, doc_b
+      FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
+              JOIN sizes sb ON co.doc_b = sb.doc_id
+      WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+    reach AS (
+      SELECT src AS vertex, src AS r FROM edges
+      UNION
+      SELECT e.dst AS vertex, rr.r FROM reach rr JOIN edges e ON e.src = rr.vertex
+    ),
+    comp AS (SELECT vertex, min(r) AS component FROM reach GROUP BY vertex)
+    SELECT component AS cluster_id, CAST(count(*) AS BIGINT) AS n_members
+    FROM comp GROUP BY component HAVING count(*) >= 2 ORDER BY cluster_id
+    """,
+)
+def dedup_cluster_sizes(spark, sf_dir):
+    """Transitive near-dup clusters: n-gram Jaccard pairs closed under
+    reachability (operators/graph.connected_components — iterative
+    min-label propagation, a genuinely iterative algorithm the oracle
+    mirrors with a recursive CTE). Returns the multi-member clusters
+    with their sizes; the corpus-wide assignment join is broadcast
+    (tests/test_graph.py pins the plan)."""
+    eng = engine_for(spark, sf_dir)
+    docs = eng.catalog.table("documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    clustered = graph.dedup_clusters(docs, pairs)
+    return (
+        clustered.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .where(F.col("n_members") >= 2)
+        .orderBy("cluster_id")
+    )
 
 
 def _duck_simhash_bits() -> str:

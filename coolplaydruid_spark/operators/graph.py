@@ -1,0 +1,128 @@
+"""Distributed connected components over a pair/edge set — the
+transitive-closure step of near-dup clustering.
+
+``apply_dedup_filter`` (operators/dedup.py) drops the higher id of every
+pair, which keeps the minimum of each *star*; when near-dup relations
+chain (A~B, B~C, but A!~C — common for shingled text where each edit
+shifts the shingle set a little), a pipeline wants the full cluster:
+every document labeled with the smallest doc id transitively reachable
+through the pair graph. That label IS the canonical representative, and
+"keep one per cluster" / "pick best-quality per cluster" both hang off
+it.
+
+Spark-first design (no GraphX — it has no Python API; no RDDs):
+ - The pair set is orders of magnitude smaller than the corpus (it only
+   contains near-duplicates), so iterating over it is cheap relative to
+   the signature passes that produced it.
+ - Min-label propagation expressed as DataFrame joins: each round every
+   vertex takes the min of its own label and its neighbors' labels.
+   Rounds = graph diameter; dedup clusters are short chains, so a
+   handful of rounds closes them. Each round is one shuffle of the
+   (small) edge set — a 1000-executor cluster does this in seconds.
+ - ``localCheckpoint`` every round truncates the lineage so the plan
+   doesn't grow exponentially across iterations (the classic iterative-
+   DataFrame trap), and convergence is detected with a count of changed
+   labels — one cheap action per round on the label set, never the
+   corpus.
+
+Reference parity: Druid 0.12 has no graph operator — this is part of
+the training-data-pipeline surface (dedup clustering), not the Druid
+query surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Label every vertex of the undirected pair graph with the minimum
+    vertex id in its connected component.
+
+    Returns (vertex, component) with one row per distinct vertex
+    appearing in ``pairs``. Deterministic: the component label is the
+    component's smallest member under the column's natural ordering.
+
+    Min-label propagation: labels start as the vertex's own id; each
+    round a vertex adopts the smallest label among itself and its
+    neighbors; stop when a round changes nothing. Convergence takes at
+    most ``graph diameter`` rounds — tiny for real dedup chains, and far
+    below the default bound; a non-converged run raises rather than
+    returning partial labels.
+    """
+    # Undirected edge list, both directions, self-loop-free.
+    e = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).where(F.col(src_col) != F.col(dst_col))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("src").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        # Neighbor minimum: for each dst, the smallest label among its
+        # neighbors (src side carries the labels into the join).
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("vertex", "src"), on="src"
+            )
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, on="vertex", how="left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component"))
+                .alias("__changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.where(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds "
+        "— raise max_iterations (graph diameter exceeds the bound)"
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Cluster id for every document: the smallest doc id transitively
+    reachable through the near-dup ``pairs`` graph; singletons (documents
+    in no pair) are their own cluster.
+
+    The component labeling runs on the pair graph only (near-dup
+    vertices — tiny next to the corpus); the corpus-wide assignment is
+    one broadcast left join, so the full table is never shuffled."""
+    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    return df.join(
+        F.broadcast(comp.withColumnRenamed("vertex", id_col)),
+        on=id_col,
+        how="left",
+    ).withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col))).drop(
+        "component"
+    )

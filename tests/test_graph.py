@@ -1,0 +1,59 @@
+"""Connected components / dedup clustering (operators/graph.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from coolplaydruid_spark.operators import graph
+
+from tests.conftest import spark  # noqa: F401
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+
+def test_chain_collapses_to_min_label(spark):
+    # 1-2, 2-3, 3-4 chain plus an isolated 10-11 pair: transitive
+    # closure must label the whole chain 1 even though (1,4) was never
+    # a pair — exactly what apply_dedup_filter's star policy misses.
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    got = {
+        r["vertex"]: r["component"]
+        for r in graph.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_direction_and_duplicates_irrelevant(spark):
+    # Reversed edges, duplicate edges, and self-loops change nothing.
+    pairs = _pairs(spark, [(5, 2), (2, 5), (2, 9), (9, 9), (5, 2)])
+    got = {
+        r["vertex"]: r["component"]
+        for r in graph.connected_components(pairs).collect()
+    }
+    assert got == {2: 2, 5: 2, 9: 2}
+
+
+def test_dedup_clusters_assigns_singletons_to_self(spark):
+    docs = spark.range(1, 8).select(F.col("id").alias("doc_id"))
+    pairs = _pairs(spark, [(2, 4), (4, 6)])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in graph.dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3, 4: 2, 5: 5, 6: 2, 7: 7}
+
+
+def test_nonconvergence_raises(spark):
+    pairs = _pairs(spark, [(i, i + 1) for i in range(1, 8)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(pairs, max_iterations=2)
+
+
+def test_corpus_never_shuffled_for_cluster_assignment(spark):
+    """The corpus-side join must be a broadcast (the component map is
+    near-dup-sized, the corpus is 100 TB)."""
+    docs = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    pairs = _pairs(spark, [(1, 2), (2, 3)])
+    plan = graph.dedup_clusters(docs, pairs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
