@@ -2756,6 +2756,51 @@ def corpus_bigram_top50(spark, sf_dir):
     return corpus.ngram_top_k(eng.catalog.table("documents"), n=2, k=50)
 
 
+@q(
+    "text_repetition_signals",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {DUCK_TOKS} AS t FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(t) AS w FROM toks
+    ), tc AS (
+      SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2
+    ), ts AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS distinct_token_ratio,
+             round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_token_frac
+      FROM tc GROUP BY 1
+    ), g AS (
+      SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+                       THEN list_transform(range(1, len(t)),
+                            i -> array_to_string(list_slice(t, i, i + 1), ' '))
+                       ELSE CAST([] AS VARCHAR[]) END) AS gm
+      FROM toks
+    ), gc AS (
+      SELECT doc_id, gm, count(*) AS c FROM g GROUP BY 1, 2
+    ), gs AS (
+      SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
+      FROM gc GROUP BY 1
+    )
+    SELECT d.doc_id, coalesce(ts.n_tokens, 0) AS n_tokens,
+           coalesce(ts.distinct_token_ratio, 0.0) AS distinct_token_ratio,
+           coalesce(ts.top_token_frac, 0.0) AS top_token_frac,
+           coalesce(gs.top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM documents d
+    LEFT JOIN ts ON d.doc_id = ts.doc_id
+    LEFT JOIN gs ON d.doc_id = gs.doc_id
+    """,
+)
+def text_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition filters (type-token ratio, top token /
+    bigram share): map-only in Spark — most-frequent counts are folds
+    over the sorted token array (operators/text.repetition_signals),
+    zero shuffles — while the oracle computes the same numbers
+    relationally (unnest + GROUP BY)."""
+    eng = engine_for(spark, sf_dir)
+    return text.repetition_signals(eng.catalog.table("documents"))
+
+
 # Deterministic synthetic PII appended per doc so the redactor provably
 # rewrites (the fixture corpus itself contains no emails/IPs): an email
 # whose local part embeds the doc_id, an IPv4 from doc_id arithmetic,

@@ -147,6 +147,71 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array — i.e.
+    the count of the most frequent element — as a single fold, no
+    explode/shuffle. Empty array → 0."""
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+     - n_tokens: whitespace token count
+     - distinct_token_ratio: |distinct tokens| / n_tokens (type-token
+       ratio; low = repetitive boilerplate)
+     - top_token_frac: share of the single most frequent token
+     - top_bigram_frac: share of the most frequent bigram among bigrams
+
+    Documents dominated by one token/bigram are machine-generated or
+    boilerplate — these are the standard repetition filters a pretraining
+    cleanup applies after dedup.
+
+    100 TB shape: map-only — the most-frequent-element count is a fold
+    over the SORTED token/bigram array (longest equal run), so there is
+    no explode, no groupBy, no shuffle; the cost is the scan. An empty
+    document yields zeros."""
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    t = F.col("__toks")
+    n = F.size(t)
+    # bigram array (empty when < 2 tokens), built from the bound column
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams)
+    frac = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.round(num.cast("double") / den, 6)
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        frac(F.size(F.array_distinct(t)), n).alias("distinct_token_ratio"),
+        frac(_max_run(F.array_sort(t)), n).alias("top_token_frac"),
+        frac(_max_run(F.array_sort(grams)), n_grams).alias("top_bigram_frac"),
+    )
+
+
 def contamination_check(
     docs: DataFrame,
     probes: DataFrame,

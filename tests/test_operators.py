@@ -478,3 +478,40 @@ def test_mixture_report_single_pass_and_shares(engine):
     # single-pass plan: exactly one scan of the documents parquet
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("parquet coolplaydruid") + plan.lower().count("filescan") <= 2
+
+
+def test_repetition_signals_edge_cases(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # one token repeated: ttr .25, top 1.0
+            (2, "x y x y x"),          # top token 3/5; top bigram 2/4
+            (3, "solo"),               # single token: no bigrams -> 0.0
+            (4, ""),                   # empty: all zeros
+            (5, None),                 # null text == empty
+            (6, "u v w"),              # all distinct: ttr 1, fracs 1/n
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["distinct_token_ratio"],
+            r["top_token_frac"],
+            r["top_bigram_frac"],
+        )
+        for r in text.repetition_signals(docs).collect()
+    }
+    assert got[1] == (4, 0.25, 1.0, 1.0)  # bigram "a a" is all 3 bigrams
+    assert got[2] == (5, 0.4, 0.6, 0.5)   # "x y" appears 2 of 4 bigrams
+    assert got[3] == (1, 1.0, 1.0, 0.0)
+    assert got[4] == (0, 0.0, 0.0, 0.0)
+    assert got[5] == (0, 0.0, 0.0, 0.0)
+    assert got[6] == (3, 1.0, round(1 / 3, 6), 0.5)
+
+
+def test_repetition_signals_map_only(engine):
+    """The whole computation must be a single projection — no Exchange
+    (the 100 TB cost is the scan, nothing else)."""
+    df = text.repetition_signals(engine.catalog.table("documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
