@@ -111,6 +111,7 @@ def index_task(
     zorder_by: list[str] | None = None,
     mode: str = "overwrite",
     repartition_by_dt: bool = True,
+    partitions_spec: dict | None = None,
 ) -> TaskStatus:
     """Druid `index` / `index_hadoop` task (I1/I2): build time-partitioned
     Parquet "segments" from input files.
@@ -119,6 +120,18 @@ def index_task(
     [druid agg specs]} — ingest-time pre-aggregation (the reference's
     write-time rollup, intro/what-is-druid.md:3); rolled-up tables answer
     matching queries from fewer rows.
+
+    partitions_spec: Druid's hashed secondary partitioning
+    ({"type": "hashed", "dimensions": [...], "numShards": N,
+    "tableName": name}) — segments sharded by dimension hash within each
+    time chunk. Spark-first this is a BUCKETED table: bucketBy(numShards,
+    dims) + partitionBy(__dt) via saveAsTable, so (a) equi-joins and
+    aggregations on the shard dims between co-bucketed tables run with
+    ZERO shuffle — at 100 TB the difference between a fact-fact join
+    being one scan or a full-network exchange — and (b) equality filters
+    prune to 1/numShards of the files (bucket pruning). The bucketed
+    layout is reachable via ``spark.table(tableName)``; the raw parquet
+    path stays readable as a plain table.
 
     Scale mechanics: one shuffle keyed by __dt (repartition before write
     avoids tiny files — each partition dir gets whole output files);
@@ -155,6 +168,29 @@ def index_task(
             )
         elif sort_by:
             out = out.sortWithinPartitions(*sort_by)
+        if partitions_spec:
+            ptype = partitions_spec.get("type", "hashed")
+            if ptype != "hashed":
+                raise ValueError(f"unsupported partitionsSpec type {ptype!r}")
+            dims = partitions_spec.get("dimensions") or [partitions_spec["dimension"]]
+            shards = int(partitions_spec.get("numShards", 8))
+            name = partitions_spec["tableName"]
+            writer = (
+                out.write.mode(mode)
+                .option("path", dest_path)
+                .partitionBy(DT_COLUMN)
+                .bucketBy(shards, *dims)
+            )
+            # within-bucket sort keeps row-group stats selective on the
+            # shard dims too
+            writer.sortBy(*(sort_by or dims)).format("parquet").saveAsTable(name)
+            REGISTRY.finish(
+                status.task_id,
+                True,
+                f"wrote {dest_path} as bucketed table {name} "
+                f"({shards} shards on {dims})",
+            )
+            return status
         out.write.mode(mode).partitionBy(DT_COLUMN).parquet(dest_path)
         REGISTRY.finish(status.task_id, True, f"wrote {dest_path}")
     except Exception as e:  # noqa: BLE001

@@ -345,3 +345,43 @@ def test_retention_task(spark, tmp_path):
     kept = {str(r[0]) for r in
             spark.read.parquet(dest).select(batch.DT_COLUMN).distinct().collect()}
     assert min(kept) == "2024-01-07"
+
+
+def test_hashed_partitions_spec_joins_without_shuffle(spark, tmp_path):
+    """Druid partitionsSpec {type: hashed} → Spark bucketed table: two
+    tables co-bucketed on user_id must sort-merge-join with ZERO
+    Exchange (the 100 TB fact-fact join shape), and a groupBy on the
+    bucket key must also aggregate shuffle-free."""
+    src = {"format": "parquet", "path": f"{SF_DIR}/events.parquet"}
+    for name in ("ev_bucketed_a", "ev_bucketed_b"):
+        status = batch.index_task(
+            spark,
+            src,
+            str(tmp_path / name),
+            time_column="ts",
+            partitions_spec={
+                "type": "hashed",
+                "dimensions": ["user_id"],
+                "numShards": 4,
+                "tableName": name,
+            },
+        )
+        assert status.status == "SUCCESS"
+    a, b = spark.table("ev_bucketed_a"), spark.table("ev_bucketed_b")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = a.join(b.select("user_id", "event_id"), on="user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+
+        agg = a.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in agg_plan, agg_plan
+        # bucketed results match the plain-parquet ground truth
+        plain = spark.read.parquet(str(tmp_path / "ev_bucketed_a"))
+        assert agg.count() == plain.select("user_id").distinct().count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed_a")
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed_b")
