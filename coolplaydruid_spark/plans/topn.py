@@ -65,6 +65,14 @@ def plan_topn(engine, query: dict) -> DataFrame:
 
     metric = query.get("metric")
     order = _metric_order(metric, dim_name, inverted=False)
+    if gran.kind == "all":
+        # Single bucket: the bucket column is a constant, so a
+        # partitionBy(BUCKET) window would constant-fold to a global
+        # (single-partition) sort. orderBy+limit instead plans as
+        # TakeOrderedAndProject — each task keeps its local top-k, the
+        # driver merges k-sized heaps. No full sort, no single-task
+        # window, regardless of dimension cardinality.
+        return out.orderBy(*order).limit(threshold)
     w = Window.partitionBy(BUCKET).orderBy(*order)
     return (
         out.withColumn("__rank", F.row_number().over(w))

@@ -223,3 +223,25 @@ def test_contract_sweep_no_cartesian_products(engine):
         if "CartesianProduct" in plan and name not in allowed_cartesian:
             offenders.append(name)
     assert not offenders, f"unexpected cartesian joins in: {offenders}"
+
+
+def test_topn_gran_all_is_take_ordered_not_global_window(engine):
+    """granularity=all topN must plan as TakeOrderedAndProject (parallel
+    partial top-k), never a constant-folded single-partition window —
+    the WindowExec would sort EVERY aggregated dimension value on one
+    task at 100 TB."""
+    df = engine.plan(
+        {
+            "queryType": "topN",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimension": "user_id",
+            "metric": "rows",
+            "threshold": 5,
+            "aggregations": [{"type": "count", "name": "rows"}],
+            "intervals": ["2024-01-01T00:00:00/2024-02-01T00:00:00"],
+        }
+    )
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
