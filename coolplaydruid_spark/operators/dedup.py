@@ -208,18 +208,21 @@ def _attach_sizes_and_score(co: DataFrame, sizes: DataFrame, threshold: float,
                             id_col: str) -> DataFrame:
     """(doc_a, doc_b, n_common) + per-doc set sizes → Jaccard pairs.
 
-    The broadcast hints go on the CANDIDATE-side aggregates (`co`, then
-    the once-joined result) — bounded by the blocking join's candidate
-    count, the same bound the whole pipeline rests on. The sizes table is
-    corpus-cardinality and is only ever scanned, never broadcast: a
-    forced sizes broadcast would ship one row per document to every
-    executor at 100 TB, and leaving Catalyst unhinted mis-plans locally
-    because aggregate output sizes are unestimable."""
+    Join strategy is left to AQE on purpose. The candidate aggregate
+    `co` is USUALLY tiny (bounded by the blocking join), so runtime
+    stats convert these joins to broadcasts — but it can degenerate
+    when blocking collapses (a stop-shingle shared by d documents emits
+    d² candidates), and a *forced* broadcast hint then dies at Spark's
+    8 GiB broadcast cap instead of falling back to a shuffle join. The
+    sizes table is corpus-cardinality and must never be force-broadcast
+    either (one row per document shipped to every executor at 100 TB);
+    shuffling it is cheap — it is doc-id-keyed 16-byte rows, the same
+    scale as the signature tables."""
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    j1 = sa.join(F.broadcast(co), F.col("doc_a") == F.col(f"sa.{id_col}")).select(
+    j1 = sa.join(co, F.col("doc_a") == F.col(f"sa.{id_col}")).select(
         "doc_a", "doc_b", "n_common", F.col("sa.n_shingles").alias("n_a")
     )
-    j2 = sb.join(F.broadcast(j1), F.col("doc_b") == F.col(f"sb.{id_col}")).select(
+    j2 = sb.join(j1, F.col("doc_b") == F.col(f"sb.{id_col}")).select(
         "doc_a", "doc_b", "n_common", "n_a", F.col("sb.n_shingles").alias("n_b")
     )
     return (
