@@ -242,10 +242,16 @@ def _verify_jaccard(candidates: DataFrame, sh: DataFrame, threshold: float,
     """Exact Jaccard for an explicit candidate-pair set. ``sizes``
     ((id, n_shingles)) can be supplied by a caller that already computed
     set sizes in an earlier aggregation pass (the minhash signature
-    groupBy yields it for free), saving one full re-scan of the corpus."""
+    groupBy yields it for free), saving one full re-scan of the corpus.
+
+    Join strategy is left to AQE: the candidate set is usually small,
+    but degenerate blocking (a stop-shingle shared by d docs yields d²
+    candidates) can make it corpus-scale, where a forced broadcast
+    would blow Spark's broadcast cap. AQE broadcasts when the runtime
+    stats say it is actually small."""
     a, b = sh.alias("a"), sh.alias("b")
     pair_sh = (
-        F.broadcast(candidates).join(a, F.col("doc_a") == F.col(f"a.{id_col}"))
+        candidates.join(a, F.col("doc_a") == F.col(f"a.{id_col}"))
         .join(
             b,
             (F.col("doc_b") == F.col(f"b.{id_col}"))
@@ -262,14 +268,15 @@ def _verify_jaccard(candidates: DataFrame, sh: DataFrame, threshold: float,
 def apply_dedup_filter(df: DataFrame, pairs: DataFrame,
                        id_col: str = "doc_id") -> DataFrame:
     """Drop the higher-id member of every near-dup pair (doc_b) — the
-    standard keep-first policy. An anti-join on the (small) pair set:
-    broadcast, no shuffle of the corpus. For transitive clusters this
-    keeps the minimal element of each star rooted at its smallest id;
-    full connected-components clustering (iterative) is out of scope by
-    design — pair-based filtering is what production dedup pipelines
-    run."""
+    standard keep-first policy. An anti-join on the pair set; join
+    strategy is AQE-decided — the drop set scales with the corpus
+    dup rate (30–50% on web corpora), so it is NOT small by
+    construction, and a forced broadcast would cap out at scale. For
+    transitive clusters this keeps the minimal element of each star
+    rooted at its smallest id; full connected-components clustering
+    lives in operators/graph.py."""
     drops = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-    return df.join(F.broadcast(drops), on=id_col, how="left_anti")
+    return df.join(drops, on=id_col, how="left_anti")
 
 
 # ---- SimHash ------------------------------------------------------------

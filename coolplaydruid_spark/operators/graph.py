@@ -116,11 +116,14 @@ def dedup_clusters(
     in no pair) are their own cluster.
 
     The component labeling runs on the pair graph only (near-dup
-    vertices — tiny next to the corpus); the corpus-wide assignment is
-    one broadcast left join, so the full table is never shuffled."""
+    vertices); the corpus-wide assignment is one left join whose
+    strategy is AQE-decided — the label table scales with the number
+    of near-duplicate documents (corpus-scale at a 30–50% web dup
+    rate), so forcing a broadcast would fail at 100 TB. AQE still
+    broadcasts it when runtime stats show it is genuinely small."""
     comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
     return df.join(
-        F.broadcast(comp.withColumnRenamed("vertex", id_col)),
+        comp.withColumnRenamed("vertex", id_col),
         on=id_col,
         how="left",
     ).withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col))).drop(

@@ -50,10 +50,17 @@ def test_nonconvergence_raises(spark):
         graph.connected_components(pairs, max_iterations=2)
 
 
-def test_corpus_never_shuffled_for_cluster_assignment(spark):
-    """The corpus-side join must be a broadcast (the component map is
-    near-dup-sized, the corpus is 100 TB)."""
+def test_cluster_assignment_join_not_force_broadcast(spark):
+    """The corpus-assignment join must NOT carry a forced broadcast
+    hint: the component-label table scales with the corpus dup rate
+    (corpus-scale at 100 TB), so strategy is left to AQE, which still
+    broadcasts when runtime stats show the table is genuinely small."""
     docs = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
     pairs = _pairs(spark, [(1, 2), (2, 3)])
-    plan = graph.dedup_clusters(docs, pairs)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    analyzed = (
+        graph.dedup_clusters(docs, pairs)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "ResolvedHint" not in analyzed

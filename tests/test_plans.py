@@ -245,3 +245,24 @@ def test_topn_gran_all_is_take_ordered_not_global_window(engine):
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_dedup_joins_carry_no_forced_broadcast_hints(spark):
+    """Every join in the minhash pipeline and the corpus dedup filter
+    must leave strategy to AQE: candidate sets, drop sets, and component
+    labels all scale with the corpus dup rate, so a forced broadcast
+    hint caps out at 100 TB where AQE would fall back to shuffle. The
+    one sanctioned hint is the ngram stop-shingle set (bounded by
+    occurrences / max_shingle_freq)."""
+    from coolplaydruid_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i % 7} repeated tokens") for i in range(40)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_lsh_dedup(docs)
+    analyzed = pairs._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    filtered = dedup.apply_dedup_filter(docs, pairs)
+    analyzed = filtered._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
