@@ -219,6 +219,60 @@ def timeseries_period_tz(spark, sf_dir):
 
 
 @q(
+    "timeseries_period_tz_zerofill",
+    """
+    WITH days AS (
+      SELECT unnest(generate_series(DATE '2024-01-15', DATE '2024-03-14',
+                                    INTERVAL 1 DAY)) AS d
+    ), spine AS (
+      SELECT CAST(timezone('America/Los_Angeles',
+                           CAST(d AS TIMESTAMP)) AS TIMESTAMP) AS ts_bucket
+      FROM days
+    ), agg AS (
+      SELECT CAST(timezone('America/Los_Angeles',
+                  date_trunc('day', timezone('America/Los_Angeles',
+                                             ts::TIMESTAMPTZ))) AS TIMESTAMP) AS ts_bucket,
+             CAST(count(*) AS BIGINT) AS rows,
+             CAST(sum(event_id) AS BIGINT) AS ids
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15 08:00:00'
+        AND ts < TIMESTAMP '2024-03-15 07:00:00'
+      GROUP BY 1
+    )
+    SELECT spine.ts_bucket,
+           COALESCE(rows, 0) AS rows,
+           COALESCE(ids, 0) AS ids
+    FROM spine LEFT JOIN agg USING (ts_bucket)
+    """,
+)
+def timeseries_period_tz_zerofill(spark, sf_dir):
+    """P1D + America/Los_Angeles WITHOUT skipEmptyBuckets: the zero-fill
+    spine must step in LA wall-clock across the 2024-03-10 spring-forward
+    (a 23-UTC-hour day), emitting empty buckets for February/March where
+    the fixture has no events. Interval endpoints are exact LA midnights
+    (08:00Z under PST, 07:00Z under PDT). Pins the DST-aware spine of
+    granularity.py:129-160 under the driver's oracle gate, which
+    timeseries_period_tz (skipEmptyBuckets: true) masks."""
+    eng = engine_for(spark, sf_dir)
+    return eng.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": {
+                "type": "period",
+                "period": "P1D",
+                "timeZone": "America/Los_Angeles",
+            },
+            "aggregations": [
+                {"type": "count", "name": "rows"},
+                {"type": "longSum", "name": "ids", "fieldName": "event_id"},
+            ],
+            "intervals": ["2024-01-15T08:00:00/2024-03-15T07:00:00"],
+        }
+    )
+
+
+@q(
     "timeseries_gran_none",
     """
     SELECT ts AS ts_bucket, CAST(count(*) AS BIGINT) AS rows

@@ -1,7 +1,8 @@
 """Local stand-in for the driver's correctness gate: run every
 __spark_entry__.queries() entry at a given SF and hash-compare against its
 oracle_sql() through DuckDB (row count + column names + order-insensitive
-values). Usage: python tools/check_contract.py [sf_dir]"""
+values). Usage: python tools/check_contract.py [sf_dir] [name_substr ...]
+— optional name substrings restrict the run to matching queries."""
 
 from __future__ import annotations
 
@@ -31,7 +32,7 @@ def norm_cell(v):
     return v
 
 
-def run(sf_dir: str) -> int:
+def run(sf_dir: str, name_filters: list[str] | None = None) -> int:
     spark = get_spark(app_name="contract_check")
     con = duckdb.connect()
     for t in TABLES:
@@ -39,6 +40,9 @@ def run(sf_dir: str) -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if name_filters:
+        queries = {n: f for n, f in queries.items()
+                   if any(s in n for s in name_filters)}
     failures = 0
     for name, fn in queries.items():
         t0 = time.time()
@@ -91,4 +95,4 @@ def run(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    raise SystemExit(1 if run(sf) else 0)
+    raise SystemExit(1 if run(sf, sys.argv[2:] or None) else 0)
