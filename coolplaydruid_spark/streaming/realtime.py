@@ -58,12 +58,17 @@ def decode_kafka_values(records: DataFrame, value_schema) -> DataFrame:
 
 
 def kafka_stream(spark: SparkSession, brokers: str, topic: str,
-                 value_schema, starting_offsets: str = "earliest") -> DataFrame:
-    """Kafka source (KIS analogue, I4). Requires the spark-sql-kafka
-    package on the classpath; import-gated so environments without it can
-    still use file streams."""
+                 value_schema, starting_offsets: str = "earliest",
+                 source_format: str = "kafka") -> DataFrame:
+    """Kafka source (KIS analogue, I4). With the default format this
+    requires the spark-sql-kafka package on the classpath. For CI without
+    a broker, ``source_format="kafka_mock"`` swaps in the Python
+    streaming data source from streaming/kafka_mock.py, which emits the
+    exact Kafka record schema — every line downstream of .load() (the
+    decode projection, watermarking, the __dt sink) is the production
+    graph either way."""
     raw = (
-        spark.readStream.format("kafka")
+        spark.readStream.format(source_format)
         .option("kafka.bootstrap.servers", brokers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)

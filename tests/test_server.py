@@ -165,6 +165,24 @@ def test_http_scan_streams_chunked(server):
     assert len(rows) > 0 and "event_id" in rows[0]
 
 
+def test_http_scan_full_table_unbounded(server, engine):
+    """An unbounded scan of the WHOLE events table over HTTP: every row
+    arrives through the chunked streamed path (toLocalIterator — one
+    partition resident on the driver at a time, never the full table),
+    so the payload size is bounded by the client, not driver memory."""
+    q = {
+        "queryType": "scan",
+        "dataSource": "events",
+        "columns": ["event_id", "event_type"],
+        "intervals": ["1970-01-01T00:00:00/2100-01-01T00:00:00"],
+    }
+    status, headers, body = _req(server, "POST", "/druid/v2", q)
+    assert status == 200
+    assert headers.get("Transfer-Encoding") == "chunked"
+    rows = json.loads(body)
+    assert len(rows) == engine.catalog.table("events").count()
+
+
 def test_http_scan_bad_spec_still_enveloped(server):
     q = {
         "queryType": "scan",

@@ -202,3 +202,48 @@ def test_kafka_value_decode_projection(spark, tmp_path):
     assert {r["event_type"] for r in out.collect()} == {"click", "view"}
     assert dict(out.dtypes)["value"] == "double"
     assert out.select(realtime.DT_COLUMN).distinct().count() == 2
+
+
+def test_kafka_stream_end_to_end_via_mock_source(spark, tmp_path):
+    """I4 smoke: kafka_stream executes its full production graph —
+    source.load() → decode_kafka_values → realtime_index checkpointed
+    __dt sink — against the Kafka-schema Python data source
+    (streaming/kafka_mock.py). Only the format name differs from a real
+    broker run."""
+    from coolplaydruid_spark.streaming.kafka_mock import register_kafka_mock
+
+    register_kafka_mock(spark)
+    stream = realtime.kafka_stream(
+        spark,
+        brokers="mock:9092",
+        topic="events",
+        value_schema=EVENT_SCHEMA,
+        source_format="kafka_mock",
+    )
+    q = realtime.realtime_index(
+        stream,
+        str(tmp_path / "tbl"),
+        str(tmp_path / "ckpt"),
+        time_column="ts",
+        trigger_seconds=1,
+        query_name="kis_smoke",
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = spark.read.parquet(str(tmp_path / "tbl"))
+            if got.count() >= 20:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(str(tmp_path / "tbl"))
+    assert got.count() == 20  # numrecords default — exactly-once, no dupes
+    assert "__dt" in got.columns  # segment layout matches batch ingest
+    types = {r["event_type"] for r in got.select("event_type").distinct().collect()}
+    assert types == {"click", "view", "purchase"}
+    # decode really parsed the binary JSON values into typed columns
+    assert dict(got.dtypes)["value"] == "double"
+    assert dict(got.dtypes)["ts"] == "timestamp"
