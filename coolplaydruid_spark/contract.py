@@ -2781,6 +2781,123 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
+def _docs_as_media(eng, kind: str) -> DataFrame:
+    """documents.text → real media bytes: an 8×8 RGB PNG whose pixels are
+    the UTF-8 text bytes cycled (zeros when empty), or an 8-bit mono WAV
+    whose samples are the text bytes. Both are pure functions of the text
+    so DuckDB can recompute decoded-pixel/sample statistics from char
+    codes directly (fixture text is ASCII: 1 char = 1 byte)."""
+    import pandas as pd  # noqa: PLC0415
+
+    docs = eng.catalog.table("documents").select("doc_id", "text")
+
+    def to_media(it):
+        for pdf in it:
+            ids, medias = [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                data = (txt or "").encode("utf-8")
+                if kind == "png":
+                    n = 8 * 8 * 3
+                    buf = bytes(data[i % len(data)] if data else 0 for i in range(n))
+                    medias.append(multimodal.png_encode(buf, 8, 8, 3))
+                else:
+                    medias.append(multimodal.wav_encode(data))
+                ids.append(did)
+            yield pd.DataFrame({"media_id": ids, "media": medias})
+
+    return docs.mapInPandas(to_media, "media_id long, media binary")
+
+
+@q(
+    "multimodal_image_stats",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, coalesce(text, '') AS t FROM documents
+    ), px AS (
+      SELECT media_id,
+             CASE WHEN length(t) = 0 THEN 0
+                  ELSE ascii(substring(t, CAST(i % length(t) AS INT) + 1, 1))
+             END AS b
+      FROM (SELECT media_id, t, unnest(range(0, 192)) AS i FROM m)
+    )
+    SELECT media_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           round(avg(b), 4) AS mean_px
+    FROM px GROUP BY media_id
+    """,
+)
+def multimodal_image_stats(spark, sf_dir):
+    """REAL PNG decode under the oracle gate: text bytes → png_encode →
+    decode_image (Pillow, or the stdlib inflate+unfilter codec) →
+    mean over all decoded samples. The oracle recomputes the mean from
+    char codes, so any defect in the decode path shifts mean_px and
+    fails the value hash."""
+    eng = engine_for(spark, sf_dir)
+    stats = multimodal.image_stats(_docs_as_media(eng, "png"))
+    return stats.withColumn("mean_px", F.round("mean_px", 4))
+
+
+@q(
+    "multimodal_audio_stats",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, coalesce(text, '') AS t FROM documents
+    ), s AS (
+      SELECT media_id,
+             ascii(substring(t, CAST(i AS INT) + 1, 1)) - 128 AS v
+      FROM (SELECT media_id, t, unnest(range(0, length(t))) AS i FROM m)
+    ), agg AS (
+      SELECT media_id, count(*) AS n, round(sqrt(avg(CAST(v*v AS DOUBLE))), 4) AS rms
+      FROM s GROUP BY media_id
+    )
+    SELECT m.media_id, CAST(1 AS INT) AS n_channels,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(FLOOR(coalesce(agg.n, 0) * 1000.0 / 8000) AS BIGINT) AS duration_ms,
+           coalesce(agg.rms, 0.0) AS rms
+    FROM m LEFT JOIN agg USING (media_id)
+    """,
+)
+def multimodal_audio_stats(spark, sf_dir):
+    """REAL WAV decode under the oracle gate: text bytes as 8-bit PCM →
+    wav_encode → stdlib wave decode → RMS of centered samples; the
+    oracle recomputes RMS from char codes − 128."""
+    eng = engine_for(spark, sf_dir)
+    stats = multimodal.audio_stats(_docs_as_media(eng, "wav"))
+    return stats.withColumn("rms", F.round("rms", 4))
+
+
+@q(
+    "multimodal_resize_roundtrip",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, coalesce(text, '') AS t FROM documents
+    ), px AS (
+      SELECT media_id,
+             CASE WHEN length(t) = 0 THEN 0
+                  ELSE ascii(substring(t,
+                       CAST(((i // 12) * 2 * 24 + (i % 12 // 3) * 2 * 3 + i % 3)
+                            % length(t) AS INT) + 1, 1))
+             END AS b
+      FROM (SELECT media_id, t, unnest(range(0, 48)) AS i FROM m)
+    )
+    SELECT media_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           round(avg(b), 4) AS mean_px
+    FROM px GROUP BY media_id
+    """,
+)
+def multimodal_resize_roundtrip(spark, sf_dir):
+    """REAL resize: 8×8 PNG → nearest-neighbor 4×4 → re-encode → decode →
+    stats. With a 2:1 ratio, output pixel (x,y) is source pixel (2x,2y),
+    so the oracle indexes the cycled text bytes at
+    (2y*24 + 2x*3 + c) % len — decode, resample, re-encode, and re-decode
+    all sit under one exact value hash."""
+    eng = engine_for(spark, sf_dir)
+    resized = multimodal.resize_images(_docs_as_media(eng, "png"), 4, 4)
+    stats = multimodal.image_stats(resized)
+    return stats.withColumn("mean_px", F.round("mean_px", 4))
+
+
 # ---------------------------------------------------------------------------
 # Corpus statistics & cleaning (operators/corpus.py)
 # ---------------------------------------------------------------------------

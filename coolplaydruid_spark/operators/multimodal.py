@@ -1,23 +1,32 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns
-with typed metadata, processed via Arrow-batched mapInPandas.
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, processed via Arrow-batched mapInPandas.
 
-The Spark-side machinery here is real and tested: schemas, batch
-iteration, partitioning behavior. The actual media decode is STUBBED —
-the image/audio libraries are not in this container — behind
-`decode_stub`, which produces deterministic fake features from the raw
-bytes so pipelines are end-to-end testable. Swap `_decode_image_real`
-(raises NotImplementedError) for a Pillow/ffmpeg call in a real
-deployment; nothing else changes.
+Decode status, honestly:
+ - **PNG images: REAL decode** — Pillow when importable, else a
+   pure-stdlib PNG codec (zlib inflate + scanline unfilter, all five
+   filter types, 8-bit gray/GA/RGB/RGBA). `image_stats` is oracle-gated
+   end-to-end: pixels survive a real encode→decode roundtrip before the
+   stats are computed.
+ - **WAV audio: REAL decode** — stdlib `wave` (8/16-bit PCM);
+   `audio_stats` likewise oracle-gated.
+ - JPEG/video codecs: genuinely require Pillow/ffmpeg; `decode_image`
+   uses Pillow when present, `frame_sample_stub` stays a stub with the
+   explode-shaped plumbing as the tested contract.
 
 Scale: mapInPandas streams Arrow record batches through Python — the one
 place Python is unavoidable (media codecs). Batches are bounded by
-spark.sql.execution.arrow.maxRecordsPerBatch; the operator is map-only
-(no shuffle), so it scales linearly with executors.
+spark.sql.execution.arrow.maxRecordsPerBatch; every operator here is
+map-only (no shuffle), so throughput scales linearly with executors.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import math
+import struct
+import wave
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -33,11 +42,158 @@ MEDIA_META_SCHEMA = (
 FEATURE_SCHEMA = "media_id long, n_bytes long, digest string, feature array<float>"
 
 
-def _decode_image_real(raw: bytes):
-    raise NotImplementedError(
-        "real media decode requires Pillow/ffmpeg — not available in this "
-        "container; use decode_stub (deterministic fake) instead"
+# ---- real image decode (Pillow → pure-stdlib PNG fallback) ---------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+_PIL_CHANNELS = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_decode(raw: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, channels, pixel bytes) from a PNG, stdlib-only:
+    chunk walk → zlib inflate → per-scanline unfilter (types 0-4).
+    Supports 8-bit depth, color types 0/2/4/6, no interlace — the space
+    our encoder and typical ML corpora emit; everything else raises."""
+    if raw[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG byte stream")
+    pos, idat, w, h, ctype = 8, [], None, None, None
+    while pos + 8 <= len(raw):
+        ln = int.from_bytes(raw[pos:pos + 4], "big")
+        typ = raw[pos + 4:pos + 8]
+        data = raw[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype, interlace = data[8], data[9], data[12]
+            if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG depth={depth} colorType={ctype} interlace={interlace}: "
+                    "only 8-bit non-interlaced gray/GA/RGB/RGBA without palette"
+                )
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    flt = zlib.decompress(b"".join(idat))
+    if len(flt) != h * (stride + 1):
+        raise ValueError("PNG pixel payload size mismatch")
+    # fast path: all scanlines unfiltered (what _png_encode writes)
+    if all(flt[y * (stride + 1)] == 0 for y in range(h)):
+        return w, h, ch, b"".join(
+            flt[y * (stride + 1) + 1:(y + 1) * (stride + 1)] for y in range(h)
+        )
+    out = bytearray(h * stride)
+    for y in range(h):
+        f = flt[y * (stride + 1)]
+        line = flt[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+        o = y * stride
+        for x in range(stride):
+            a = out[o + x - ch] if x >= ch else 0
+            b = out[o + x - stride] if y > 0 else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] + a
+            elif f == 2:
+                v = line[x] + b
+            elif f == 3:
+                v = line[x] + (a + b) // 2
+            elif f == 4:
+                c = out[o + x - stride - ch] if (y > 0 and x >= ch) else 0
+                v = line[x] + _paeth(a, b, c)
+            else:
+                raise ValueError(f"PNG filter type {f}")
+            out[o + x] = v & 0xFF
+    return w, h, ch, bytes(out)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        len(data).to_bytes(4, "big") + typ + data
+        + zlib.crc32(typ + data).to_bytes(4, "big")
     )
+
+
+def png_encode(pixels: bytes, width: int, height: int, channels: int = 3) -> bytes:
+    """Minimal valid PNG (8-bit, filter 0 scanlines) from raw pixels."""
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != height * stride:
+        raise ValueError("pixel buffer does not match geometry")
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 0])
+    )
+    body = b"".join(
+        b"\x00" + bytes(pixels[y * stride:(y + 1) * stride]) for y in range(height)
+    )
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(body))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_image(raw: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, channels, pixel bytes). Pillow decodes any format
+    it knows when importable; without it, PNG decodes via the stdlib
+    codec above and other formats raise NotImplementedError."""
+    try:
+        from PIL import Image  # noqa: PLC0415 - optional dependency
+    except ImportError:
+        return _png_decode(raw)
+    im = Image.open(io.BytesIO(raw))
+    if im.mode not in _PIL_CHANNELS:
+        im = im.convert("RGB")
+    return im.width, im.height, _PIL_CHANNELS[im.mode], im.tobytes()
+
+
+# ---- real audio decode (stdlib wave) -------------------------------------
+
+def wav_encode(samples: bytes, sample_rate: int = 8000) -> bytes:
+    """8-bit unsigned mono PCM WAV from raw sample bytes."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(sample_rate)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def decode_audio(raw: bytes) -> tuple[int, int, int, int, float]:
+    """(n_channels, sample_rate, n_frames, duration_ms, rms) from a WAV.
+    RMS is over centered samples (8-bit unsigned → sample-128; 16-bit
+    signed as-is), full scale preserved."""
+    with wave.open(io.BytesIO(raw), "rb") as w:
+        nch, sw, rate, n = (
+            w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        )
+        frames = w.readframes(n)
+    if sw == 1:
+        samples = [b - 128 for b in frames]
+    elif sw == 2:
+        samples = list(struct.unpack(f"<{len(frames) // 2}h", frames))
+    else:
+        raise NotImplementedError(f"WAV sample width {sw}")
+    rms = math.sqrt(sum(s * s for s in samples) / len(samples)) if samples else 0.0
+    return nch, rate, n, n * 1000 // rate, rms
 
 
 def decode_stub(raw: bytes, n_features: int = 8) -> list[float]:
@@ -71,6 +227,96 @@ def extract_features(df: DataFrame, media_col: str = "media",
             )
 
     return df.select(F.col(id_col), F.col(media_col)).mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def image_stats(df: DataFrame, media_col: str = "media",
+                id_col: str = "media_id") -> DataFrame:
+    """REAL image decode → per-image stats: (media_id, width, height,
+    channels, mean_px). mean_px is the mean over every decoded pixel
+    sample, so a wrong inflate/unfilter anywhere shifts the value — this
+    is the decode-correctness probe the contract oracle pins."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, cs, means = [], [], [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[media_col]):
+                w, h, ch, px = decode_image(bytes(raw))
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                cs.append(ch)
+                # exact: integer sum / count — bit-identical to any other
+                # engine's mean over the same bytes (no pre-rounding, so
+                # callers can round once without double-rounding skew)
+                means.append(sum(px) / len(px) if px else 0.0)
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs,
+                 "channels": cs, "mean_px": means}
+            )
+
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
+        batches, "media_id long, width int, height int, channels int, mean_px double"
+    )
+
+
+def audio_stats(df: DataFrame, media_col: str = "media",
+                id_col: str = "media_id") -> DataFrame:
+    """REAL WAV decode → (media_id, n_channels, sample_rate, duration_ms,
+    rms); rms left unrounded (integer sample sums make it bit-exact
+    cross-engine — callers round once for comparison)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nchs, rates, durs, rmss = [], [], [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[media_col]):
+                nch, rate, _n, dur, rms = decode_audio(bytes(raw))
+                ids.append(mid)
+                nchs.append(nch)
+                rates.append(rate)
+                durs.append(dur)
+                rmss.append(rms)
+            yield pd.DataFrame(
+                {"media_id": ids, "n_channels": nchs, "sample_rate": rates,
+                 "duration_ms": durs, "rms": rmss}
+            )
+
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
+        batches,
+        "media_id long, n_channels int, sample_rate int, duration_ms long, rms double",
+    )
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  media_col: str = "media", id_col: str = "media_id") -> DataFrame:
+    """REAL image resize: decode (Pillow or stdlib PNG) → nearest-neighbor
+    resample → PNG re-encode. Nearest-neighbor is chosen for determinism
+    (bit-exact across platforms — no float filter kernels), which keeps
+    the operator oracle-testable; swap the sampling loop for a Pillow
+    `im.resize(..., LANCZOS)` when quality beats determinism."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, medias = [], []
+            for mid, raw in zip(pdf[id_col], pdf[media_col]):
+                sw, sh, ch, px = decode_image(bytes(raw))
+                out = bytearray(width * height * ch)
+                for y in range(height):
+                    sy = y * sh // height
+                    for x in range(width):
+                        sx = x * sw // width
+                        so = (sy * sw + sx) * ch
+                        do = (y * width + x) * ch
+                        out[do:do + ch] = px[so:so + ch]
+                ids.append(mid)
+                medias.append(png_encode(bytes(out), width, height, ch))
+            yield pd.DataFrame(
+                {"media_id": ids, "media": medias,
+                 "width": width, "height": height}
+            )
+
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
+        batches, "media_id long, media binary, width int, height int"
+    )
 
 
 def resize_stub(df: DataFrame, width: int, height: int,
