@@ -248,7 +248,22 @@ def _verify_jaccard(candidates: DataFrame, sh: DataFrame, threshold: float,
     but degenerate blocking (a stop-shingle shared by d docs yields d²
     candidates) can make it corpus-scale, where a forced broadcast
     would blow Spark's broadcast cap. AQE broadcasts when the runtime
-    stats say it is actually small."""
+    stats say it is actually small.
+
+    Semi-join reduction first: the full shingle table is corpus-scale
+    and must never shuffle-write just to verify a (usually tiny) subset
+    of documents. Filtering it to candidate-pair members via a left-semi
+    join (AQE turns it into a broadcast when the member set is small —
+    the normal case) leaves the corpus side map-only; the verify joins
+    below then touch only candidate docs' shingles. When blocking
+    degenerates and the member set IS corpus-scale, AQE falls back to a
+    shuffle semi-join, which is exactly the right price then."""
+    members = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .union(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = sh.join(members, on=id_col, how="left_semi")
     a, b = sh.alias("a"), sh.alias("b")
     pair_sh = (
         candidates.join(a, F.col("doc_a") == F.col(f"a.{id_col}"))
