@@ -844,6 +844,75 @@ def timeseries_lineitem_monthly(spark, sf_dir):
 
 
 @q(
+    "timeseries_lineitem_p2m",
+    """
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                    TIMESTAMP '1995-12-01',
+                                    INTERVAL 2 MONTH)) AS ts_bucket
+    ), agg AS (
+      SELECT CAST(date_trunc('month', l_shipdate)
+             - INTERVAL 1 MONTH
+               * ((year(l_shipdate) * 12 + month(l_shipdate) - 1) % 2)
+             AS TIMESTAMP) AS ts_bucket,
+             round(sum(l_quantity), 4) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1996-01-01'
+      GROUP BY 1
+    )
+    SELECT spine.ts_bucket, COALESCE(qty, 0) AS qty
+    FROM spine LEFT JOIN agg USING (ts_bucket)
+    """,
+)
+def timeseries_lineitem_p2m(spark, sf_dir):
+    """Multi-unit calendar period P2M: epoch-anchored month-index
+    flooring to multiples of 2 (so buckets land on Jan/Mar/May...), with
+    the zero-fill spine stepping two calendar months at a time."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "lineitem",
+            "granularity": {"type": "period", "period": "P2M"},
+            "aggregations": [
+                {"type": "doubleSum", "name": "qty", "fieldName": "l_quantity"},
+            ],
+            "intervals": ["1995-01-01T00:00:00/1996-01-01T00:00:00"],
+        }
+    )
+    return _r4(df, "qty")
+
+
+@q(
+    "timeseries_subsecond_duration",
+    """
+    SELECT make_timestamp(CAST(FLOOR(epoch_ms(ts) / 250) * 250 * 1000 AS BIGINT))
+             AS ts_bucket,
+           CAST(count(*) AS BIGINT) AS rows
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+    GROUP BY 1
+    """,
+)
+def timeseries_subsecond_duration(spark, sf_dir):
+    """Sub-second duration granularity (250 ms): bucketing is integral
+    epoch-millis arithmetic on both sides, so microsecond-resolution
+    fixture timestamps land in exact 250 ms cells."""
+    eng = engine_for(spark, sf_dir)
+    return eng.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": {"type": "duration", "duration": 250},
+            "aggregations": [{"type": "count", "name": "rows"}],
+            "intervals": ["2024-01-01T00:00:00/2024-01-03T00:00:00"],
+            "context": {"skipEmptyBuckets": True},
+        }
+    )
+
+
+@q(
     "topn_orders_priority_quarterly",
     """
     WITH agg AS (

@@ -35,10 +35,10 @@ _TRUNC_GRAINS = {
     "quarter": "quarter",
     "year": "year",
 }
-# Grains expressed as fixed-length durations (seconds).
+# Grains expressed as fixed-length durations (milliseconds).
 _DURATION_GRAINS = {
-    "fifteen_minute": 900,
-    "thirty_minute": 1800,
+    "fifteen_minute": 900_000,
+    "thirty_minute": 1_800_000,
 }
 
 _PERIOD_RE = re.compile(
@@ -98,14 +98,16 @@ def _step_grain(bucket: datetime, g: str) -> datetime:
 
 @dataclass(frozen=True)
 class Granularity:
-    """Normalized granularity: either a trunc grain, a fixed duration in
-    seconds (with origin), or 'all'/'none'."""
+    """Normalized granularity: a trunc grain, a fixed duration in
+    milliseconds (with origin), a multi-month calendar period, or
+    'all'/'none'."""
 
-    kind: str  # 'all' | 'none' | 'trunc' | 'duration'
+    kind: str  # 'all' | 'none' | 'trunc' | 'duration' | 'months'
     grain: str | None = None  # for kind='trunc'
-    duration_s: int | None = None  # for kind='duration'
-    origin_s: int = 0  # epoch-seconds origin for duration buckets
-    time_zone: str | None = None  # for kind='trunc' with a period timeZone
+    duration_ms: int | None = None  # for kind='duration'
+    origin_ms: int = 0  # epoch-millis origin for duration buckets
+    n_months: int | None = None  # for kind='months' (P2M, P1Y6M, ...)
+    time_zone: str | None = None  # for kind='trunc'/'months' with a timeZone
 
     def bucket(self, col: Column) -> Column:
         """Bucket-start expression for a timestamp column."""
@@ -120,11 +122,28 @@ class Granularity:
                 local = F.from_utc_timestamp(col, self.time_zone)
                 return F.to_utc_timestamp(F.date_trunc(self.grain, local), self.time_zone)
             return F.date_trunc(self.grain, col)
-        # duration: origin + floor((t - origin) / d) * d, all in epoch seconds
-        t = F.unix_timestamp(col)
-        d = F.lit(self.duration_s)
-        o = F.lit(self.origin_s)
-        return F.timestamp_seconds(o + F.floor((t - o) / d) * d)
+        if self.kind == "months":
+            # Calendar multi-month period (P2M, P1Y6M...): month index
+            # since epoch floored to a multiple of n, in the target
+            # zone's wall clock. pmod keeps pre-1970 months flooring
+            # toward -inf. Pure integer codegen'd arithmetic.
+            local = F.from_utc_timestamp(col, self.time_zone) if self.time_zone else col
+            midx = (F.year(local) - F.lit(1970)) * 12 + F.month(local) - 1
+            bidx = midx - F.pmod(midx, F.lit(self.n_months))
+            y = F.lit(1970) + F.floor(bidx / 12).cast("int")
+            m = F.pmod(bidx, F.lit(12)).cast("int") + 1
+            start = F.make_date(y, m, F.lit(1)).cast("timestamp")
+            return F.to_utc_timestamp(start, self.time_zone) if self.time_zone else start
+        # duration: origin + floor((t - origin) / d) * d, all in epoch
+        # millis and all integral (pmod implements the floor), so
+        # sub-second durations bucket exactly. The ltz cast is an
+        # identity under the UTC session zone but required: unix_millis
+        # rejects TIMESTAMP_NTZ inputs.
+        t = F.unix_millis(col.cast("timestamp_ltz"))
+        d = F.lit(self.duration_ms)
+        o = F.lit(self.origin_ms)
+        delta = t - o
+        return F.timestamp_millis(o + delta - F.pmod(delta, d))
 
     def bucket_py(self, ts: datetime) -> datetime:
         """Driver-side bucketing (for zero-fill spine generation; spine
@@ -140,11 +159,16 @@ class Granularity:
         if self.kind == "none":
             return ts
         if self.kind == "duration":
-            e = int(ts.timestamp()) if ts.tzinfo else int(
-                ts.replace(tzinfo=timezone.utc).timestamp()
-            )
-            b = self.origin_s + ((e - self.origin_s) // self.duration_s) * self.duration_s
-            return datetime.fromtimestamp(b, tz=timezone.utc).replace(tzinfo=None)
+            naive = ts.astimezone(timezone.utc).replace(tzinfo=None) if ts.tzinfo else ts
+            e = (naive - EPOCH) // timedelta(milliseconds=1)
+            b = self.origin_ms + ((e - self.origin_ms) // self.duration_ms) * self.duration_ms
+            return EPOCH + timedelta(milliseconds=b)
+        if self.kind == "months":
+            local = self._utc_to_local(ts) if self.time_zone else ts
+            midx = (local.year - 1970) * 12 + local.month - 1
+            bidx = midx - (midx % self.n_months)
+            start = datetime(1970 + bidx // 12, bidx % 12 + 1, 1)
+            return self._local_to_utc(start) if self.time_zone else start
         if self.time_zone:
             return self._local_to_utc(_trunc_grain(self._utc_to_local(ts), self.grain))
         return _trunc_grain(ts, self.grain)
@@ -154,7 +178,12 @@ class Granularity:
         With a time_zone, the step happens in local wall-clock time (a
         'day' in a DST zone can be 23 or 25 UTC hours)."""
         if self.kind == "duration":
-            return bucket + timedelta(seconds=self.duration_s)
+            return bucket + timedelta(milliseconds=self.duration_ms)
+        if self.kind == "months":
+            local = self._utc_to_local(bucket) if self.time_zone else bucket
+            midx = (local.year - 1970) * 12 + local.month - 1 + self.n_months
+            nxt = datetime(1970 + midx // 12, midx % 12 + 1, 1)
+            return self._local_to_utc(nxt) if self.time_zone else nxt
         if self.time_zone:
             return self._local_to_utc(_step_grain(self._utc_to_local(bucket), self.grain))
         return _step_grain(bucket, self.grain)
@@ -207,18 +236,16 @@ def parse_granularity(spec) -> Granularity:
         if s in _TRUNC_GRAINS:
             return Granularity(kind="trunc", grain=_TRUNC_GRAINS[s])
         if s in _DURATION_GRAINS:
-            return Granularity(kind="duration", duration_s=_DURATION_GRAINS[s])
+            return Granularity(kind="duration", duration_ms=_DURATION_GRAINS[s])
         raise ValueError(f"unknown granularity {spec!r}")
     if isinstance(spec, dict):
         gtype = spec.get("type")
         if gtype == "duration":
             ms = int(spec["duration"])
-            if ms % 1000:
-                raise ValueError("sub-second duration granularities unsupported")
-            origin_s = 0
-            if spec.get("origin"):
-                origin_s = int(_parse_iso(spec["origin"]).timestamp())
-            return Granularity(kind="duration", duration_s=ms // 1000, origin_s=origin_s)
+            if ms <= 0:
+                raise ValueError("duration must be positive milliseconds")
+            return Granularity(kind="duration", duration_ms=ms,
+                               origin_ms=_origin_ms(spec))
         if gtype == "period":
             return _parse_period(spec)
         raise ValueError(f"unknown granularity type {gtype!r}")
@@ -247,21 +274,31 @@ def _parse_period(spec: dict) -> Granularity:
         (unit, n), = parts.items()
         if (unit, n) in single:
             return Granularity(kind="trunc", grain=single[(unit, n)], time_zone=tz)
-    # Any other time-based period → fixed duration (calendar-based
-    # multi-unit periods beyond P3M are out of scope).
     if "years" in parts or "months" in parts:
-        raise ValueError(f"calendar period {period!r} unsupported (use year/quarter/month)")
-    seconds = (
+        # Pure calendar periods (P2M, P6M, P2Y, P1Y6M): month-index
+        # arithmetic, origin-less (epoch-anchored, like Druid's default).
+        if set(parts) - {"years", "months"}:
+            raise ValueError(
+                f"mixed calendar+time period {period!r} unsupported "
+                "(use a pure month/year period or a fixed-length one)"
+            )
+        n = parts.get("years", 0) * 12 + parts.get("months", 0)
+        return Granularity(kind="months", n_months=n, time_zone=tz)
+    ms = 1000 * (
         parts.get("weeks", 0) * 604800
         + parts.get("days", 0) * 86400
         + parts.get("hours", 0) * 3600
         + parts.get("minutes", 0) * 60
         + parts.get("seconds", 0)
     )
-    origin_s = 0
-    if spec.get("origin"):
-        origin_s = int(_parse_iso(spec["origin"]).timestamp())
-    return Granularity(kind="duration", duration_s=seconds, origin_s=origin_s)
+    return Granularity(kind="duration", duration_ms=ms, origin_ms=_origin_ms(spec))
+
+
+def _origin_ms(spec: dict) -> int:
+    if not spec.get("origin"):
+        return 0
+    o = _parse_iso(spec["origin"])
+    return int(o.timestamp() * 1000)
 
 
 def _parse_iso(s: str) -> datetime:

@@ -223,7 +223,7 @@ def test_granularity_parsing_and_buckets():
     g = parse_granularity({"type": "period", "period": "P3M"})
     assert g.grain == "quarter"
     g = parse_granularity({"type": "period", "period": "PT6H"})
-    assert g.duration_s == 21600
+    assert g.duration_ms == 21_600_000
     g = parse_granularity("fifteen_minute")
     assert g.bucket_py(datetime(2024, 1, 1, 0, 44)) == datetime(2024, 1, 1, 0, 30)
     with pytest.raises(ValueError):
@@ -252,3 +252,76 @@ def test_timeout_enforced(engine):
     with pytest.raises(DruidQueryError) as exc_info:
         engine.execute(q)
     assert exc_info.value.error in ("Query timeout", "Unknown exception")
+
+
+def test_multi_month_period_buckets():
+    """P2M / P1Y6M: epoch-anchored month-index flooring; spine steps
+    whole calendar periods (variable UTC length)."""
+    from datetime import datetime
+
+    from coolplaydruid_spark.functions.granularity import parse_granularity
+
+    g = parse_granularity({"type": "period", "period": "P2M"})
+    assert g.kind == "months" and g.n_months == 2
+    # Feb 1995 floors to Jan (month index 300 % 2 == 0 → Jan 1995)
+    assert g.bucket_py(datetime(1995, 2, 15, 7)) == datetime(1995, 1, 1)
+    assert g.bucket_py(datetime(1995, 3, 1)) == datetime(1995, 3, 1)
+    assert g.next_bucket_py(datetime(1995, 11, 1)) == datetime(1996, 1, 1)
+    spine = g.buckets_in(datetime(1995, 1, 10), datetime(1995, 7, 1))
+    assert spine == [datetime(1995, 1, 1), datetime(1995, 3, 1), datetime(1995, 5, 1)]
+
+    g18 = parse_granularity({"type": "period", "period": "P1Y6M"})
+    assert g18.n_months == 18
+    # 18-month buckets anchored at epoch: 1970-01, 1971-07, 1973-01, ...
+    assert g18.bucket_py(datetime(1972, 3, 1)) == datetime(1971, 7, 1)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mixed calendar"):
+        parse_granularity({"type": "period", "period": "P1M15D"})
+
+
+def test_multi_month_period_with_timezone():
+    """P2M + America/Los_Angeles: bucket starts are LA-midnight month
+    firsts converted to UTC (08:00Z in winter, 07:00Z in summer)."""
+    from datetime import datetime
+
+    from coolplaydruid_spark.functions.granularity import parse_granularity
+
+    g = parse_granularity(
+        {"type": "period", "period": "P2M", "timeZone": "America/Los_Angeles"}
+    )
+    # 2024-03-01T04:00Z is still Feb 29 in LA → floors to the Jan bucket,
+    # whose LA-midnight start is 08:00Z (PST)
+    assert g.bucket_py(datetime(2024, 3, 1, 4)) == datetime(2024, 1, 1, 8)
+    # the May bucket start converts at 07:00Z (PDT)
+    assert g.bucket_py(datetime(2024, 6, 2)) == datetime(2024, 5, 1, 7)
+
+
+def test_subsecond_duration_buckets():
+    from datetime import datetime
+
+    from coolplaydruid_spark.functions.granularity import parse_granularity
+
+    g = parse_granularity({"type": "duration", "duration": 250})
+    assert g.duration_ms == 250
+    assert g.bucket_py(datetime(2024, 1, 1, 0, 0, 1, 749_999)) == datetime(
+        2024, 1, 1, 0, 0, 1, 500_000
+    )
+    assert g.next_bucket_py(datetime(2024, 1, 1, 0, 0, 1, 500_000)) == datetime(
+        2024, 1, 1, 0, 0, 1, 750_000
+    )
+
+
+def test_duration_origin_millis():
+    """Origin with fractional-second offset shifts the grid exactly."""
+    from datetime import datetime
+
+    from coolplaydruid_spark.functions.granularity import parse_granularity
+
+    g = parse_granularity(
+        {"type": "duration", "duration": 1000, "origin": "1970-01-01T00:00:00.100Z"}
+    )
+    assert g.origin_ms == 100
+    assert g.bucket_py(datetime(2024, 1, 1, 0, 0, 5, 50_000)) == datetime(
+        2024, 1, 1, 0, 0, 4, 100_000
+    )
