@@ -18,8 +18,10 @@ from pyspark.sql import functions as F
 from coolplaydruid_spark.catalog import Catalog, register_fixtures
 from coolplaydruid_spark.engine import DruidEngine
 from coolplaydruid_spark.operators import (
+    chunking,
     corpus,
     dedup,
+    embeddings,
     graph,
     multimodal,
     sampling,
@@ -2524,8 +2526,9 @@ def dedup_cluster_sizes(spark, sf_dir):
     reachability (operators/graph.connected_components — iterative
     min-label propagation, a genuinely iterative algorithm the oracle
     mirrors with a recursive CTE). Returns the multi-member clusters
-    with their sizes; the corpus-wide assignment join is broadcast
-    (tests/test_graph.py pins the plan)."""
+    with their sizes; the corpus-wide assignment join's strategy is
+    AQE-decided (tests/test_graph.py pins the absence of a forced
+    hint)."""
     eng = engine_for(spark, sf_dir)
     docs = eng.catalog.table("documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
@@ -2535,6 +2538,152 @@ def dedup_cluster_sizes(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
         .where(F.col("n_members") >= 2)
         .orderBy("cluster_id")
+    )
+
+
+@q(
+    "dedup_keep_best",
+    DUCK_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+    , co AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+    p AS (
+      SELECT doc_a, doc_b
+      FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
+              JOIN sizes sb ON co.doc_b = sb.doc_id
+      WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+    reach AS (
+      SELECT src AS vertex, src AS r FROM edges
+      UNION
+      SELECT e.dst AS vertex, rr.r FROM reach rr JOIN edges e ON e.src = rr.vertex
+    ),
+    comp AS (SELECT vertex, min(r) AS component FROM reach GROUP BY vertex),
+    ranked AS (
+      SELECT c.vertex AS doc_id,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY length(coalesce(d.text, '')) DESC,
+                                         c.vertex ASC) AS rk
+      FROM comp c JOIN documents d ON d.doc_id = c.vertex
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware retention: one survivor per transitive near-dup
+    cluster — the LONGEST member (ties → smallest id) — instead of
+    keep-smallest-id. Ranking touches only cluster members (semi-join on
+    pair endpoints), never the corpus; the oracle mirrors the clustering
+    with a recursive CTE and the retention with a window."""
+    eng = engine_for(spark, sf_dir)
+    docs = eng.catalog.table("documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    scored = docs.withColumn(
+        "__q", F.length(F.coalesce(F.col("text"), F.lit("")))
+    )
+    return (
+        graph.dedup_keep_best(scored, pairs, quality_col="__q")
+        .select("doc_id")
+    )
+
+
+@q(
+    "text_chunk_windows",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(range(0, CAST(len(toks) AS BIGINT), 20)) AS st
+      FROM m WHERE len(toks) > 0
+    ), keepers AS (
+      SELECT doc_id, toks, n, st FROM s WHERE st = 0 OR st - 20 + 40 < n
+    ), idx AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1
+                  AS INT) AS chunk_index,
+             toks[CAST(st + 1 AS INT):CAST(st + 40 AS INT)] AS chunk
+      FROM keepers
+    )
+    SELECT doc_id, chunk_index, array_to_string(chunk, ' ') AS chunk_text,
+           CAST(len(chunk) AS BIGINT) AS n_tokens
+    FROM idx
+    """,
+)
+def text_chunk_windows(spark, sf_dir):
+    """Overlapping token windows (40 tokens, stride 20) — the
+    context-window chunking step upstream of sequence packing. Map-only
+    JVM expressions; the oracle mirrors window starts, the
+    tail-emission rule, and 1-based inclusive list slicing."""
+    eng = engine_for(spark, sf_dir)
+    return chunking.chunk_documents(
+        eng.catalog.table("documents"), window=40, stride=20
+    )
+
+
+@q(
+    "embedding_l2_normalize",
+    """
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT vec_id, round(nrm, 6) AS norm,
+           CASE WHEN nrm > 0
+                THEN list_transform(embedding,
+                     x -> round(CAST(x AS DOUBLE) / nrm, 6))
+                ELSE list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6))
+           END AS unit
+    FROM n
+    """,
+)
+def embedding_l2_normalize(spark, sf_dir):
+    """L2 normalization of the embedding column — pure array
+    expressions (transform/aggregate), map-only; float64 math with
+    6-decimal rounding on both sides."""
+    eng = engine_for(spark, sf_dir)
+    return embeddings.l2_normalize(eng.catalog.table("embeddings")).select(
+        "vec_id", "norm", "unit"
+    )
+
+
+@q(
+    "embedding_quantize_int8",
+    """
+    WITH a AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) AS amax
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0 END, 6) AS scale,
+           CASE WHEN amax > 0
+                THEN list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / amax) + 0.5)
+                          AS INT))
+                ELSE list_transform(embedding, x -> 0)
+           END AS q8
+    FROM a
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization with round-half-up (floor(x*s+0.5) —
+    engine-independent, unlike banker's round()); scale dequantizes."""
+    eng = engine_for(spark, sf_dir)
+    return embeddings.quantize_int8(eng.catalog.table("embeddings")).select(
+        "vec_id", "scale", "q8"
     )
 
 

@@ -1,0 +1,56 @@
+"""Document chunking: split long documents into overlapping token
+windows — the standard context-window preparation step upstream of
+sequence packing (operators/packing.py) in a training-data pipeline.
+
+Map-only and JVM-side end to end: whitespace tokens via split, window
+starts via sequence, slices via transform, one posexplode. No shuffle,
+no Python; row fan-out is ~n_tokens/stride per document, which scales
+linearly with executors at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 100,
+    stride: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_index, chunk_text, n_tokens): token windows of
+    ``window`` whitespace tokens starting every ``stride`` tokens.
+
+    Tail semantics: a start is kept when it is the first, or when the
+    previous window did not already reach the document's end — so the
+    final (possibly short) tail is emitted exactly once and no fully
+    redundant sub-tail windows appear. Empty documents yield no rows.
+    Case is preserved (chunks feed training, unlike the lowercased
+    dedup shingles)."""
+    if window <= 0 or stride <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks")).where(
+        F.size("__toks") > 0
+    )
+    n = F.size("__toks")
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1, F.lit(stride)),
+        lambda s: (s == 0) | (s - stride + window < n),
+    )
+    exploded = base.select(
+        F.col(id_col), F.col("__toks"), F.posexplode(starts).alias("chunk_index", "__s")
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__s") + 1, window)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_index"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )

@@ -129,3 +129,46 @@ def dedup_clusters(
     ).withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col))).drop(
         "component"
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Quality-aware retention: keep exactly one member of every near-dup
+    cluster — the highest ``quality_col`` (ties → smallest id) — instead
+    of apply_dedup_filter's blind keep-smallest-id policy. Returns the
+    surviving rows of ``df`` with their original columns.
+
+    Scale: ranking happens ONLY on cluster members (dup-proportional,
+    selected with a semi-join on the pair endpoints), never the corpus —
+    singletons, the overwhelming majority at any dup rate, are never
+    shuffled into a window. The final step is an anti-join on the loser
+    set, strategy AQE-decided for the same reason apply_dedup_filter's
+    is."""
+    from pyspark.sql import Window
+
+    members = (
+        pairs.select(F.col(src_col).alias(id_col))
+        .union(pairs.select(F.col(dst_col).alias(id_col)))
+        .distinct()
+    )
+    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    clustered = (
+        df.join(members, on=id_col, how="left_semi")
+        .join(comp.withColumnRenamed("vertex", id_col), on=id_col)
+        .select(F.col(id_col), F.col(quality_col), F.col("component"))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    losers = (
+        clustered.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") > 1)
+        .select(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

@@ -64,3 +64,20 @@ def test_cluster_assignment_join_not_force_broadcast(spark):
         .toString()
     )
     assert "ResolvedHint" not in analyzed
+
+
+def test_dedup_keep_best_quality_and_ties(spark):
+    """Highest quality survives per cluster; equal quality → smallest id;
+    singletons always survive untouched."""
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (4, 1.0), (7, 0.0)],
+        "doc_id long, q double",
+    )
+    pairs = _pairs(spark, [(1, 2), (2, 3)])
+    kept = sorted(
+        r["doc_id"] for r in graph.dedup_keep_best(docs, pairs, "q").collect()
+    )
+    assert kept == [2, 4, 7]  # 2 beats 3 on id at q=9.0; 1 loses on quality
+    # original columns intact
+    cols = graph.dedup_keep_best(docs, pairs, "q").columns
+    assert cols == ["doc_id", "q"]

@@ -515,3 +515,56 @@ def test_repetition_signals_map_only(engine):
     df = text.repetition_signals(engine.catalog.table("documents"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from coolplaydruid_spark.operators import chunking
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(230))), (2, "a b c"),
+         (3, ""), (4, None), (5, " ".join(f"x{i}" for i in range(100)))],
+        "doc_id long, text string",
+    )
+    rows = chunking.chunk_documents(docs, window=100, stride=50).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append((r["chunk_index"], r["n_tokens"]))
+    # 230 tokens: starts 0/50/100/150 — the 150 window covers to the end,
+    # so no redundant 200-start sub-tail is emitted
+    assert got[1] == [(0, 100), (1, 100), (2, 100), (3, 80)]
+    assert got[2] == [(0, 3)]          # short doc = one whole-doc chunk
+    assert 3 not in got and 4 not in got  # empty/null docs yield nothing
+    assert got[5] == [(0, 100)]        # exact fit = exactly one chunk
+    # chunks reassemble the document (window == stride → disjoint cover)
+    cover = chunking.chunk_documents(docs, window=50, stride=50).collect()
+    text1 = " ".join(
+        r["chunk_text"] for r in sorted(
+            (c for c in cover if c["doc_id"] == 1), key=lambda c: c["chunk_index"]
+        )
+    )
+    assert text1 == " ".join(f"w{i}" for i in range(230))
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from coolplaydruid_spark.operators import chunking
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunking.chunk_documents(docs, window=10, stride=11)
+
+
+def test_embedding_normalize_and_quantize(spark):
+    from coolplaydruid_spark.operators import embeddings
+
+    df = spark.createDataFrame(
+        [(1, [3.0, -4.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    norm = {r["vec_id"]: r for r in embeddings.l2_normalize(df).collect()}
+    assert norm[1]["norm"] == 5.0 and norm[1]["unit"] == [0.6, -0.8]
+    assert norm[2]["norm"] == 0.0 and norm[2]["unit"] == [0.0, 0.0]  # no NaN
+    q = {r["vec_id"]: r for r in embeddings.quantize_int8(df).collect()}
+    # 3*31.75=95.25 → floor(95.75)=95; -4*31.75=-127 → floor(-126.5)=-127
+    assert q[1]["q8"] == [95, -127]
+    assert q[2]["q8"] == [0, 0] and q[2]["scale"] == 0.0
