@@ -1796,6 +1796,46 @@ def groupby_extraction_cascade(spark, sf_dir):
 
 
 @q(
+    "groupby_extraction_partial_format",
+    f"""
+    SELECT '<' || coalesce(CASE WHEN regexp_matches(event_type, 'c')
+                                THEN event_type END, 'null') || '>' AS tagged,
+           CAST(count(*) AS BIGINT) AS rows
+    FROM events WHERE {EVENTS_WHERE} GROUP BY 1
+    """,
+)
+def groupby_extraction_partial_format(spark, sf_dir):
+    """partial (regex-find keep-or-null) → stringFormat (printf with
+    NULLSTRING handling, so nulled-out values group as '<null>') as a
+    cascade dimension — the two remaining 0.12 extractionFns."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "groupBy",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimensions": [
+                {
+                    "type": "extraction",
+                    "dimension": "event_type",
+                    "outputName": "tagged",
+                    "extractionFn": {
+                        "type": "cascade",
+                        "extractionFns": [
+                            {"type": "partial", "expr": "c"},
+                            {"type": "stringFormat", "format": "<%s>"},
+                        ],
+                    },
+                }
+            ],
+            "aggregations": [{"type": "count", "name": "rows"}],
+            "intervals": EVENTS_INTERVAL,
+        }
+    )
+    return df.drop("ts_bucket")
+
+
+@q(
     "groupby_lookup_category",
     f"""
     SELECT CASE WHEN event_type = 'click' THEN 'engagement'

@@ -46,6 +46,20 @@ def apply_extraction(col: Column, spec: dict | None) -> Column:
         tz = spec.get("timeZone")
         ts = F.from_utc_timestamp(col, tz) if tz else col
         return F.date_format(ts, fmt)
+    if etype == "partial":
+        # Druid PartialDimExtractionFn: value kept verbatim when the
+        # Java regex FINDS a match anywhere (not full-match), else null.
+        return F.when(col.rlike(spec["expr"]), col)
+    if etype == "stringFormat":
+        # Druid StringFormatExtractionFn: printf with the dim value as
+        # the single %s argument. nullHandling: NULLSTRING (default —
+        # null renders as the literal "null"), EMPTYSTRING, RETURNNULL.
+        fmt = spec["format"]
+        handling = (spec.get("nullHandling") or "NULLSTRING").upper()
+        if handling == "RETURNNULL":
+            return F.when(col.isNotNull(), F.format_string(fmt, col))
+        sub = "null" if handling == "NULLSTRING" else ""
+        return F.format_string(fmt, F.coalesce(col, F.lit(sub)))
     if etype == "lookup":
         return _lookup(col, spec)
     if etype == "_joinedLookup":
