@@ -247,3 +247,65 @@ def test_kafka_stream_end_to_end_via_mock_source(spark, tmp_path):
     # decode really parsed the binary JSON values into typed columns
     assert dict(got.dtypes)["value"] == "double"
     assert dict(got.dtypes)["ts"] == "timestamp"
+
+
+def test_kafka_mock_rollup_windows(spark, tmp_path):
+    """KIS + ingest-time rollup: the Kafka-schema source feeding the
+    watermarked tumbling-window aggregation path (Druid's rollup
+    segments). Append mode emits only CLOSED windows — immutable
+    segments — so counts per hour must equal the generator's schedule
+    (one record every 30s → 120/hour) for every fully-closed window."""
+    from pyspark.sql import functions as F
+
+    from coolplaydruid_spark.streaming.kafka_mock import register_kafka_mock
+
+    register_kafka_mock(spark)
+    stream = (
+        spark.readStream.format("kafka_mock")
+        .option("subscribe", "events")
+        .option("numrecords", "300")  # 30s apart → 2.5 hours of event time
+        .option("batchsize", "64")
+        .load()
+    )
+    decoded = realtime.decode_kafka_values(stream, EVENT_SCHEMA)
+    q = realtime.realtime_index(
+        decoded,
+        str(tmp_path / "tbl"),
+        str(tmp_path / "ckpt"),
+        time_column="ts",
+        watermark="1 minute",
+        rollup={
+            "window": "1 hour",
+            "dimensions": ["event_type"],
+            "aggregations": [
+                ("n", F.count(F.lit(1))),
+                ("total", F.sum("value")),
+            ],
+        },
+        trigger_seconds=1,
+        query_name="kis_rollup_smoke",
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.processAllAvailable()
+            import glob
+
+            if glob.glob(str(tmp_path / "tbl" / "__dt=*/*.parquet")):
+                got = spark.read.parquet(str(tmp_path / "tbl"))
+                if got.count() >= 6:  # 2 closed hours x 3 event types
+                    break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(str(tmp_path / "tbl"))
+    per_hour = {
+        (r["ts"].isoformat(), r["event_type"]): r["n"]
+        for r in got.collect()
+    }
+    # hours 0 and 1 are fully closed by the watermark (events reach 2.5h);
+    # every closed (hour, type) cell holds 40 records (120/hour / 3 types)
+    for h in ("2024-01-01T00:00:00", "2024-01-01T01:00:00"):
+        for et in ("click", "view", "purchase"):
+            assert per_hour.get((h, et)) == 40, (h, et, per_hour)
