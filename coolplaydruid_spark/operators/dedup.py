@@ -239,7 +239,9 @@ def _attach_sizes_and_score(co: DataFrame, sizes: DataFrame, threshold: float,
 
 def _verify_jaccard(candidates: DataFrame, sh: DataFrame, threshold: float,
                     id_col: str, sizes: DataFrame | None = None) -> DataFrame:
-    """Exact Jaccard for an explicit candidate-pair set. ``sizes``
+    """Exact Jaccard for an explicit candidate-pair set (pairs must be
+    DISTINCT — a duplicated pair would double the seen-twice counts;
+    the minhash pipeline guarantees this with .distinct()). ``sizes``
     ((id, n_shingles)) can be supplied by a caller that already computed
     set sizes in an earlier aggregation pass (the minhash signature
     groupBy yields it for free), saving one full re-scan of the corpus.
@@ -254,24 +256,30 @@ def _verify_jaccard(candidates: DataFrame, sh: DataFrame, threshold: float,
     and must never shuffle-write just to verify a (usually tiny) subset
     of documents. Filtering it to candidate-pair members via a left-semi
     join (AQE turns it into a broadcast when the member set is small —
-    the normal case) leaves the corpus side map-only; the verify joins
-    below then touch only candidate docs' shingles. When blocking
+    the normal case) leaves the corpus side map-only. When blocking
     degenerates and the member set IS corpus-scale, AQE falls back to a
-    shuffle semi-join, which is exactly the right price then."""
+    shuffle semi-join, which is exactly the right price then.
+
+    The intersection itself joins the reduced shingles ONCE: explode
+    each (distinct) candidate pair into its two members, join member →
+    shingles, and count shingles seen twice per pair — shingles are
+    distinct per document, so c==2 ⟺ both members carry the shingle.
+    One join + an aggregation with map-side combine beats the classic
+    a/b double self-join (two shuffles of the reduced shingle set)."""
     members = (
         candidates.select(F.col("doc_a").alias(id_col))
         .union(candidates.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh = sh.join(members, on=id_col, how="left_semi")
-    a, b = sh.alias("a"), sh.alias("b")
+    sh_c = sh.join(members, on=id_col, how="left_semi")
+    pair_members = candidates.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+    )
     pair_sh = (
-        candidates.join(a, F.col("doc_a") == F.col(f"a.{id_col}"))
-        .join(
-            b,
-            (F.col("doc_b") == F.col(f"b.{id_col}"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
-        )
+        pair_members.join(sh_c, on=id_col)
+        .groupBy("doc_a", "doc_b", "shingle")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") == 2)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
