@@ -2381,6 +2381,37 @@ def sampling_stratified_mix(spark, sf_dir):
     )
 
 
+@q(
+    "sampling_to_mixture",
+    f"""
+    WITH tgt(lang, w) AS (VALUES ('en', 2.0), ('zh', 1.0), ('es', 1.0)),
+    counts AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1
+    ),
+    j AS (SELECT c.lang, n, w FROM counts c JOIN tgt USING (lang)),
+    lvl AS (SELECT min(n / w) AS t FROM j),
+    rates AS (
+      SELECT lang, CAST(FLOOR(w * t / n * 16777216) AS BIGINT) AS gate
+      FROM j, lvl
+    )
+    SELECT d.doc_id, d.lang FROM documents d JOIN rates USING (lang)
+    WHERE {_DUCK_BUCKET_ID} < gate
+    """,
+)
+def sampling_to_mixture(spark, sf_dir):
+    """Downsample-only mixture resampling to 2:1:1 en:zh:es — the
+    water-level T = min(n/w) keeps the scarcest-per-weight category
+    whole; deterministic md5 gates make the kept set exactly
+    reproducible, so the oracle mirrors the full computation including
+    the FP association of the gate arithmetic."""
+    eng = engine_for(spark, sf_dir)
+    return sampling.sample_to_mixture(
+        eng.catalog.table("documents").select("doc_id", "lang"),
+        "lang",
+        {"en": 2.0, "zh": 1.0, "es": 1.0},
+    )
+
+
 def _duck_shingle_cte(src: str, name: str) -> str:
     """Shingle CTE over an arbitrary (doc_id, txt, toks) source CTE."""
     return f"""

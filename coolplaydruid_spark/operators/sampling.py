@@ -64,3 +64,50 @@ def stratified_sample(df: DataFrame, strata_col: str,
     for k, v in sorted(fractions.items()):
         rate = F.when(F.col(strata_col) == F.lit(k), F.lit(int(v * _DENOM))).otherwise(rate)
     return df.where(hash_bucket(F.col(id_col), salt) < rate)
+
+
+def sample_to_mixture(df: DataFrame, category_col: str,
+                      targets: dict[str, float],
+                      id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Downsample-only resampling to target mixture proportions: the
+    largest corpus satisfying ``targets`` exactly is the one where the
+    scarcest category (relative to its weight) is kept whole — T =
+    min(n_c / w_c); every category then keeps w_c·T rows via the same
+    deterministic md5 gate as hash_sample. Weights are ratio-invariant
+    (only relative sizes matter), categories without a target drop.
+
+    Fully declarative: per-category counts are one map-side-combined
+    aggregation (category-cardinality rows), the water-level min is a
+    global window over that tiny table, and the corpus-side rate join is
+    AQE-broadcast. No collect, no RNG, retry-safe, nested across rates
+    like every sampler in this module."""
+    from pyspark.sql import Window
+
+    for k, v in targets.items():
+        if v <= 0:
+            raise ValueError(f"target weight for {k!r} must be > 0, got {v}")
+    import pandas as pd
+
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        pd.DataFrame({category_col: list(targets), "__w": [float(targets[k]) for k in targets]}),
+        f"{category_col} string, __w double",
+    )
+    counts = df.groupBy(category_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    j = counts.join(tgt, on=category_col)
+    level = F.min(F.col("__n") / F.col("__w")).over(
+        Window.partitionBy(F.lit(1))
+    )
+    rates = j.select(
+        F.col(category_col),
+        F.floor(F.col("__w") * level / F.col("__n") * _DENOM)
+        .cast("long")
+        .alias("__gate"),
+    )
+    return (
+        df.join(rates, on=category_col)
+        .where(hash_bucket(F.col(id_col), salt) < F.col("__gate"))
+        .drop("__gate")
+    )

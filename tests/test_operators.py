@@ -568,3 +568,25 @@ def test_embedding_normalize_and_quantize(spark):
     # 3*31.75=95.25 → floor(95.75)=95; -4*31.75=-127 → floor(-126.5)=-127
     assert q[1]["q8"] == [95, -127]
     assert q[2]["q8"] == [0, 0] and q[2]["scale"] == 0.0
+
+
+def test_sample_to_mixture_proportions_and_nesting(spark):
+    from coolplaydruid_spark.operators import sampling
+
+    rows = [(i, "a" if i < 600 else ("b" if i < 800 else "c"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, cat string")
+    out = sampling.sample_to_mixture(df, "cat", {"a": 1.0, "b": 1.0})
+    got = {r["cat"]: r["count"] for r in out.groupBy("cat").count().collect()}
+    # b is scarcest per weight (200/1) → kept whole; a targets 200
+    assert got["b"] == 200
+    assert abs(got["a"] - 200) < 40  # hash-gate binomial tolerance
+    assert "c" not in got            # no target → dropped
+    # deterministic: the same call returns the identical id set
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {r["doc_id"] for r in
+            sampling.sample_to_mixture(df, "cat", {"a": 1.0, "b": 1.0}).collect()}
+    assert ids1 == ids2
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sampling.sample_to_mixture(df, "cat", {"a": 0.0})
