@@ -255,3 +255,55 @@ def test_topn_differential(engine, duck, f, n):
     SELECT event_type, total FROM ranked WHERE rn <= {n}
     """
     _compare(df, duck, sql)
+
+
+@given(
+    n_tokens=st.integers(min_value=0, max_value=400),
+    window=st.integers(min_value=1, max_value=120),
+    stride_frac=st.integers(min_value=1, max_value=100),
+)
+@settings(max_examples=30, deadline=None)
+def test_chunking_covers_every_token_once_per_overlap(spark, n_tokens, window,
+                                                      stride_frac):
+    """Invariants for any (n, window, stride): every token appears in at
+    least one chunk; stride==window partitions the doc exactly; chunk
+    count is ceil-ish bounded; no chunk is empty."""
+    from coolplaydruid_spark.operators import chunking
+
+    stride = max(1, min(window, stride_frac * window // 100))
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunking.chunk_documents(df, window=window, stride=stride).collect()
+    if n_tokens == 0:
+        assert rows == []
+        return
+    seen = []
+    for r in sorted(rows, key=lambda r: r["chunk_index"]):
+        toks = r["chunk_text"].split(" ")
+        assert 1 <= len(toks) <= window and len(toks) == r["n_tokens"]
+        seen.extend(toks)
+    assert set(seen) == {f"t{i}" for i in range(n_tokens)}
+    if stride == window:
+        assert len(seen) == n_tokens  # exact partition, no overlap
+
+
+@given(
+    epoch_day=st.integers(min_value=0, max_value=25000),
+    seconds=st.integers(min_value=0, max_value=86399),
+    n_months=st.integers(min_value=2, max_value=18),
+)
+@settings(max_examples=50, deadline=None)
+def test_months_bucket_invariants(epoch_day, seconds, n_months):
+    """bucket(ts) <= ts < next(bucket(ts)); buckets idempotent; month
+    index of every bucket start is a multiple of n_months."""
+    from datetime import datetime, timedelta
+
+    from coolplaydruid_spark.functions.granularity import Granularity
+
+    g = Granularity(kind="months", n_months=n_months)
+    ts = datetime(1970, 1, 1) + timedelta(days=epoch_day, seconds=seconds)
+    b = g.bucket_py(ts)
+    assert b <= ts < g.next_bucket_py(b)
+    assert g.bucket_py(b) == b
+    assert ((b.year - 1970) * 12 + b.month - 1) % n_months == 0
+    assert (b.day, b.hour, b.minute, b.second) == (1, 0, 0, 0)
