@@ -169,6 +169,10 @@ def ivf_topk(
         .select("__v")
         .collect()
     )
+    if not train_rows:
+        # Empty corpus: same output schema, no rows (brute force parity).
+        return brute_force_topk(corpus, queries, k=k, vec_col=vec_col,
+                                id_col=id_col, query_id_col=query_id_col)
     X = np.array([r["__v"] for r in train_rows], dtype=np.float64)
     C = _kmeans_fit(X, n_clusters, max_iter, seed)
 
