@@ -99,14 +99,24 @@ def main() -> None:
     sf1_dir = Path(__file__).resolve().parent / ".benchdata" / "sf1"
     if os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
         try:
-            if not (sf1_dir / "lineitem.parquet").exists():
+            # Sentinel = ALL tables present; synthesize into a temp dir
+            # and rename so a killed/partial synthesis can never leave a
+            # half-populated sf1 that later rounds mistake for complete.
+            tables = ["region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "events", "documents", "embeddings"]
+            if not all((sf1_dir / f"{t}.parquet").exists() for t in tables):
+                import shutil
                 import subprocess
 
+                tmp_dir = sf1_dir.with_name("sf1.partial")
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+                shutil.rmtree(sf1_dir, ignore_errors=True)
                 subprocess.run(
                     [sys.executable, str(Path(__file__).resolve().parent / "tools" / "scale_up.py"),
-                     "10", str(sf1_dir)],
+                     "10", str(tmp_dir)],
                     check=True, capture_output=True, timeout=1200,
                 )
+                tmp_dir.rename(sf1_dir)
             for name in SF1_TAIL:
                 fn = contract.QUERIES[name]
                 best = float("inf")

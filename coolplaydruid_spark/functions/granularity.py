@@ -297,8 +297,10 @@ def _parse_period(spec: dict) -> Granularity:
 def _origin_ms(spec: dict) -> int:
     if not spec.get("origin"):
         return 0
+    # Integer epoch-millis: float .timestamp()*1000 truncates 1 ms low
+    # for many fractional-second origins (e.g. ...00.021Z).
     o = _parse_iso(spec["origin"])
-    return int(o.timestamp() * 1000)
+    return (o - EPOCH.replace(tzinfo=timezone.utc)) // timedelta(milliseconds=1)
 
 
 def _parse_iso(s: str) -> datetime:

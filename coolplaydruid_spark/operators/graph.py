@@ -144,23 +144,18 @@ def dedup_keep_best(
     of apply_dedup_filter's blind keep-smallest-id policy. Returns the
     surviving rows of ``df`` with their original columns.
 
-    Scale: ranking happens ONLY on cluster members (dup-proportional,
-    selected with a semi-join on the pair endpoints), never the corpus —
-    singletons, the overwhelming majority at any dup rate, are never
-    shuffled into a window. The final step is an anti-join on the loser
-    set, strategy AQE-decided for the same reason apply_dedup_filter's
-    is."""
+    Scale: ranking happens ONLY on cluster members (dup-proportional —
+    the component table's vertices are exactly the pair endpoints, so
+    the inner join below restricts the corpus to members in one pass),
+    never the corpus: singletons, the overwhelming majority at any dup
+    rate, are never shuffled into a window. The final step is an
+    anti-join on the loser set, strategy AQE-decided for the same
+    reason apply_dedup_filter's is."""
     from pyspark.sql import Window
 
-    members = (
-        pairs.select(F.col(src_col).alias(id_col))
-        .union(pairs.select(F.col(dst_col).alias(id_col)))
-        .distinct()
-    )
     comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
     clustered = (
-        df.join(members, on=id_col, how="left_semi")
-        .join(comp.withColumnRenamed("vertex", id_col), on=id_col)
+        df.join(comp.withColumnRenamed("vertex", id_col), on=id_col)
         .select(F.col(id_col), F.col(quality_col), F.col("component"))
     )
     w = Window.partitionBy("component").orderBy(

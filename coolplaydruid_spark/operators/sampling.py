@@ -76,6 +76,12 @@ def sample_to_mixture(df: DataFrame, category_col: str,
     deterministic md5 gate as hash_sample. Weights are ratio-invariant
     (only relative sizes matter), categories without a target drop.
 
+    A target category ABSENT from the data makes the requested mixture
+    infeasible by downsampling; the unique exact answer is the empty
+    corpus (T = min includes n=0), which is what this returns — loudly
+    correct rather than a silently skewed mixture that ignores the
+    missing category.
+
     Fully declarative: per-category counts are one map-side-combined
     aggregation (category-cardinality rows), the water-level min is a
     global window over that tiny table, and the corpus-side rate join is
@@ -96,13 +102,20 @@ def sample_to_mixture(df: DataFrame, category_col: str,
     counts = df.groupBy(category_col).agg(
         F.count(F.lit(1)).cast("double").alias("__n")
     )
-    j = counts.join(tgt, on=category_col)
+    # LEFT join from targets: a target category with zero rows keeps a
+    # row with n=0, pulling the water level to 0 (see docstring).
+    j = tgt.join(counts, on=category_col, how="left").withColumn(
+        "__n", F.coalesce(F.col("__n"), F.lit(0.0))
+    )
     level = F.min(F.col("__n") / F.col("__w")).over(
         Window.partitionBy(F.lit(1))
     )
     rates = j.select(
         F.col(category_col),
-        F.floor(F.col("__w") * level / F.col("__n") * _DENOM)
+        F.when(  # n=0 (missing target category) → ANSI-safe gate of 0
+            F.col("__n") > 0,
+            F.floor(F.col("__w") * level / F.col("__n") * _DENOM),
+        ).otherwise(F.lit(0))
         .cast("long")
         .alias("__gate"),
     )

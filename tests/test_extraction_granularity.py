@@ -322,6 +322,11 @@ def test_duration_origin_millis():
         {"type": "duration", "duration": 1000, "origin": "1970-01-01T00:00:00.100Z"}
     )
     assert g.origin_ms == 100
+    # integer epoch-millis: float .timestamp()*1000 truncated this one
+    g21 = parse_granularity(
+        {"type": "duration", "duration": 1000, "origin": "2004-06-15T00:00:00.021Z"}
+    )
+    assert g21.origin_ms == 1087257600021
     assert g.bucket_py(datetime(2024, 1, 1, 0, 0, 5, 50_000)) == datetime(
         2024, 1, 1, 0, 0, 4, 100_000
     )

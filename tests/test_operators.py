@@ -590,3 +590,8 @@ def test_sample_to_mixture_proportions_and_nesting(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sampling.sample_to_mixture(df, "cat", {"a": 0.0})
+    # a target category absent from the data → the only exact answer is
+    # the empty corpus (loudly correct, never a silently skewed mixture)
+    assert sampling.sample_to_mixture(
+        df, "cat", {"a": 1.0, "nonexistent": 1.0}
+    ).count() == 0
