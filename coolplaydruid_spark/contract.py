@@ -25,6 +25,7 @@ from coolplaydruid_spark.operators import (
     graph,
     multimodal,
     sampling,
+    sessions,
     similarity,
     text,
 )
@@ -3439,3 +3440,134 @@ def timeseries_js_filter_agg(spark, sf_dir):
         }
     )
     return df.withColumn("sumsq", F.round(F.col("sumsq"), 2))
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics (operators/sessions.py): sessionization, as-of
+# join, cohort retention, ordered funnels — sequence-aware operators over
+# the reference's timestamped fact-table model (query-timeseries.md:40-52)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "sessions_stats_30m",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+    ), numbered AS (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_seq
+      FROM marked
+    )
+    SELECT user_id, session_seq,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0, 6)
+             AS duration_secs
+    FROM numbered GROUP BY 1, 2
+    """,
+)
+def sessions_stats_30m(spark, sf_dir):
+    """30-minute-gap sessionization + per-session rollup: one user-keyed
+    shuffle, windows and aggregation inside the partition
+    (operators/sessions.py — sequence analytics over the reference's
+    timestamped fact model, query/query-timeseries.md:40-52)."""
+    eng = engine_for(spark, sf_dir)
+    return sessions.session_stats(eng.catalog.table("events"), gap_seconds=1800)
+
+
+@q(
+    "events_asof_last_purchase",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts, max(value) AS value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.event_id, c.user_id, round(p.value, 4) AS value_asof
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def events_asof_last_purchase(spark, sf_dir):
+    """As-of join: every click picks up the user's most recent prior
+    purchase amount (inclusive bound). Union + last_value-over-window
+    formulation — ONE key shuffle of both inputs, no range join, no
+    broadcast requirement (operators/sessions.py)."""
+    eng = engine_for(spark, sf_dir)
+    ev = eng.catalog.table("events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = sessions.asof_join(clicks, purchases, key_col="user_id", ts_col="ts",
+                             value_cols=["value"])
+    return out.select("event_id", "user_id", F.round(F.col("value_asof"), 4).alias("value_asof"))
+
+
+@q(
+    "events_cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week FROM events
+    )
+    SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(date_diff('day', cohort_week, activity_week) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM activity JOIN first_seen USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix (first-seen week × activity-week
+    offset). User-keyed aggregations and join; final key space is weeks²
+    (operators/sessions.py)."""
+    eng = engine_for(spark, sf_dir)
+    return sessions.cohort_retention(eng.catalog.table("events"))
+
+
+@q(
+    "events_funnel_3step",
+    """
+    WITH s0 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), s1 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS step_index, 'view' AS step,
+             CAST(count(*) AS BIGINT) AS n_users FROM s0
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s2
+    )
+    """,
+)
+def events_funnel_3step(spark, sf_dir):
+    """Ordered funnel view → click → purchase: per-user first-qualifying
+    timestamps, each stage strictly after the previous — k-1 user-keyed
+    joins whose cardinality only shrinks (operators/sessions.py)."""
+    eng = engine_for(spark, sf_dir)
+    return sessions.funnel_conversion(
+        eng.catalog.table("events"), ["view", "click", "purchase"]
+    )
