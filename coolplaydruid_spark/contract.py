@@ -3571,3 +3571,99 @@ def events_funnel_3step(spark, sf_dir):
     return sessions.funnel_conversion(
         eng.catalog.table("events"), ["view", "click", "purchase"]
     )
+
+
+# ---------------------------------------------------------------------------
+# movingAverage query type (plans/moving_average.py — public Druid
+# movingAverage extension semantics: trailing-window averagers with
+# interval auto-expansion for warm-up buckets)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "movavg_daily_mean7",
+    """
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-04',
+                                    TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS ts_bucket
+    ), agg AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_bucket, sum(value) AS total
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-04' AND ts < TIMESTAMP '2024-01-31'
+      GROUP BY 1
+    ), filled AS (
+      SELECT spine.ts_bucket, COALESCE(total, 0.0) AS total
+      FROM spine LEFT JOIN agg USING (ts_bucket)
+    )
+    SELECT ts_bucket, round(total, 4) AS total,
+           round(avg(total) OVER (ORDER BY ts_bucket
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg7
+    FROM filled
+    QUALIFY ts_bucket >= TIMESTAMP '2024-01-10'
+    """,
+)
+def movavg_daily_mean7(spark, sf_dir):
+    """movingAverage: 7-bucket trailing mean of a daily doubleSum. The
+    interval expands backward 6 buckets internally so the first output
+    bucket has full history; warm-up buckets are trimmed."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "movingAverage",
+            "dataSource": "events",
+            "granularity": "day",
+            "aggregations": [{"type": "doubleSum", "name": "total", "fieldName": "value"}],
+            "averagers": [
+                {"type": "doubleMean", "name": "avg7", "fieldName": "total", "buckets": 7}
+            ],
+            "intervals": ["2024-01-10T00:00:00/2024-01-31T00:00:00"],
+        }
+    )
+    return _r4(df, "total", "avg7")
+
+
+@q(
+    "movavg_by_type_max3",
+    """
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-08',
+                                    TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS ts_bucket
+    ), agg AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_bucket,
+             event_type, CAST(count(*) AS BIGINT) AS rows
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-31'
+      GROUP BY 1, 2
+    ), grid AS (
+      SELECT s.ts_bucket, t.event_type
+      FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM agg) t
+    ), filled AS (
+      SELECT grid.ts_bucket, grid.event_type, COALESCE(rows, 0) AS rows
+      FROM grid LEFT JOIN agg ON grid.ts_bucket = agg.ts_bucket
+                             AND grid.event_type = agg.event_type
+    )
+    SELECT ts_bucket, event_type, CAST(rows AS BIGINT) AS rows,
+           CAST(max(rows) OVER (PARTITION BY event_type ORDER BY ts_bucket
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS max3
+    FROM filled
+    QUALIFY ts_bucket >= TIMESTAMP '2024-01-10'
+    """,
+)
+def movavg_by_type_max3(spark, sf_dir):
+    """movingAverage with a dimension: per-event-type 3-bucket trailing
+    max of the daily count — the window partitions by the dimension, the
+    zero-fill grid is spine × dimension values."""
+    eng = engine_for(spark, sf_dir)
+    return eng.plan(
+        {
+            "queryType": "movingAverage",
+            "dataSource": "events",
+            "granularity": "day",
+            "dimensions": ["event_type"],
+            "aggregations": [{"type": "count", "name": "rows"}],
+            "averagers": [
+                {"type": "doubleMax", "name": "max3", "fieldName": "rows", "buckets": 3}
+            ],
+            "intervals": ["2024-01-10T00:00:00/2024-01-31T00:00:00"],
+        }
+    ).withColumn("max3", F.col("max3").cast("long"))

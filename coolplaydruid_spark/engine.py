@@ -35,6 +35,7 @@ from coolplaydruid_spark.errors import (
 from coolplaydruid_spark.plans.common import BUCKET
 from coolplaydruid_spark.plans.groupby import plan_groupby
 from coolplaydruid_spark.plans.lookups import resolve_registered_lookups
+from coolplaydruid_spark.plans.moving_average import plan_moving_average
 from coolplaydruid_spark.plans.metadata import (
     plan_datasource_metadata,
     plan_segment_metadata,
@@ -65,6 +66,7 @@ class DruidEngine:
 
     _PLANNERS = {
         "timeseries": plan_timeseries,
+        "movingAverage": plan_moving_average,
         "topN": plan_topn,
         "groupBy": plan_groupby,
         "scan": plan_scan,
