@@ -3667,3 +3667,55 @@ def movavg_by_type_max3(spark, sf_dir):
             "intervals": ["2024-01-10T00:00:00/2024-01-31T00:00:00"],
         }
     ).withColumn("max3", F.col("max3").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Text normalization + corpus length profile (operators/text.py)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "text_normalize",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(coalesce(text, ''),
+                              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+               '\s+', ' ', 'g')) AS norm_text
+      FROM documents
+    )
+    SELECT doc_id, norm_text,
+           CAST(length(norm_text) AS BIGINT) AS norm_chars,
+           md5(norm_text) AS norm_md5
+    FROM norm
+    """,
+)
+def text_normalize(spark, sf_dir):
+    """Ingest text cleanup: control-char strip + whitespace collapse +
+    trim, plus the canonical digest for byte-noise dedup. Map-only."""
+    eng = engine_for(spark, sf_dir)
+    return text.normalize_text(eng.catalog.table("documents"))
+
+
+@q(
+    "text_length_histogram",
+    f"""
+    WITH counts AS (
+      SELECT CAST(len({DUCK_TOKS}) AS BIGINT) AS n FROM documents
+    )
+    SELECT CAST(CASE
+             WHEN n < 10 THEN 0 WHEN n < 30 THEN 10 WHEN n < 100 THEN 30
+             WHEN n < 300 THEN 100 WHEN n < 1000 THEN 300
+             WHEN n < 3000 THEN 1000 WHEN n < 10000 THEN 3000
+             ELSE 10000 END AS BIGINT) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens
+    FROM counts GROUP BY 1
+    """,
+)
+def text_length_histogram(spark, sf_dir):
+    """Sequence-length planning histogram: fixed right-open token-count
+    buckets; one map + one bucket-keyed aggregation."""
+    eng = engine_for(spark, sf_dir)
+    return text.length_histogram(eng.catalog.table("documents"))

@@ -89,6 +89,47 @@ def session_stats(
     )
 
 
+def session_window_stats(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-session rollup via Spark's native ``session_window`` — works
+    on BATCH and STREAMING frames with the same code. On a stream, pass
+    ``watermark``: sessions close (and emit, in append mode) once the
+    watermark passes their end — the streaming-state analogue of the
+    reference's in-memory incremental index flushing closed segments
+    (`arch/druid-arch.md:29-32`).
+
+    Boundary semantics differ from :func:`sessionize` by one point:
+    ``session_window`` extends a session ``gap`` past each event
+    *exclusive* (an event exactly ``gap`` later starts a new session),
+    while ``sessionize`` keeps it (strict ``> gap`` starts a new one).
+    Streaming state is per (user, open-session) and bounded by the
+    watermark — Spark merges overlapping windows as events arrive.
+
+    Returns (user, session_start, session_end, n_events) where
+    ``session_end`` is the window end (last event + gap).
+    """
+    src = df
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.col(user_col), F.session_window(F.col(ts_col), gap).alias("__w")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("__w.start").alias("session_start"),
+            F.col("__w.end").alias("session_end"),
+            F.col("n_events"),
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

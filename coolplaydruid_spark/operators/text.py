@@ -245,3 +245,61 @@ def contamination_check(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
     )
+
+
+# Control characters to strip during normalization: C0 controls minus
+# tab/newline/carriage-return (which whitespace-collapse handles), plus
+# DEL. Identical hex-escape classes in Java regex and RE2.
+CONTROL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Canonical text cleanup for ingest: strip C0 control characters
+    (keeping tab/newline for the collapse step), collapse every
+    whitespace run to a single space, trim. Returns (id, norm_text,
+    norm_chars, norm_md5) — the digest keys downstream exact dedup so
+    byte-noise variants of the same document collapse.
+
+    Map-only, whole-stage codegen (two regexp_replace + trim) — at
+    100 TB the cost is the scan."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    stripped = F.regexp_replace(text, CONTROL_CLASS, "")
+    collapsed = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        collapsed.alias("norm_text"),
+        F.length(collapsed).cast("long").alias("norm_chars"),
+        F.md5(collapsed).alias("norm_md5"),
+    )
+
+
+# Fixed token-length histogram boundaries (right-open buckets). A CASE
+# chain — not log/pow arithmetic — so both engines bucket identically
+# with zero FP edge cases.
+LENGTH_BUCKETS = [0, 10, 30, 100, 300, 1000, 3000, 10000]
+
+
+def length_histogram(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Corpus length profile: documents histogrammed by whitespace token
+    count into fixed right-open buckets ([0,10), [10,30), ... [10000,∞)).
+    Returns (bucket_lo, n_docs, total_tokens) — the standard
+    sequence-length planning input for context-window and packing
+    decisions.
+
+    One map (token count + CASE bucket) and one tiny aggregation keyed
+    on ≤ 8 bucket values; partial aggregation collapses each executor's
+    output to bucket-cardinality rows before the exchange."""
+    n = F.size(tokens(F.col(text_col)))
+    bucket = F.lit(LENGTH_BUCKETS[-1]).cast("long")
+    for lo, hi in zip(LENGTH_BUCKETS, LENGTH_BUCKETS[1:]):
+        bucket = F.when((n >= lo) & (n < hi), F.lit(lo).cast("long")).otherwise(bucket)
+    return (
+        df.select(bucket.alias("bucket_lo"), n.alias("__n"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__n").cast("long").alias("total_tokens"),
+        )
+    )
