@@ -3719,3 +3719,36 @@ def text_length_histogram(spark, sf_dir):
     buckets; one map + one bucket-keyed aggregation."""
     eng = engine_for(spark, sf_dir)
     return text.length_histogram(eng.catalog.table("documents"))
+
+
+@q(
+    "groupby_subtotals",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_bucket, event_type,
+           CAST(count(*) AS BIGINT) AS rows,
+           round(sum(value), 4) AS total
+    FROM events WHERE {EVENTS_WHERE}
+    GROUP BY GROUPING SETS ((1, event_type), (1))
+    """,
+)
+def groupby_subtotals(spark, sf_dir):
+    """subtotalsSpec (public Druid groupBy semantics): per-type daily
+    rows PLUS the per-day rollup in one result — compiled to ONE native
+    grouping-sets aggregation (single Expand + single shuffle), not one
+    job per subset."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "groupBy",
+            "dataSource": "events",
+            "granularity": "day",
+            "dimensions": ["event_type"],
+            "aggregations": [
+                {"type": "count", "name": "rows"},
+                {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            ],
+            "subtotalsSpec": [["event_type"], []],
+            "intervals": EVENTS_INTERVAL,
+        }
+    )
+    return _r4(df, "total")

@@ -63,7 +63,11 @@ def plan_groupby(engine, query: dict) -> DataFrame:
         bucket = gran.bucket(F.col(TIME_COLUMN)).alias(BUCKET)
 
     aggs = compile_aggregators(query.get("aggregations"), context, df=base)
-    out = grouped_agg(base, [bucket, *dim_cols], [BUCKET, *dim_names], aggs)
+    subtotals = query.get("subtotalsSpec")
+    if subtotals is not None:
+        out = _grouping_sets(base, bucket, dim_cols, dim_names, aggs, subtotals)
+    else:
+        out = grouped_agg(base, [bucket, *dim_cols], [BUCKET, *dim_names], aggs)
 
     for name, col in compile_post_aggregators(query.get("postAggregations")):
         out = out.withColumn(name, col)
@@ -74,6 +78,39 @@ def plan_groupby(engine, query: dict) -> DataFrame:
 
     out = apply_limit_spec(out, query.get("limitSpec"), dim_names)
     return out
+
+
+def _grouping_sets(base, bucket, dim_cols, dim_names, aggs, subtotals):
+    """``subtotalsSpec`` (public Druid semantics: the result is the
+    concatenation of the groupBy at each listed dimension subset, with
+    non-included dimensions null) as ONE native grouping-sets
+    aggregation — a single Expand + a single shuffle, not one job per
+    subset. The time bucket participates in every set.
+
+    Keys are materialized under collision-proof temp names first (a
+    dimension outputName may shadow the source column an aggregator
+    reads) and renamed on the way out."""
+    if aggs.py_exprs:
+        raise ValueError("subtotalsSpec with python-callable aggregators is not supported")
+    unknown = [d for s in subtotals for d in s if d not in dim_names]
+    if unknown:
+        raise ValueError(f"subtotalsSpec names not in dimensions: {unknown!r}")
+    tmp_b = "__gs_bucket"
+    tmp_names = [f"__gs_{i}" for i in range(len(dim_cols))]
+    proj = base.select(
+        "*", bucket.alias(tmp_b), *[c.alias(t) for c, t in zip(dim_cols, tmp_names)]
+    )
+    tmp_for = dict(zip(dim_names, tmp_names))
+    sets = [
+        [F.col(tmp_b), *[F.col(tmp_for[d]) for d in subset]] for subset in subtotals
+    ]
+    grouped = proj.groupingSets(sets, F.col(tmp_b), *[F.col(t) for t in tmp_names])
+    out = grouped.agg(*aggs.exprs)
+    return out.select(
+        F.col(tmp_b).alias(BUCKET),
+        *[F.col(t).alias(n) for t, n in zip(tmp_names, dim_names)],
+        *[F.col(n) for n in aggs.names],
+    )
 
 
 def compile_having(spec: dict | None):

@@ -215,3 +215,39 @@ def test_aggregator_suite_oracle(engine, duck):
     GROUP BY 1
     """
     assert_df_matches_duck(df, duck, sql)
+
+
+def test_subtotals_single_expand_single_shuffle(engine):
+    """subtotalsSpec plans ONE Expand + ONE aggregation exchange — not a
+    union of per-subset jobs (each with its own shuffle)."""
+    df = engine.plan({
+        "queryType": "groupBy", "dataSource": "events", "granularity": "day",
+        "dimensions": ["event_type"],
+        "aggregations": [{"type": "count", "name": "rows"}],
+        "subtotalsSpec": [["event_type"], []],
+        "intervals": ["2024-01-01T00:00:00/2024-02-01T00:00:00"],
+    })
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    rows = df.collect()
+    # rollup rows carry null for the excluded dimension
+    assert any(r.event_type is None for r in rows)
+    per_day = {r.ts_bucket: r.rows for r in rows if r.event_type is None}
+    by_type_sum = {}
+    for r in rows:
+        if r.event_type is not None:
+            by_type_sum[r.ts_bucket] = by_type_sum.get(r.ts_bucket, 0) + r.rows
+    assert per_day == by_type_sum
+
+
+def test_subtotals_unknown_dim_rejected(engine):
+    import pytest as _pt
+    with _pt.raises(Exception, match="subtotalsSpec"):
+        engine.plan({
+            "queryType": "groupBy", "dataSource": "events", "granularity": "all",
+            "dimensions": ["event_type"],
+            "aggregations": [{"type": "count", "name": "rows"}],
+            "subtotalsSpec": [["nope"]],
+            "intervals": ["2024-01-01T00:00:00/2024-02-01T00:00:00"],
+        })
