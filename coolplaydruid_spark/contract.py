@@ -3752,3 +3752,72 @@ def groupby_subtotals(spark, sf_dir):
         }
     )
     return _r4(df, "total")
+
+
+@q(
+    "timeseries_virtual_column",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_bucket,
+           round(sum(value * 0.9), 4) AS net
+    FROM events
+    WHERE {EVENTS_WHERE} AND event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def timeseries_virtual_column(spark, sf_dir):
+    """Expression virtual column consumed by an aggregator: net = 0.9 ×
+    value, summed per day. The projection folds into codegen; the
+    selector filter on the SOURCE column still reaches PushedFilters."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "day",
+            "virtualColumns": [
+                {"type": "expression", "name": "net", "expression": "value * 0.9"}
+            ],
+            "filter": {"type": "selector", "dimension": "event_type", "value": "purchase"},
+            "aggregations": [{"type": "doubleSum", "name": "net", "fieldName": "net"}],
+            "intervals": EVENTS_INTERVAL,
+            "context": {"skipEmptyBuckets": True},
+        }
+    )
+    return _r4(df, "net")
+
+
+@q(
+    "groupby_virtual_dimension",
+    f"""
+    SELECT CASE WHEN value > 50 THEN 'high' ELSE 'low' END AS band,
+           CAST(count(*) AS BIGINT) AS rows,
+           round(sum(value), 4) AS total
+    FROM events WHERE {EVENTS_WHERE}
+    GROUP BY 1
+    """,
+)
+def groupby_virtual_dimension(spark, sf_dir):
+    """Expression virtual column as a groupBy DIMENSION (if() banding —
+    syntax-identical in Druid's expression language and Spark SQL)."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "groupBy",
+            "dataSource": "events",
+            "granularity": "all",
+            "virtualColumns": [
+                {
+                    "type": "expression",
+                    "name": "band",
+                    "expression": "if(value > 50, 'high', 'low')",
+                }
+            ],
+            "dimensions": ["band"],
+            "aggregations": [
+                {"type": "count", "name": "rows"},
+                {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            ],
+            "intervals": EVENTS_INTERVAL,
+        }
+    ).drop("ts_bucket")
+    return _r4(df, "total")

@@ -43,15 +43,34 @@ def grouped_agg(base: DataFrame, key_cols: list, key_names: list[str], aggs) -> 
     return base.groupBy(*key_cols).agg(*aggs.exprs)
 
 
-def filtered_frame(df: DataFrame, query: dict) -> DataFrame:
-    """Apply the query's ``intervals`` + ``filter`` to the dataSource frame.
+def apply_virtual_columns(df: DataFrame, query: dict) -> DataFrame:
+    """``virtualColumns``: computed columns usable by filters, dimensions
+    and aggregators of the same query (public Druid expression virtual
+    columns). The expression dialect here IS Spark SQL (documented
+    divergence from Druid's expression language — the arithmetic /
+    comparison / `if()` / string-function subset Druid specs typically
+    use is syntax-identical). Each column is a projection folded into
+    whole-stage codegen; Catalyst still pushes filters on *source*
+    columns beneath the Project, so scan pruning is unaffected."""
+    for vc in query.get("virtualColumns") or []:
+        vtype = vc.get("type", "expression")
+        if vtype != "expression":
+            raise ValueError(f"unknown virtualColumn type {vtype!r}")
+        df = df.withColumn(vc["name"], F.expr(vc["expression"]))
+    return df
 
-    Both are plain Column predicates, so Catalyst pushes them into the
+
+def filtered_frame(df: DataFrame, query: dict) -> DataFrame:
+    """Apply the query's ``virtualColumns``, ``intervals`` + ``filter``
+    to the dataSource frame.
+
+    The predicates are plain Columns, so Catalyst pushes them into the
     Parquet scan: the intervals predicate is the Spark analogue of Druid's
     interval→segment pruning (query/query-internal-procedure.md:7), and
     dimension filters land in PushedFilters (≈ bitmap-index skipping,
     TOC.md:39-40).
     """
+    df = apply_virtual_columns(df, query)
     intervals = query.get("intervals")
     if intervals:
         if isinstance(intervals, str):

@@ -266,3 +266,33 @@ def test_dedup_joins_carry_no_forced_broadcast_hints(spark):
     filtered = dedup.apply_dedup_filter(docs, pairs)
     analyzed = filtered._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed
+
+
+def test_virtual_column_keeps_source_filter_pushdown(engine):
+    """A virtual-column Project must not block pushdown of filters on
+    SOURCE columns: the selector predicate still reaches the scan."""
+    df = engine.plan({
+        "queryType": "timeseries", "dataSource": "events", "granularity": "day",
+        "virtualColumns": [
+            {"type": "expression", "name": "net", "expression": "value * 0.9"}
+        ],
+        "filter": {"type": "selector", "dimension": "event_type", "value": "purchase"},
+        "aggregations": [{"type": "doubleSum", "name": "net", "fieldName": "net"}],
+        "intervals": ["2024-01-01T00:00:00/2024-02-01T00:00:00"],
+        "context": {"skipEmptyBuckets": True},
+    })
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_virtual_column_unknown_type_rejected(engine):
+    import pytest as _pt
+    with _pt.raises(Exception, match="virtualColumn"):
+        engine.plan({
+            "queryType": "timeseries", "dataSource": "events",
+            "granularity": "all",
+            "virtualColumns": [{"type": "nested", "name": "x", "expression": "1"}],
+            "aggregations": [{"type": "count", "name": "rows"}],
+            "intervals": ["2024-01-01T00:00:00/2024-02-01T00:00:00"],
+        })
