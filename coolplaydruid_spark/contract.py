@@ -3821,3 +3821,101 @@ def groupby_virtual_dimension(spark, sf_dir):
         }
     ).drop("ts_bucket")
     return _r4(df, "total")
+
+
+# ---------------------------------------------------------------------------
+# Rollup materialized views + automatic routing (rollup.py): the Spark
+# side reads a pre-aggregated hourly table; the oracle computes from RAW
+# events — hash equality proves the rewrite is lossless.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_READY: set = set()
+_ROLLUP_AGGS = [
+    {"type": "count", "name": "cnt"},
+    {"type": "doubleSum", "name": "sum_value", "fieldName": "value"},
+    {"type": "doubleMax", "name": "max_value", "fieldName": "value"},
+]
+
+
+def _rollup_engine(spark, sf_dir):
+    """engine_for + a registered hourly rollup of events, materialized
+    once per (session, sf) under the repo-local .rollups/ scratch dir."""
+    from pathlib import Path
+
+    from coolplaydruid_spark.rollup import RollupSpec
+    from coolplaydruid_spark.sources import batch
+
+    eng = engine_for(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    if key not in _ROLLUP_READY:
+        dest = str(
+            Path(__file__).resolve().parent.parent
+            / ".rollups"
+            / Path(sf_dir).name
+            / "events_hourly"
+        )
+        batch.index_task(
+            spark,
+            {"type": "table", "path": f"{sf_dir}/events.parquet"},
+            dest,
+            time_column="ts",
+            rollup={
+                "granularity": "hour",
+                "dimensions": ["event_type"],
+                "aggregations": _ROLLUP_AGGS,
+            },
+        )
+        batch.register_ingested(eng.catalog, "events_hourly", dest, time_column="ts")
+        eng.register_rollup(
+            RollupSpec(
+                base="events",
+                table="events_hourly",
+                granularity="hour",
+                dimensions={"event_type"},
+                aggregations=_ROLLUP_AGGS,
+            )
+        )
+        _ROLLUP_READY.add(key)
+    return eng
+
+
+@q(
+    "timeseries_rollup_routed",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_bucket,
+           CAST(count(*) AS BIGINT) AS rows,
+           round(sum(value), 4) AS total,
+           round(max(value), 4) AS peak
+    FROM events
+    WHERE {EVENTS_WHERE} AND event_type IN ('click', 'view')
+    GROUP BY 1
+    """,
+)
+def timeseries_rollup_routed(spark, sf_dir):
+    """Day-granularity timeseries silently ROUTED to the materialized
+    hourly rollup (count → longSum(cnt), sums/maxes re-aggregated);
+    the oracle reads raw events — equality proves losslessness. The
+    routed plan scans ~rollup-factor fewer rows with the identical
+    bucket-keyed aggregation shape (asserted in
+    tests/test_rollup_routing.py)."""
+    eng = _rollup_engine(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "day",
+            "filter": {
+                "type": "in",
+                "dimension": "event_type",
+                "values": ["click", "view"],
+            },
+            "aggregations": [
+                {"type": "count", "name": "rows"},
+                {"type": "doubleSum", "name": "total", "fieldName": "value"},
+                {"type": "doubleMax", "name": "peak", "fieldName": "value"},
+            ],
+            "intervals": EVENTS_INTERVAL,
+            "context": {"skipEmptyBuckets": True},
+        }
+    )
+    return _r4(df, "total", "peak")

@@ -36,6 +36,7 @@ from coolplaydruid_spark.plans.common import BUCKET
 from coolplaydruid_spark.plans.groupby import plan_groupby
 from coolplaydruid_spark.plans.lookups import resolve_registered_lookups
 from coolplaydruid_spark.plans.moving_average import plan_moving_average
+from coolplaydruid_spark.rollup import RollupSpec, rewrite_with_rollup
 from coolplaydruid_spark.plans.metadata import (
     plan_datasource_metadata,
     plan_segment_metadata,
@@ -61,6 +62,7 @@ class DruidEngine:
         # entries are invalidated by key churn, not eviction policy.
         self._result_cache: dict[str, list] = {}
         self._result_cache_max = result_cache_entries
+        self._rollups: list[RollupSpec] = []
 
     # ---- planning -------------------------------------------------------
 
@@ -100,7 +102,17 @@ class DruidEngine:
                 f"unknown queryType {qtype!r}", error_class="IllegalArgumentException"
             )
         query = resolve_registered_lookups(self, query)
+        if self._rollups and (query.get("context") or {}).get("useRollup", True):
+            query = rewrite_with_rollup(self._rollups, query)
+            planner = self._PLANNERS[query["queryType"]]
         return planner(self, query)
+
+    def register_rollup(self, spec: RollupSpec) -> None:
+        """Declare a materialized rollup of a base dataSource; answerable
+        aggregation queries silently reroute to it (rollup.py). Register
+        coarsest-first — the first answerable rollup wins. Disable per
+        query with context.useRollup=false."""
+        self._rollups.append(spec)
 
     # ---- execution with the operational contract ------------------------
 

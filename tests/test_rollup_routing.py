@@ -1,0 +1,159 @@
+"""Rollup materialized views + automatic query routing (rollup.py):
+answerable aggregation queries silently read the pre-aggregated table;
+results are identical to the raw-table plan; unanswerable shapes fall
+back to raw."""
+
+from __future__ import annotations
+
+import pytest
+
+from coolplaydruid_spark.rollup import RollupSpec
+from coolplaydruid_spark.sources import batch
+
+ROLLUP_AGGS = [
+    {"type": "count", "name": "cnt"},
+    {"type": "doubleSum", "name": "sum_value", "fieldName": "value"},
+    {"type": "doubleMax", "name": "max_value", "fieldName": "value"},
+    {"type": "hyperUnique", "name": "uniq_users", "fieldName": "user_id"},
+]
+
+
+@pytest.fixture(scope="module")
+def rolled_engine(spark, tmp_path_factory):
+    """A fresh engine over the fixtures plus a registered hourly rollup
+    of events (dims: event_type)."""
+    from coolplaydruid_spark.catalog import register_fixtures
+    from coolplaydruid_spark.engine import DruidEngine
+
+    import tests.conftest as cf
+
+    dest = str(tmp_path_factory.mktemp("rollup") / "events_hourly")
+    batch.index_task(
+        spark,
+        {"type": "table", "path": f"{cf.SF_DIR}/events.parquet"},
+        dest,
+        time_column="ts",
+        rollup={
+            "granularity": "hour",
+            "dimensions": ["event_type"],
+            "aggregations": ROLLUP_AGGS,
+        },
+    )
+    catalog = register_fixtures(spark, cf.SF_DIR)
+    batch.register_ingested(catalog, "events_hourly", dest, time_column="ts")
+    eng = DruidEngine(spark, catalog)
+    eng.register_rollup(
+        RollupSpec(
+            base="events",
+            table="events_hourly",
+            granularity="hour",
+            dimensions={"event_type"},
+            aggregations=ROLLUP_AGGS,
+        )
+    )
+    return eng
+
+
+DAY_QUERY = {
+    "queryType": "timeseries",
+    "dataSource": "events",
+    "granularity": "day",
+    "filter": {"type": "selector", "dimension": "event_type", "value": "click"},
+    "aggregations": [
+        {"type": "count", "name": "rows"},
+        {"type": "doubleSum", "name": "total", "fieldName": "value"},
+        {"type": "doubleMax", "name": "peak", "fieldName": "value"},
+    ],
+    "intervals": ["2024-01-01T00:00:00/2024-02-01T00:00:00"],
+    "context": {"skipEmptyBuckets": True},
+}
+
+
+def _reads_rollup(df) -> bool:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "events_hourly" in plan
+
+
+def test_day_query_routes_to_rollup_and_matches_raw(rolled_engine):
+    routed = rolled_engine.plan(DAY_QUERY)
+    assert _reads_rollup(routed)
+    raw = rolled_engine.plan(
+        dict(DAY_QUERY, context={"skipEmptyBuckets": True, "useRollup": False})
+    )
+    assert not _reads_rollup(raw)
+    r1 = [(r.ts_bucket, r.rows, round(r.total, 6), r.peak) for r in routed.collect()]
+    r2 = [(r.ts_bucket, r.rows, round(r.total, 6), r.peak) for r in raw.collect()]
+    assert r1 == r2
+
+
+def test_groupby_and_topn_route(rolled_engine):
+    gq = {
+        "queryType": "groupBy",
+        "dataSource": "events",
+        "granularity": "week",
+        "dimensions": ["event_type"],
+        "aggregations": [{"type": "count", "name": "rows"}],
+        "intervals": ["2024-01-01T00:00:00/2024-01-29T00:00:00"],
+    }
+    assert _reads_rollup(rolled_engine.plan(gq))
+    tq = {
+        "queryType": "topN",
+        "dataSource": "events",
+        "granularity": "all",
+        "dimension": "event_type",
+        "metric": "rows",
+        "threshold": 3,
+        "aggregations": [{"type": "count", "name": "rows"}],
+        "intervals": ["2024-01-01T00:00:00/2024-02-01T00:00:00"],
+    }
+    routed = rolled_engine.plan(tq)
+    assert _reads_rollup(routed)
+    raw = rolled_engine.plan(dict(tq, context={"useRollup": False}))
+    assert [tuple(r) for r in routed.collect()] == [tuple(r) for r in raw.collect()]
+
+
+def test_hyperunique_survives_rollup_fold(rolled_engine):
+    q = {
+        "queryType": "timeseries",
+        "dataSource": "events",
+        "granularity": "day",
+        "aggregations": [{"type": "hyperUnique", "name": "uu", "fieldName": "user_id"}],
+        "intervals": ["2024-01-01T00:00:00/2024-01-08T00:00:00"],
+        "context": {"skipEmptyBuckets": True},
+    }
+    routed = rolled_engine.plan(q)
+    assert _reads_rollup(routed)
+    raw = rolled_engine.plan(dict(q, context={"skipEmptyBuckets": True, "useRollup": False}))
+    # identical HLL algorithm on both paths: union of per-hour sketches
+    # estimates exactly like the one-pass sketch
+    assert [tuple(r) for r in routed.collect()] == [tuple(r) for r in raw.collect()]
+
+
+@pytest.mark.parametrize(
+    "mutation",
+    [
+        # misaligned interval endpoint (00:30 is not an hour boundary)
+        {"intervals": ["2024-01-01T00:30:00/2024-02-01T00:00:00"]},
+        # filter on a dimension the rollup dropped
+        {"filter": {"type": "selector", "dimension": "props", "value": "x"}},
+        # aggregator not derivable from rollup metrics
+        {"aggregations": [{"type": "doubleSum", "name": "e", "fieldName": "event_id"}]},
+        # finer granularity than the rollup
+        {"granularity": "minute"},
+        # grain that does not nest (week rollup boundary vs month query is
+        # fine, but month query on week rollup would not be — here: a
+        # 'week' query is answerable from 'hour'; 'none' is not)
+        {"granularity": "none"},
+    ],
+)
+def test_unanswerable_shapes_fall_back_to_raw(rolled_engine, mutation):
+    q = dict(DAY_QUERY, **mutation)
+    assert not _reads_rollup(rolled_engine.plan(q))
+
+
+def test_virtual_columns_block_routing(rolled_engine):
+    q = dict(
+        DAY_QUERY,
+        virtualColumns=[{"type": "expression", "name": "v2", "expression": "value * 2"}],
+    )
+    assert not _reads_rollup(rolled_engine.plan(q))
