@@ -157,3 +157,87 @@ def test_virtual_columns_block_routing(rolled_engine):
         virtualColumns=[{"type": "expression", "name": "v2", "expression": "value * 2"}],
     )
     assert not _reads_rollup(rolled_engine.plan(q))
+
+
+def test_streaming_rollup_sink_is_routable(spark, tmp_path):
+    """The realtime rollup sink (closed watermarked windows) registers as
+    a rollup view: day queries on the BASE name route to the streaming
+    sink and re-aggregate its partials correctly — Druid's realtime
+    rollup segments serving historical queries."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from coolplaydruid_spark.catalog import register_fixtures
+    from coolplaydruid_spark.engine import DruidEngine
+    from coolplaydruid_spark.streaming import realtime
+
+    import tests.conftest as cf
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"event_id": i, "ts": f"2024-03-01T{i % 2:02d}:15:00",
+         "event_type": ["click", "view"][i % 2], "value": float(i)}
+        for i in range(40)
+    ]
+    # watermark advancer: closes the 00:00 and 01:00 windows
+    rows.append({"event_id": 999, "ts": "2024-03-02T12:00:00",
+                 "event_type": "view", "value": 0.0})
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = realtime.file_stream(spark, str(src), schema, fmt="json")
+    q = realtime.realtime_index(
+        stream, str(tmp_path / "tbl"), str(tmp_path / "ckpt"), time_column="ts",
+        watermark="5 minutes",
+        rollup={
+            "window": "1 hour",
+            "dimensions": ["event_type"],
+            "aggregations": [
+                ("cnt", F.count(F.lit(1))),
+                ("sum_value", F.sum("value")),
+            ],
+        },
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    from coolplaydruid_spark.rollup import RollupSpec
+    from coolplaydruid_spark.sources import batch as b
+
+    catalog = register_fixtures(spark, cf.SF_DIR)
+    b.register_ingested(catalog, "stream_hourly", str(tmp_path / "tbl"), time_column="ts")
+    eng = DruidEngine(spark, catalog)
+    eng.register_rollup(RollupSpec(
+        base="events", table="stream_hourly", granularity="hour",
+        dimensions={"event_type"},
+        aggregations=[
+            {"type": "count", "name": "cnt"},
+            {"type": "doubleSum", "name": "sum_value", "fieldName": "value"},
+        ],
+    ))
+    out = eng.plan({
+        "queryType": "groupBy", "dataSource": "events", "granularity": "day",
+        "dimensions": ["event_type"],
+        "aggregations": [
+            {"type": "count", "name": "rows"},
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+        ],
+        "intervals": ["2024-03-01T00:00:00/2024-03-02T00:00:00"],
+    })
+    # the scan reads the streaming sink's pre-aggregated schema (the
+    # plan string shows the file path, not the registered name)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "sum_value:double" in plan
+    got = {r.event_type: (r.rows, r.total) for r in out.collect()}
+    assert got == {
+        "click": (20, float(sum(i for i in range(40) if i % 2 == 0))),
+        "view": (20, float(sum(i for i in range(40) if i % 2 == 1))),
+    }
