@@ -230,6 +230,45 @@ def merge_task(spark: SparkSession, table_path: str,
     return status
 
 
+def auto_compact_task(spark: SparkSession, table_path: str,
+                      max_files_per_dt: int = 8,
+                      target_files: int = 1) -> TaskStatus:
+    """Coordinator auto-compaction (the periodic policy Druid's
+    Coordinator applies on top of the merge task, arch/druid-arch.md:42-45):
+    scan the table's ``__dt`` partitions and rewrite ONLY those whose
+    parquet file count exceeds ``max_files_per_dt`` — the partitions a
+    streaming sink has fragmented — leaving cold partitions untouched.
+
+    Incremental by construction: cost is proportional to the fragmented
+    data, not the table (a full-table merge_task at 100 TB rewrites
+    everything to fix one hot day). Per-partition swap mirrors Druid's
+    atomic segment-version replace; ``__dt`` lives in the directory name,
+    so rewriting a partition's files in place preserves read semantics."""
+    status = REGISTRY.start("auto_compact")
+    try:
+        root = Path(table_path)
+        compacted = []
+        for part in sorted(root.glob(f"{DT_COLUMN}=*")):
+            files = list(part.glob("*.parquet"))
+            if len(files) <= max_files_per_dt:
+                continue
+            df = spark.read.parquet(str(part))
+            tmp = Path(str(part) + ".__compact_tmp")
+            shutil.rmtree(tmp, ignore_errors=True)
+            df.repartition(target_files).write.mode("overwrite").parquet(str(tmp))
+            shutil.rmtree(part)
+            tmp.rename(part)
+            compacted.append(part.name)
+        REGISTRY.finish(
+            status.task_id, True,
+            f"compacted {len(compacted)} partitions: {compacted[:10]}",
+        )
+    except Exception as e:  # noqa: BLE001
+        REGISTRY.finish(status.task_id, False, str(e))
+        raise
+    return status
+
+
 def kill_task(table_path: str, dt_values: list[str]) -> TaskStatus:
     """Druid `kill` task (I6): drop segments (partitions) permanently."""
     status = REGISTRY.start("kill")

@@ -385,3 +385,42 @@ def test_hashed_partitions_spec_joins_without_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS ev_bucketed_a")
         spark.sql("DROP TABLE IF EXISTS ev_bucketed_b")
+
+
+def test_auto_compact_only_rewrites_fragmented_partitions(spark, tmp_path):
+    """auto_compact_task compacts partitions above the file-count
+    threshold and leaves cold partitions byte-identical."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from coolplaydruid_spark.sources import batch as b
+
+    tbl = tmp_path / "tbl"
+    # hot partition: 12 single-row files; cold partition: 1 file
+    hot = spark.createDataFrame(
+        [(i, f"2024-07-01 0{i % 10}:00:00") for i in range(12)], "id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    hot = hot.withColumn("__dt", F.lit("2024-07-01"))
+    hot.repartition(12).write.partitionBy("__dt").mode("append").parquet(str(tbl))
+    cold = spark.createDataFrame(
+        [(100, "2024-07-02 01:00:00")], "id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).withColumn("__dt", F.lit("2024-07-02"))
+    cold.write.partitionBy("__dt").mode("append").parquet(str(tbl))
+
+    cold_files_before = sorted(
+        p.name for p in (tbl / "__dt=2024-07-02").glob("*.parquet")
+    )
+    before = {tuple(r) for r in spark.read.parquet(str(tbl)).select("id").collect()}
+
+    st = b.auto_compact_task(spark, str(tbl), max_files_per_dt=4, target_files=1)
+    assert b.REGISTRY.get(st.task_id).status == "SUCCESS"
+
+    hot_files = list((tbl / "__dt=2024-07-01").glob("*.parquet"))
+    assert len(hot_files) == 1
+    cold_files_after = sorted(
+        p.name for p in (tbl / "__dt=2024-07-02").glob("*.parquet")
+    )
+    assert cold_files_after == cold_files_before  # untouched
+    after = {tuple(r) for r in spark.read.parquet(str(tbl)).select("id").collect()}
+    assert after == before
