@@ -93,3 +93,40 @@ def pack_sequences(
         )
 
     return base.mapInPandas(pack, PACK_SCHEMA)
+
+
+def write_training_shards(
+    df: DataFrame,
+    dest_path: str,
+    n_shards: int,
+    shard_key: str = "seq_id",
+    order_within_shard: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Export packed sequences (or any training table) as exactly
+    ``n_shards`` parquet shard files under ``dest_path/shard=K/``.
+
+    Shard assignment is DETERMINISTIC — ``pmod(xxhash64(key), n)`` —
+    so a re-run (or a resumed failed export) writes identical shards:
+    the property a dataloader checkpoint depends on. Spark's own
+    ``repartition(n)`` round-robin would not give this.
+
+    Scale shape: one shuffle keyed on the shard id (uniform by hash
+    construction), then one file per shard partition via an in-partition
+    coalesce at write. Optional ``order_within_shard`` sorts inside each
+    shard only (sortWithinPartitions — no global sort) for curriculum /
+    length-bucketed loading.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    out = df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(shard_key)), F.lit(n_shards)).cast("int")
+    )
+    out = out.repartition(n_shards, F.col("shard"))
+    if order_within_shard is not None:
+        out = out.sortWithinPartitions("shard", order_within_shard)
+    (
+        out.write.mode(mode)
+        .partitionBy("shard")
+        .parquet(dest_path)
+    )

@@ -595,3 +595,36 @@ def test_sample_to_mixture_proportions_and_nesting(spark):
     assert sampling.sample_to_mixture(
         df, "cat", {"a": 1.0, "nonexistent": 1.0}
     ).count() == 0
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    """Shard export: exact shard count, hash-deterministic assignment
+    across re-runs, every row present exactly once."""
+    from pathlib import Path
+
+    from coolplaydruid_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [(i, [i, i + 1], 2, 100 + i) for i in range(200)],
+        "seq_id long, doc_ids array<long>, n_docs int, total_tokens long",
+    )
+    dest = tmp_path / "shards"
+    packing.write_training_shards(df, str(dest), n_shards=4)
+    shards = sorted(p.name for p in Path(dest).glob("shard=*"))
+    assert shards == ["shard=0", "shard=1", "shard=2", "shard=3"]
+
+    back = spark.read.parquet(str(dest))
+    assert back.count() == 200
+    assert back.select("seq_id").distinct().count() == 200
+
+    first = {
+        (r.seq_id, r.shard) for r in back.select("seq_id", "shard").collect()
+    }
+    # re-run into a second directory: identical assignment
+    packing.write_training_shards(df, str(tmp_path / "shards2"), n_shards=4)
+    second = {
+        (r.seq_id, r.shard)
+        for r in spark.read.parquet(str(tmp_path / "shards2"))
+        .select("seq_id", "shard").collect()
+    }
+    assert first == second
