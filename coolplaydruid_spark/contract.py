@@ -3829,7 +3829,6 @@ def groupby_virtual_dimension(spark, sf_dir):
 # events — hash equality proves the rewrite is lossless.
 # ---------------------------------------------------------------------------
 
-_ROLLUP_READY: set = set()
 _ROLLUP_AGGS = [
     {"type": "count", "name": "cnt"},
     {"type": "doubleSum", "name": "sum_value", "fieldName": "value"},
@@ -3837,45 +3836,54 @@ _ROLLUP_AGGS = [
 ]
 
 
+_ROLLUP_ENGINES: dict = {}
+
+
 def _rollup_engine(spark, sf_dir):
-    """engine_for + a registered hourly rollup of events, materialized
-    once per (session, sf) under the repo-local .rollups/ scratch dir."""
+    """A DEDICATED engine with the hourly events rollup registered —
+    separate from engine_for's shared instance so no other contract
+    query silently routes (routing is lossless, but isolation keeps
+    every query's plan exactly what its own function declares). The
+    rollup is materialized once per (session, sf) under the repo-local
+    .rollups/ scratch dir."""
     from pathlib import Path
 
+    from coolplaydruid_spark.engine import DruidEngine
     from coolplaydruid_spark.rollup import RollupSpec
     from coolplaydruid_spark.sources import batch
 
-    eng = engine_for(spark, sf_dir)
     key = (id(spark), sf_dir)
-    if key not in _ROLLUP_READY:
-        dest = str(
-            Path(__file__).resolve().parent.parent
-            / ".rollups"
-            / Path(sf_dir).name
-            / "events_hourly"
+    if key in _ROLLUP_ENGINES:
+        return _ROLLUP_ENGINES[key]
+    eng = DruidEngine(spark, engine_for(spark, sf_dir).catalog)
+    dest = str(
+        Path(__file__).resolve().parent.parent
+        / ".rollups"
+        / Path(sf_dir).name
+        / "events_hourly"
+    )
+    batch.index_task(
+        spark,
+        {"type": "table", "path": f"{sf_dir}/events.parquet"},
+        dest,
+        time_column="ts",
+        rollup={
+            "granularity": "hour",
+            "dimensions": ["event_type"],
+            "aggregations": _ROLLUP_AGGS,
+        },
+    )
+    batch.register_ingested(eng.catalog, "events_hourly", dest, time_column="ts")
+    eng.register_rollup(
+        RollupSpec(
+            base="events",
+            table="events_hourly",
+            granularity="hour",
+            dimensions={"event_type"},
+            aggregations=_ROLLUP_AGGS,
         )
-        batch.index_task(
-            spark,
-            {"type": "table", "path": f"{sf_dir}/events.parquet"},
-            dest,
-            time_column="ts",
-            rollup={
-                "granularity": "hour",
-                "dimensions": ["event_type"],
-                "aggregations": _ROLLUP_AGGS,
-            },
-        )
-        batch.register_ingested(eng.catalog, "events_hourly", dest, time_column="ts")
-        eng.register_rollup(
-            RollupSpec(
-                base="events",
-                table="events_hourly",
-                granularity="hour",
-                dimensions={"event_type"},
-                aggregations=_ROLLUP_AGGS,
-            )
-        )
-        _ROLLUP_READY.add(key)
+    )
+    _ROLLUP_ENGINES[key] = eng
     return eng
 
 
@@ -3919,3 +3927,43 @@ def timeseries_rollup_routed(spark, sf_dir):
         }
     )
     return _r4(df, "total", "peak")
+
+
+@q(
+    "groupby_js_postagg",
+    f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS rows,
+           round(sum(value), 4) AS total,
+           round(sum(value) / count(*) * 100, 4) AS pct_avg
+    FROM events WHERE {EVENTS_WHERE}
+    GROUP BY 1
+    """,
+)
+def groupby_js_postagg(spark, sf_dir):
+    """JS-SOURCE post-aggregator (Druid 0.12 javascript post-agg): the
+    function source transpiles to a native numeric Column over the
+    aggregate outputs — whole-stage codegen, no script engine."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "groupBy",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimensions": ["event_type"],
+            "aggregations": [
+                {"type": "count", "name": "rows"},
+                {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            ],
+            "postAggregations": [
+                {
+                    "type": "javascript",
+                    "name": "pct_avg",
+                    "fieldNames": ["total", "rows"],
+                    "function": "function(t, r) { return t / r * 100 }",
+                }
+            ],
+            "intervals": EVENTS_INTERVAL,
+        }
+    ).drop("ts_bucket")
+    return _r4(df, "total", "pct_avg")

@@ -404,18 +404,20 @@ def _compile_body(p: _Parser) -> _Val:
     return out
 
 
-def compile_scalar(src: str, arg_cols: list[Column]) -> Column:
+def compile_scalar(src: str, arg_cols: list[Column], kind: str = "str") -> Column:
     """Compile JS function source to a Column over the given argument
-    columns (one per declared parameter, by position)."""
+    columns (one per declared parameter, by position).
+
+    ``kind`` sets the JS type the parameters carry: dimension values
+    arrive as strings in Druid's JS filter/extraction (so `a + b`
+    concatenates), while post-aggregator fields are aggregate outputs —
+    numbers (so `a + b` adds)."""
     params, p = _parse_function(src)
     if len(arg_cols) < len(params):
         raise JsSubsetError(
             f"function declares {len(params)} params, got {len(arg_cols)} columns"
         )
-    # Dimension values arrive as strings in Druid's JS filter/extraction,
-    # so `a + b` on two parameters concatenates (JS semantics for the
-    # values Druid actually passes).
-    p.env = {name: _Val(col, "str") for name, col in zip(params, arg_cols)}
+    p.env = {name: _Val(col, kind) for name, col in zip(params, arg_cols)}
     return _compile_body(p).col
 
 

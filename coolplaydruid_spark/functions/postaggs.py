@@ -50,6 +50,21 @@ def compile_post_aggregator(spec: dict) -> Column:
         cols = [compile_post_aggregator(f) for f in spec["fields"]]
         out = F.least(*cols)
         return out.cast("long") if ptype.startswith("long") else out
+    if ptype == "javascript":
+        # Druid 0.12 javascript post-aggregator: function over the named
+        # aggregate outputs. JS SOURCE transpiles to a native Column
+        # (numeric parameter binding — post-agg fields are numbers, so
+        # `+` adds); a Python callable is the out-of-subset escape hatch.
+        fields = spec.get("fieldNames") or []
+        fn = spec.get("function")
+        if callable(fn):
+            from pyspark.sql.types import DoubleType
+
+            udf = F.udf(fn, DoubleType())
+            return udf(*[F.col(f).cast("double") for f in fields])
+        from coolplaydruid_spark.functions.jsexpr import compile_scalar
+
+        return compile_scalar(fn, [F.col(f) for f in fields], kind="num")
     if ptype == "expression":
         # SQL-expression post-agg (a later-Druid convenience we expose
         # because Catalyst parses it for free).
