@@ -307,3 +307,63 @@ def test_months_bucket_invariants(epoch_day, seconds, n_months):
     assert g.bucket_py(b) == b
     assert ((b.year - 1970) * 12 + b.month - 1) % n_months == 0
     assert (b.day, b.hour, b.minute, b.second) == (1, 0, 0, 0)
+
+
+# ---- sessionize vs a pure-Python reference --------------------------------
+
+
+def _ref_sessionize(rows, gap_seconds):
+    """Independent O(n log n) reference: per user, sort by time, split on
+    gap > threshold; returns {(user, idx) -> session_seq}."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for i, (u, ts_us) in enumerate(rows):
+        by_user[u].append((ts_us, i))
+    out = {}
+    for u, evts in by_user.items():
+        evts.sort()
+        seq = 0
+        prev = None
+        for ts_us, i in evts:
+            if prev is None or ts_us - prev > gap_seconds * 1_000_000:
+                seq += 1
+            out[i] = seq
+            prev = ts_us
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),  # user id (forces collisions)
+            st.integers(min_value=0, max_value=7200 * 1_000_000),  # µs offset
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    gap=st.sampled_from([1, 60, 1800]),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_sessionize_matches_reference(spark, rows, gap):
+    import datetime as dt
+
+    from coolplaydruid_spark.operators import sessions as S
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (idx, u, t0 + dt.timedelta(microseconds=us))
+            for idx, (u, us) in enumerate(rows)
+        ],
+        "idx long, user_id long, ts timestamp_ntz",
+    )
+    got = {
+        r.idx: r.session_seq
+        for r in S.sessionize(df, gap_seconds=gap).collect()
+    }
+    expect = _ref_sessionize(rows, gap)
+    # ties at identical (user, ts) may order either way, but session_seq
+    # is order-invariant across the tie (gap 0 never splits) — exact match
+    assert got == expect
