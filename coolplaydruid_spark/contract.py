@@ -3967,3 +3967,45 @@ def groupby_js_postagg(spark, sf_dir):
         }
     ).drop("ts_bucket")
     return _r4(df, "total", "pct_avg")
+
+
+@q(
+    "segment_metadata_minmax_size",
+    """
+    WITH s AS (
+      SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS card_id,
+             CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_id,
+             CAST(min(event_id) AS VARCHAR) AS min_id,
+             CAST(max(event_id) AS VARCHAR) AS max_id,
+             CAST(sum(COALESCE(strlen(CAST(event_id AS VARCHAR)), 0)) AS BIGINT) AS size_id,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS card_ty,
+             CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ty,
+             CAST(min(event_type) AS VARCHAR) AS min_ty,
+             CAST(max(event_type) AS VARCHAR) AS max_ty,
+             CAST(sum(COALESCE(strlen(event_type), 0)) AS BIGINT) AS size_ty,
+             CAST(count(*) AS BIGINT) AS rows
+      FROM events
+    )
+    SELECT 'event_id' AS column, 'bigint' AS type, card_id AS cardinality,
+           null_id AS nullCount, rows AS numRows, min_id AS minValue,
+           max_id AS maxValue, size_id AS byteSize
+    FROM s
+    UNION ALL
+    SELECT 'event_type', 'string', card_ty, null_ty, rows, min_ty, max_ty, size_ty
+    FROM s
+    """,
+)
+def segment_metadata_minmax_size(spark, sf_dir):
+    """segmentMetadata with toInclude column list + analysisTypes
+    minmax/size — one aggregation pass regardless of analyses requested;
+    exact cardinality under useExactCountDistinct."""
+    eng = engine_for(spark, sf_dir)
+    return eng.plan(
+        {
+            "queryType": "segmentMetadata",
+            "dataSource": "events",
+            "toInclude": {"type": "list", "columns": ["event_id", "event_type"]},
+            "analysisTypes": ["minmax", "size"],
+            "context": {"useExactCountDistinct": True},
+        }
+    )

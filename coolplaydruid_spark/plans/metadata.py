@@ -45,33 +45,56 @@ def plan_datasource_metadata(engine, query: dict) -> DataFrame:
 def plan_segment_metadata(engine, query: dict) -> DataFrame:
     """Per-column analysis: type, cardinality (exact iff
     context.useExactCountDistinct else HLL), null count, row count.
-    Output: one row per column (column, type, cardinality, nullCount,
-    numRows)."""
+    ``toInclude: {"type": "list", "columns": [...]}`` restricts the
+    analyzed columns; ``analysisTypes`` extends the output — "minmax"
+    adds minValue/maxValue (typed min/max rendered as strings),
+    "size" adds byteSize (UTF-8 bytes of the string rendering, the
+    engine-independent stand-in for serialized size). Everything is ONE
+    aggregation pass over the (filtered) table regardless of how many
+    analyses are requested; output is one row per column."""
     df = filtered_frame(engine.resolve_datasource(query["dataSource"]), query)
     context = query.get("context") or {}
     exact = bool(context.get("useExactCountDistinct"))
+    analysis = set(query.get("analysisTypes") or [])
     cols = [f for f in df.schema.fields if f.name not in (TIME_COLUMN, RAW_TIME_NS)]
+    include = query.get("toInclude")
+    if isinstance(include, dict) and include.get("type") == "list":
+        wanted = set(include.get("columns") or [])
+        cols = [f for f in cols if f.name in wanted]
     distinct_fn = F.count_distinct if exact else F.approx_count_distinct
 
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for f in cols:
-        aggs.append(distinct_fn(F.col(f.name)).alias(f"__card_{f.name}"))
+        c = F.col(f.name)
+        aggs.append(distinct_fn(c).alias(f"__card_{f.name}"))
         aggs.append(
-            F.sum(F.when(F.col(f.name).isNull(), 1).otherwise(0)).alias(f"__null_{f.name}")
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"__null_{f.name}")
         )
+        if "minmax" in analysis:
+            aggs.append(F.min(c).cast("string").alias(f"__min_{f.name}"))
+            aggs.append(F.max(c).cast("string").alias(f"__max_{f.name}"))
+        if "size" in analysis:
+            aggs.append(
+                F.sum(F.coalesce(F.octet_length(c.cast("string")), F.lit(0)))
+                .alias(f"__size_{f.name}")
+            )
     stats = df.agg(*aggs)
 
     # Melt the single stats row into one row per column (stack keeps it in
     # one JVM-side projection — no Python round-trip).
     parts = []
     for f in cols:
-        parts.append(
-            stats.select(
-                F.lit(f.name).alias("column"),
-                F.lit(f.dataType.simpleString()).alias("type"),
-                F.col(f"__card_{f.name}").cast("long").alias("cardinality"),
-                F.col(f"__null_{f.name}").cast("long").alias("nullCount"),
-                F.col("__rows").cast("long").alias("numRows"),
-            )
-        )
+        sel = [
+            F.lit(f.name).alias("column"),
+            F.lit(f.dataType.simpleString()).alias("type"),
+            F.col(f"__card_{f.name}").cast("long").alias("cardinality"),
+            F.col(f"__null_{f.name}").cast("long").alias("nullCount"),
+            F.col("__rows").cast("long").alias("numRows"),
+        ]
+        if "minmax" in analysis:
+            sel.append(F.col(f"__min_{f.name}").alias("minValue"))
+            sel.append(F.col(f"__max_{f.name}").alias("maxValue"))
+        if "size" in analysis:
+            sel.append(F.col(f"__size_{f.name}").cast("long").alias("byteSize"))
+        parts.append(stats.select(*sel))
     return reduce(lambda a, b: a.unionByName(b), parts)
