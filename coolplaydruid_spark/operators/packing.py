@@ -130,3 +130,49 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(dest_path)
     )
+
+
+def materialize_sequences(
+    bins: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    separator: str = "\n\n",
+) -> DataFrame:
+    """Join packed bins back to document text and concatenate each bin's
+    documents (ascending doc id — the order ``doc_ids`` already carries)
+    into one training sequence string. Returns (seq_id, seq_text,
+    n_docs, total_tokens).
+
+    Scale shape: explode the bin→doc mapping (one row per packed doc —
+    same cardinality as the corpus), join to the documents table on the
+    doc id (one shuffle each side, or broadcast when bins are small),
+    then groupBy seq_id with a sort-inside-collect: collect_list is
+    order-nondeterministic under parallel merge, so the (id, text)
+    structs are array_sort'ed per bin before concat — deterministic
+    output for any execution order. Bin membership is tiny (≤ docs per
+    budget), so the per-group array work is bounded."""
+    pairs = bins.select(
+        "seq_id", "n_docs", "total_tokens", F.explode("doc_ids").alias(id_col)
+    )
+    joined = pairs.join(
+        docs.select(F.col(id_col), F.col(text_col)), on=id_col
+    )
+    packed = (
+        joined.groupBy("seq_id")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("total_tokens").alias("total_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t")))
+            ).alias("__parts"),
+        )
+        .select(
+            "seq_id",
+            F.array_join(F.transform("__parts", lambda s: s["t"]), separator)
+            .alias("seq_text"),
+            "n_docs",
+            "total_tokens",
+        )
+    )
+    return packed

@@ -628,3 +628,48 @@ def test_write_training_shards_deterministic(spark, tmp_path):
         .select("seq_id", "shard").collect()
     }
     assert first == second
+
+
+def test_training_pipeline_end_to_end(spark, tmp_path, catalog):
+    """The full training-data path composed from the operators: quality
+    filter → exact dedup → token count → FFD packing → sequence
+    materialization → deterministic shard export → read-back checks."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from coolplaydruid_spark.operators import dedup, packing, text
+
+    docs = catalog.table("documents")
+    # 1. quality filter
+    q = text.quality_score(docs).where(F.col("quality_score") > 0.3).select("doc_id")
+    kept = docs.join(q, on="doc_id")
+    # 2. exact dedup (keep survivor ids)
+    survivors = dedup.exact_dedup(kept).select(
+        F.col("survivor_id").alias("doc_id")
+    )
+    kept = kept.join(survivors, on="doc_id")
+    # 3. pack into 512-token sequences
+    counts = text.token_count(kept)
+    bins = packing.pack_sequences(counts, budget=512)
+    # 4. materialize sequence text
+    seqs = packing.materialize_sequences(bins, kept)
+    # 5. export 4 shards
+    dest = tmp_path / "shards"
+    packing.write_training_shards(seqs, str(dest), n_shards=4)
+
+    back = spark.read.parquet(str(dest))
+    n_docs_in = kept.count()
+    assert back.agg(F.sum("n_docs")).collect()[0][0] == n_docs_in  # exact cover
+    assert back.where(F.col("seq_text") == "").count() == 0
+    assert sorted(p.name for p in Path(dest).glob("shard=*")) == [
+        "shard=0", "shard=1", "shard=2", "shard=3",
+    ]
+    # every sequence respects the budget unless it is a single oversized doc
+    bad = back.where((F.col("total_tokens") > 512) & (F.col("n_docs") > 1)).count()
+    assert bad == 0
+    # separator count ties out: n_docs-1 separators per sequence
+    seps = back.select(
+        (F.size(F.split("seq_text", "\n\n", -1)) - 1).alias("s"), "n_docs"
+    )
+    assert seps.where(F.col("s") < F.col("n_docs") - 1).count() == 0
