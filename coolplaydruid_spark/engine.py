@@ -111,8 +111,24 @@ class DruidEngine:
         """Declare a materialized rollup of a base dataSource; answerable
         aggregation queries silently reroute to it (rollup.py). Register
         coarsest-first — the first answerable rollup wins. Disable per
-        query with context.useRollup=false."""
+        query with context.useRollup=false.
+
+        FRESHNESS CONTRACT: a rollup is a snapshot of the base table at
+        materialization time. Ingest that changes the base (append/
+        overwrite) must re-materialize and re-register — or call
+        unregister_rollups(base) — exactly as Druid re-builds rollup
+        segments; nothing here diffs the base table per query (a
+        per-query file listing of a 100 TB table would cost more than
+        many queries). The ETag key fingerprints the table actually
+        read, so a re-materialized rollup re-keys the result cache."""
         self._rollups.append(spec)
+
+    def unregister_rollups(self, base: str) -> int:
+        """Drop all rollups registered for a base dataSource (call after
+        ingest invalidates them). Returns how many were removed."""
+        before = len(self._rollups)
+        self._rollups = [r for r in self._rollups if r.base != base]
+        return before - len(self._rollups)
 
     # ---- execution with the operational contract ------------------------
 
@@ -128,6 +144,14 @@ class DruidEngine:
         context = query.get("context") or {}
         query_id = context.get("queryId") or str(uuid.uuid4())
         timeout_ms = context.get("timeout")
+        # Rollup routing happens BEFORE the cache key: the ETag must
+        # fingerprint the table the query actually reads (the rollup's
+        # files), not the base table's — otherwise a base-table change
+        # would mint a fresh key for a result served from the unchanged
+        # rollup. plan() also rewrites (for direct callers); rewriting
+        # here first makes that second pass a no-op.
+        if self._rollups and context.get("useRollup", True):
+            query = rewrite_with_rollup(self._rollups, query)
         # Result cache (context.useCache / populateCache, both default
         # true in Druid; the reference's caching/ETag machinery is
         # query/query-internal-procedure.md:41-47). Keyed by the ETag —

@@ -111,18 +111,21 @@ def write_training_shards(
     the property a dataloader checkpoint depends on. Spark's own
     ``repartition(n)`` round-robin would not give this.
 
-    Scale shape: one shuffle keyed on the shard id (uniform by hash
-    construction), then one file per shard partition via an in-partition
-    coalesce at write. Optional ``order_within_shard`` sorts inside each
-    shard only (sortWithinPartitions — no global sort) for curriculum /
-    length-bucketed loading.
+    Scale shape: one range-partitioned shuffle on the shard id.
+    repartitionByRange (not hash repartition) maps the n distinct shard
+    values ~1:1 onto n tasks — hash repartitioning would re-hash the
+    already-uniform shard id and leave ~1/e of the tasks empty while
+    others carry two shards (birthday collisions). Each task then writes
+    its shard's single file. Optional ``order_within_shard`` sorts
+    inside each shard only (sortWithinPartitions — no global sort) for
+    curriculum / length-bucketed loading.
     """
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
     out = df.withColumn(
         "shard", F.pmod(F.xxhash64(F.col(shard_key)), F.lit(n_shards)).cast("int")
     )
-    out = out.repartition(n_shards, F.col("shard"))
+    out = out.repartitionByRange(n_shards, F.col("shard"))
     if order_within_shard is not None:
         out = out.sortWithinPartitions("shard", order_within_shard)
     (

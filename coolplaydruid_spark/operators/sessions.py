@@ -156,10 +156,20 @@ def asof_join(
         *[F.max(c).alias(c) for c in value_cols]
     )
     lcols = [c for c in left.columns]
+    # The right row rides as ONE struct: last(payload, ignorenulls) then
+    # picks the most recent right ROW atomically — a genuine NULL inside
+    # a value column stays NULL (filling columns independently would
+    # reach past it to an older row, and could even stitch together
+    # values from different right rows).
+    payload = F.struct(*[F.col(c) for c in value_cols])
     l_tag = left.select(
         *lcols,
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(rdeduped.schema[c].dataType).alias(f"{c}{suffix}") for c in value_cols],
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{c}:{rdeduped.schema[c].dataType.simpleString()}" for c in value_cols
+            ) + ">"
+        ).alias("__payload"),
     )
     r_tag = rdeduped.select(
         *[
@@ -167,7 +177,7 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        payload.alias("__payload"),
     )
     unioned = l_tag.unionByName(r_tag)
     w = (
@@ -178,12 +188,15 @@ def asof_join(
     filled = unioned.select(
         *lcols,
         F.col("__side"),
-        *[
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        F.last(F.col("__payload"), ignorenulls=True).over(w).alias("__payload"),
     )
-    return filled.where(F.col("__side") == 1).drop("__side")
+    return (
+        filled.where(F.col("__side") == 1)
+        .select(
+            *lcols,
+            *[F.col(f"__payload.{c}").alias(f"{c}{suffix}") for c in value_cols],
+        )
+    )
 
 
 def cohort_retention(

@@ -61,6 +61,15 @@ def plan_segment_metadata(engine, query: dict) -> DataFrame:
     if isinstance(include, dict) and include.get("type") == "list":
         wanted = set(include.get("columns") or [])
         cols = [f for f in cols if f.name in wanted]
+    if not cols:
+        # toInclude matched nothing (typo, or only internal columns):
+        # an empty analysis, not an internal error.
+        schema = "column string, type string, cardinality long, nullCount long, numRows long"
+        if "minmax" in analysis:
+            schema += ", minValue string, maxValue string"
+        if "size" in analysis:
+            schema += ", byteSize long"
+        return engine.spark.createDataFrame([], schema)
     distinct_fn = F.count_distinct if exact else F.approx_count_distinct
 
     aggs = [F.count(F.lit(1)).alias("__rows")]

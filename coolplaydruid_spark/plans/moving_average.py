@@ -11,9 +11,14 @@ Semantics implemented (matching the public extension):
  - The queried interval is internally EXPANDED backward by the largest
    averager window so the first requested bucket has a full trailing
    history; warm-up buckets are trimmed from the result.
- - Missing (bucket, dims) cells are zero-filled before averaging — an
-   averager over a sparse series sees explicit zeros, giving the fixed
-   `buckets` denominator the extension documents.
+ - Missing (bucket, dims) cells are filled with the aggregator's
+   IDENTITY before averaging. Aggregators with a zero identity
+   (count, sums) give averagers the fixed `buckets` denominator the
+   extension documents. min/max have no identity — their empty-bucket
+   cells stay NULL and every averager (mean/sum/max/min) skips them,
+   so a mean over a sparse max-series divides by the count of
+   non-empty buckets. This is the only coherent choice: folding 0
+   into a max of negative values (or a min) would fabricate data.
  - Averager types: doubleMean, doubleSum, doubleMax, doubleMin — each
    over its `fieldName` (an aggregator or postAggregator output) with a
    `buckets`-row trailing window.

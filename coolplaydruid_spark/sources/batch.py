@@ -241,24 +241,37 @@ def auto_compact_task(spark: SparkSession, table_path: str,
 
     Incremental by construction: cost is proportional to the fragmented
     data, not the table (a full-table merge_task at 100 TB rewrites
-    everything to fix one hot day). Per-partition swap mirrors Druid's
-    atomic segment-version replace; ``__dt`` lives in the directory name,
-    so rewriting a partition's files in place preserves read semantics."""
+    everything to fix one hot day). ``__dt`` lives in the directory
+    name, so rewriting a partition's files preserves read semantics.
+
+    Swap discipline: the rewrite lands in a scratch dir OUTSIDE the
+    table root (``<table>.__compact__/<dt>``) — partition discovery and
+    the next run's scan can never mistake an in-progress rewrite for
+    data — then replaces the partition dir. The rmtree→rename window is
+    NOT atomic (readers in that instant can miss the partition; a crash
+    there needs the scratch dir restored); a true atomic replace needs
+    versioned segment dirs + a pointer swap, which Parquet's
+    directory-as-partition layout doesn't give. Druid versions segments
+    for exactly this reason; on a lakehouse table format (Iceberg/Delta)
+    the commit protocol supplies it. Leftover scratch from a previous
+    crash is re-used/cleaned at the start of each run."""
     status = REGISTRY.start("auto_compact")
     try:
         root = Path(table_path)
+        scratch_root = Path(str(root).rstrip("/") + ".__compact__")
+        shutil.rmtree(scratch_root, ignore_errors=True)
         compacted = []
         for part in sorted(root.glob(f"{DT_COLUMN}=*")):
             files = list(part.glob("*.parquet"))
             if len(files) <= max_files_per_dt:
                 continue
             df = spark.read.parquet(str(part))
-            tmp = Path(str(part) + ".__compact_tmp")
-            shutil.rmtree(tmp, ignore_errors=True)
+            tmp = scratch_root / part.name
             df.repartition(target_files).write.mode("overwrite").parquet(str(tmp))
             shutil.rmtree(part)
             tmp.rename(part)
             compacted.append(part.name)
+        shutil.rmtree(scratch_root, ignore_errors=True)
         REGISTRY.finish(
             status.task_id, True,
             f"compacted {len(compacted)} partitions: {compacted[:10]}",

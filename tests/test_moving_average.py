@@ -74,3 +74,29 @@ def test_unknown_averager_rejected(engine):
             engine,
             averagers=[{"type": "medianOfMedians", "name": "x", "fieldName": "total"}],
         )
+
+
+def test_minmax_fields_skip_empty_buckets(engine):
+    """min/max aggregators have no zero identity: empty buckets stay
+    NULL and averagers skip them (documented semantics) — the mean of a
+    sparse max-series must not be dragged toward 0 by empty buckets."""
+    out = _mavg(
+        engine,
+        # a filter that leaves most buckets empty
+        filter={"type": "bound", "dimension": "value", "lower": "999.99",
+                "ordering": "numeric"},
+        aggregations=[
+            {"type": "doubleMax", "name": "peak", "fieldName": "value"},
+            {"type": "count", "name": "rows"},
+        ],
+        averagers=[
+            {"type": "doubleMean", "name": "avg3", "fieldName": "peak", "buckets": 3}
+        ],
+    ).collect()
+    for r in out:
+        if r.avg3 is not None:
+            # mean of present peaks only — never below the smallest
+            # possible matching value (evidence nulls weren't zero-filled)
+            assert r.avg3 >= 999.99
+        # count DOES zero-fill
+        assert r.rows is not None

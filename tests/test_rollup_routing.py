@@ -241,3 +241,25 @@ def test_streaming_rollup_sink_is_routable(spark, tmp_path):
         "click": (20, float(sum(i for i in range(40) if i % 2 == 0))),
         "view": (20, float(sum(i for i in range(40) if i % 2 == 1))),
     }
+
+
+def test_etag_tracks_rollup_table_and_unregister_restores_raw(rolled_engine):
+    """The cached-result key must fingerprint the table the query
+    actually reads: identical day queries share an ETag while routed,
+    and unregister_rollups makes the query read raw again."""
+    e1 = rolled_engine.etag(
+        __import__("coolplaydruid_spark.rollup", fromlist=["rewrite_with_rollup"])
+        .rewrite_with_rollup(rolled_engine._rollups, DAY_QUERY)
+    )
+    assert e1 is not None
+    assert rolled_engine.unregister_rollups("events") == 1
+    try:
+        assert not _reads_rollup(rolled_engine.plan(DAY_QUERY))
+    finally:
+        # re-register for other tests in the module (fixture is shared)
+        from coolplaydruid_spark.rollup import RollupSpec
+
+        rolled_engine.register_rollup(RollupSpec(
+            base="events", table="events_hourly", granularity="hour",
+            dimensions={"event_type"}, aggregations=ROLLUP_AGGS,
+        ))

@@ -119,3 +119,20 @@ def test_sessionize_plan_single_exchange(spark):
     )
     plan = sessions.sessionize(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_asof_join_null_value_in_recent_row_stays_null(spark):
+    """A genuine NULL in the most recent right row must come through as
+    NULL — not be skipped in favor of an older non-null value (and with
+    multiple value columns, all values must come from the SAME row)."""
+    left = spark.createDataFrame(
+        [(1, 1, _ts(30))], "event_id long, user_id long, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 7.0, "a"), (1, _ts(10), None, "b")],
+        "user_id long, ts timestamp_ntz, value double, tag string",
+    )
+    out = sessions.asof_join(left, right, key_col="user_id", ts_col="ts",
+                             value_cols=["value", "tag"]).collect()[0]
+    assert out.value_asof is None  # most recent row's null, not 7.0
+    assert out.tag_asof == "b"     # same row as the null value
