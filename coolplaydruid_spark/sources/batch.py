@@ -107,6 +107,7 @@ def index_task(
     dest_path: str,
     time_column: str,
     rollup: dict | None = None,
+    transform_spec: dict | None = None,
     sort_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
     mode: str = "overwrite",
@@ -120,6 +121,12 @@ def index_task(
     [druid agg specs]} — ingest-time pre-aggregation (the reference's
     write-time rollup, intro/what-is-druid.md:3); rolled-up tables answer
     matching queries from fewer rows.
+
+    transform_spec: Druid 0.12 transformSpec — {"transforms": [{"name",
+    "expression"}], "filter": {druid filter}}: row-level expression
+    columns (Spark SQL dialect, same as query virtualColumns) computed
+    and an ingest filter applied BEFORE rollup/write, all inside the
+    same scan projection (map-only; no extra pass).
 
     partitions_spec: Druid's hashed secondary partitioning
     ({"type": "hashed", "dimensions": [...], "numShards": N,
@@ -143,6 +150,14 @@ def index_task(
         df = _read_source(spark, source)
         ts = F.col(time_column).cast("timestamp")
         df = df.withColumn(time_column, ts)
+        if transform_spec:
+            from coolplaydruid_spark.functions.filters import compile_filter
+
+            for t in transform_spec.get("transforms") or []:
+                df = df.withColumn(t["name"], F.expr(t["expression"]))
+            flt = compile_filter(transform_spec.get("filter"), df)
+            if flt is not None:
+                df = df.filter(flt)
         if rollup:
             gran = parse_granularity(rollup.get("granularity", "hour"))
             df = df.withColumn(TIME_COLUMN, ts)

@@ -424,3 +424,33 @@ def test_auto_compact_only_rewrites_fragmented_partitions(spark, tmp_path):
     assert cold_files_after == cold_files_before  # untouched
     after = {tuple(r) for r in spark.read.parquet(str(tbl)).select("id").collect()}
     assert after == before
+
+
+def test_index_task_transform_spec(spark, tmp_path):
+    """Druid 0.12 transformSpec: expression transforms + ingest filter
+    applied before rollup/write, in the scan projection."""
+    import tests.conftest as cf
+
+    from pyspark.sql import functions as F
+
+    from coolplaydruid_spark.sources import batch as b
+
+    dest = str(tmp_path / "transformed")
+    b.index_task(
+        spark,
+        {"type": "table", "path": f"{cf.SF_DIR}/events.parquet"},
+        dest,
+        time_column="ts",
+        transform_spec={
+            "transforms": [
+                {"name": "net", "expression": "value * 0.9"},
+                {"name": "kind", "expression": "upper(event_type)"},
+            ],
+            "filter": {"type": "selector", "dimension": "event_type", "value": "click"},
+        },
+    )
+    out = spark.read.parquet(dest)
+    assert out.where(F.col("event_type") != "click").count() == 0
+    rows = out.select("value", "net", "kind").collect()
+    assert all(abs(r.net - r.value * 0.9) < 1e-9 for r in rows)
+    assert {r.kind for r in rows} == {"CLICK"}
