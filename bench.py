@@ -127,7 +127,13 @@ def main() -> None:
                     best = min(best, time.perf_counter() - t0)
                 sf1_timings[name] = round(best, 3)
         except Exception as e:  # noqa: BLE001 - sf1 is evidence, not the gate
-            sf1_timings = {"error": str(e)[:200]}
+            detail = str(e)[:200]
+            stderr = getattr(e, "stderr", None)
+            if stderr:  # CalledProcessError: the actual traceback is here
+                if isinstance(stderr, bytes):
+                    stderr = stderr.decode(errors="replace")
+                detail += " | stderr: " + stderr[-200:]
+            sf1_timings = {"error": detail}
 
     print(
         json.dumps(

@@ -2392,7 +2392,7 @@ def sampling_stratified_mix(spark, sf_dir):
     j AS (SELECT c.lang, n, w FROM counts c JOIN tgt USING (lang)),
     lvl AS (SELECT min(n / w) AS t FROM j),
     rates AS (
-      SELECT lang, CAST(FLOOR(w * t / n * 16777216) AS BIGINT) AS gate
+      SELECT lang, CAST(ROUND(w * t / n * 16777216, 0) AS BIGINT) AS gate
       FROM j, lvl
     )
     SELECT d.doc_id, d.lang FROM documents d JOIN rates USING (lang)

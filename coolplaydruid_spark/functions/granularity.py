@@ -206,17 +206,38 @@ class Granularity:
             .replace(tzinfo=None)
         )
 
+    # Hard cap on zero-fill spine cardinality: the spine is built on the
+    # driver, one datetime per bucket — a sub-second duration over a wide
+    # interval without skipEmptyBuckets would otherwise loop for minutes
+    # and allocate GBs before the query even plans. Druid's own result-row
+    # limits play the same resource-guard role.
+    MAX_SPINE_BUCKETS = 1_000_000
+
     def buckets_in(self, start: datetime, end: datetime) -> list[datetime]:
         """All bucket starts for buckets intersecting [start, end) —
         the zero-fill spine (query/query-timeseries.md:74-95: every bucket
         inside the queried intervals appears in the result)."""
         if self.kind in ("all", "none"):
             raise ValueError("spine only defined for bucketing granularities")
+        if self.kind == "duration":
+            est = ((end - start).total_seconds() * 1000) / self.duration_ms
+            if est > self.MAX_SPINE_BUCKETS:
+                raise ValueError(
+                    f"zero-fill spine would have ~{int(est)} buckets "
+                    f"(cap {self.MAX_SPINE_BUCKETS}); narrow the interval, "
+                    "coarsen the granularity, or set skipEmptyBuckets"
+                )
         out = []
         b = self.bucket_py(start)
         while b < end:
             out.append(b)
             b = self.next_bucket_py(b)
+            if len(out) > self.MAX_SPINE_BUCKETS:
+                raise ValueError(
+                    f"zero-fill spine exceeds {self.MAX_SPINE_BUCKETS} buckets; "
+                    "narrow the interval, coarsen the granularity, or set "
+                    "skipEmptyBuckets"
+                )
         return out
 
 
@@ -283,6 +304,8 @@ def _parse_period(spec: dict) -> Granularity:
                 "(use a pure month/year period or a fixed-length one)"
             )
         n = parts.get("years", 0) * 12 + parts.get("months", 0)
+        if n <= 0:
+            raise ValueError(f"period {period!r} must span at least one month")
         return Granularity(kind="months", n_months=n, time_zone=tz)
     ms = 1000 * (
         parts.get("weeks", 0) * 604800
@@ -291,6 +314,8 @@ def _parse_period(spec: dict) -> Granularity:
         + parts.get("minutes", 0) * 60
         + parts.get("seconds", 0)
     )
+    if ms <= 0:
+        raise ValueError(f"period {period!r} must have positive length")
     return Granularity(kind="duration", duration_ms=ms, origin_ms=_origin_ms(spec))
 
 

@@ -284,7 +284,11 @@ def _verify_jaccard(candidates: DataFrame, sh: DataFrame, threshold: float,
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     if sizes is None:
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+        # Only candidate-pair members' sizes are ever consumed — compute
+        # them from the semi-join-reduced sh_c, not the corpus-scale sh
+        # (a full-corpus groupBy here would re-add exactly the shuffle
+        # the reduction above removed).
+        sizes = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     return _attach_sizes_and_score(pair_sh, sizes, threshold, id_col)
 
 

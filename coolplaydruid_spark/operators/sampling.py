@@ -114,7 +114,14 @@ def sample_to_mixture(df: DataFrame, category_col: str,
         F.col(category_col),
         F.when(  # n=0 (missing target category) → ANSI-safe gate of 0
             F.col("__n") > 0,
-            F.floor(F.col("__w") * level / F.col("__n") * _DENOM),
+            # round, not floor: the scarcest category's rate is exactly 1
+            # in real arithmetic but computes as 1 - few_ulps in FP
+            # (w*(n/w)/n); floor would shave its gate to _DENOM-1 and
+            # silently drop ~2^-24 of the category the algorithm promises
+            # to keep whole. The FP error is orders of magnitude inside
+            # round's half-ulp-of-2^-24 tolerance; the oracle mirrors
+            # round identically.
+            F.round(F.col("__w") * level / F.col("__n") * _DENOM, 0),
         ).otherwise(F.lit(0))
         .cast("long")
         .alias("__gate"),

@@ -161,19 +161,23 @@ def ivf_topk(
     """
     import numpy as np
 
-    train_rows = (
+    # Arrow transfer (toPandas), not collect(): collect() materializes
+    # each vector as a Python list of boxed floats — ~4× the memory and
+    # far slower deserialization at the 100k-row default with real
+    # embedding dims. Arrow lands numpy arrays directly.
+    train_pdf = (
         corpus.select(_dvec(F.col(vec_col)).alias("__v"),
                       F.md5(F.col(id_col).cast("string")).alias("__h"))
         .orderBy("__h")
         .limit(train_sample)
         .select("__v")
-        .collect()
+        .toPandas()
     )
-    if not train_rows:
+    if train_pdf.empty:
         # Empty corpus: same output schema, no rows (brute force parity).
         return brute_force_topk(corpus, queries, k=k, vec_col=vec_col,
                                 id_col=id_col, query_id_col=query_id_col)
-    X = np.array([r["__v"] for r in train_rows], dtype=np.float64)
+    X = np.stack(train_pdf["__v"].to_numpy()).astype(np.float64)
     C = _kmeans_fit(X, n_clusters, max_iter, seed)
 
     # Centroids as a nested array literal: n_clusters × dim doubles

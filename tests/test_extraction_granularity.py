@@ -330,3 +330,25 @@ def test_duration_origin_millis():
     assert g.bucket_py(datetime(2024, 1, 1, 0, 0, 5, 50_000)) == datetime(
         2024, 1, 1, 0, 0, 4, 100_000
     )
+
+
+def test_zero_length_periods_rejected():
+    import pytest as _pt
+
+    from coolplaydruid_spark.functions.granularity import parse_granularity
+
+    for period in ["P0M", "P0Y", "PT0S", "P0D"]:
+        with _pt.raises(ValueError):
+            parse_granularity({"type": "period", "period": period})
+
+
+def test_subsecond_spine_capped():
+    import datetime as dt
+
+    import pytest as _pt
+
+    from coolplaydruid_spark.functions.granularity import parse_granularity
+
+    g = parse_granularity({"type": "duration", "duration": 1})  # 1 ms
+    with _pt.raises(ValueError, match="spine"):
+        g.buckets_in(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 3))

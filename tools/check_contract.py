@@ -43,6 +43,9 @@ def run(sf_dir: str, name_filters: list[str] | None = None) -> int:
     if name_filters:
         queries = {n: f for n, f in queries.items()
                    if any(s in n for s in name_filters)}
+        if not queries:
+            print(f"no queries match filters {name_filters!r}", file=sys.stderr)
+            return 2
     failures = 0
     for name, fn in queries.items():
         t0 = time.time()
