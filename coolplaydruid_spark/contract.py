@@ -4009,3 +4009,34 @@ def segment_metadata_minmax_size(spark, sf_dir):
             "context": {"useExactCountDistinct": True},
         }
     )
+
+
+@q(
+    "sql_druid_time_functions",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket,
+           CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS next_hour,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+           CAST(count(*) AS BIGINT) AS rows
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'
+    GROUP BY 1, 2, 3
+    """,
+)
+def sql_druid_time_functions(spark, sf_dir):
+    """Druid SQL's time functions running as inlined Spark SQL UDFs
+    (sqlcompat.py): TIME_FLOOR / TIME_SHIFT / TIME_EXTRACT in a query
+    written in Druid SQL idiom."""
+    eng = engine_for(spark, sf_dir)
+    return eng.sql(
+        """
+        SELECT TIME_FLOOR(ts, 'PT1H') AS hour_bucket,
+               TIME_SHIFT(TIME_FLOOR(ts, 'PT1H'), 'PT1H', 1) AS next_hour,
+               TIME_EXTRACT(ts, 'HOUR') AS h,
+               CAST(count(*) AS BIGINT) AS rows
+        FROM events
+        WHERE ts >= TIME_PARSE('2024-01-05 00:00:00')
+          AND ts < TIME_PARSE('2024-01-06 00:00:00')
+        GROUP BY 1, 2, 3
+        """
+    )

@@ -392,5 +392,11 @@ class DruidEngine:
 
     def sql(self, statement: str) -> DataFrame:
         """SQL over registered dataSources — Catalyst replaces Druid's
-        Calcite layer wholesale (query/query-module-overview.md:48-49)."""
+        Calcite layer wholesale (query/query-module-overview.md:48-49).
+        Druid SQL's time functions (TIME_FLOOR/TIME_SHIFT/...) register
+        lazily as inlined SQL UDFs (sqlcompat.py) so Druid SQL text runs
+        with minimal edits."""
+        from coolplaydruid_spark.sqlcompat import register_druid_sql_functions
+
+        register_druid_sql_functions(self.spark)
         return self.spark.sql(statement)

@@ -1,0 +1,110 @@
+"""Druid SQL compatibility functions for the SQL front-end.
+
+The reference declares a SQL layer over the native queries
+(`query/query-module-overview.md:48-49`, `TOC.md:40`). Spark SQL covers
+the ANSI surface; this module adds the Druid-SQL-specific time functions
+(public Druid SQL function list) as Spark SQL UDFs — pure SQL
+expression bodies (Spark 4 `CREATE FUNCTION ... RETURN <expr>`), so
+they inline into the plan and stay in whole-stage codegen; nothing here
+is a Python UDF.
+
+Registered (scalar) functions:
+ - TIME_FLOOR(t, period)      — bucket start for an ISO-8601 period:
+   calendar periods map to date_trunc; fixed-length PT{n}S/M/H, P{n}D,
+   P{n}W floor epoch-millis arithmetic (epoch origin, like Druid's
+   default).
+ - TIME_CEIL(t, period)       — bucket end (floor + one period).
+ - TIME_SHIFT(t, period, n)   — t shifted by n periods (calendar months
+   via add_months, fixed-length via millis).
+ - TIME_EXTRACT(t, unit)      — EPOCH/SECOND/MINUTE/HOUR/DAY/DOW/DOY/
+   WEEK/MONTH/QUARTER/YEAR, as BIGINT.
+ - MILLIS_TO_TIMESTAMP / TIMESTAMP_TO_MILLIS
+ - TIME_PARSE(s)              — ISO string → timestamp.
+ - DRUID_PERIOD_MILLIS(p)     — helper; length of a fixed-length period.
+
+All are TEMPORARY functions on the session (CREATE OR REPLACE —
+idempotent; re-registration is free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+_FIXED_MS = """
+  CASE WHEN p RLIKE '^PT[0-9]+S$'
+         THEN CAST(regexp_extract(p, '^PT([0-9]+)S$', 1) AS BIGINT) * 1000
+       WHEN p RLIKE '^PT[0-9]+M$'
+         THEN CAST(regexp_extract(p, '^PT([0-9]+)M$', 1) AS BIGINT) * 60000
+       WHEN p RLIKE '^PT[0-9]+H$'
+         THEN CAST(regexp_extract(p, '^PT([0-9]+)H$', 1) AS BIGINT) * 3600000
+       WHEN p RLIKE '^P[0-9]+D$'
+         THEN CAST(regexp_extract(p, '^P([0-9]+)D$', 1) AS BIGINT) * 86400000
+       WHEN p RLIKE '^P[0-9]+W$'
+         THEN CAST(regexp_extract(p, '^P([0-9]+)W$', 1) AS BIGINT) * 604800000
+       ELSE NULL END
+"""
+
+_CALENDAR_TRUNC = """
+  CASE p WHEN 'PT1S' THEN date_trunc('second', t)
+         WHEN 'PT1M' THEN date_trunc('minute', t)
+         WHEN 'PT1H' THEN date_trunc('hour', t)
+         WHEN 'P1D'  THEN date_trunc('day', t)
+         WHEN 'P1W'  THEN date_trunc('week', t)
+         WHEN 'P1M'  THEN date_trunc('month', t)
+         WHEN 'P3M'  THEN date_trunc('quarter', t)
+         WHEN 'P1Y'  THEN date_trunc('year', t)
+         ELSE NULL END
+"""
+
+_DEFS = [
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION DRUID_PERIOD_MILLIS(p STRING)
+        RETURNS BIGINT RETURN {_FIXED_MS}""",
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION TIME_FLOOR(t TIMESTAMP, p STRING)
+        RETURNS TIMESTAMP RETURN COALESCE(
+          {_CALENDAR_TRUNC},
+          timestamp_millis(
+            CAST(floor(unix_millis(t) / DRUID_PERIOD_MILLIS(p))
+                 * DRUID_PERIOD_MILLIS(p) AS BIGINT)))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION TIME_SHIFT(t TIMESTAMP, p STRING, n INT)
+        RETURNS TIMESTAMP RETURN CASE
+          WHEN p RLIKE '^P[0-9]+M$'
+            THEN add_months(t, n * CAST(regexp_extract(p, '^P([0-9]+)M$', 1) AS INT))
+          WHEN p RLIKE '^P[0-9]+Y$'
+            THEN add_months(t, n * 12 * CAST(regexp_extract(p, '^P([0-9]+)Y$', 1) AS INT))
+          ELSE timestamp_millis(unix_millis(t) + n * DRUID_PERIOD_MILLIS(p)) END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION TIME_CEIL(t TIMESTAMP, p STRING)
+        RETURNS TIMESTAMP RETURN CASE
+          WHEN TIME_FLOOR(t, p) = t THEN t
+          ELSE TIME_SHIFT(TIME_FLOOR(t, p), p, 1) END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION TIME_EXTRACT(t TIMESTAMP, u STRING)
+        RETURNS BIGINT RETURN CAST(CASE upper(u)
+          WHEN 'EPOCH' THEN unix_seconds(t)
+          WHEN 'SECOND' THEN second(t)
+          WHEN 'MINUTE' THEN minute(t)
+          WHEN 'HOUR' THEN hour(t)
+          WHEN 'DAY' THEN day(t)
+          WHEN 'DOW' THEN dayofweek(t)
+          WHEN 'DOY' THEN dayofyear(t)
+          WHEN 'WEEK' THEN weekofyear(t)
+          WHEN 'MONTH' THEN month(t)
+          WHEN 'QUARTER' THEN quarter(t)
+          WHEN 'YEAR' THEN year(t)
+          ELSE NULL END AS BIGINT)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION MILLIS_TO_TIMESTAMP(x BIGINT)
+        RETURNS TIMESTAMP RETURN timestamp_millis(x)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION TIMESTAMP_TO_MILLIS(t TIMESTAMP)
+        RETURNS BIGINT RETURN unix_millis(t)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION TIME_PARSE(s STRING)
+        RETURNS TIMESTAMP RETURN CAST(s AS TIMESTAMP)""",
+]
+
+_REGISTERED: set[int] = set()
+
+
+def register_druid_sql_functions(spark: SparkSession) -> None:
+    """Idempotent per-session registration (cached by session id)."""
+    if id(spark) in _REGISTERED:
+        return
+    for ddl in _DEFS:
+        spark.sql(ddl)
+    _REGISTERED.add(id(spark))

@@ -177,3 +177,22 @@ def test_select_result_envelope(engine):
     assert len(result["events"]) == 10
     assert [e["offset"] for e in result["events"]] == list(range(20, 30))
     assert "event_type" in result["events"][0]["event"]
+
+
+def test_druid_sql_time_functions(engine):
+    """sqlcompat's SQL UDFs: fixed-length periods (PT15M), calendar
+    shifts (P1M months), TIME_CEIL identity on boundaries."""
+    rows = engine.sql("""
+        SELECT TIME_FLOOR(TIMESTAMP '2024-03-15 13:47:21', 'PT15M') AS f15,
+               TIME_SHIFT(TIMESTAMP '2024-01-31 00:00:00', 'P1M', 1) AS shifted,
+               TIME_CEIL(TIMESTAMP '2024-03-15 13:00:00', 'PT1H') AS ceil_on_edge,
+               TIME_CEIL(TIMESTAMP '2024-03-15 13:00:01', 'PT1H') AS ceil_mid,
+               TIME_EXTRACT(TIMESTAMP '2024-03-15 13:47:21', 'DOY') AS doy,
+               TIMESTAMP_TO_MILLIS(MILLIS_TO_TIMESTAMP(1700000000000)) AS millis_rt
+    """).collect()[0]
+    assert rows.f15.minute == 45 and rows.f15.second == 0
+    assert rows.shifted.month == 2 and rows.shifted.day == 29  # Jan 31 + 1M → Feb 29
+    assert rows.ceil_on_edge.hour == 13      # already on boundary → identity
+    assert rows.ceil_mid.hour == 14
+    assert rows.doy == 75
+    assert rows.millis_rt == 1700000000000
