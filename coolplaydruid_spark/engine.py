@@ -29,6 +29,7 @@ from coolplaydruid_spark.catalog import Catalog
 from coolplaydruid_spark.errors import (
     DruidQueryError,
     QueryTimeoutError,
+    ResourceLimitExceededError,
     UnknownQueryError,
     envelope_for,
 )
@@ -188,7 +189,24 @@ class DruidEngine:
             timer.start()
         try:
             df = self.plan(query)
-            rows = [r.asDict(recursive=True) for r in df.collect()]
+            # context.maxResults — the reference's groupBy resource limit
+            # (query/query-module-overview.md:86): collect limit+1 rows in
+            # the same job (TakeOrderedAndProject/CollectLimit, no second
+            # pass) and fail with the documented error code on overflow
+            # rather than buffering an unbounded result on the driver.
+            max_results = context.get("maxResults")
+            if max_results is not None:
+                max_results = int(max_results)
+                rows = [
+                    r.asDict(recursive=True)
+                    for r in df.limit(max_results + 1).collect()
+                ]
+                if len(rows) > max_results:
+                    raise ResourceLimitExceededError(
+                        f"query produced more than maxResults={max_results} rows"
+                    )
+            else:
+                rows = [r.asDict(recursive=True) for r in df.collect()]
             if timed_out.is_set():
                 # The deadline passed while planning/collecting (the cancel
                 # may have landed between jobs) — the timeout contract wins.

@@ -225,3 +225,27 @@ def test_result_cache_hits_and_invalidates(engine, spark, tmp_path):
     engine.catalog._frames.pop("cache_tbl", None)
     third = engine.execute(q)
     assert third == first
+
+
+def test_max_results_resource_limit(engine):
+    """context.maxResults enforces the reference's groupBy resource
+    limit (query-module-overview.md:86): overflow fails with the
+    documented 'Resource limit exceeded' envelope; within-limit queries
+    pass through untouched."""
+    import pytest as _pt
+
+    from coolplaydruid_spark.errors import DruidQueryError
+
+    q = {
+        "queryType": "groupBy", "dataSource": "events", "granularity": "day",
+        "dimensions": ["event_type"],
+        "aggregations": [{"type": "count", "name": "rows"}],
+        "intervals": ["2024-01-01T00:00:00/2024-02-01T00:00:00"],
+        "context": {"maxResults": 3, "useCache": False, "populateCache": False},
+    }
+    with _pt.raises(DruidQueryError) as ei:
+        engine.execute(q)
+    assert ei.value.envelope()["error"] == "Resource limit exceeded"
+
+    q["context"]["maxResults"] = 100000
+    assert len(engine.execute(q)) > 3
