@@ -128,6 +128,7 @@ class Catalog:
             key_col, value_col = "key", "value"
         key_col = key_col or df.columns[0]
         value_col = value_col or df.columns[1]
+        self._lookup_version = getattr(self, '_lookup_version', 0) + 1
         self._lookups[name] = df.select(
             F.col(key_col).cast("string").alias("key"),
             F.col(value_col).cast("string").alias("value"),
@@ -139,6 +140,15 @@ class Catalog:
                 f"unknown lookup {name!r}; registered: {sorted(self._lookups)}"
             )
         return self._lookups[name]
+
+    def lookups(self) -> dict[str, DataFrame]:
+        return dict(self._lookups)
+
+    @property
+    def lookup_version(self) -> int:
+        """Bumped on every register_lookup — lets SQL-side lookup
+        inlining (sqlcompat) cache until the registry changes."""
+        return getattr(self, "_lookup_version", 0)
 
     def register(
         self,

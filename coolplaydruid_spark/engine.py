@@ -414,7 +414,11 @@ class DruidEngine:
         Druid SQL's time functions (TIME_FLOOR/TIME_SHIFT/...) register
         lazily as inlined SQL UDFs (sqlcompat.py) so Druid SQL text runs
         with minimal edits."""
-        from coolplaydruid_spark.sqlcompat import register_druid_sql_functions
+        from coolplaydruid_spark.sqlcompat import (
+            register_druid_sql_functions,
+            register_lookup_sql_function,
+        )
 
         register_druid_sql_functions(self.spark)
+        register_lookup_sql_function(self.spark, self.catalog)
         return self.spark.sql(statement)

@@ -108,3 +108,52 @@ def register_druid_sql_functions(spark: SparkSession) -> None:
     for ddl in _DEFS:
         spark.sql(ddl)
     _REGISTERED.add(id(spark))
+
+
+# Per-lookup size cap for SQL inlining: Druid lookups are replicated
+# in-heap maps, so a bounded literal is the faithful analogue; beyond
+# the cap the plan literal would bloat — use the broadcast-join path
+# (registeredLookup extractionFn) instead.
+MAX_INLINE_LOOKUP_ENTRIES = 10_000
+
+_LOOKUP_VERSIONS: dict[tuple[int, int], int] = {}
+
+
+def _sql_str(v) -> str:
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def register_lookup_sql_function(spark: SparkSession, catalog) -> None:
+    """Druid SQL's LOOKUP(expr, 'name') — registered lookups inlined as
+    map literals in a SQL UDF (CASE over the lookup name). Faithful to
+    Druid's replicated in-heap maps; re-registered only when the
+    catalog's lookup registry changes."""
+    version = catalog.lookup_version
+    cache_key = (id(spark), id(catalog))
+    if _LOOKUP_VERSIONS.get(cache_key) == version:
+        return
+    arms = []
+    for name, df in catalog.lookups().items():
+        rows = df.limit(MAX_INLINE_LOOKUP_ENTRIES + 1).collect()
+        if len(rows) > MAX_INLINE_LOOKUP_ENTRIES:
+            raise ValueError(
+                f"lookup {name!r} exceeds {MAX_INLINE_LOOKUP_ENTRIES} entries — "
+                "too large to inline into SQL; use the registeredLookup "
+                "extractionFn (broadcast join) instead"
+            )
+        k_col, v_col = df.columns[0], df.columns[1]
+        if rows:
+            pairs = ", ".join(
+                f"{_sql_str(r[k_col])}, {_sql_str(r[v_col])}" for r in rows
+            )
+            arms.append(f"WHEN {_sql_str(name)} THEN element_at(map({pairs}), x)")
+    body = (
+        "CASE n " + " ".join(arms) + " ELSE CAST(NULL AS STRING) END"
+        if arms
+        else "CAST(NULL AS STRING)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION LOOKUP(x STRING, n STRING) "
+        f"RETURNS STRING RETURN {body}"
+    )
+    _LOOKUP_VERSIONS[cache_key] = version

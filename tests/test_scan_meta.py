@@ -196,3 +196,20 @@ def test_druid_sql_time_functions(engine):
     assert rows.ceil_mid.hour == 14
     assert rows.doy == 75
     assert rows.millis_rt == 1700000000000
+
+
+def test_lookup_sql_function(engine):
+    """Druid SQL LOOKUP(expr, 'name'): registered lookups inlined as map
+    literals; unknown names and missing keys yield NULL; registry
+    changes re-register."""
+    engine.catalog.register_lookup(
+        "type_names", {"click": "Click!", "view": "View"}
+    )
+    rows = engine.sql("""
+        SELECT LOOKUP('click', 'type_names') AS a,
+               LOOKUP('error', 'type_names') AS miss,
+               LOOKUP('click', 'no_such') AS unk
+    """).collect()[0]
+    assert rows.a == "Click!" and rows.miss is None and rows.unk is None
+    engine.catalog.register_lookup("type_names", {"click": "C2"})
+    assert engine.sql("SELECT LOOKUP('click', 'type_names') AS a").collect()[0].a == "C2"
