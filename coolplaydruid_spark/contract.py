@@ -4040,3 +4040,35 @@ def sql_druid_time_functions(spark, sf_dir):
         GROUP BY 1, 2, 3
         """
     )
+
+
+@q(
+    "sessions_window_stats_10m",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 600000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 10 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, seq
+    """,
+)
+def sessions_window_stats_10m(spark, sf_dir):
+    """Native session_window on a BATCH frame (the same operator code a
+    stream runs): Spark's gap rule is exclusive (an event exactly gap
+    after the previous starts a NEW session — `>=` in the oracle, vs
+    sessionize's strict `>`), and session_end is last event + gap."""
+    eng = engine_for(spark, sf_dir)
+    return sessions.session_window_stats(eng.catalog.table("events"), gap="10 minutes")
