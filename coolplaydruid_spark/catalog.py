@@ -99,6 +99,7 @@ class Catalog:
         self._sources: dict[str, DataSource] = {}
         self._frames: dict[str, DataFrame] = {}
         self._lookups: dict[str, DataFrame] = {}
+        self._lookup_version = 0
 
     # ---- registered lookups (Druid's lookup dataSources) ----------------
 
@@ -128,7 +129,7 @@ class Catalog:
             key_col, value_col = "key", "value"
         key_col = key_col or df.columns[0]
         value_col = value_col or df.columns[1]
-        self._lookup_version = getattr(self, '_lookup_version', 0) + 1
+        self._lookup_version += 1
         self._lookups[name] = df.select(
             F.col(key_col).cast("string").alias("key"),
             F.col(value_col).cast("string").alias("value"),
@@ -148,7 +149,7 @@ class Catalog:
     def lookup_version(self) -> int:
         """Bumped on every register_lookup — lets SQL-side lookup
         inlining (sqlcompat) cache until the registry changes."""
-        return getattr(self, "_lookup_version", 0)
+        return self._lookup_version
 
     def register(
         self,

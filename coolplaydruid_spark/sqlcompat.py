@@ -49,7 +49,6 @@ _CALENDAR_TRUNC = """
          WHEN 'PT1M' THEN date_trunc('minute', t)
          WHEN 'PT1H' THEN date_trunc('hour', t)
          WHEN 'P1D'  THEN date_trunc('day', t)
-         WHEN 'P1W'  THEN date_trunc('week', t)
          WHEN 'P1M'  THEN date_trunc('month', t)
          WHEN 'P3M'  THEN date_trunc('quarter', t)
          WHEN 'P1Y'  THEN date_trunc('year', t)
@@ -59,9 +58,26 @@ _CALENDAR_TRUNC = """
 _DEFS = [
     f"""CREATE OR REPLACE TEMPORARY FUNCTION DRUID_PERIOD_MILLIS(p STRING)
         RETURNS BIGINT RETURN {_FIXED_MS}""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION DRUID_PERIOD_MONTHS(p STRING)
+        RETURNS INT RETURN CASE
+          WHEN p RLIKE '^P[0-9]+M$'
+            THEN CAST(regexp_extract(p, '^P([0-9]+)M$', 1) AS INT)
+          WHEN p RLIKE '^P[0-9]+Y$'
+            THEN 12 * CAST(regexp_extract(p, '^P([0-9]+)Y$', 1) AS INT)
+          ELSE NULL END""",
     f"""CREATE OR REPLACE TEMPORARY FUNCTION TIME_FLOOR(t TIMESTAMP, p STRING)
         RETURNS TIMESTAMP RETURN COALESCE(
           {_CALENDAR_TRUNC},
+          CASE WHEN DRUID_PERIOD_MONTHS(p) IS NOT NULL THEN
+            CAST(make_date(
+              1970 + CAST(floor((((year(t) - 1970) * 12 + month(t) - 1)
+                     - pmod((year(t) - 1970) * 12 + month(t) - 1,
+                            DRUID_PERIOD_MONTHS(p))) / 12) AS INT),
+              CAST(pmod((((year(t) - 1970) * 12 + month(t) - 1)
+                   - pmod((year(t) - 1970) * 12 + month(t) - 1,
+                          DRUID_PERIOD_MONTHS(p))), 12) AS INT) + 1,
+              1) AS TIMESTAMP)
+          END,
           timestamp_millis(
             CAST(floor(unix_millis(t) / DRUID_PERIOD_MILLIS(p))
                  * DRUID_PERIOD_MILLIS(p) AS BIGINT)))""",
@@ -83,7 +99,7 @@ _DEFS = [
           WHEN 'MINUTE' THEN minute(t)
           WHEN 'HOUR' THEN hour(t)
           WHEN 'DAY' THEN day(t)
-          WHEN 'DOW' THEN dayofweek(t)
+          WHEN 'DOW' THEN weekday(t) + 1
           WHEN 'DOY' THEN dayofyear(t)
           WHEN 'WEEK' THEN weekofyear(t)
           WHEN 'MONTH' THEN month(t)
@@ -95,19 +111,27 @@ _DEFS = [
     """CREATE OR REPLACE TEMPORARY FUNCTION TIMESTAMP_TO_MILLIS(t TIMESTAMP)
         RETURNS BIGINT RETURN unix_millis(t)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION TIME_PARSE(s STRING)
-        RETURNS TIMESTAMP RETURN CAST(s AS TIMESTAMP)""",
+        RETURNS TIMESTAMP RETURN TRY_CAST(s AS TIMESTAMP)""",
 ]
 
-_REGISTERED: set[int] = set()
+_REGISTERED: set[str] = set()
+
+
+def _session_key(spark: SparkSession) -> str:
+    # applicationId is unique per session lifetime — immune to CPython
+    # id() reuse after a session is stopped and a new one allocated at
+    # the same address.
+    return spark.sparkContext.applicationId
 
 
 def register_druid_sql_functions(spark: SparkSession) -> None:
-    """Idempotent per-session registration (cached by session id)."""
-    if id(spark) in _REGISTERED:
+    """Idempotent per-session registration."""
+    key = _session_key(spark)
+    if key in _REGISTERED:
         return
     for ddl in _DEFS:
         spark.sql(ddl)
-    _REGISTERED.add(id(spark))
+    _REGISTERED.add(key)
 
 
 # Per-lookup size cap for SQL inlining: Druid lookups are replicated
@@ -116,11 +140,14 @@ def register_druid_sql_functions(spark: SparkSession) -> None:
 # (registeredLookup extractionFn) instead.
 MAX_INLINE_LOOKUP_ENTRIES = 10_000
 
-_LOOKUP_VERSIONS: dict[tuple[int, int], int] = {}
+_LOOKUP_VERSIONS: dict[tuple[str, str], int] = {}
 
 
 def _sql_str(v) -> str:
-    return "'" + str(v).replace("'", "''") + "'"
+    # Spark SQL string literals process backslash escapes: double them
+    # FIRST, then the quotes, or values like C:\path silently corrupt
+    # and a trailing backslash breaks the generated DDL.
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def register_lookup_sql_function(spark: SparkSession, catalog) -> None:
@@ -129,22 +156,40 @@ def register_lookup_sql_function(spark: SparkSession, catalog) -> None:
     Druid's replicated in-heap maps; re-registered only when the
     catalog's lookup registry changes."""
     version = catalog.lookup_version
-    cache_key = (id(spark), id(catalog))
+    if not hasattr(catalog, "_sqlcompat_uuid"):
+        import uuid as _uuid
+
+        catalog._sqlcompat_uuid = str(_uuid.uuid4())
+    cache_key = (_session_key(spark), catalog._sqlcompat_uuid)
     if _LOOKUP_VERSIONS.get(cache_key) == version:
         return
     arms = []
     for name, df in catalog.lookups().items():
         rows = df.limit(MAX_INLINE_LOOKUP_ENTRIES + 1).collect()
         if len(rows) > MAX_INLINE_LOOKUP_ENTRIES:
-            raise ValueError(
-                f"lookup {name!r} exceeds {MAX_INLINE_LOOKUP_ENTRIES} entries — "
-                "too large to inline into SQL; use the registeredLookup "
-                "extractionFn (broadcast join) instead"
+            # Too large to inline — leave it to the broadcast-join path
+            # (registeredLookup extractionFn). LOOKUP() returns NULL for
+            # this name; unrelated SQL must keep working (raising here
+            # would break every engine.sql call once a big lookup is
+            # registered).
+            import warnings
+
+            warnings.warn(
+                f"lookup {name!r} exceeds {MAX_INLINE_LOOKUP_ENTRIES} entries; "
+                "not inlined into SQL LOOKUP() — use the registeredLookup "
+                "extractionFn (broadcast join) for it",
+                stacklevel=2,
             )
+            continue
         k_col, v_col = df.columns[0], df.columns[1]
         if rows:
+            # last-write-wins dedup: an inlined map literal with duplicate
+            # keys throws DUPLICATED_MAP_KEY at evaluation time
+            seen: dict = {}
+            for r in rows:
+                seen[r[k_col]] = r[v_col]
             pairs = ", ".join(
-                f"{_sql_str(r[k_col])}, {_sql_str(r[v_col])}" for r in rows
+                f"{_sql_str(k)}, {_sql_str(v)}" for k, v in seen.items()
             )
             arms.append(f"WHEN {_sql_str(name)} THEN element_at(map({pairs}), x)")
     body = (

@@ -213,3 +213,28 @@ def test_lookup_sql_function(engine):
     assert rows.a == "Click!" and rows.miss is None and rows.unk is None
     engine.catalog.register_lookup("type_names", {"click": "C2"})
     assert engine.sql("SELECT LOOKUP('click', 'type_names') AS a").collect()[0].a == "C2"
+
+
+def test_druid_sql_time_function_edges(engine):
+    """Review-driven edges: multi-month periods floor via month-index
+    arithmetic, TIME_PARSE is NULL-on-garbage (ANSI-safe), DOW is ISO
+    (Monday=1), P1W is epoch-anchored like the native period path, and
+    lookups with backslashes/quotes/duplicate keys survive inlining."""
+    r = engine.sql("""
+        SELECT TIME_FLOOR(TIMESTAMP '2024-05-15 13:00:00', 'P2M') AS p2m,
+               TIME_CEIL(TIMESTAMP '2024-05-15 13:00:00', 'P2M') AS c2m,
+               TIME_PARSE('garbage') AS bad,
+               TIME_EXTRACT(TIMESTAMP '2024-03-18 12:00:00', 'DOW') AS dow_mon,
+               TIME_FLOOR(TIMESTAMP '2024-03-15 13:00:00', 'P1W') AS p1w
+    """).collect()[0]
+    assert (r.p2m.month, r.p2m.day) == (5, 1)
+    assert (r.c2m.month, r.c2m.day) == (7, 1)
+    assert r.bad is None
+    assert r.dow_mon == 1
+    assert r.p1w.strftime("%A") == "Thursday"  # epoch-anchored, like period P1W
+
+    engine.catalog.register_lookup("esc_lkp", {"k": "C:\\path\\", "q": "it's"})
+    row = engine.sql(
+        "SELECT LOOKUP('k','esc_lkp') AS a, LOOKUP('q','esc_lkp') AS b"
+    ).collect()[0]
+    assert row.a == "C:\\path\\" and row.b == "it's"
