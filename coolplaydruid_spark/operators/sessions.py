@@ -238,11 +238,14 @@ def funnel_conversion(
     type_col: str = "event_type",
     ts_col: str = "ts",
     user_col: str = "user_id",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered funnel: how many users performed step[0], then step[1]
     strictly after their first step[0], then step[2] strictly after
     that, ... Returns (step_index, step, n_users) with step_index
-    0-based.
+    0-based. ``within_seconds`` bounds the whole funnel: every later
+    step must also fall within that window of the user's FIRST step
+    (the standard conversion-window semantics).
 
     k-1 user-keyed joins for k steps, each stage aggregating to one row
     per surviving user (min qualifying timestamp). Every stage's output
@@ -257,14 +260,25 @@ def funnel_conversion(
         df.where(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("__t"))
-    )
+    ).withColumn("__t0", F.col("__t"))
     counts = [stage.select(F.count(F.lit(1)).cast("long").alias("n_users"))]
     for s in steps[1:]:
+        cond = F.col(ts_col) > F.col("__prev")
+        if within_seconds is not None:
+            cond = cond & (
+                _us(ts_col) - _us(F.col("__t0"))
+                <= int(within_seconds) * 1_000_000
+            )
         nxt = (
             df.where(F.col(type_col) == s)
-            .join(stage.select(user_col, F.col("__t").alias("__prev")), on=user_col)
-            .where(F.col(ts_col) > F.col("__prev"))
-            .groupBy(user_col)
+            .join(
+                stage.select(
+                    user_col, F.col("__t").alias("__prev"), F.col("__t0")
+                ),
+                on=user_col,
+            )
+            .where(cond)
+            .groupBy(user_col, "__t0")
             .agg(F.min(ts_col).alias("__t"))
         )
         counts.append(nxt.select(F.count(F.lit(1)).cast("long").alias("n_users")))

@@ -112,6 +112,11 @@ _DEFS = [
         RETURNS BIGINT RETURN unix_millis(t)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION TIME_PARSE(s STRING)
         RETURNS TIMESTAMP RETURN TRY_CAST(s AS TIMESTAMP)""",
+    # Joda and java.time patterns agree on the subset Druid SQL docs use
+    # (yyyy MM dd HH mm ss EEE MMM); exotic Joda tokens are a documented
+    # divergence.
+    """CREATE OR REPLACE TEMPORARY FUNCTION TIME_FORMAT(t TIMESTAMP, p STRING)
+        RETURNS STRING RETURN date_format(t, p)""",
 ]
 
 _REGISTERED: set[str] = set()

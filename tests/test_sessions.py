@@ -136,3 +136,20 @@ def test_asof_join_null_value_in_recent_row_stays_null(spark):
                              value_cols=["value", "tag"]).collect()[0]
     assert out.value_asof is None  # most recent row's null, not 7.0
     assert out.tag_asof == "b"     # same row as the null value
+
+
+def test_funnel_conversion_window(spark):
+    """within_seconds bounds the whole funnel from each user's FIRST
+    step: user 1 converts inside the window, user 2's click lands
+    outside it."""
+    df = spark.createDataFrame(
+        [
+            (1, "view", _ts(0)), (1, "click", _ts(50)),
+            (2, "view", _ts(0)), (2, "click", _ts(500)),
+        ],
+        "user_id long, event_type string, ts timestamp_ntz",
+    )
+    out = sessions.funnel_conversion(
+        df, ["view", "click"], within_seconds=60
+    ).orderBy("step_index")
+    assert [(r.step, r.n_users) for r in out.collect()] == [("view", 2), ("click", 1)]
