@@ -4072,3 +4072,42 @@ def sessions_window_stats_10m(spark, sf_dir):
     sessionize's strict `>`), and session_end is last event + gap."""
     eng = engine_for(spark, sf_dir)
     return sessions.session_window_stats(eng.catalog.table("events"), gap="10 minutes")
+
+
+@q(
+    "events_funnel_3step_1h",
+    """
+    WITH s0 AS (
+      SELECT user_id, min(ts) AS t, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), s1 AS (
+      SELECT e.user_id, s0.t0, min(e.ts) AS t
+      FROM events e JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'click' AND e.ts > s0.t
+        AND epoch_us(e.ts) - epoch_us(s0.t0) <= 3600000000
+      GROUP BY 1, 2
+    ), s2 AS (
+      SELECT e.user_id, s1.t0, min(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t
+        AND epoch_us(e.ts) - epoch_us(s1.t0) <= 3600000000
+      GROUP BY 1, 2
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS step_index, 'view' AS step,
+             CAST(count(*) AS BIGINT) AS n_users FROM s0
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s2
+    )
+    """,
+)
+def events_funnel_3step_1h(spark, sf_dir):
+    """Conversion-window funnel: every step must land within 1 hour of
+    the user's FIRST step (the anchor rides the per-stage joins)."""
+    eng = engine_for(spark, sf_dir)
+    return sessions.funnel_conversion(
+        eng.catalog.table("events"), ["view", "click", "purchase"],
+        within_seconds=3600,
+    )
