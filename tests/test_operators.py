@@ -148,7 +148,12 @@ def test_shingles(engine, duck):
 def test_minhash_signatures(engine, duck):
     sh = dedup.shingles(engine.catalog.table("documents"))
     df = dedup.minhash_signatures(sh, num_hashes=4)
-    mh = ", ".join(f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(4))
+    p = dedup.MINHASH_PRIME
+    base = f"(CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % {p})"
+    mh = ", ".join(
+        f"min(({base} * {a} + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(dedup.minhash_coeffs(4))
+    )
     sql = DUCK_SHINGLES + (
         f"SELECT doc_id, {mh}, CAST(count(*) AS BIGINT) AS n_shingles "
         "FROM shf GROUP BY doc_id"
