@@ -2383,6 +2383,32 @@ def sampling_stratified_mix(spark, sf_dir):
 
 
 @q(
+    "sampling_cap_per_source",
+    f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY {_DUCK_BUCKET_ID}, doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM ranked WHERE rn <= 10 GROUP BY source
+    """,
+)
+def sampling_cap_per_source(spark, sf_dir):
+    """Per-source document cap (anti-domination): at most 10 docs per
+    source, selected by deterministic md5-hash order. id_sum pins WHICH
+    rows survived, not just how many."""
+    eng = engine_for(spark, sf_dir)
+    capped = sampling.cap_per_group(eng.catalog.table("documents"), "source", 10)
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+@q(
     "sampling_to_mixture",
     f"""
     WITH tgt(lang, w) AS (VALUES ('en', 2.0), ('zh', 1.0), ('es', 1.0)),
@@ -2513,11 +2539,12 @@ def _duck_minhash_exprs(num_hashes: int) -> str:
     )
 
 
-def _duck_band_selects(num_hashes: int, bands: int) -> str:
+def _duck_band_selects(num_hashes: int, bands: int, src: str = "sig") -> str:
     rows = num_hashes // bands
     return " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sig".format(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM {src}".format(
             b=b,
+            src=src,
             concat=" || '|' || ".join(
                 f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
             ),
@@ -2577,6 +2604,51 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_ngram_jaccard(spark, sf_dir):
     eng = engine_for(spark, sf_dir)
     return dedup.ngram_jaccard_pairs(eng.catalog.table("documents"), threshold=0.5)
+
+
+def _duck_minhash_incremental(threshold: float, num_hashes: int = 12,
+                              bands: int = 4) -> str:
+    """Oracle for the incremental (new batch × existing corpus) dedup:
+    the same signature/band formulas, restricted to cross-side pairs."""
+    mh = _duck_minhash_exprs(num_hashes)
+    return (
+        DUCK_SHINGLES
+        + f"""
+    , shf_c AS (SELECT * FROM shf WHERE doc_id % 5 <> 0)
+    , shf_n AS (SELECT * FROM shf WHERE doc_id % 5 = 0)
+    , sig_c AS (SELECT doc_id, {mh} FROM shf_c GROUP BY doc_id)
+    , sig_n AS (SELECT doc_id, {mh} FROM shf_n GROUP BY doc_id)
+    , banded_c AS ({_duck_band_selects(num_hashes, bands, src="sig_c")})
+    , banded_n AS ({_duck_band_selects(num_hashes, bands, src="sig_n")})
+    , cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded_c l JOIN banded_n r ON l.band = r.band AND l.bh = r.bh
+    ), co AS (
+      SELECT doc_a, doc_b, count(*) AS n_common
+      FROM cand JOIN shf_c a ON cand.doc_a = a.doc_id
+                JOIN shf_n b ON cand.doc_b = b.doc_id AND a.shingle = b.shingle
+      GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1)
+    SELECT doc_a, doc_b, round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
+            JOIN sizes sb ON co.doc_b = sb.doc_id
+    WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= {threshold}
+    """
+    )
+
+
+@q("dedup_minhash_incremental", _duck_minhash_incremental(0.5))
+def dedup_minhash_incremental(spark, sf_dir):
+    """Incremental fuzzy dedup: every 5th document plays the incoming
+    batch, the rest the accepted corpus — pairs cross sides only (the
+    corpus never self-joins, the daily-ingest cost shape)."""
+    eng = engine_for(spark, sf_dir)
+    docs = eng.catalog.table("documents")
+    return dedup.minhash_lsh_dedup_incremental(
+        docs.where(F.col("doc_id") % 5 == 0),
+        docs.where(F.col("doc_id") % 5 != 0),
+        threshold=0.5,
+    )
 
 
 @q(
@@ -2680,9 +2752,11 @@ def dedup_keep_best(spark, sf_dir):
     )
 
 
-@q(
-    "text_chunk_windows",
-    """
+# Chunk CTE mirroring chunking.chunk_documents(window=40, stride=20):
+# window starts every 20 tokens, the tail-emission rule (keep a start when
+# it is the first or the previous window did not reach the end), 1-based
+# inclusive list slicing.
+_DUCK_CHUNK_CTE = """
     WITH m AS (
       SELECT doc_id,
              list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
@@ -2701,6 +2775,13 @@ def dedup_keep_best(spark, sf_dir):
              toks[CAST(st + 1 AS INT):CAST(st + 40 AS INT)] AS chunk
       FROM keepers
     )
+"""
+
+
+@q(
+    "text_chunk_windows",
+    _DUCK_CHUNK_CTE
+    + """
     SELECT doc_id, chunk_index, array_to_string(chunk, ' ') AS chunk_text,
            CAST(len(chunk) AS BIGINT) AS n_tokens
     FROM idx
@@ -2713,6 +2794,29 @@ def text_chunk_windows(spark, sf_dir):
     tail-emission rule, and 1-based inclusive list slicing."""
     eng = engine_for(spark, sf_dir)
     return chunking.chunk_documents(
+        eng.catalog.table("documents"), window=40, stride=20
+    )
+
+
+@q(
+    "text_dup_chunk_ratio",
+    _DUCK_CHUNK_CTE
+    + """
+    , ch AS (
+      SELECT doc_id, md5(array_to_string(chunk, ' ')) AS dg FROM idx
+    ), cnt AS (SELECT dg, count(*) AS n_occ FROM ch GROUP BY 1)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           round(avg(CASE WHEN n_occ > 1 THEN 1.0 ELSE 0.0 END), 6) AS dup_ratio
+    FROM ch JOIN cnt USING (dg)
+    GROUP BY doc_id
+    """,
+)
+def text_dup_chunk_ratio(spark, sf_dir):
+    """Sub-document duplication signal: per-doc fraction of token chunks
+    occurring more than once corpus-wide — chunks travel as md5 digests
+    through both shuffles, never as text."""
+    eng = engine_for(spark, sf_dir)
+    return chunking.duplicate_chunk_ratio(
         eng.catalog.table("documents"), window=40, stride=20
     )
 
@@ -3728,6 +3832,35 @@ def text_length_histogram(spark, sf_dir):
     buckets; one map + one bucket-keyed aggregation."""
     eng = engine_for(spark, sf_dir)
     return text.length_histogram(eng.catalog.table("documents"))
+
+
+def _duck_char_entropy() -> str:
+    alpha = text.ENTROPY_ALPHABET
+    counts = ", ".join(
+        f"length(t) - length(replace(t, '{ch}', '')) AS c{i}"
+        for i, ch in enumerate(alpha)
+    )
+    tt = " + ".join(f"c{i}" for i in range(len(alpha)))
+    terms = " + ".join(
+        f"CASE WHEN c{i} > 0 THEN -(c{i}*1.0/tt)*log2(c{i}*1.0/tt) ELSE 0.0 END"
+        for i in range(len(alpha))
+    )
+    return f"""
+    WITH c AS (SELECT doc_id, lower(coalesce(text,'')) AS t FROM documents),
+    cnt AS (SELECT doc_id, {counts} FROM c),
+    tot AS (SELECT *, ({tt}) AS tt FROM cnt)
+    SELECT doc_id,
+           round(CASE WHEN tt > 0 THEN {terms} ELSE 0.0 END, 6) AS char_entropy
+    FROM tot
+    """
+
+
+@q("text_char_entropy", _duck_char_entropy())
+def text_char_entropy(spark, sf_dir):
+    """Character-entropy quality signal (gibberish/spam detector):
+    Shannon bits/char over a fixed alphabet, map-only expressions."""
+    eng = engine_for(spark, sf_dir)
+    return text.char_entropy(eng.catalog.table("documents"))
 
 
 @q(

@@ -54,3 +54,41 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_tokens"),
     )
+
+
+def duplicate_chunk_ratio(
+    df: DataFrame,
+    window: int = 100,
+    stride: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document chunk-level duplication (sub-document dedup signal,
+    the boilerplate detector doc-level dedup misses): the fraction of a
+    document's token chunks whose exact text occurs more than once in
+    the corpus-wide chunk multiset. Returns (id, n_chunks, dup_ratio);
+    docs with no tokens yield no row (they have no chunks).
+
+    Scale: chunks reduce to 16-byte md5 digests before any shuffle —
+    the occurrence count groupBy and the count-back join move digests
+    and ids only, never chunk text. The join back is digest-keyed
+    (uniform by construction); AQE handles the (rare) viral-chunk skew
+    with skew-join splitting. Two digest-keyed shuffles total, both
+    ~n_chunks × 24 bytes regardless of document size."""
+    chunks = chunk_documents(
+        df, window=window, stride=stride, text_col=text_col, id_col=id_col
+    )
+    digests = chunks.select(
+        F.col(id_col), F.md5(F.col("chunk_text")).alias("__digest")
+    )
+    counts = digests.groupBy("__digest").agg(F.count(F.lit(1)).alias("__n_occ"))
+    return (
+        digests.join(counts, on="__digest")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.round(
+                F.avg((F.col("__n_occ") > 1).cast("double")), 6
+            ).alias("dup_ratio"),
+        )
+    )

@@ -157,6 +157,27 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES,
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def band_hashes(sig: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES,
+                bands: int = DEFAULT_BANDS, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, bh): one row per LSH band with the md5 of the band's
+    minhash slice. Docs agreeing on any (band, bh) are LSH candidates.
+    The md5 here is per-document-per-band (not per-shingle) — negligible
+    next to the signature pass, and it equidistributes the self-join key."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.col(f"mh{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, "b.band", "b.bh")
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     k: int = 3,
@@ -179,7 +200,6 @@ def minhash_lsh_dedup(
     probability, not corpus size. The exact-verify join touches only
     candidate pairs' shingle sets.
     """
-    rows_per_band = num_hashes // bands
     sh = shingles(df, k=k, text_col=text_col, id_col=id_col, as_hash=True)
     if cache:
         # The shingle set is reused 3x (signature pass + two verify
@@ -192,19 +212,7 @@ def minhash_lsh_dedup(
         # otherwise reclaims it under memory pressure.
         sh = sh.persist()
     sig = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col, hashed=True)
-
-    band_cols = []
-    for b in range(bands):
-        parts = [
-            F.col(f"mh{b * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)
-        ]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
-        )
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
-    ).select(id_col, "b.band", "b.bh")
+    banded = band_hashes(sig, num_hashes=num_hashes, bands=bands, id_col=id_col)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -220,6 +228,61 @@ def minhash_lsh_dedup(
     )
     sizes = sig.select(F.col(id_col), F.col("n_shingles"))
     return _verify_jaccard(candidates, sh, threshold, id_col, sizes=sizes)
+
+
+def minhash_lsh_dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs between a NEW document batch and an EXISTING
+    corpus — the daily-ingest shape of fuzzy dedup: an incoming batch is
+    checked against everything already accepted, WITHOUT re-pairing the
+    corpus against itself. Returns (doc_a = corpus id, doc_b = new id,
+    jaccard ≥ threshold). Ids must be unique across the union of both
+    inputs (the standard corpus invariant).
+
+    Scale: the band join is corpus-banded × new-banded — the corpus side
+    never self-joins, so a T-byte corpus admits a daily batch at a cost
+    proportional to the BATCH, not the corpus pair count. AQE broadcasts
+    the (small) new side's band hashes in the normal case, leaving the
+    corpus band table map-only; verification reduces both shingle sets
+    to candidate members via the same semi-join as minhash_lsh_dedup.
+    In production the corpus signatures/bands would be materialized once
+    at accept time (they are a pure function of the text) and only the
+    new side computed per batch — this function recomputes both for
+    self-containment; pass pre-computed frames through
+    minhash_signatures/band_hashes to skip that."""
+    sh_new = shingles(new_df, k=k, text_col=text_col, id_col=id_col, as_hash=True)
+    sh_corpus = shingles(corpus_df, k=k, text_col=text_col, id_col=id_col, as_hash=True)
+    sig_new = minhash_signatures(sh_new, num_hashes=num_hashes, id_col=id_col, hashed=True)
+    sig_corpus = minhash_signatures(
+        sh_corpus, num_hashes=num_hashes, id_col=id_col, hashed=True
+    )
+    banded_new = band_hashes(sig_new, num_hashes=num_hashes, bands=bands, id_col=id_col)
+    banded_corpus = band_hashes(
+        sig_corpus, num_hashes=num_hashes, bands=bands, id_col=id_col
+    )
+    candidates = (
+        banded_corpus.alias("l")
+        .join(
+            banded_new.alias("r"),
+            (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh")),
+        )
+        .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sig_corpus.select(F.col(id_col), "n_shingles").union(
+        sig_new.select(F.col(id_col), "n_shingles")
+    )
+    return _verify_jaccard(
+        candidates, sh_corpus.union(sh_new), threshold, id_col, sizes=sizes
+    )
 
 
 def ngram_jaccard_pairs(

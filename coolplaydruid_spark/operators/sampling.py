@@ -66,6 +66,38 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.where(hash_bucket(F.col(id_col), salt) < rate)
 
 
+def cap_per_group(df: DataFrame, group_col: str, cap: int,
+                  id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Keep at most ``cap`` rows per group — the per-domain/per-source
+    cap every crawl pipeline applies so one prolific site cannot
+    dominate the corpus. Selection is by md5-hash order (ties broken by
+    id), so which rows survive is deterministic, uniform within the
+    group, and engine-mirrorable — not "first cap rows Spark happened to
+    scan".
+
+    Scale: one shuffle keyed on the group column; the per-group
+    row_number is a partial sort within each group's partition. A
+    pathologically hot group (one domain = billions of rows) serializes
+    its own sort; the standing refinement for that regime is a first
+    map-only pass gating on hash < (cap/n_group + ε)·2^24 (from a
+    group-count aggregate) to shrink the ranked set to ~cap rows per
+    group, then this exact rank over the survivors. At cap ≪ group size
+    the pre-gate removes ~everything, so the window sorts thousands of
+    rows, not billions."""
+    from pyspark.sql import Window
+
+    if cap < 0:
+        raise ValueError(f"cap must be >= 0, got {cap}")
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 def sample_to_mixture(df: DataFrame, category_col: str,
                       targets: dict[str, float],
                       id_col: str = "doc_id", salt: str = "") -> DataFrame:

@@ -274,6 +274,54 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     )
 
 
+# Alphabet over which char_entropy measures the character distribution.
+# A FIXED alphabet (not "all chars present") keeps the operator a pure
+# per-row expression — counting arbitrary chars needs a per-row frequency
+# map, which Spark SQL cannot build without explode (a corpus-of-chars
+# shuffle) or Python. Characters outside the alphabet are ignored.
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 alphabet: str = ENTROPY_ALPHABET) -> DataFrame:
+    """Shannon entropy (bits/char) of each document's character
+    distribution over a fixed alphabet — the classic cheap gibberish
+    detector: natural English sits ~4.0-4.2 bits over [a-z0-9 ],
+    single-char spam near 0, uniform random near log2(37)≈5.2.
+    Returns (id, char_entropy) rounded to 6.
+
+    Per-char counts are length-difference expressions
+    (length(t) - length(replace(t, c))), one per alphabet char —
+    map-only, whole-stage codegen, no shuffle, no Python; the counts
+    are materialized once in a lower projection so the entropy
+    expression references them, not |alphabet|² replace scans.
+    Documents with no in-alphabet characters score 0."""
+    text = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    names = [f"__c{i}" for i in range(len(alphabet))]
+    counted = df.select(
+        F.col(id_col),
+        *[
+            (F.length(text) - F.length(F.replace(text, F.lit(ch))))
+            .cast("double")
+            .alias(nm)
+            for nm, ch in zip(names, alphabet)
+        ],
+    )
+    total = sum(F.col(nm) for nm in names)
+    with_total = counted.select(F.col(id_col), *names, total.alias("__t"))
+    p = lambda nm: F.col(nm) / F.col("__t")  # noqa: E731
+    term = lambda nm: F.when(  # noqa: E731
+        F.col(nm) > 0, -p(nm) * F.log2(p(nm))
+    ).otherwise(F.lit(0.0))
+    ent = F.when(F.col("__t") > 0, sum(term(nm) for nm in names)).otherwise(
+        F.lit(0.0)
+    )
+    return with_total.select(
+        F.col(id_col), F.round(ent, 6).alias("char_entropy")
+    )
+
+
 # Fixed token-length histogram boundaries (right-open buckets). A CASE
 # chain — not log/pow arithmetic — so both engines bucket identically
 # with zero FP edge cases.

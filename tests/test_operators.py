@@ -678,3 +678,78 @@ def test_training_pipeline_end_to_end(spark, tmp_path, catalog):
         (F.size(F.split("seq_text", "\n\n", -1)) - 1).alias("s"), "n_docs"
     )
     assert seps.where(F.col("s") < F.col("n_docs") - 1).count() == 0
+
+
+# ---- round-4 additions ---------------------------------------------------
+
+
+def test_minhash_incremental_matches_full_cross_pairs(engine):
+    """Signatures are a pure per-document function, so the incremental
+    (new x corpus) pairs must equal the full self-dedup's pairs
+    restricted to cross-side ones."""
+    docs = engine.catalog.table("documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    inc = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_dedup_incremental(
+            new, corpus, threshold=0.3
+        ).collect()
+    }
+    full = dedup.minhash_lsh_dedup(docs, threshold=0.3).collect()
+    cross = {
+        # incremental reports (corpus_id, new_id); full reports doc_a < doc_b
+        (r.doc_a, r.doc_b, r.jaccard) if r.doc_a % 5 != 0 else (r.doc_b, r.doc_a, r.jaccard)
+        for r in full
+        if (r.doc_a % 5 == 0) != (r.doc_b % 5 == 0)
+    }
+    assert inc == cross
+    assert all(a % 5 != 0 and b % 5 == 0 for a, b, _ in inc)
+
+
+def test_cap_per_group_deterministic(engine):
+    from coolplaydruid_spark.operators import sampling
+
+    docs = engine.catalog.table("documents")
+    capped = sampling.cap_per_group(docs, "source", 7)
+    sizes = {r.source: r.n for r in capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    base = {r.source: r.n for r in docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for src, n in base.items():
+        assert sizes.get(src, 0) == min(7, n)
+    # identical selection on re-run (hash order, not scan order)
+    ids1 = sorted(r.doc_id for r in capped.select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in sampling.cap_per_group(
+        docs, "source", 7).select("doc_id").collect())
+    assert ids1 == ids2
+
+
+def test_char_entropy_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, ""), (5, "!!!!"), (6, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.char_entropy for r in text.char_entropy(df).collect()}
+    assert got[1] == 0.0          # single symbol
+    assert got[2] == 1.0          # two equiprobable symbols
+    assert got[3] == 2.0          # four equiprobable symbols
+    assert got[4] == 0.0          # empty
+    assert got[5] == 0.0          # nothing in alphabet
+    assert got[6] == 0.0          # null text
+
+
+def test_duplicate_chunk_ratio_synthetic(spark):
+    from coolplaydruid_spark.operators import chunking
+
+    shared = "alpha beta gamma delta"
+    df = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, "unique words only here")],
+        "doc_id long, text string",
+    )
+    # window=4/stride=4: each doc is exactly one chunk
+    out = {r.doc_id: (r.n_chunks, r.dup_ratio)
+           for r in chunking.duplicate_chunk_ratio(
+               df, window=4, stride=4).collect()}
+    assert out[1] == (1, 1.0) and out[2] == (1, 1.0)
+    assert out[3] == (1, 0.0)
