@@ -3855,6 +3855,31 @@ def _duck_char_entropy() -> str:
     """
 
 
+@q(
+    "text_unigram_nll",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({DUCK_TOKS}) AS tok FROM documents
+    ), counts AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY 1
+    ), tot AS (SELECT CAST(sum(c) AS DOUBLE) AS T FROM counts),
+    vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok ASC LIMIT 100)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-log2(coalesce(v.c, 1) * 1.0 / T)), 6) AS nll_per_token
+    FROM toks LEFT JOIN vocab v USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_nll(spark, sf_dir):
+    """CCNet-style unigram LM quality proxy: mean -log2 p(token) under
+    the corpus's own top-100 unigram model, count-1 smoothing for OOV.
+    The vocab broadcast is bounded by the V parameter."""
+    eng = engine_for(spark, sf_dir)
+    return text.unigram_logprob_score(
+        eng.catalog.table("documents"), vocab_size=100
+    )
+
+
 @q("text_char_entropy", _duck_char_entropy())
 def text_char_entropy(spark, sf_dir):
     """Character-entropy quality signal (gibberish/spam detector):

@@ -322,6 +322,58 @@ def char_entropy(df: DataFrame, text_col: str = "text",
     )
 
 
+def unigram_logprob_score(df: DataFrame, vocab_size: int | None = None,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean negative log2 probability of its tokens under
+    the corpus's own empirical unigram distribution — the cheap
+    LM-perplexity proxy (the CCNet-style quality ranking): documents of
+    common, corpus-typical words score low; rare-word soup and
+    vocabulary outliers score high. Returns (id, n_tokens,
+    nll_per_token) for documents with ≥ 1 token.
+
+    ``vocab_size`` caps the model to the top-V tokens by corpus count
+    (ties broken lexicographically — deterministic across engines);
+    out-of-vocabulary tokens take the floor probability 1/T where T is
+    the total corpus token count (count-1 smoothing).
+
+    Scale: one token-keyed aggregation with map-side combine builds the
+    counts (each executor emits its distinct tokens once); the top-V cut
+    is a TakeOrderedAndProject over the (vocabulary-cardinality) counts
+    table; the probability join broadcasts the vocab — bounded by the
+    V parameter, not the data — so the corpus-of-tokens side never
+    reshuffles for it; the per-doc aggregation is the second and last
+    data-sized shuffle, with partial-avg map-side combine."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = counts.agg(F.sum("__c").cast("double").alias("__T"))
+    if vocab_size is not None:
+        # bounded by the V parameter → broadcast is safe by construction
+        vocab = F.broadcast(
+            counts.orderBy(F.col("__c").desc(), F.col("tok").asc()).limit(
+                int(vocab_size)
+            )
+        )
+    else:
+        # full vocabulary scales with the corpus — leave the join
+        # strategy to AQE (broadcast when runtime stats allow, shuffle
+        # join otherwise), per the no-forced-broadcast-on-data-scaled-
+        # tables rule (SCALE.md).
+        vocab = counts
+    p = F.coalesce(F.col("__c"), F.lit(1)).cast("double") / F.col("__T")
+    return (
+        toks.join(vocab, on="tok", how="left")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(-F.log2(p)), 6).alias("nll_per_token"),
+        )
+    )
+
+
 # Fixed token-length histogram boundaries (right-open buckets). A CASE
 # chain — not log/pow arithmetic — so both engines bucket identically
 # with zero FP edge cases.

@@ -753,3 +753,24 @@ def test_duplicate_chunk_ratio_synthetic(spark):
                df, window=4, stride=4).collect()}
     assert out[1] == (1, 1.0) and out[2] == (1, 1.0)
     assert out[3] == (1, 0.0)
+
+
+def test_unigram_logprob_score_known_values(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "c c b")], "doc_id long, text string"
+    )
+    # full vocab: p(a)=2/6, p(b)=2/6, p(c)=2/6
+    full = {r.doc_id: (r.n_tokens, r.nll_per_token)
+            for r in text.unigram_logprob_score(df).collect()}
+    third = -math.log2(2 / 6)
+    assert full[1] == (3, round(third, 6))
+    assert full[2] == (3, round(third, 6))
+    # vocab_size=2 keeps a,b (count ties broken lexicographically);
+    # c becomes OOV with floor probability 1/6
+    capped = {r.doc_id: (r.n_tokens, r.nll_per_token)
+              for r in text.unigram_logprob_score(df, vocab_size=2).collect()}
+    assert capped[1] == (3, round(third, 6))
+    expect2 = round((-2 * math.log2(1 / 6) - math.log2(2 / 6)) / 3, 6)
+    assert capped[2] == (3, expect2)
