@@ -2648,6 +2648,7 @@ def dedup_minhash_incremental(spark, sf_dir):
         docs.where(F.col("doc_id") % 5 == 0),
         docs.where(F.col("doc_id") % 5 != 0),
         threshold=0.5,
+        cache=True,
     )
 
 
@@ -2817,7 +2818,7 @@ def text_dup_chunk_ratio(spark, sf_dir):
     through both shuffles, never as text."""
     eng = engine_for(spark, sf_dir)
     return chunking.duplicate_chunk_ratio(
-        eng.catalog.table("documents"), window=40, stride=20
+        eng.catalog.table("documents"), window=40, stride=20, cache=True
     )
 
 
@@ -3876,7 +3877,7 @@ def text_unigram_nll(spark, sf_dir):
     The vocab broadcast is bounded by the V parameter."""
     eng = engine_for(spark, sf_dir)
     return text.unigram_logprob_score(
-        eng.catalog.table("documents"), vocab_size=100
+        eng.catalog.table("documents"), vocab_size=100, cache=True
     )
 
 

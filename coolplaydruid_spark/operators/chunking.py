@@ -62,6 +62,7 @@ def duplicate_chunk_ratio(
     stride: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache: bool = False,
 ) -> DataFrame:
     """Per-document chunk-level duplication (sub-document dedup signal,
     the boilerplate detector doc-level dedup misses): the fraction of a
@@ -74,13 +75,18 @@ def duplicate_chunk_ratio(
     and ids only, never chunk text. The join back is digest-keyed
     (uniform by construction); AQE handles the (rare) viral-chunk skew
     with skew-join splitting. Two digest-keyed shuffles total, both
-    ~n_chunks × 24 bytes regardless of document size."""
+    ~n_chunks × 24 bytes regardless of document size. The digest
+    projection feeds both the counts groupBy and the join probe side —
+    two chunking passes per action; ``cache=True`` persists the
+    (id, digest) rows to make it one when memory beats the re-chunk."""
     chunks = chunk_documents(
         df, window=window, stride=stride, text_col=text_col, id_col=id_col
     )
     digests = chunks.select(
         F.col(id_col), F.md5(F.col("chunk_text")).alias("__digest")
     )
+    if cache:
+        digests = digests.persist()
     counts = digests.groupBy("__digest").agg(F.count(F.lit(1)).alias("__n_occ"))
     return (
         digests.join(counts, on="__digest")

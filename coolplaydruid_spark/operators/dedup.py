@@ -232,13 +232,15 @@ def minhash_lsh_dedup(
 
 def minhash_lsh_dedup_incremental(
     new_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None = None,
     k: int = 3,
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache: bool = False,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs between a NEW document batch and an EXISTING
     corpus — the daily-ingest shape of fuzzy dedup: an incoming batch is
@@ -253,13 +255,26 @@ def minhash_lsh_dedup_incremental(
     the (small) new side's band hashes in the normal case, leaving the
     corpus band table map-only; verification reduces both shingle sets
     to candidate members via the same semi-join as minhash_lsh_dedup.
-    In production the corpus signatures/bands would be materialized once
-    at accept time (they are a pure function of the text) and only the
-    new side computed per batch — this function recomputes both for
-    self-containment; pass pre-computed frames through
-    minhash_signatures/band_hashes to skip that."""
+
+    Each shingle set is read twice (signature pass + verification) —
+    ``cache=True`` persists both, same trade-off as minhash_lsh_dedup's
+    flag. In production the corpus shingle set would be materialized
+    once at accept time (it is a pure function of the text) and only
+    the new side computed per batch: pass it as ``corpus_shingles``
+    ((id, shingle-hash) rows as produced by shingles(as_hash=True)) and
+    ``corpus_df`` is not consulted at all."""
     sh_new = shingles(new_df, k=k, text_col=text_col, id_col=id_col, as_hash=True)
-    sh_corpus = shingles(corpus_df, k=k, text_col=text_col, id_col=id_col, as_hash=True)
+    if corpus_shingles is not None:
+        sh_corpus = corpus_shingles
+    elif corpus_df is not None:
+        sh_corpus = shingles(
+            corpus_df, k=k, text_col=text_col, id_col=id_col, as_hash=True
+        )
+    else:
+        raise ValueError("need corpus_df or corpus_shingles")
+    if cache:
+        sh_new = sh_new.persist()
+        sh_corpus = sh_corpus.persist()
     sig_new = minhash_signatures(sh_new, num_hashes=num_hashes, id_col=id_col, hashed=True)
     sig_corpus = minhash_signatures(
         sh_corpus, num_hashes=num_hashes, id_col=id_col, hashed=True

@@ -324,7 +324,8 @@ def char_entropy(df: DataFrame, text_col: str = "text",
 
 def unigram_logprob_score(df: DataFrame, vocab_size: int | None = None,
                           text_col: str = "text",
-                          id_col: str = "doc_id") -> DataFrame:
+                          id_col: str = "doc_id",
+                          cache: bool = False) -> DataFrame:
     """Per-document mean negative log2 probability of its tokens under
     the corpus's own empirical unigram distribution — the cheap
     LM-perplexity proxy (the CCNet-style quality ranking): documents of
@@ -337,16 +338,23 @@ def unigram_logprob_score(df: DataFrame, vocab_size: int | None = None,
     out-of-vocabulary tokens take the floor probability 1/T where T is
     the total corpus token count (count-1 smoothing).
 
-    Scale: one token-keyed aggregation with map-side combine builds the
-    counts (each executor emits its distinct tokens once); the top-V cut
-    is a TakeOrderedAndProject over the (vocabulary-cardinality) counts
+    Scale: the token-keyed counts aggregation uses map-side combine
+    (each executor emits its distinct tokens once); the top-V cut is a
+    TakeOrderedAndProject over the (vocabulary-cardinality) counts
     table; the probability join broadcasts the vocab — bounded by the
     V parameter, not the data — so the corpus-of-tokens side never
     reshuffles for it; the per-doc aggregation is the second and last
-    data-sized shuffle, with partial-avg map-side combine."""
+    data-sized shuffle, with partial-avg map-side combine. The
+    tokenized corpus feeds both the counts subtree and the join's
+    probe side — two scan+tokenize passes per action (the counts
+    exchange is shared by vocab and total via AQE exchange reuse);
+    ``cache=True`` persists the exploded tokens to make it one, when
+    memory beats the re-scan at the deployment's scale."""
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
+    if cache:
+        toks = toks.persist()
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__c"))
     total = counts.agg(F.sum("__c").cast("double").alias("__T"))
     if vocab_size is not None:

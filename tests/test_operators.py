@@ -774,3 +774,25 @@ def test_unigram_logprob_score_known_values(spark):
     assert capped[1] == (3, round(third, 6))
     expect2 = round((-2 * math.log2(1 / 6) - math.log2(2 / 6)) / 3, 6)
     assert capped[2] == (3, expect2)
+
+
+def test_minhash_incremental_precomputed_corpus_shingles(engine):
+    """The production path: corpus shingles materialized once at accept
+    time and passed in — must give identical pairs to the recompute path."""
+    docs = engine.catalog.table("documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    pre = dedup.shingles(corpus, as_hash=True)
+    a = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_dedup_incremental(
+            new, corpus_shingles=pre, threshold=0.3
+        ).collect()
+    )
+    b = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_dedup_incremental(
+            new, corpus, threshold=0.3
+        ).collect()
+    )
+    assert a == b
