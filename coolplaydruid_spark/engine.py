@@ -408,12 +408,15 @@ class DruidEngine:
 
     # ---- SQL front-end (Q10) -------------------------------------------
 
-    def sql(self, statement: str) -> DataFrame:
+    def sql(self, statement: str, args: list | None = None) -> DataFrame:
         """SQL over registered dataSources — Catalyst replaces Druid's
         Calcite layer wholesale (query/query-module-overview.md:48-49).
         Druid SQL's time functions (TIME_FLOOR/TIME_SHIFT/...) register
         lazily as inlined SQL UDFs (sqlcompat.py) so Druid SQL text runs
-        with minimal edits."""
+        with minimal edits. ``args`` binds Druid SQL's positional ``?``
+        parameters (the /druid/v2/sql "parameters" field) via Spark's
+        parameterized SQL — values never interpolate into the text, so
+        no injection surface."""
         from coolplaydruid_spark.sqlcompat import (
             register_druid_sql_functions,
             register_lookup_sql_function,
@@ -421,4 +424,6 @@ class DruidEngine:
 
         register_druid_sql_functions(self.spark)
         register_lookup_sql_function(self.spark, self.catalog)
+        if args:
+            return self.spark.sql(statement, args=args)
         return self.spark.sql(statement)

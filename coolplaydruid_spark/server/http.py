@@ -123,6 +123,42 @@ def make_handler(engine: DruidEngine):
                 except Exception as e:  # noqa: BLE001
                     self._send(500, json.dumps(envelope_for(e)).encode())
                 return
+            if self.path in ("/druid/v2/sql", "/druid/v2/sql/"):
+                # Druid SQL over HTTP: {"query": str, "parameters":
+                # [{"type", "value"}...], "resultFormat": "object"|
+                # "array", "header": bool}. Results stream chunked, the
+                # same sink as scan (query-internal-procedure.md:152-189).
+                try:
+                    spec = json.loads(body)
+                    sql_text = spec["query"]
+                    params = spec.get("parameters") or []
+                    args = [
+                        p.get("value") if isinstance(p, dict) else p
+                        for p in params
+                    ] or None
+                    fmt = spec.get("resultFormat", "object")
+                    if fmt not in ("object", "array"):
+                        raise ValueError(
+                            f"unsupported resultFormat {fmt!r}; "
+                            "supported: object, array"
+                        )
+                    df = engine.sql(sql_text, args=args)
+                    cols = df.schema.fieldNames()  # force analysis pre-stream
+                except Exception as e:  # noqa: BLE001
+                    self._send(500, json.dumps(envelope_for(e)).encode())
+                    return
+                it = df.toLocalIterator()
+                if fmt == "object":
+                    entries = (row.asDict(recursive=True) for row in it)
+                else:
+                    rows = ([row[c] for c in cols] for row in it)
+                    entries = rows
+                    if spec.get("header"):
+                        import itertools
+
+                        entries = itertools.chain([cols], rows)
+                self._send_stream(entries)
+                return
             if self.path == "/druid/indexer/v1/task":
                 from coolplaydruid_spark.sources import batch
 

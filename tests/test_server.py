@@ -249,3 +249,66 @@ def test_max_results_resource_limit(engine):
 
     q["context"]["maxResults"] = 100000
     assert len(engine.execute(q)) > 3
+
+
+# ---- /druid/v2/sql (Druid SQL over HTTP) ---------------------------------
+
+
+def test_sql_endpoint_object_format(server):
+    status, _, body = _req(server, "POST", "/druid/v2/sql", {
+        "query": "SELECT event_type, count(*) AS n FROM events "
+                 "GROUP BY event_type ORDER BY event_type",
+    })
+    assert status == 200
+    rows = json.loads(body)
+    assert len(rows) >= 2
+    assert set(rows[0]) == {"event_type", "n"}
+
+
+def test_sql_endpoint_array_format_with_header(server):
+    status, _, body = _req(server, "POST", "/druid/v2/sql", {
+        "query": "SELECT event_type, count(*) AS n FROM events "
+                 "GROUP BY event_type ORDER BY event_type",
+        "resultFormat": "array",
+        "header": True,
+    })
+    assert status == 200
+    rows = json.loads(body)
+    assert rows[0] == ["event_type", "n"]
+    assert all(len(r) == 2 for r in rows[1:])
+
+
+def test_sql_endpoint_positional_parameters(server):
+    status, _, body = _req(server, "POST", "/druid/v2/sql", {
+        "query": "SELECT count(*) AS n FROM events WHERE event_type = ?",
+        "parameters": [{"type": "VARCHAR", "value": "click"}],
+    })
+    assert status == 200
+    rows = json.loads(body)
+    assert len(rows) == 1 and rows[0]["n"] > 0
+
+
+def test_sql_endpoint_druid_time_function(server):
+    status, _, body = _req(server, "POST", "/druid/v2/sql", {
+        "query": "SELECT TIME_FLOOR(ts, 'P1D') AS d, count(*) AS n "
+                 "FROM events GROUP BY 1 ORDER BY 1 LIMIT 3",
+    })
+    assert status == 200
+    assert len(json.loads(body)) == 3
+
+
+def test_sql_endpoint_error_envelope(server):
+    status, _, body = _req(server, "POST", "/druid/v2/sql", {
+        "query": "SELECT * FROM no_such_table",
+    })
+    assert status == 500
+    err = json.loads(body)
+    assert "error" in err and "errorMessage" in err
+
+
+def test_sql_endpoint_bad_result_format(server):
+    status, _, body = _req(server, "POST", "/druid/v2/sql", {
+        "query": "SELECT 1", "resultFormat": "csv",
+    })
+    assert status == 500
+    assert "resultFormat" in json.loads(body)["errorMessage"]
