@@ -2879,6 +2879,34 @@ def embedding_quantize_int8(spark, sf_dir):
     )
 
 
+def _duck_random_projection(in_dim: int, out_dim: int) -> str:
+    inv = 1.0 / (out_dim ** 0.5)
+    signs = embeddings.rademacher_signs(in_dim, out_dim)
+    cols = []
+    for j in range(out_dim):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {s}.0"
+            for i, s in enumerate(signs[j])
+        )
+        cols.append(f"round(({terms}) * {inv!r}, 6) AS p{j}")
+    return f"SELECT vec_id, {', '.join(cols)} FROM embeddings"
+
+
+@q("embedding_random_projection", _duck_random_projection(64, 4))
+def embedding_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss Rademacher projection 64→4 dims: the ±1
+    matrix is a pure function of the seed, folded into the plan as
+    literals — map-only, identical in both engines."""
+    eng = engine_for(spark, sf_dir)
+    proj = embeddings.random_projection(
+        eng.catalog.table("embeddings"), in_dim=64, out_dim=4
+    )
+    return proj.select(
+        "vec_id",
+        *[F.element_at("proj", j + 1).alias(f"p{j}") for j in range(4)],
+    )
+
+
 def _duck_simhash_bits() -> str:
     bits = []
     for i in range(32):

@@ -48,13 +48,16 @@ def make_handler(engine: DruidEngine):
             length = int(self.headers.get("Content-Length", 0))
             return self.rfile.read(length)
 
-        def _send_stream(self, entries, headers: dict | None = None):
-            """Chunked JSON-array response — the reference's streamed
+        def _send_stream(self, entries, headers: dict | None = None,
+                         lines: bool = False, content_type: str = "application/json"):
+            """Chunked streamed response — the reference's streamed
             result sink (query/query-internal-procedure.md:152-189): rows
             go out as they arrive from the executors, so an unbounded
-            scan never builds the whole payload in server memory."""
+            scan never builds the whole payload in server memory.
+            ``lines=True`` emits newline-delimited entries (Druid's
+            *Lines / csv resultFormats) instead of one JSON array."""
             self.send_response(200)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", content_type)
             self.send_header("Transfer-Encoding", "chunked")
             for k, v in (headers or {}).items():
                 self.send_header(k, v)
@@ -63,13 +66,20 @@ def make_handler(engine: DruidEngine):
             def chunk(b: bytes):
                 self.wfile.write(f"{len(b):X}\r\n".encode() + b + b"\r\n")
 
-            chunk(b"[")
-            first = True
-            for entry in entries:
-                piece = json.dumps(entry, default=str).encode()
-                chunk(piece if first else b"," + piece)
-                first = False
-            chunk(b"]")
+            if lines:
+                for entry in entries:
+                    piece = entry if isinstance(entry, bytes) else json.dumps(
+                        entry, default=str
+                    ).encode()
+                    chunk(piece + b"\n")
+            else:
+                chunk(b"[")
+                first = True
+                for entry in entries:
+                    piece = json.dumps(entry, default=str).encode()
+                    chunk(piece if first else b"," + piece)
+                    first = False
+                chunk(b"]")
             self.wfile.write(b"0\r\n\r\n")
 
         def do_GET(self):  # noqa: N802
@@ -137,27 +147,51 @@ def make_handler(engine: DruidEngine):
                         for p in params
                     ] or None
                     fmt = spec.get("resultFormat", "object")
-                    if fmt not in ("object", "array"):
+                    if fmt not in ("object", "array", "objectLines",
+                                   "arrayLines", "csv"):
                         raise ValueError(
-                            f"unsupported resultFormat {fmt!r}; "
-                            "supported: object, array"
+                            f"unsupported resultFormat {fmt!r}; supported: "
+                            "object, array, objectLines, arrayLines, csv"
                         )
                     df = engine.sql(sql_text, args=args)
                     cols = df.schema.fieldNames()  # force analysis pre-stream
                 except Exception as e:  # noqa: BLE001
                     self._send(500, json.dumps(envelope_for(e)).encode())
                     return
-                it = df.toLocalIterator()
-                if fmt == "object":
-                    entries = (row.asDict(recursive=True) for row in it)
-                else:
-                    rows = ([row[c] for c in cols] for row in it)
-                    entries = rows
-                    if spec.get("header"):
-                        import itertools
+                import itertools
 
-                        entries = itertools.chain([cols], rows)
-                self._send_stream(entries)
+                it = df.toLocalIterator()
+                header = bool(spec.get("header"))
+                if fmt in ("object", "objectLines"):
+                    entries = (row.asDict(recursive=True) for row in it)
+                elif fmt == "csv":
+                    def _csv_cell(v):
+                        if v is None:
+                            return ""
+                        s = str(v)
+                        if any(ch in s for ch in ',"\n\r'):
+                            s = '"' + s.replace('"', '""') + '"'
+                        return s
+
+                    entries = (
+                        ",".join(_csv_cell(row[c]) for c in cols).encode()
+                        for row in it
+                    )
+                    if header:
+                        entries = itertools.chain(
+                            [",".join(_csv_cell(c) for c in cols).encode()],
+                            entries,
+                        )
+                else:
+                    entries = ([row[c] for c in cols] for row in it)
+                    if header:
+                        entries = itertools.chain([cols], entries)
+                self._send_stream(
+                    entries,
+                    lines=fmt in ("objectLines", "arrayLines", "csv"),
+                    content_type="text/csv" if fmt == "csv"
+                    else "application/json",
+                )
                 return
             if self.path == "/druid/indexer/v1/task":
                 from coolplaydruid_spark.sources import batch

@@ -796,3 +796,19 @@ def test_minhash_incremental_precomputed_corpus_shingles(engine):
         ).collect()
     )
     assert a == b
+
+
+def test_random_projection_norm_and_determinism(spark):
+    """Every one-hot input maps to a vector of exact L2 norm 1 under a
+    Rademacher/sqrt(d) projection (each component is ±1/sqrt(d)), and the
+    matrix is a pure function of the seed."""
+    from coolplaydruid_spark.operators import embeddings as emb
+
+    one_hots = [(i, [1.0 if j == i else 0.0 for j in range(8)]) for i in range(8)]
+    df = spark.createDataFrame(one_hots, "vec_id long, embedding array<double>")
+    out = emb.random_projection(df, in_dim=8, out_dim=4).collect()
+    for r in out:
+        assert abs(sum(x * x for x in r.proj) - 1.0) < 1e-4
+        assert all(abs(abs(x) - 0.5) < 1e-6 for x in r.proj)  # ±1/sqrt(4)
+    assert emb.rademacher_signs(8, 4) == emb.rademacher_signs(8, 4)
+    assert emb.rademacher_signs(8, 4, seed="a") != emb.rademacher_signs(8, 4, seed="b")

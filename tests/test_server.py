@@ -308,7 +308,37 @@ def test_sql_endpoint_error_envelope(server):
 
 def test_sql_endpoint_bad_result_format(server):
     status, _, body = _req(server, "POST", "/druid/v2/sql", {
-        "query": "SELECT 1", "resultFormat": "csv",
+        "query": "SELECT 1", "resultFormat": "parquet",
     })
     assert status == 500
     assert "resultFormat" in json.loads(body)["errorMessage"]
+
+
+def test_sql_endpoint_lines_and_csv_formats(server):
+    q = ("SELECT event_type, count(*) AS n FROM events "
+         "GROUP BY event_type ORDER BY event_type")
+    status, _, body = _req(server, "POST", "/druid/v2/sql", {
+        "query": q, "resultFormat": "objectLines"})
+    assert status == 200
+    objs = [json.loads(ln) for ln in body.decode().splitlines() if ln]
+    assert len(objs) >= 2 and set(objs[0]) == {"event_type", "n"}
+
+    status, _, body = _req(server, "POST", "/druid/v2/sql", {
+        "query": q, "resultFormat": "arrayLines"})
+    arrs = [json.loads(ln) for ln in body.decode().splitlines() if ln]
+    assert arrs == [[o["event_type"], o["n"]] for o in objs]
+
+    status, headers, body = _req(server, "POST", "/druid/v2/sql", {
+        "query": q, "resultFormat": "csv", "header": True})
+    assert headers.get("Content-Type") == "text/csv"
+    lines = body.decode().splitlines()
+    assert lines[0] == "event_type,n"
+    assert len(lines) == len(objs) + 1
+
+
+def test_sql_endpoint_csv_quoting(server):
+    status, _, body = _req(server, "POST", "/druid/v2/sql", {
+        "query": "SELECT 'a,b' AS x, 'q\"t' AS y, NULL AS z",
+        "resultFormat": "csv"})
+    assert status == 200
+    assert body.decode().splitlines()[0] == '"a,b","q""t",'
