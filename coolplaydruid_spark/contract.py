@@ -3918,6 +3918,42 @@ def text_char_entropy(spark, sf_dir):
 
 
 @q(
+    "timeseries_grand_total",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_bucket,
+           CAST(count(*) AS BIGINT) AS rows, round(sum(value), 4) AS total
+    FROM events WHERE {EVENTS_WHERE} AND event_type = 'click'
+    GROUP BY 1
+    UNION ALL
+    SELECT CAST(NULL AS TIMESTAMP), CAST(count(*) AS BIGINT),
+           round(sum(value), 4)
+    FROM events WHERE {EVENTS_WHERE} AND event_type = 'click'
+    """,
+)
+def timeseries_grand_total(spark, sf_dir):
+    """context.grandTotal: one extra null-timestamp row re-aggregating
+    the whole interval (exact even for non-additive aggregators because
+    it re-aggregates the base, not the bucket rows)."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "day",
+            "filter": {"type": "selector", "dimension": "event_type",
+                       "value": "click"},
+            "aggregations": [
+                {"type": "count", "name": "rows"},
+                {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            ],
+            "intervals": EVENTS_INTERVAL,
+            "context": {"skipEmptyBuckets": True, "grandTotal": True},
+        }
+    )
+    return _r4(df, "total")
+
+
+@q(
     "groupby_subtotals",
     f"""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_bucket, event_type,

@@ -104,6 +104,10 @@ def _compile(spec: dict, array_dims: set[str]) -> Column:
         return F.lit(True)
     if ftype == "false":
         return F.lit(False)
+    if ftype == "extraction":
+        # Deprecated pre-0.13 filter form: selector + extractionFn spelled
+        # as its own type — normalize and recurse.
+        return _compile({**spec, "type": "selector"}, array_dims)
     if ftype in _STRING_LEAVES:
         if spec.get("dimension") in array_dims:
             return _multivalue_leaf(spec, ftype)
@@ -245,6 +249,32 @@ def _bound(dim: Column, spec: dict) -> Column:
     elif ordering == "lexicographic":
         dim = dim.cast("string")
         conv = str
+    elif ordering == "strlen":
+        # Druid's strlen StringComparator: shorter sorts first, ties
+        # break lexicographically — compare the (length, value) tuple.
+        dim = dim.cast("string")
+        s = dim
+
+        def _cmp(strict_op, eq_ok, bound_val):
+            b = F.lit(str(bound_val))
+            longer = F.length(s) > F.length(b) if strict_op == ">" else \
+                F.length(s) < F.length(b)
+            tie = (F.length(s) == F.length(b)) & (
+                (s > b) if strict_op == ">" else (s < b)
+            )
+            out = longer | tie
+            if eq_ok:
+                out = out | (s == b)
+            return out
+
+        preds = []
+        if spec.get("lower") is not None:
+            preds.append(_cmp(">", not spec.get("lowerStrict"), spec["lower"]))
+        if spec.get("upper") is not None:
+            preds.append(_cmp("<", not spec.get("upperStrict"), spec["upper"]))
+        if not preds:
+            return F.lit(True)
+        return reduce(lambda a, b: a & b, preds)
     else:
         raise ValueError(f"unsupported bound ordering {ordering!r}")
     preds = []

@@ -75,7 +75,28 @@ def plan_timeseries(engine, query: dict) -> DataFrame:
         agg_df = agg_df.withColumn(name, col)
 
     order = F.col(BUCKET).desc() if query.get("descending") else F.col(BUCKET).asc()
-    return agg_df.orderBy(order)
+    out = agg_df.orderBy(order)
+    if context.get("grandTotal") and gran.kind not in ("all",):
+        # context.grandTotal (public Druid semantics): append ONE final
+        # row aggregating the whole interval, keyed by a null timestamp.
+        # Re-aggregating the filtered base (not the bucket rows) keeps
+        # non-additive aggregators (min/max/first/last/cardinality)
+        # exact; post-aggs then evaluate on the total row like any other.
+        total = base.agg(*aggs.exprs).select(
+            F.lit(None).cast("timestamp").alias(BUCKET),
+            *[F.col(n) for n in aggs.names],
+        )
+        for name, col in compile_post_aggregators(query.get("postAggregations")):
+            total = total.withColumn(name, col)
+        # nulls sort first under asc in Spark — force the total row last
+        # on BOTH orders with a rank column dropped after the sort.
+        out = (
+            out.withColumn("__gt", F.lit(0))
+            .unionByName(total.withColumn("__gt", F.lit(1)))
+            .orderBy(F.col("__gt").asc(), order)
+            .drop("__gt")
+        )
+    return out
 
 
 def _intervals(query: dict) -> list[str]:

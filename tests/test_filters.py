@@ -37,6 +37,20 @@ CASES = [
         "event_type >= 'c' AND event_type < 'p'",
     ),
     (
+        # strlen ordering: shorter-first, lexicographic tiebreak —
+        # ('view' len 4) within ['buy'(3), 'signup'(6)]; 'purchase'(8) out
+        {"type": "bound", "dimension": "event_type", "lower": "buy",
+         "upper": "signup", "ordering": "strlen"},
+        "(length(event_type) > 3 OR (length(event_type) = 3 AND event_type >= 'buy')) "
+        "AND (length(event_type) < 6 OR (length(event_type) = 6 AND event_type <= 'signup'))",
+    ),
+    (
+        # deprecated pre-0.13 "extraction" filter = selector + extractionFn
+        {"type": "extraction", "dimension": "event_type", "value": "c",
+         "extractionFn": {"type": "substring", "index": 0, "length": 1}},
+        "substring(event_type, 1, 1) = 'c'",
+    ),
+    (
         {"type": "like", "dimension": "event_type", "pattern": "c%"},
         "event_type LIKE 'c%'",
     ),

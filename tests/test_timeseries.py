@@ -199,3 +199,22 @@ def test_degenerate_interval_returns_empty(engine):
         }
     )
     assert rows == []
+
+
+def test_grand_total_row_is_last_both_orders(engine):
+    base = {
+        "queryType": "timeseries",
+        "dataSource": "events",
+        "granularity": "day",
+        "aggregations": [{"type": "count", "name": "rows"}],
+        "intervals": ["2024-01-01T00:00:00/2024-01-08T00:00:00"],
+        "context": {"skipEmptyBuckets": True, "grandTotal": True},
+    }
+    rows = engine.plan(base).collect()
+    assert rows[-1].ts_bucket is None
+    assert rows[-1].rows == sum(r.rows for r in rows[:-1])
+    desc = engine.plan({**base, "descending": True}).collect()
+    assert desc[-1].ts_bucket is None
+    assert [r.ts_bucket for r in desc[:-1]] == sorted(
+        (r.ts_bucket for r in desc[:-1]), reverse=True
+    )
