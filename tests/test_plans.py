@@ -296,3 +296,72 @@ def test_virtual_column_unknown_type_rejected(engine):
             "aggregations": [{"type": "count", "name": "rows"}],
             "intervals": ["2024-01-01T00:00:00/2024-02-01T00:00:00"],
         })
+
+
+def test_incremental_dedup_no_forced_broadcast(spark):
+    """The incremental (batch x corpus) dedup must leave every join to
+    AQE — candidates and member sets scale with the dup rate."""
+    from coolplaydruid_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"words number {i % 5} more body text here") for i in range(40)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_lsh_dedup_incremental(
+        docs.where("doc_id % 4 = 0"), docs.where("doc_id % 4 != 0")
+    )
+    analyzed = pairs._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+
+
+def test_unigram_vocab_broadcast_only_when_bounded(spark):
+    """Capped vocab (bounded by the V parameter) carries the broadcast
+    hint; full vocab (corpus-scale) must not."""
+    from coolplaydruid_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    capped = text.unigram_logprob_score(docs, vocab_size=10)
+    assert "ResolvedHint" in capped._jdf.queryExecution().analyzed().toString()
+    full = text.unigram_logprob_score(docs)
+    # the 1-row total is always broadcast; the vocab join must not be —
+    # count hints: capped has 2 (vocab + total), full only 1 (total)
+    assert full._jdf.queryExecution().analyzed().toString().count(
+        "ResolvedHint"
+    ) == 1
+
+
+def test_char_entropy_is_map_only(spark):
+    """No exchange anywhere — the entropy is a pure projection."""
+    from coolplaydruid_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(1, "some text"), (2, "other words")], "doc_id long, text string"
+    )
+    plan = _plan(text.char_entropy(docs))
+    assert "Exchange" not in plan
+
+
+def test_random_projection_is_map_only(spark):
+    from coolplaydruid_spark.operators import embeddings as emb
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    plan = _plan(emb.random_projection(df, in_dim=8, out_dim=4))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cap_per_group_single_exchange(spark):
+    """One shuffle keyed on the group column; the rank is a window
+    inside the shuffled partition."""
+    from coolplaydruid_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(30)], "doc_id long, source string"
+    )
+    plan = _plan(sampling.cap_per_group(docs, "source", 5))
+    assert plan.count("Exchange hashpartitioning") == 1
