@@ -2339,6 +2339,30 @@ def text_contamination_check(spark, sf_dir):
     )
 
 
+@q(
+    "text_contamination_fraction",
+    DUCK_SHINGLES
+    + """
+    , probe AS (SELECT DISTINCT shingle FROM shf WHERE doc_id < 20)
+    , corpus AS (SELECT doc_id, shingle FROM shf WHERE doc_id >= 20)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           round(sum(CASE WHEN probe.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS contaminated_frac
+    FROM corpus LEFT JOIN probe USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def text_contamination_fraction(spark, sf_dir):
+    """Contamination ratio (the thresholdable form): fraction of each
+    doc's distinct shingles overlapping the probe set; single
+    conditional-aggregation pass, broadcast probe."""
+    eng = engine_for(spark, sf_dir)
+    docs = eng.catalog.table("documents")
+    return text.contamination_fraction(
+        docs.where(F.col("doc_id") >= 20), docs.where(F.col("doc_id") < 20)
+    )
+
+
 _SAMPLE_DENOM = 1 << 24
 _DUCK_BUCKET_ID = (
     "CAST(('0x' || substring(md5('|' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)"

@@ -247,6 +247,48 @@ def contamination_check(
     )
 
 
+def contamination_fraction(
+    docs: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Per-document contamination RATIO against a probe set: the
+    fraction of the document's distinct k-gram shingles that appear in
+    any probe document — the number an eval-decontamination policy
+    thresholds on (drop at ≥ x%, flag at ≥ y%), where the raw count
+    (contamination_check) can't distinguish a 2000-shingle doc with 3
+    hits from a 6-shingle doc with 3 hits. Returns one row per document
+    WITH shingles: (id, n_shingles, contaminated_frac rounded 6) —
+    uncontaminated docs report 0.0.
+
+    Same scale shape as contamination_check (broadcast probe shingles,
+    corpus never shuffled by shingle) plus the per-doc size aggregation,
+    which shares the one shingle projection: total and hit counts come
+    out of a single conditional-aggregation pass — not a second corpus
+    scan or a count-join."""
+    from coolplaydruid_spark.operators.dedup import shingles
+
+    probe_sh = (
+        shingles(probes, k=k, text_col=probe_text_col, id_col=id_col)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    doc_sh = shingles(docs, k=k, text_col=text_col, id_col=id_col)
+    joined = doc_sh.join(F.broadcast(probe_sh), on="shingle", how="left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.round(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("contaminated_frac"),
+    )
+
+
 # Control characters to strip during normalization: C0 controls minus
 # tab/newline/carriage-return (which whitespace-collapse handles), plus
 # DEL. Identical hex-escape classes in Java regex and RE2.
