@@ -4299,6 +4299,40 @@ def sql_druid_time_functions(spark, sf_dir):
 
 
 @q(
+    "sql_druid_scalar_functions",
+    """
+    SELECT CAST(l_orderkey AS BIGINT) AS okey,
+           round(floor(l_extendedprice / 100 * 10) / 10, 6) AS price_trunc,
+           CAST(strpos(l_returnflag || l_linestatus, 'F') AS BIGINT) AS f_pos,
+           l_returnflag || l_linestatus AS flag_status,
+           CAST(l_orderkey // 7 AS BIGINT) AS div7,
+           CAST(l_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(xor(l_orderkey, 255) AS BIGINT) AS xored,
+           CAST(l_linenumber << 2 AS BIGINT) AS shifted
+    FROM lineitem WHERE l_orderkey < 64
+    """,
+)
+def sql_druid_scalar_functions(spark, sf_dir):
+    """Druid SQL scalar functions with no same-name Spark builtin —
+    TRUNCATE / STRPOS / TEXTCAT / DIV / BITWISE_* — as inlined SQL UDFs
+    (sqlcompat.py), whole-stage codegen."""
+    eng = engine_for(spark, sf_dir)
+    return eng.sql(
+        """
+        SELECT CAST(l_orderkey AS BIGINT) AS okey,
+               round(TRUNCATE(l_extendedprice / 100, 1), 6) AS price_trunc,
+               CAST(STRPOS(TEXTCAT(l_returnflag, l_linestatus), 'F') AS BIGINT) AS f_pos,
+               TEXTCAT(l_returnflag, l_linestatus) AS flag_status,
+               DIV(l_orderkey, 7) AS div7,
+               BITWISE_AND(l_orderkey, 255) AS low_byte,
+               BITWISE_XOR(l_orderkey, 255) AS xored,
+               CAST(BITWISE_SHIFT_LEFT(l_linenumber, 2) AS BIGINT) AS shifted
+        FROM lineitem WHERE l_orderkey < 64
+        """
+    )
+
+
+@q(
     "sessions_window_stats_10m",
     """
     WITH marked AS (

@@ -21,6 +21,12 @@ Registered (scalar) functions:
  - MILLIS_TO_TIMESTAMP / TIMESTAMP_TO_MILLIS
  - TIME_PARSE(s)              — ISO string → timestamp.
  - DRUID_PERIOD_MILLIS(p)     — helper; length of a fixed-length period.
+ - TRUNCATE(x, d)             — truncate toward zero to d decimal digits.
+ - STRPOS(haystack, needle)   — 1-based position, 0 when absent (Druid's
+                                argument order).
+ - TEXTCAT(a, b)              — concat (DIV needs no shim: Spark's
+                                builtin div() matches Druid's).
+ - BITWISE_AND/OR/XOR(x, y), BITWISE_SHIFT_LEFT/RIGHT(x, n)
 
 All are TEMPORARY functions on the session (CREATE OR REPLACE —
 idempotent; re-registration is free).
@@ -117,6 +123,32 @@ _DEFS = [
     # divergence.
     """CREATE OR REPLACE TEMPORARY FUNCTION TIME_FORMAT(t TIMESTAMP, p STRING)
         RETURNS STRING RETURN date_format(t, p)""",
+    # ---- Druid SQL scalar functions with no same-name Spark builtin ----
+    # TRUNCATE(x[, d]): truncate toward zero to d decimal digits (Druid
+    # semantics — unlike round(); negative d truncates left of the point).
+    """CREATE OR REPLACE TEMPORARY FUNCTION TRUNCATE(x DOUBLE, d INT)
+        RETURNS DOUBLE RETURN CASE WHEN x >= 0
+          THEN floor(x * power(10, d)) / power(10, d)
+          ELSE ceil(x * power(10, d)) / power(10, d) END""",
+    # STRPOS(haystack, needle): 1-based position, 0 when absent — Druid's
+    # argument order (Spark's position() takes (substr, str)).
+    """CREATE OR REPLACE TEMPORARY FUNCTION STRPOS(h STRING, n STRING)
+        RETURNS INT RETURN position(n, h)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION TEXTCAT(a STRING, b STRING)
+        RETURNS STRING RETURN concat(a, b)""",
+    # (Druid's DIV(x, y) needs no shim: Spark's builtin div() is the
+    # same exact integral division. TRUNC is intentionally NOT
+    # registered: it would shadow Spark's builtin trunc(date, fmt).)
+    """CREATE OR REPLACE TEMPORARY FUNCTION BITWISE_AND(x BIGINT, y BIGINT)
+        RETURNS BIGINT RETURN x & y""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION BITWISE_OR(x BIGINT, y BIGINT)
+        RETURNS BIGINT RETURN x | y""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION BITWISE_XOR(x BIGINT, y BIGINT)
+        RETURNS BIGINT RETURN x ^ y""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION BITWISE_SHIFT_LEFT(x BIGINT, n INT)
+        RETURNS BIGINT RETURN shiftleft(x, n)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION BITWISE_SHIFT_RIGHT(x BIGINT, n INT)
+        RETURNS BIGINT RETURN shiftright(x, n)""",
 ]
 
 _REGISTERED: set[str] = set()
