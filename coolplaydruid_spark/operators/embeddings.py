@@ -64,7 +64,17 @@ def random_projection(df: DataFrame, in_dim: int, out_dim: int,
     Components are rounded to 6 decimals (fold order is the array
     order, so even that is deterministic)."""
     signs = rademacher_signs(in_dim, out_dim, seed)
-    v = _dvec(F.col(vec_col))
+    raw = _dvec(F.col(vec_col))
+    # A vector shorter/longer than in_dim would zip_with against nulls
+    # and silently yield all-null projections — fail loudly instead.
+    v = F.when(F.size(raw) == in_dim, raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"random_projection: expected {in_dim}-dim vector, got "),
+                F.size(raw).cast("string"),
+            )
+        )
+    )
     inv = 1.0 / (out_dim ** 0.5)
     comps = [
         F.round(

@@ -76,13 +76,23 @@ def plan_timeseries(engine, query: dict) -> DataFrame:
 
     order = F.col(BUCKET).desc() if query.get("descending") else F.col(BUCKET).asc()
     out = agg_df.orderBy(order)
-    if context.get("grandTotal") and gran.kind not in ("all",):
+    if context.get("grandTotal"):
         # context.grandTotal (public Druid semantics): append ONE final
-        # row aggregating the whole interval, keyed by a null timestamp.
-        # Re-aggregating the filtered base (not the bucket rows) keeps
-        # non-additive aggregators (min/max/first/last/cardinality)
-        # exact; post-aggs then evaluate on the total row like any other.
-        total = base.agg(*aggs.exprs).select(
+        # row aggregating the whole interval, keyed by a null timestamp —
+        # unconditionally, matching Druid's toolchest (granularity 'all'
+        # gets a bucket row AND the total row). Re-aggregating the
+        # filtered base (not the bucket rows) keeps non-additive
+        # aggregators (min/max/first/last/cardinality) exact; post-aggs
+        # then evaluate on the total row like any other.
+        if aggs.py_exprs:
+            # pandas UDAFs need a groupBy — same constant-key trick as
+            # the granularity-'all' path above.
+            total = grouped_agg(
+                base.withColumn("__g", F.lit(1)), [F.col("__g")], ["__g"], aggs
+            ).drop("__g")
+        else:
+            total = base.agg(*aggs.exprs)
+        total = total.select(
             F.lit(None).cast("timestamp").alias(BUCKET),
             *[F.col(n) for n in aggs.names],
         )

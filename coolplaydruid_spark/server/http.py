@@ -28,6 +28,46 @@ from coolplaydruid_spark.engine import DruidEngine
 from coolplaydruid_spark.errors import envelope_for
 
 
+def _coerce_sql_param(p):
+    """Coerce a /druid/v2/sql parameter to a Python value matching its
+    declared Druid type, so the bound literal has the right Spark type
+    (Druid coerces by declared type; raw JSON values would bind e.g. a
+    TIMESTAMP millis value as a bare BIGINT)."""
+    if not isinstance(p, dict):
+        return p
+    v = p.get("value")
+    if v is None:
+        return None
+    t = (p.get("type") or "").upper()
+    import datetime as _dt
+
+    if t == "TIMESTAMP":
+        if isinstance(v, (int, float)):  # epoch millis (Druid convention)
+            return _dt.datetime.fromtimestamp(v / 1000.0, tz=_dt.timezone.utc)
+        return _dt.datetime.fromisoformat(str(v).replace(" ", "T"))
+    if t == "DATE":
+        return _dt.date.fromisoformat(str(v))
+    if t in ("DOUBLE", "FLOAT", "REAL", "DECIMAL"):
+        return float(v)
+    if t in ("INTEGER", "BIGINT", "SMALLINT", "TINYINT"):
+        return int(v)
+    if t in ("VARCHAR", "CHAR"):
+        return str(v)
+    return v
+
+
+def _jsonable(v):
+    """Recursively convert Row/array/map values to JSON-ready Python
+    structures (positional for Rows — duplicate-name-safe)."""
+    if hasattr(v, "__fields__"):  # pyspark Row
+        return {k: _jsonable(x) for k, x in zip(v.__fields__, v)}
+    if isinstance(v, list):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    return v
+
+
 def make_handler(engine: DruidEngine):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -142,10 +182,7 @@ def make_handler(engine: DruidEngine):
                     spec = json.loads(body)
                     sql_text = spec["query"]
                     params = spec.get("parameters") or []
-                    args = [
-                        p.get("value") if isinstance(p, dict) else p
-                        for p in params
-                    ] or None
+                    args = [_coerce_sql_param(p) for p in params] or None
                     fmt = spec.get("resultFormat", "object")
                     if fmt not in ("object", "array", "objectLines",
                                    "arrayLines", "csv"):
@@ -162,8 +199,17 @@ def make_handler(engine: DruidEngine):
 
                 it = df.toLocalIterator()
                 header = bool(spec.get("header"))
+                # Rows are accessed POSITIONALLY (iterating a Row yields
+                # values in select-list order): name-based access returns
+                # the first match for duplicate output names, silently
+                # corrupting `SELECT 1 AS x, 2 AS x`. The object formats
+                # keep JSON-object semantics (duplicate keys collapse,
+                # last wins — same as Druid's JSON objects).
                 if fmt in ("object", "objectLines"):
-                    entries = (row.asDict(recursive=True) for row in it)
+                    entries = (
+                        {k: _jsonable(v) for k, v in zip(cols, row)}
+                        for row in it
+                    )
                 elif fmt == "csv":
                     def _csv_cell(v):
                         if v is None:
@@ -174,7 +220,7 @@ def make_handler(engine: DruidEngine):
                         return s
 
                     entries = (
-                        ",".join(_csv_cell(row[c]) for c in cols).encode()
+                        ",".join(_csv_cell(v) for v in row).encode()
                         for row in it
                     )
                     if header:
@@ -183,7 +229,7 @@ def make_handler(engine: DruidEngine):
                             entries,
                         )
                 else:
-                    entries = ([row[c] for c in cols] for row in it)
+                    entries = ([_jsonable(v) for v in row] for row in it)
                     if header:
                         entries = itertools.chain([cols], entries)
                 self._send_stream(

@@ -125,8 +125,9 @@ _DEFS = [
         RETURNS STRING RETURN date_format(t, p)""",
     # ---- Druid SQL scalar functions with no same-name Spark builtin ----
     # TRUNCATE(x[, d]): truncate toward zero to d decimal digits (Druid
-    # semantics — unlike round(); negative d truncates left of the point).
-    """CREATE OR REPLACE TEMPORARY FUNCTION TRUNCATE(x DOUBLE, d INT)
+    # semantics — unlike round(); negative d truncates left of the
+    # point; d defaults to 0 as in Druid's 1-arg form).
+    """CREATE OR REPLACE TEMPORARY FUNCTION TRUNCATE(x DOUBLE, d INT DEFAULT 0)
         RETURNS DOUBLE RETURN CASE WHEN x >= 0
           THEN floor(x * power(10, d)) / power(10, d)
           ELSE ceil(x * power(10, d)) / power(10, d) END""",

@@ -17,10 +17,12 @@ own Parquet partition layout is the "index", and the streaming/batch
 code path split disappears the same way the realtime/historical handoff
 does (files appear per micro-batch).
 
-Exactly-once: every batch writes to its own batch={id} partition with
-dynamic partition overwrite, so a replayed batch overwrites its previous
-(possibly partial) output instead of double-appending — the same
-idempotent-sink contract as the realtime ingest sink.
+Exactly-once: every batch overwrites its own batch={id} directory, so a
+replayed batch replaces its previous (possibly partial) output instead
+of double-appending — even when the replay's survivor set is empty —
+and the corpus read excludes the replaying batch's own partition so
+leftover partial files can never make a batch drop its own documents as
+self-duplicates.
 """
 
 from __future__ import annotations
@@ -65,7 +67,12 @@ def streaming_minhash_dedup(
                 threshold=threshold, text_col=text_col, id_col=id_col,
             )
             survivors = dedup.apply_dedup_filter(batch_df, pairs, id_col=id_col)
-            existing = _read_accepted(spark, accepted_path)
+            # Exclude THIS batch's own partition from the corpus read: a
+            # replayed batch whose previous (possibly partial) attempt
+            # left visible files would otherwise self-match against them
+            # and drop its own documents before overwriting the
+            # partition — permanent loss on replay.
+            existing = _read_accepted(spark, accepted_path, exclude_batch=batch_id)
             if existing is not None:
                 cross = dedup.minhash_lsh_dedup_incremental(
                     survivors, existing, k=k, num_hashes=num_hashes,
@@ -74,12 +81,15 @@ def streaming_minhash_dedup(
                 )
                 drops = cross.select(F.col("doc_b").alias(id_col)).distinct()
                 survivors = survivors.join(drops, on=id_col, how="left_anti")
-            (
-                survivors.withColumn("batch", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch")
-                .parquet(accepted_path)
+            # Overwrite the batch's OWN directory directly (not dynamic
+            # partition overwrite of the parent): the replay of a batch
+            # whose survivors shrank to zero must still CLEAR any stale
+            # partial output from the failed attempt — a dynamic
+            # overwrite with zero output partitions touches nothing.
+            # The directory name carries the partition value, so parent
+            # reads still see a `batch` column.
+            survivors.write.mode("overwrite").parquet(
+                f"{accepted_path}/batch={batch_id}"
             )
         finally:
             batch_df.unpersist()
@@ -92,9 +102,29 @@ def streaming_minhash_dedup(
     )
 
 
-def _read_accepted(spark: SparkSession, path: str) -> DataFrame | None:
+def _read_accepted(spark: SparkSession, path: str,
+                   exclude_batch: int | None = None) -> DataFrame | None:
+    """Read the accepted corpus; None ONLY when the path does not exist
+    yet (first batch). Any other read failure (transient FS error,
+    corrupt footer, permissions) propagates — treating it as "no corpus"
+    would silently skip cross-corpus dedup and admit duplicates."""
+    from pyspark.errors import AnalysisException
+
     try:
         df = spark.read.parquet(path)
-        return df if df.columns else None
-    except Exception:  # noqa: BLE001 - first batch: no corpus yet
+    except AnalysisException as e:
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            # every partition so far emitted zero survivors: directories
+            # exist but hold no data files to infer a schema from
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            return None
+        raise
+    if not df.columns:
         return None
+    if exclude_batch is not None and "batch" in df.columns:
+        df = df.where(F.col("batch") != exclude_batch)
+    return df

@@ -812,3 +812,15 @@ def test_random_projection_norm_and_determinism(spark):
         assert all(abs(abs(x) - 0.5) < 1e-6 for x in r.proj)  # ±1/sqrt(4)
     assert emb.rademacher_signs(8, 4) == emb.rademacher_signs(8, 4)
     assert emb.rademacher_signs(8, 4, seed="a") != emb.rademacher_signs(8, 4, seed="b")
+
+
+def test_random_projection_wrong_dim_raises(spark):
+    import pytest as _pytest
+
+    from coolplaydruid_spark.operators import embeddings as emb
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 7)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="expected 8-dim"):
+        emb.random_projection(df, in_dim=8, out_dim=2).collect()

@@ -342,3 +342,26 @@ def test_sql_endpoint_csv_quoting(server):
         "resultFormat": "csv"})
     assert status == 200
     assert body.decode().splitlines()[0] == '"a,b","q""t",'
+
+
+def test_sql_endpoint_duplicate_output_names_positional(server):
+    status, _, body = _req(server, "POST", "/druid/v2/sql", {
+        "query": "SELECT 1 AS x, 2 AS x", "resultFormat": "array"})
+    assert status == 200
+    assert json.loads(body) == [[1, 2]]
+
+
+def test_sql_endpoint_timestamp_parameter_millis(server):
+    status, _, body = _req(server, "POST", "/druid/v2/sql", {
+        "query": "SELECT count(*) AS n FROM events WHERE ts >= ?",
+        # 2024-01-01T00:00:00Z as epoch millis (Druid's TIMESTAMP param form)
+        "parameters": [{"type": "TIMESTAMP", "value": 1704067200000}]})
+    assert status == 200
+    assert json.loads(body)[0]["n"] > 0
+
+
+def test_sql_endpoint_truncate_one_arg(server):
+    status, _, body = _req(server, "POST", "/druid/v2/sql", {
+        "query": "SELECT TRUNCATE(-12.789) AS a, TRUNCATE(-12.789, 2) AS b"})
+    assert status == 200
+    assert json.loads(body) == [{"a": -12.0, "b": -12.78}]

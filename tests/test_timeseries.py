@@ -218,3 +218,17 @@ def test_grand_total_row_is_last_both_orders(engine):
     assert [r.ts_bucket for r in desc[:-1]] == sorted(
         (r.ts_bucket for r in desc[:-1]), reverse=True
     )
+
+
+def test_grand_total_emitted_for_granularity_all(engine):
+    rows = engine.plan({
+        "queryType": "timeseries",
+        "dataSource": "events",
+        "granularity": "all",
+        "aggregations": [{"type": "count", "name": "rows"}],
+        "intervals": ["2024-01-01T00:00:00/2024-01-08T00:00:00"],
+        "context": {"grandTotal": True},
+    }).collect()
+    assert len(rows) == 2
+    assert rows[0].ts_bucket is not None and rows[1].ts_bucket is None
+    assert rows[0].rows == rows[1].rows
