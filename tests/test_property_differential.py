@@ -367,3 +367,68 @@ def test_sessionize_matches_reference(spark, rows, gap):
     # ties at identical (user, ts) may order either way, but session_seq
     # is order-invariant across the tie (gap 0 never splits) — exact match
     assert got == expect
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc 0!é", min_size=0, max_size=30), min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_char_entropy_matches_python_reference(spark, texts):
+    """char_entropy over arbitrary small texts == a pure-Python Shannon
+    computation over the same fixed alphabet (out-of-alphabet chars
+    ignored, empty → 0)."""
+    import math
+
+    from coolplaydruid_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: r.char_entropy
+           for r in text_ops.char_entropy(df).collect()}
+    for i, t in enumerate(texts):
+        counts = {}
+        for ch in t.lower():
+            if ch in text_ops.ENTROPY_ALPHABET:
+                counts[ch] = counts.get(ch, 0) + 1
+        total = sum(counts.values())
+        expect = 0.0
+        if total:
+            expect = -sum(
+                (c / total) * math.log2(c / total) for c in counts.values()
+            )
+        assert abs(got[i] - round(expect, 6)) < 2e-6, (t, got[i], expect)
+
+
+@given(
+    n_rows=st.integers(min_value=1, max_value=60),
+    n_groups=st.integers(min_value=1, max_value=5),
+    cap=st.integers(min_value=0, max_value=10),
+)
+@settings(max_examples=20, deadline=None)
+def test_cap_per_group_matches_python_reference(spark, n_rows, n_groups, cap):
+    """cap_per_group == a pure-Python md5-rank selection."""
+    import hashlib
+
+    from coolplaydruid_spark.operators import sampling
+
+    rows = [(i, f"g{i % n_groups}") for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        r.doc_id for r in sampling.cap_per_group(df, "source", cap).collect()
+    )
+
+    def bucket(i):
+        h = hashlib.md5(f"|{i}".encode()).hexdigest()
+        return int(h[:6], 16)
+
+    expect = []
+    for g in {s for _, s in rows}:
+        members = sorted(
+            (i for i, s in rows if s == g), key=lambda i: (bucket(i), i)
+        )
+        expect.extend(members[:cap])
+    assert got == sorted(expect)
