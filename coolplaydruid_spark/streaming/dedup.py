@@ -57,42 +57,12 @@ def streaming_minhash_dedup(
     corpus shingle pass re-reads the accepted files each batch; at
     production scale materialize the shingle/signature tables at accept
     time and pass them via corpus_shingles= in a custom batch fn."""
-    spark = stream.sparkSession
-
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.persist()
-        try:
-            pairs = dedup.minhash_lsh_dedup(
-                batch_df, k=k, num_hashes=num_hashes, bands=bands,
-                threshold=threshold, text_col=text_col, id_col=id_col,
-            )
-            survivors = dedup.apply_dedup_filter(batch_df, pairs, id_col=id_col)
-            # Exclude THIS batch's own partition from the corpus read: a
-            # replayed batch whose previous (possibly partial) attempt
-            # left visible files would otherwise self-match against them
-            # and drop its own documents before overwriting the
-            # partition — permanent loss on replay.
-            existing = _read_accepted(spark, accepted_path, exclude_batch=batch_id)
-            if existing is not None:
-                cross = dedup.minhash_lsh_dedup_incremental(
-                    survivors, existing, k=k, num_hashes=num_hashes,
-                    bands=bands, threshold=threshold, text_col=text_col,
-                    id_col=id_col,
-                )
-                drops = cross.select(F.col("doc_b").alias(id_col)).distinct()
-                survivors = survivors.join(drops, on=id_col, how="left_anti")
-            # Overwrite the batch's OWN directory directly (not dynamic
-            # partition overwrite of the parent): the replay of a batch
-            # whose survivors shrank to zero must still CLEAR any stale
-            # partial output from the failed attempt — a dynamic
-            # overwrite with zero output partitions touches nothing.
-            # The directory name carries the partition value, so parent
-            # reads still see a `batch` column.
-            survivors.write.mode("overwrite").parquet(
-                f"{accepted_path}/batch={batch_id}"
-            )
-        finally:
-            batch_df.unpersist()
+        process_batch(
+            batch_df, batch_id, accepted_path, k=k, num_hashes=num_hashes,
+            bands=bands, threshold=threshold, text_col=text_col,
+            id_col=id_col,
+        )
 
     return (
         stream.writeStream.foreachBatch(_process)
@@ -100,6 +70,57 @@ def streaming_minhash_dedup(
         .outputMode("append")
         .start()
     )
+
+
+def process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    accepted_path: str,
+    k: int = 3,
+    num_hashes: int = dedup.DEFAULT_NUM_HASHES,
+    bands: int = dedup.DEFAULT_BANDS,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of the streaming dedup, exposed as a plain batch
+    function so replay semantics are directly testable (and callable
+    from a custom foreachBatch). Idempotent per (batch_df, batch_id):
+    re-running it reproduces the same batch=<id> directory contents."""
+    spark = batch_df.sparkSession
+    batch_df = batch_df.persist()
+    try:
+        pairs = dedup.minhash_lsh_dedup(
+            batch_df, k=k, num_hashes=num_hashes, bands=bands,
+            threshold=threshold, text_col=text_col, id_col=id_col,
+        )
+        survivors = dedup.apply_dedup_filter(batch_df, pairs, id_col=id_col)
+        # Exclude THIS batch's own partition from the corpus read: a
+        # replayed batch whose previous (possibly partial) attempt
+        # left visible files would otherwise self-match against them
+        # and drop its own documents before overwriting the
+        # partition — permanent loss on replay.
+        existing = _read_accepted(spark, accepted_path, exclude_batch=batch_id)
+        if existing is not None:
+            cross = dedup.minhash_lsh_dedup_incremental(
+                survivors, existing, k=k, num_hashes=num_hashes,
+                bands=bands, threshold=threshold, text_col=text_col,
+                id_col=id_col,
+            )
+            drops = cross.select(F.col("doc_b").alias(id_col)).distinct()
+            survivors = survivors.join(drops, on=id_col, how="left_anti")
+        # Overwrite the batch's OWN directory directly (not dynamic
+        # partition overwrite of the parent): the replay of a batch
+        # whose survivors shrank to zero must still CLEAR any stale
+        # partial output from the failed attempt — a dynamic
+        # overwrite with zero output partitions touches nothing.
+        # The directory name carries the partition value, so parent
+        # reads still see a `batch` column.
+        survivors.write.mode("overwrite").parquet(
+            f"{accepted_path}/batch={batch_id}"
+        )
+    finally:
+        batch_df.unpersist()
 
 
 def _read_accepted(spark: SparkSession, path: str,

@@ -65,3 +65,36 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
         assert 0 in batches
     finally:
         q.stop()
+
+
+def test_replay_is_idempotent_and_survives_partial_output(spark, tmp_path):
+    """A replayed batch must (a) not self-match against its own prior
+    partial output, and (b) clear stale partial files even when its
+    survivor set shrinks."""
+    accepted = str(tmp_path / "acc")
+    b0 = spark.createDataFrame([(1, BASE), (2, FRESH)],
+                               "doc_id long, text string")
+    sdedup.process_batch(b0, 0, accepted)
+    b1 = spark.createDataFrame([(10, NEAR_DUP), (11, "entirely novel "
+                                                     "content tokens only")],
+                               "doc_id long, text string")
+    sdedup.process_batch(b1, 1, accepted)
+    first = sorted(r.doc_id for r in spark.read.parquet(accepted).collect())
+    assert 10 not in first and 11 in first
+
+    # replay batch 1 (same data, same id): identical corpus after —
+    # crucially doc 11 is NOT dropped as a self-duplicate of its own
+    # prior output, and 10 stays excluded
+    sdedup.process_batch(b1, 1, accepted)
+    second = sorted(r.doc_id for r in spark.read.parquet(accepted).collect())
+    assert second == first
+
+    # simulate a partial failed attempt for batch 2 (only doc 20 written),
+    # then replay with data whose survivors exclude 20 entirely — the
+    # stale partial row must be cleared by the overwrite
+    stale = spark.createDataFrame([(20, BASE)], "doc_id long, text string")
+    stale.write.mode("overwrite").parquet(f"{accepted}/batch=2")
+    b2 = spark.createDataFrame([(20, BASE)], "doc_id long, text string")
+    sdedup.process_batch(b2, 2, accepted)  # 20 dups corpus doc 1 -> dropped
+    final = sorted(r.doc_id for r in spark.read.parquet(accepted).collect())
+    assert 20 not in final and final == first
