@@ -2068,6 +2068,38 @@ def topn_dimension_metric(spark, sf_dir):
 
 
 @q(
+    "topn_lexicographic_page2",
+    f"""
+    WITH agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE {EVENTS_WHERE} AND event_type > 'error'
+      GROUP BY 1
+    )
+    SELECT event_type, n FROM agg ORDER BY event_type ASC LIMIT 2
+    """,
+)
+def topn_lexicographic_page2(spark, sf_dir):
+    """TopN paging: lexicographic metric spec with previousStop —
+    resume the alphabetic scan AFTER 'error' (Druid's topN paging
+    contract), next 2 values."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "topN",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimension": "event_type",
+            "metric": {"type": "dimension", "ordering": "lexicographic",
+                       "previousStop": "error"},
+            "threshold": 2,
+            "aggregations": [{"type": "count", "name": "n"}],
+            "intervals": EVENTS_INTERVAL,
+        }
+    )
+    return df.drop("ts_bucket")
+
+
+@q(
     "timeseries_two_intervals",
     """
     WITH spine AS (

@@ -64,6 +64,13 @@ def plan_topn(engine, query: dict) -> DataFrame:
         out = out.withColumn(name, col)
 
     metric = query.get("metric")
+    stop = _previous_stop(metric)
+    if stop is not None:
+        # previousStop (dimension/lexicographic metric spec): resume the
+        # alphabetic paging AFTER this value — Druid's topN paging
+        # contract. Applied post-aggregation (dimension-cardinality
+        # rows), before ranking.
+        out = out.where(F.col(dim_name) > F.lit(stop))
     order = _metric_order(metric, dim_name, inverted=False)
     if gran.kind == "all":
         # Single bucket: the bucket column is a constant, so a
@@ -104,6 +111,18 @@ def _metric_order(metric, dim_name: str, inverted: bool):
             col = col.cast("double")
         return [col.desc() if inverted else col.asc()]
     raise ValueError(f"unknown topN metric spec {metric!r}")
+
+
+def _previous_stop(metric) -> str | None:
+    """previousStop value from a dimension/lexicographic metric spec,
+    unwrapping an inverted wrapper."""
+    if not isinstance(metric, dict):
+        return None
+    if metric.get("type") == "inverted":
+        return _previous_stop(metric.get("metric"))
+    if metric.get("type") in ("dimension", "lexicographic"):
+        return metric.get("previousStop")
+    return None
 
 
 def _intervals(query: dict) -> list[str]:
