@@ -2068,6 +2068,39 @@ def topn_dimension_metric(spark, sf_dir):
 
 
 @q(
+    "groupby_bucket_extraction",
+    f"""
+    SELECT CAST(CAST(floor(value / 100) * 100 AS BIGINT) AS VARCHAR)
+             AS value_bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE {EVENTS_WHERE}
+    GROUP BY 1
+    """,
+)
+def groupby_bucket_extraction(spark, sf_dir):
+    """BucketExtractionFn as a groupBy dimension: numeric values bucketed
+    to their lower bound (size 100), rendered as Druid's string dims."""
+    eng = engine_for(spark, sf_dir)
+    return eng.plan(
+        {
+            "queryType": "groupBy",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimensions": [
+                {
+                    "type": "extraction",
+                    "dimension": "value",
+                    "outputName": "value_bucket",
+                    "extractionFn": {"type": "bucket", "size": 100},
+                }
+            ],
+            "aggregations": [{"type": "count", "name": "n"}],
+            "intervals": EVENTS_INTERVAL,
+        }
+    ).drop("ts_bucket")
+
+
+@q(
     "topn_lexicographic_page2",
     f"""
     WITH agg AS (

@@ -29,6 +29,19 @@ def apply_extraction(col: Column, spec: dict | None) -> Column:
         return F.substring(col, index + 1, int(length))
     if etype == "strlen":
         return F.length(col).cast("string")
+    if etype == "bucket":
+        # BucketExtractionFn: numeric dim → lower bound of its bucket,
+        # floor((v - offset) / size) * size + offset, as a string
+        # (integral bounds render without a decimal point; non-numeric
+        # input → null, matching Druid's null on unparseable values).
+        size = float(spec.get("size", 1))
+        offset = float(spec.get("offset", 0))
+        # try_cast: non-numeric input yields null (ANSI cast would throw)
+        v = col.try_cast("double")
+        b = F.floor((v - offset) / size) * size + offset
+        return F.when(
+            b == b.cast("long"), b.cast("long").cast("string")
+        ).otherwise(b.cast("string"))
     if etype == "lower":
         return F.lower(col)
     if etype == "upper":

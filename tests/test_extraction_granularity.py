@@ -352,3 +352,24 @@ def test_subsecond_spine_capped():
     g = parse_granularity({"type": "duration", "duration": 1})  # 1 ms
     with _pt.raises(ValueError, match="spine"):
         g.buckets_in(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 3))
+
+
+def test_bucket_extraction(spark):
+    """BucketExtractionFn: lower bound of the value's bucket as a string;
+    integral bounds render without a decimal, non-numeric input → null."""
+    from pyspark.sql import functions as F
+
+    from coolplaydruid_spark.functions.extraction import apply_extraction
+
+    df = spark.createDataFrame(
+        [("10",), ("2",), ("1.9",), ("abc",), (None,)], "v string"
+    )
+    out = df.select(
+        apply_extraction(F.col("v"), {"type": "bucket", "size": 5, "offset": 2})
+        .alias("b")
+    ).collect()
+    assert [r.b for r in out] == ["7", "2", "-3", None, None]
+    half = df.select(
+        apply_extraction(F.col("v"), {"type": "bucket", "size": 0.5}).alias("b")
+    ).collect()
+    assert half[2].b == "1.5"
