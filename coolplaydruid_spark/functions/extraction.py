@@ -35,12 +35,18 @@ def apply_extraction(col: Column, spec: dict | None) -> Column:
         # (integral bounds render without a decimal point; non-numeric
         # input → null, matching Druid's null on unparseable values).
         size = float(spec.get("size", 1))
+        if size <= 0:
+            raise ValueError(f"bucket extractionFn needs size > 0, got {size}")
         offset = float(spec.get("offset", 0))
-        # try_cast: non-numeric input yields null (ANSI cast would throw)
+        # try_cast throughout: non-numeric input yields null, and bucket
+        # bounds beyond long range render via the double branch — under
+        # ANSI mode (this repo's default) a plain cast would abort the
+        # whole query on the first such row.
         v = col.try_cast("double")
         b = F.floor((v - offset) / size) * size + offset
+        as_long = b.try_cast("long")
         return F.when(
-            b == b.cast("long"), b.cast("long").cast("string")
+            b == as_long, as_long.cast("string")
         ).otherwise(b.cast("string"))
     if etype == "lower":
         return F.lower(col)

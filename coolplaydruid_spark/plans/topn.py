@@ -64,13 +64,20 @@ def plan_topn(engine, query: dict) -> DataFrame:
         out = out.withColumn(name, col)
 
     metric = query.get("metric")
-    stop = _previous_stop(metric)
-    if stop is not None:
+    ps = _previous_stop(metric)
+    if ps is not None:
         # previousStop (dimension/lexicographic metric spec): resume the
-        # alphabetic paging AFTER this value — Druid's topN paging
-        # contract. Applied post-aggregation (dimension-cardinality
-        # rows), before ranking.
-        out = out.where(F.col(dim_name) > F.lit(stop))
+        # paging strictly AFTER this value IN THE SPEC'S ORDER — Druid's
+        # topN paging contract. The comparison must match the ordering
+        # (numeric specs compare numerically, not lexically) and the
+        # direction (an inverted spec pages downward). Applied
+        # post-aggregation (dimension-cardinality rows), before ranking.
+        stop, ordering, inv = ps
+        if ordering == "numeric":
+            c, s = F.col(dim_name).try_cast("double"), F.lit(float(stop))
+        else:
+            c, s = F.col(dim_name), F.lit(str(stop))
+        out = out.where(c < s if inv else c > s)
     order = _metric_order(metric, dim_name, inverted=False)
     if gran.kind == "all":
         # Single bucket: the bucket column is a constant, so a
@@ -113,15 +120,18 @@ def _metric_order(metric, dim_name: str, inverted: bool):
     raise ValueError(f"unknown topN metric spec {metric!r}")
 
 
-def _previous_stop(metric) -> str | None:
-    """previousStop value from a dimension/lexicographic metric spec,
-    unwrapping an inverted wrapper."""
+def _previous_stop(metric, inverted: bool = False):
+    """(previousStop, ordering, inverted) from a dimension/lexicographic
+    metric spec, tracking inversion through wrappers; None when absent."""
     if not isinstance(metric, dict):
         return None
     if metric.get("type") == "inverted":
-        return _previous_stop(metric.get("metric"))
+        return _previous_stop(metric.get("metric"), not inverted)
     if metric.get("type") in ("dimension", "lexicographic"):
-        return metric.get("previousStop")
+        stop = metric.get("previousStop")
+        if stop is None:
+            return None
+        return stop, metric.get("ordering", "lexicographic"), inverted
     return None
 
 

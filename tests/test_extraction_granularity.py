@@ -373,3 +373,21 @@ def test_bucket_extraction(spark):
         apply_extraction(F.col("v"), {"type": "bucket", "size": 0.5}).alias("b")
     ).collect()
     assert half[2].b == "1.5"
+
+
+def test_bucket_extraction_edge_cases(spark):
+    """Bucket bounds beyond long range render via the double branch (no
+    ANSI overflow abort); size <= 0 rejected at compile time."""
+    import pytest as _pt
+
+    from pyspark.sql import functions as F
+
+    from coolplaydruid_spark.functions.extraction import apply_extraction
+
+    df = spark.createDataFrame([("1e19",), ("5",)], "v string")
+    out = df.select(
+        apply_extraction(F.col("v"), {"type": "bucket", "size": 5}).alias("b")
+    ).collect()
+    assert out[0].b == "1.0E19" and out[1].b == "5"
+    with _pt.raises(ValueError, match="size > 0"):
+        apply_extraction(F.col("v"), {"type": "bucket", "size": 0})

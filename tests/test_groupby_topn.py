@@ -251,3 +251,39 @@ def test_subtotals_unknown_dim_rejected(engine):
             "subtotalsSpec": [["nope"]],
             "intervals": ["2024-01-01T00:00:00/2024-02-01T00:00:00"],
         })
+
+
+def test_topn_previous_stop_numeric_and_inverted(spark, engine):
+    """previousStop must page in the SPEC's order: numeric ordering
+    compares numerically ('10' > '9' numerically), and an inverted spec
+    pages downward."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-01 0{i % 5}:00:00", v)
+         for i, v in enumerate(["5", "9", "10", "20"])],
+        "id long, ts string, num_dim string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    engine.catalog.register("ps_events", df=df, time_column="ts")
+    base = {
+        "queryType": "topN",
+        "dataSource": "ps_events",
+        "granularity": "all",
+        "dimension": "num_dim",
+        "threshold": 10,
+        "aggregations": [{"type": "count", "name": "n"}],
+        "intervals": ["2024-01-01T00:00:00/2024-01-02T00:00:00"],
+    }
+    got = [r.num_dim for r in engine.plan({
+        **base,
+        "metric": {"type": "dimension", "ordering": "numeric",
+                   "previousStop": "9"},
+    }).collect()]
+    assert got == ["10", "20"]
+    got_inv = [r.num_dim for r in engine.plan({
+        **base,
+        "metric": {"type": "inverted",
+                   "metric": {"type": "lexicographic", "previousStop": "20"}},
+    }).collect()]
+    # descending lexicographic after '20': values strictly below it
+    assert got_inv == ["10"]
