@@ -2101,6 +2101,55 @@ def groupby_bucket_extraction(spark, sf_dir):
 
 
 @q(
+    "topn_postagg_metric",
+    f"""
+    WITH agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(value) AS total
+      FROM events WHERE {EVENTS_WHERE}
+      GROUP BY 1
+    )
+    SELECT event_type, n, round(total, 4) AS total,
+           round(total / n, 4) AS avg_value
+    FROM agg ORDER BY (total / n) DESC, event_type ASC LIMIT 3
+    """,
+)
+def topn_postagg_metric(spark, sf_dir):
+    """TopN ranked by a POST-AGGREGATION (avg = total/n arithmetic) —
+    Druid allows the metric spec to name a post-agg; ranking happens on
+    aggregated rows so the post-agg column exists before the sort."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "topN",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimension": "event_type",
+            "metric": "avg_value",
+            "threshold": 3,
+            "aggregations": [
+                {"type": "count", "name": "n"},
+                {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            ],
+            "postAggregations": [
+                {
+                    "type": "arithmetic",
+                    "name": "avg_value",
+                    "fn": "/",
+                    "fields": [
+                        {"type": "fieldAccess", "fieldName": "total"},
+                        {"type": "fieldAccess", "fieldName": "n"},
+                    ],
+                }
+            ],
+            "intervals": EVENTS_INTERVAL,
+        }
+    )
+    return _r4(df.drop("ts_bucket"), "total", "avg_value")
+
+
+@q(
     "topn_lexicographic_page2",
     f"""
     WITH agg AS (
