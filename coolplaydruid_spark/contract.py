@@ -2101,6 +2101,43 @@ def groupby_bucket_extraction(spark, sf_dir):
 
 
 @q(
+    "groupby_weekday_extraction",
+    f"""
+    SELECT strftime(ts, '%A') AS weekday,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total
+    FROM events WHERE {EVENTS_WHERE}
+    GROUP BY 1
+    """,
+)
+def groupby_weekday_extraction(spark, sf_dir):
+    """The classic Druid idiom: groupBy on a timeFormat extraction of
+    __time itself (day-of-week name) — time is just another dimension
+    to the extraction machinery."""
+    eng = engine_for(spark, sf_dir)
+    return eng.plan(
+        {
+            "queryType": "groupBy",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimensions": [
+                {
+                    "type": "extraction",
+                    "dimension": "__time",
+                    "outputName": "weekday",
+                    "extractionFn": {"type": "timeFormat", "format": "EEEE"},
+                }
+            ],
+            "aggregations": [
+                {"type": "count", "name": "n"},
+                {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            ],
+            "intervals": EVENTS_INTERVAL,
+        }
+    ).drop("ts_bucket")
+
+
+@q(
     "topn_postagg_metric",
     f"""
     WITH agg AS (
