@@ -80,22 +80,27 @@ def main() -> None:
     # warm the bench catalog's file listings/footers
     contract.engine_for(spark, sf_dir).catalog.table("events").count()
 
-    # Best-of-3 per query, clearing the SQL cache between runs so any
-    # operator-internal .persist (the minhash shingle cache) cannot make
-    # later runs artificially warm: every run does the full cold-data
-    # work, and the min strips scheduler/GC jitter from the shared host
-    # (measured swings of 4x on identical plans), not real computation.
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = contract.QUERIES[name]
-        best = float("inf")
-        for _ in range(3):
+    # Best-of-3 per query, taken ROUND-ROBIN (three full passes over the
+    # suite, min per query) rather than back-to-back. The bench host has
+    # documented multi-minute load spikes (BENCH_r03 measured the same
+    # code 4x slower than BENCH_r02 across the board); back-to-back
+    # repeats of one query all land inside a single spike, while
+    # round-robin spreads each query's three runs ~minutes apart so the
+    # min has three independent chances to dodge it. Cache cleared
+    # between runs so any operator-internal .persist (the minhash
+    # shingle cache) cannot make later runs artificially warm: every run
+    # does the full cold-data work, and the min strips scheduler/GC
+    # jitter from the shared host, not real computation.
+    timings = {name: float("inf") for name in BENCH_QUERIES}
+    for _ in range(3):
+        for name in BENCH_QUERIES:
+            fn = contract.QUERIES[name]
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
+            timings[name] = min(timings[name], time.perf_counter() - t0)
             assert rows is not None
-        timings[name] = round(best, 3)
+    timings = {name: round(t, 3) for name, t in timings.items()}
     total = round(sum(timings.values()), 3)
 
     # sf1 tail: standing scaling evidence (SCALE.md "sf1 scaling
