@@ -4552,3 +4552,134 @@ def events_funnel_3step_1h(spark, sf_dir):
         eng.catalog.table("events"), ["view", "click", "purchase"],
         within_seconds=3600,
     )
+
+
+@q(
+    "theta_click_view_overlap",
+    """
+    WITH flags AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_bucket, user_id,
+             bool_or(event_type = 'click') AS a,
+             bool_or(event_type = 'view') AS b
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+      GROUP BY 1, 2
+    ), agg AS (
+      SELECT ts_bucket,
+             CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS click_users,
+             CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS view_users,
+             CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS both_users,
+             CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS click_only
+      FROM flags GROUP BY 1
+    ), spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                    TIMESTAMP '2024-01-07',
+                                    INTERVAL 1 DAY)) AS ts_bucket
+    )
+    SELECT spine.ts_bucket,
+           coalesce(click_users, 0) AS click_users,
+           coalesce(view_users, 0) AS view_users,
+           coalesce(both_users, 0) AS both_users,
+           coalesce(click_only, 0) AS click_only,
+           round(CASE WHEN coalesce(click_users, 0) = 0 THEN 0
+                 ELSE both_users * 1.0 / click_users END, 4) AS overlap_ratio
+    FROM spine LEFT JOIN agg USING (ts_bucket)
+    """,
+)
+def theta_click_view_overlap(spark, sf_dir):
+    """thetaSketch set operations (Druid DataSketches surface): per-day
+    distinct users who clicked, viewed, did BOTH (INTERSECT), clicked
+    but never viewed (NOT), and the overlap ratio — the funnel-overlap
+    question per-row filtered aggregation cannot answer. Exact two-level
+    aggregation (functions/theta.py), zero-filled buckets included."""
+    eng = engine_for(spark, sf_dir)
+    fa = lambda n: {"type": "fieldAccess", "fieldName": n}  # noqa: E731
+    df = eng.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "day",
+            "intervals": ["2024-01-01T00:00:00/2024-01-08T00:00:00"],
+            "aggregations": [
+                {
+                    "type": "filtered", "name": "click_users",
+                    "filter": {"type": "selector", "dimension": "event_type", "value": "click"},
+                    "aggregator": {"type": "thetaSketch", "name": "click_users", "fieldName": "user_id"},
+                },
+                {
+                    "type": "filtered", "name": "view_users",
+                    "filter": {"type": "selector", "dimension": "event_type", "value": "view"},
+                    "aggregator": {"type": "thetaSketch", "name": "view_users", "fieldName": "user_id"},
+                },
+            ],
+            "postAggregations": [
+                {
+                    "type": "thetaSketchEstimate", "name": "both_users",
+                    "field": {"type": "thetaSketchSetOp", "func": "INTERSECT",
+                              "fields": [fa("click_users"), fa("view_users")]},
+                },
+                {
+                    "type": "thetaSketchEstimate", "name": "click_only",
+                    "field": {"type": "thetaSketchSetOp", "func": "NOT",
+                              "fields": [fa("click_users"), fa("view_users")]},
+                },
+                {
+                    "type": "arithmetic", "name": "overlap_ratio", "fn": "/",
+                    "fields": [fa("both_users"), fa("click_users")],
+                },
+            ],
+        }
+    )
+    return _r4(df, "overlap_ratio")
+
+
+@q(
+    "theta_groupby_value_tiers",
+    """
+    WITH flags AS (
+      SELECT event_type, user_id, bool_or(value >= 250) AS hi
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+      GROUP BY 1, 2
+    )
+    SELECT CAST(TIMESTAMP '2024-01-01' AS TIMESTAMP) AS ts_bucket, event_type,
+           CAST(count(*) AS BIGINT) AS users,
+           CAST(sum(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS hi_users,
+           round(sum(CASE WHEN hi THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS hi_share
+    FROM flags GROUP BY 1, 2
+    """,
+)
+def theta_groupby_value_tiers(spark, sf_dir):
+    """groupBy + thetaSketch: per event type, distinct users overall
+    (unfiltered sketch) vs distinct users with any high-value event
+    (filtered sketch), and the share — exercises the theta join keyed by
+    (bucket, dimension) and the unfiltered-membership path."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "groupBy",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimensions": ["event_type"],
+            "intervals": EVENTS_INTERVAL,
+            "aggregations": [
+                {"type": "thetaSketch", "name": "users", "fieldName": "user_id"},
+                {
+                    "type": "filtered", "name": "hi_users",
+                    "filter": {"type": "bound", "dimension": "value",
+                               "lower": "250", "ordering": "numeric"},
+                    "aggregator": {"type": "thetaSketch", "name": "hi_users", "fieldName": "user_id"},
+                },
+            ],
+            "postAggregations": [
+                {
+                    "type": "arithmetic", "name": "hi_share", "fn": "/",
+                    "fields": [
+                        {"type": "fieldAccess", "fieldName": "hi_users"},
+                        {"type": "fieldAccess", "fieldName": "users"},
+                    ],
+                }
+            ],
+        }
+    )
+    return _r4(df, "hi_share")

@@ -1,0 +1,204 @@
+"""Theta-sketch set-operation aggregations (Druid DataSketches surface).
+
+Druid's ``thetaSketch`` aggregator builds a KMV sketch of the distinct
+values of a column per result row; ``thetaSketchSetOp`` post-aggregators
+combine sketches with UNION / INTERSECT / NOT and
+``thetaSketchEstimate`` finalizes a sketch to a distinct count. The
+canonical use is funnel overlap: "how many users did A *and* B today"
+— a question plain per-row filtered aggregation cannot answer. The
+query taxonomy the reference declares is extension-open
+(query/query-module-overview.md:20-33); sketches are named at TOC.md:41.
+
+Spark-first design — exact, not sketched (documented divergence, the
+same choice as topN/percentile): a two-level distributed aggregation.
+
+  level 1  groupBy(query keys, field value) → one BOOLEAN MEMBERSHIP
+           FLAG per sketch (``bool_or`` of the sketch's filter).
+           Map-side partial aggregation collapses duplicate values
+           before the shuffle, so the exchange carries at most one row
+           per DISTINCT (keys, value) pair — the same cardinality a
+           sketch build would see.
+  level 2  groupBy(query keys) → each estimate is a conditional count
+           over flag combinations; set ops are boolean algebra on the
+           flags (INTERSECT = a & b, UNION = a | b, NOT = a & ~b).
+
+Both levels are JVM-side HashAggregates with partial/final split; no
+Python, no collect. At 100 TB the level-1 shuffle is bounded by
+|distinct (group, value)| — for user-overlap queries that is ~|active
+users| per bucket, the minimum any exact algorithm must move. The
+approximate path (trade exactness for a fixed-size shuffle) remains
+available by pointing `cardinality`/`hyperUnique` at the same field.
+
+Estimates are exact counts emitted as BIGINT (Druid emits a double
+estimate; exact integers are strictly more informative and
+oracle-testable — divergence documented in SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from coolplaydruid_spark.functions.filters import compile_filter
+
+_THETA_POST_TYPES = ("thetaSketchEstimate", "thetaSketchSetOp")
+
+
+def _unwrap(spec: dict) -> tuple[str, dict | None] | None:
+    """If ``spec`` is a thetaSketch aggregator (possibly wrapped in
+    ``filtered``), return (fieldName, filter_spec|None); else None."""
+    if spec.get("type") == "thetaSketch":
+        return spec["fieldName"], None
+    if spec.get("type") == "filtered":
+        inner = spec.get("aggregator") or {}
+        if inner.get("type") == "thetaSketch":
+            return inner["fieldName"], spec.get("filter")
+    return None
+
+
+@dataclass
+class ThetaSplit:
+    """A query's aggregator/post-agg lists split into the theta part
+    (planned by :func:`theta_frame`) and the remainder (planned by the
+    normal single-pass aggregation)."""
+
+    sketches: dict = field(default_factory=dict)  # name -> (fieldName, filter)
+    theta_posts: list = field(default_factory=list)
+    other_aggs: list = field(default_factory=list)
+    other_posts: list = field(default_factory=list)
+
+    @property
+    def names(self) -> list[str]:
+        return [*self.sketches, *[p["name"] for p in self.theta_posts]]
+
+
+def split_query(query: dict) -> ThetaSplit:
+    s = ThetaSplit()
+    for spec in query.get("aggregations") or []:
+        unwrapped = _unwrap(spec)
+        if unwrapped is not None:
+            s.sketches[spec["name"]] = unwrapped
+        else:
+            s.other_aggs.append(spec)
+    for spec in query.get("postAggregations") or []:
+        if spec.get("type") in _THETA_POST_TYPES:
+            s.theta_posts.append(spec)
+        else:
+            s.other_posts.append(spec)
+    if s.theta_posts and not s.sketches:
+        raise ValueError("thetaSketch post-aggregators require thetaSketch aggregators")
+    return s
+
+
+def _post_domain(spec: dict, split: ThetaSplit) -> str:
+    """Walk a sketch-valued post-agg field tree and return the single
+    source column it draws on. Set ops across different source columns
+    have no exact relational meaning on shared keys and are rejected."""
+    ptype = spec.get("type")
+    if ptype in ("fieldAccess", "finalizingFieldAccess"):
+        name = spec["fieldName"]
+        if name not in split.sketches:
+            raise ValueError(f"theta set op references non-theta aggregator {name!r}")
+        return split.sketches[name][0]
+    if ptype == "thetaSketchSetOp":
+        func = spec.get("func", "UNION").upper()
+        if func not in ("UNION", "INTERSECT", "NOT"):
+            raise ValueError(f"unknown thetaSketchSetOp func {func!r}")
+        domains = {_post_domain(f, split) for f in spec["fields"]}
+        if len(domains) != 1:
+            raise ValueError(
+                f"thetaSketchSetOp over different fieldNames {sorted(domains)!r}"
+            )
+        return domains.pop()
+    raise ValueError(f"unexpected node {ptype!r} in theta post-aggregator")
+
+
+def _membership(spec: dict, flags: dict[str, Column]) -> Column:
+    """Compile a (single-domain, pre-validated) field tree to a boolean
+    membership expression over the level-1 flags."""
+    ptype = spec.get("type")
+    if ptype in ("fieldAccess", "finalizingFieldAccess"):
+        return flags[spec["fieldName"]]
+    func = spec.get("func", "UNION").upper()
+    cols = [_membership(f, flags) for f in spec["fields"]]
+    out = cols[0]
+    for c in cols[1:]:
+        if func == "UNION":
+            out = out | c
+        elif func == "INTERSECT":
+            out = out & c
+        else:  # NOT — Druid: first operand minus the union of the rest
+            out = out & ~c
+    return out
+
+
+def theta_frame(
+    base: DataFrame, key_cols: list, key_names: list[str], split: ThetaSplit
+) -> tuple[DataFrame, dict[str, object]]:
+    """Plan the theta part: a DataFrame keyed by ``key_names`` with one
+    BIGINT estimate column per sketch aggregator and per theta post-agg,
+    plus the zero-fill identity map (0 — an empty sketch estimates 0).
+
+    One (level-1, level-2) aggregation pair per distinct source column;
+    multiple source columns join on the group keys (each side is
+    result-row cardinality)."""
+    by_field: dict[str, list[str]] = {}
+    for name, (fname, _flt) in split.sketches.items():
+        by_field.setdefault(fname, []).append(name)
+    # Validate every post-agg up front (single source column per tree).
+    post_domains = {
+        post["name"]: _post_domain(post["field"] if "field" in post else post, split)
+        for post in split.theta_posts
+    }
+
+    out: DataFrame | None = None
+    for fname, names in by_field.items():
+        flag_aggs = []
+        for name in names:
+            _f, flt = split.sketches[name]
+            pred = compile_filter(flt) if flt is not None else F.lit(True)
+            flag_aggs.append(
+                F.bool_or(F.coalesce(pred, F.lit(False))).alias(f"__in_{name}")
+            )
+        inner = (
+            base.where(F.col(fname).isNotNull())
+            .groupBy(*key_cols, F.col(fname).alias("__theta_value"))
+            .agg(*flag_aggs)
+        )
+        flags = {name: F.col(f"__in_{name}") for name in names}
+        estimates = [
+            F.sum(F.when(flags[name], 1).otherwise(0)).cast("long").alias(name)
+            for name in names
+        ]
+        for post in split.theta_posts:
+            if post_domains[post["name"]] != fname:
+                continue
+            src = post["field"] if "field" in post else post
+            expr = _membership(src, flags)
+            estimates.append(
+                F.sum(F.when(expr, 1).otherwise(0)).cast("long").alias(post["name"])
+            )
+        part = inner.groupBy(*[F.col(k) for k in key_names]).agg(*estimates)
+        out = part if out is None else out.join(part, on=key_names, how="outer")
+
+    fills = {name: 0 for name in split.names}
+    return out, fills
+
+
+def attach_theta(
+    agg_df: DataFrame,
+    base: DataFrame,
+    key_cols: list,
+    key_names: list[str],
+    split: ThetaSplit,
+) -> tuple[DataFrame, dict[str, object]]:
+    """Left-join the theta estimates onto the main aggregation frame
+    (which owns the complete group set) and fill absent groups — groups
+    whose rows all had null sketch values — with 0."""
+    tdf, fills = theta_frame(base, key_cols, key_names, split)
+    joined = agg_df.join(tdf, on=key_names, how="left")
+    for name in split.names:
+        joined = joined.withColumn(name, F.coalesce(F.col(name), F.lit(0)))
+    return joined, fills

@@ -28,6 +28,7 @@ from coolplaydruid_spark.functions.extraction import dimension_column
 from coolplaydruid_spark.functions.filters import compile_filter
 from coolplaydruid_spark.functions.granularity import parse_granularity, parse_interval
 from coolplaydruid_spark.functions.postaggs import compile_post_aggregators
+from coolplaydruid_spark.functions.theta import attach_theta, split_query
 from coolplaydruid_spark.plans.common import BUCKET, filtered_frame, grouped_agg
 
 
@@ -62,14 +63,29 @@ def plan_groupby(engine, query: dict) -> DataFrame:
     else:
         bucket = gran.bucket(F.col(TIME_COLUMN)).alias(BUCKET)
 
-    aggs = compile_aggregators(query.get("aggregations"), context, df=base)
+    # thetaSketch aggregators plan as a separate two-level aggregation
+    # joined back on (bucket, dims) — functions/theta.py.
+    tsplit = split_query(query)
+    agg_specs, drop_cols = tsplit.other_aggs, []
+    if tsplit.sketches and not agg_specs:
+        agg_specs = [{"type": "count", "name": "__theta_rows"}]
+        drop_cols = ["__theta_rows"]
+
+    aggs = compile_aggregators(agg_specs, context, df=base)
     subtotals = query.get("subtotalsSpec")
     if subtotals is not None:
+        if tsplit.sketches:
+            raise ValueError("subtotalsSpec with thetaSketch aggregators is not supported")
         out = _grouping_sets(base, bucket, dim_cols, dim_names, aggs, subtotals)
     else:
         out = grouped_agg(base, [bucket, *dim_cols], [BUCKET, *dim_names], aggs)
+        if tsplit.sketches:
+            out, _tf = attach_theta(
+                out, base, [bucket, *dim_cols], [BUCKET, *dim_names], tsplit
+            )
 
-    for name, col in compile_post_aggregators(query.get("postAggregations")):
+    out = out.drop(*drop_cols)
+    for name, col in compile_post_aggregators(tsplit.other_posts):
         out = out.withColumn(name, col)
 
     having = compile_having(query.get("having"))

@@ -24,6 +24,7 @@ from coolplaydruid_spark.catalog import TIME_COLUMN
 from coolplaydruid_spark.functions.aggregators import compile_aggregators
 from coolplaydruid_spark.functions.granularity import parse_granularity, parse_interval
 from coolplaydruid_spark.functions.postaggs import compile_post_aggregators
+from coolplaydruid_spark.functions.theta import attach_theta, split_query
 from coolplaydruid_spark.plans.common import (
     BUCKET,
     bucket_spine,
@@ -39,7 +40,20 @@ def plan_timeseries(engine, query: dict) -> DataFrame:
     gran = parse_granularity(query.get("granularity", "all"))
     base = filtered_frame(df, query)
 
-    aggs = compile_aggregators(query.get("aggregations"), context, df=base)
+    # thetaSketch aggregators + set-op post-aggs plan as a separate
+    # two-level aggregation joined back on the bucket (functions/theta.py);
+    # the remaining aggregators take the normal single-pass path.
+    tsplit = split_query(query)
+    agg_specs, drop_cols = tsplit.other_aggs, []
+    if tsplit.sketches and not agg_specs:
+        # The main frame owns the complete group set the theta estimates
+        # left-join onto; keep one cheap count when theta is alone.
+        agg_specs = [{"type": "count", "name": "__theta_rows"}]
+        drop_cols = ["__theta_rows"]
+    if tsplit.sketches and context.get("grandTotal"):
+        raise ValueError("context.grandTotal with thetaSketch aggregators is not supported")
+
+    aggs = compile_aggregators(agg_specs, context, df=base)
     if gran.kind == "all":
         # Single bucket keyed by the earliest interval start (Druid keys
         # the 'all' bucket by interval start).
@@ -58,20 +72,34 @@ def plan_timeseries(engine, query: dict) -> DataFrame:
             # global .agg() keeps Druid's one-row-even-when-empty semantics
             agg_df = base.agg(*aggs.exprs)
         agg_df = agg_df.select(bucket.alias(BUCKET), *[F.col(n) for n in aggs.names])
+        if tsplit.sketches:
+            agg_df, _tf = attach_theta(
+                agg_df, base, [bucket.alias(BUCKET)], [BUCKET], tsplit
+            )
     elif gran.kind == "none":
         agg_df = grouped_agg(
             base, [F.col(TIME_COLUMN).alias(BUCKET)], [BUCKET], aggs
         )
+        if tsplit.sketches:
+            agg_df, _tf = attach_theta(
+                agg_df, base, [F.col(TIME_COLUMN).alias(BUCKET)], [BUCKET], tsplit
+            )
     else:
-        agg_df = grouped_agg(
-            base, [gran.bucket(F.col(TIME_COLUMN)).alias(BUCKET)], [BUCKET], aggs
-        )
+        bucket_col = gran.bucket(F.col(TIME_COLUMN)).alias(BUCKET)
+        agg_df = grouped_agg(base, [bucket_col], [BUCKET], aggs)
+        fills = aggs.fills
+        if tsplit.sketches:
+            agg_df, theta_fills = attach_theta(
+                agg_df, base, [bucket_col], [BUCKET], tsplit
+            )
+            fills = {**fills, **theta_fills}
         skip_empty = bool(context.get("skipEmptyBuckets"))
         if not skip_empty and query.get("intervals"):
             spine = bucket_spine(engine.spark, gran, _intervals(query))
-            agg_df = zero_fill(agg_df, spine, aggs.fills)
+            agg_df = zero_fill(agg_df, spine, fills)
 
-    for name, col in compile_post_aggregators(query.get("postAggregations")):
+    agg_df = agg_df.drop(*drop_cols)
+    for name, col in compile_post_aggregators(tsplit.other_posts):
         agg_df = agg_df.withColumn(name, col)
 
     order = F.col(BUCKET).desc() if query.get("descending") else F.col(BUCKET).asc()

@@ -1,0 +1,188 @@
+"""thetaSketch set-operation aggregations (functions/theta.py): semantics
+against hand-computed expectations and DuckDB, mixed with ordinary
+aggregators, plus plan-shape checks (pure JVM, no Python stages)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+IV = ["2024-01-01T00:00:00/2024-01-04T00:00:00"]
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _theta(agg_name, filter_value=None):
+    inner = {"type": "thetaSketch", "name": agg_name, "fieldName": "user_id"}
+    if filter_value is None:
+        return inner
+    return {
+        "type": "filtered", "name": agg_name,
+        "filter": {"type": "selector", "dimension": "event_type", "value": filter_value},
+        "aggregator": inner,
+    }
+
+
+def test_theta_mixed_with_ordinary_aggregators(engine, duck):
+    """thetaSketch + count + doubleSum in ONE query: the theta pair joins
+    back onto the single-pass frame without disturbing it."""
+    df = engine.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "day",
+            "intervals": IV,
+            "aggregations": [
+                {"type": "count", "name": "n"},
+                {"type": "doubleSum", "name": "total", "fieldName": "value"},
+                _theta("click_users", "click"),
+                _theta("view_users", "view"),
+            ],
+            "postAggregations": [
+                {
+                    "type": "thetaSketchEstimate", "name": "both",
+                    "field": {
+                        "type": "thetaSketchSetOp", "func": "INTERSECT",
+                        "fields": [
+                            {"type": "fieldAccess", "fieldName": "click_users"},
+                            {"type": "fieldAccess", "fieldName": "view_users"},
+                        ],
+                    },
+                },
+            ],
+        }
+    )
+    got = {r["ts_bucket"].isoformat(): r.asDict() for r in df.collect()}
+    exp = duck.execute(
+        """
+        WITH flags AS (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, user_id,
+                 bool_or(event_type='click') AS a, bool_or(event_type='view') AS b
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-04'
+          GROUP BY 1, 2
+        ), base AS (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                 count(*) AS n, sum(value) AS total
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-04'
+          GROUP BY 1
+        )
+        SELECT base.d, n, total,
+               sum(CASE WHEN a THEN 1 ELSE 0 END) AS click_users,
+               sum(CASE WHEN b THEN 1 ELSE 0 END) AS view_users,
+               sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS both
+        FROM base JOIN flags ON base.d = flags.d
+        GROUP BY 1, 2, 3
+        """
+    ).fetchall()
+    assert len(got) == len(exp) == 3
+    for d, n, total, clicks, views, both in exp:
+        row = got[d.isoformat()]
+        assert row["n"] == n
+        assert row["total"] == pytest.approx(float(total))
+        assert row["click_users"] == clicks
+        assert row["view_users"] == views
+        assert row["both"] == both
+
+
+def test_theta_union_and_not(engine):
+    """UNION/NOT identities: |A∪B| = |A|+|B|-|A∩B|; |A\\B| = |A|-|A∩B|."""
+    df = engine.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "all",
+            "intervals": IV,
+            "aggregations": [_theta("a", "click"), _theta("b", "purchase")],
+            "postAggregations": [
+                {"type": "thetaSketchEstimate", "name": "u",
+                 "field": {"type": "thetaSketchSetOp", "func": "UNION",
+                           "fields": [{"type": "fieldAccess", "fieldName": "a"},
+                                      {"type": "fieldAccess", "fieldName": "b"}]}},
+                {"type": "thetaSketchEstimate", "name": "i",
+                 "field": {"type": "thetaSketchSetOp", "func": "INTERSECT",
+                           "fields": [{"type": "fieldAccess", "fieldName": "a"},
+                                      {"type": "fieldAccess", "fieldName": "b"}]}},
+                {"type": "thetaSketchEstimate", "name": "d",
+                 "field": {"type": "thetaSketchSetOp", "func": "NOT",
+                           "fields": [{"type": "fieldAccess", "fieldName": "a"},
+                                      {"type": "fieldAccess", "fieldName": "b"}]}},
+            ],
+        }
+    )
+    row = df.collect()[0]
+    assert row["u"] == row["a"] + row["b"] - row["i"]
+    assert row["d"] == row["a"] - row["i"]
+    assert row["a"] > 0 and row["b"] > 0
+
+
+def test_theta_zero_fill_and_groupby_dims(engine):
+    """Empty buckets zero-fill theta estimates; groupBy dims key the join."""
+    ts = engine.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "day",
+            # extends past the data's end → trailing empty buckets
+            "intervals": ["2024-01-30T00:00:00/2024-02-03T00:00:00"],
+            "aggregations": [_theta("users")],
+        }
+    )
+    rows = {r["ts_bucket"].day: r["users"] for r in ts.collect()}
+    assert len(rows) == 4
+    assert rows[1] == 0 and rows[2] == 0  # Feb buckets past the data
+    assert rows[30] > 0
+
+    gb = engine.plan(
+        {
+            "queryType": "groupBy",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimensions": ["event_type"],
+            "intervals": IV,
+            "aggregations": [{"type": "count", "name": "n"}, _theta("users")],
+        }
+    )
+    out = gb.collect()
+    assert len(out) == 5
+    assert all(0 < r["users"] <= r["n"] for r in out)
+
+
+def test_theta_plan_is_jvm_only_two_level(engine):
+    df = engine.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "day",
+            "intervals": IV,
+            "aggregations": [_theta("a", "click"), _theta("b", "view")],
+        }
+    )
+    plan = _plan(df)
+    assert "Python" not in plan and "Arrow" not in plan.replace("ArrowEvalPython", "Python")
+    # two aggregation levels, each with partial/final split
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_theta_cross_field_setop_rejected(engine):
+    with pytest.raises(ValueError, match="different fieldNames"):
+        engine.plan(
+            {
+                "queryType": "timeseries",
+                "dataSource": "events",
+                "granularity": "all",
+                "intervals": IV,
+                "aggregations": [
+                    {"type": "thetaSketch", "name": "a", "fieldName": "user_id"},
+                    {"type": "thetaSketch", "name": "b", "fieldName": "event_type"},
+                ],
+                "postAggregations": [
+                    {"type": "thetaSketchEstimate", "name": "x",
+                     "field": {"type": "thetaSketchSetOp", "func": "UNION",
+                               "fields": [{"type": "fieldAccess", "fieldName": "a"},
+                                          {"type": "fieldAccess", "fieldName": "b"}]}},
+                ],
+            }
+        ).collect()
