@@ -4683,3 +4683,66 @@ def theta_groupby_value_tiers(spark, sf_dir):
         }
     )
     return _r4(df, "hi_share")
+
+
+@q(
+    "sql_mv_ipv4_suite",
+    """
+    WITH base AS (
+      SELECT doc_id, n_chars,
+             concat('10.', CAST(doc_id % 256 AS VARCHAR), '.',
+                    CAST((doc_id * 7) % 256 AS VARCHAR), '.',
+                    CAST((doc_id * 13) % 256 AS VARCHAR)) AS ip,
+             (10 * 16777216 + (doc_id % 256) * 65536
+              + ((doc_id * 7) % 256) * 256 + (doc_id * 13) % 256) AS ipnum,
+             string_split(text, ' ') AS toks,
+             substr(text, 1, 16) AS head
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(ipnum AS BIGINT) AS ip_long,
+           concat(CAST((ipnum + 1) >> 24 AS VARCHAR), '.',
+                  CAST(((ipnum + 1) >> 16) & 255 AS VARCHAR), '.',
+                  CAST(((ipnum + 1) >> 8) & 255 AS VARCHAR), '.',
+                  CAST((ipnum + 1) & 255 AS VARCHAR)) AS next_ip,
+           (ipnum >> 24) = 10 AS in_ten_slash8,
+           (ipnum >> 12) = ((10 * 16777216 + 42 * 65536) >> 12) AS in_carved_slash20,
+           CAST(len(toks) AS BIGINT) AS n_toks,
+           list_contains(toks, 'data') AS has_data,
+           toks[1] AS first_tok,
+           CASE WHEN doc_id = 0 THEN NULL
+                ELSE round(n_chars * 1.0 / doc_id, 4) END AS chars_per_id,
+           decode(from_base64(base64(encode(head)))) AS b64_roundtrip
+    FROM base
+    """,
+)
+def sql_mv_ipv4_suite(spark, sf_dir):
+    """Druid SQL scalar families via the SQL front-end: IPV4_PARSE/
+    STRINGIFY/MATCH, the MV_* multi-value string functions, SAFE_DIVIDE
+    and DECODE_BASE64_UTF8 — all inline SQL UDFs (sqlcompat.py), so the
+    whole projection stays in whole-stage codegen."""
+    eng = engine_for(spark, sf_dir)
+    return eng.sql(
+        """
+        WITH base AS (
+          SELECT doc_id, n_chars,
+                 concat('10.', CAST(doc_id % 256 AS STRING), '.',
+                        CAST((doc_id * 7) % 256 AS STRING), '.',
+                        CAST((doc_id * 13) % 256 AS STRING)) AS ip,
+                 STRING_TO_MV(text, ' ') AS toks,
+                 substr(text, 1, 16) AS head
+          FROM documents WHERE doc_id < 100
+        )
+        SELECT doc_id,
+               IPV4_PARSE(ip) AS ip_long,
+               IPV4_STRINGIFY(IPV4_PARSE(ip) + 1) AS next_ip,
+               IPV4_MATCH(ip, '10.0.0.0/8') AS in_ten_slash8,
+               IPV4_MATCH(ip, '10.42.0.0/20') AS in_carved_slash20,
+               CAST(MV_LENGTH(toks) AS BIGINT) AS n_toks,
+               MV_CONTAINS(toks, 'data') AS has_data,
+               MV_OFFSET(toks, 0) AS first_tok,
+               round(SAFE_DIVIDE(CAST(n_chars AS DOUBLE), CAST(doc_id AS DOUBLE)), 4) AS chars_per_id,
+               DECODE_BASE64_UTF8(base64(head)) AS b64_roundtrip
+        FROM base
+        """
+    )

@@ -27,6 +27,16 @@ Registered (scalar) functions:
  - TEXTCAT(a, b)              — concat (DIV needs no shim: Spark's
                                 builtin div() matches Druid's).
  - BITWISE_AND/OR/XOR(x, y), BITWISE_SHIFT_LEFT/RIGHT(x, n)
+ - SAFE_DIVIDE(x, y)          — NULL on divide-by-zero.
+ - DECODE_BASE64_UTF8(s)
+ - IPV4_PARSE / IPV4_STRINGIFY / IPV4_MATCH(addr, 'cidr/n')
+ - MV_LENGTH / MV_CONTAINS / MV_OVERLAP / MV_OFFSET / MV_ORDINAL /
+   MV_TO_STRING / STRING_TO_MV — Druid multi-value string functions
+   over ARRAY<STRING> columns (our multi-value dimension type).
+
+Druid SQL aggregate names that Spark covers natively need no shim:
+APPROX_COUNT_DISTINCT is a same-name Spark builtin; APPROX_QUANTILE's
+Spark spelling is approx_percentile (documented rename).
 
 All are TEMPORARY functions on the session (CREATE OR REPLACE —
 idempotent; re-registration is free).
@@ -150,6 +160,57 @@ _DEFS = [
         RETURNS BIGINT RETURN shiftleft(x, n)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION BITWISE_SHIFT_RIGHT(x BIGINT, n INT)
         RETURNS BIGINT RETURN shiftright(x, n)""",
+    # SAFE_DIVIDE: NULL on divide-by-zero (Druid SQL; distinct from the
+    # native arithmetic post-agg's `/`-yields-0 rule).
+    """CREATE OR REPLACE TEMPORARY FUNCTION SAFE_DIVIDE(x DOUBLE, y DOUBLE)
+        RETURNS DOUBLE RETURN try_divide(x, y)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION DECODE_BASE64_UTF8(s STRING)
+        RETURNS STRING RETURN CAST(unbase64(s) AS STRING)""",
+    # ---- IPv4 functions (Druid SQL) ----
+    # Octet regex/split use [.] character classes, not \\. — Spark SQL
+    # string literals process backslash escapes, and a bracket class
+    # needs none.
+    """CREATE OR REPLACE TEMPORARY FUNCTION IPV4_PARSE(s STRING)
+        RETURNS BIGINT RETURN CASE WHEN s RLIKE
+          '^((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])[.]){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$'
+        THEN CAST(split(s, '[.]')[0] AS BIGINT) * 16777216
+           + CAST(split(s, '[.]')[1] AS BIGINT) * 65536
+           + CAST(split(s, '[.]')[2] AS BIGINT) * 256
+           + CAST(split(s, '[.]')[3] AS BIGINT)
+        ELSE NULL END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION IPV4_STRINGIFY(x BIGINT)
+        RETURNS STRING RETURN CASE WHEN x BETWEEN 0 AND 4294967295 THEN
+          concat(CAST(x DIV 16777216 AS STRING), '.',
+                 CAST((x DIV 65536) % 256 AS STRING), '.',
+                 CAST((x DIV 256) % 256 AS STRING), '.',
+                 CAST(x % 256 AS STRING))
+        ELSE NULL END""",
+    # IPV4_MATCH(addr, 'a.b.c.d/n'): compare the n-bit prefixes. All
+    # values are < 2^32 so arithmetic shiftright is exact.
+    """CREATE OR REPLACE TEMPORARY FUNCTION IPV4_MATCH(addr STRING, subnet STRING)
+        RETURNS BOOLEAN RETURN
+          shiftright(IPV4_PARSE(addr),
+                     32 - CAST(split_part(subnet, '/', 2) AS INT))
+          = shiftright(IPV4_PARSE(split_part(subnet, '/', 1)),
+                       32 - CAST(split_part(subnet, '/', 2) AS INT))""",
+    # ---- Multi-value string functions (Druid SQL MV_*) over ARRAY
+    # columns — our representation of Druid multi-value dimensions. ----
+    """CREATE OR REPLACE TEMPORARY FUNCTION MV_LENGTH(a ARRAY<STRING>)
+        RETURNS INT RETURN size(a)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION MV_CONTAINS(a ARRAY<STRING>, x STRING)
+        RETURNS BOOLEAN RETURN array_contains(a, x)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION MV_OVERLAP(a ARRAY<STRING>, b ARRAY<STRING>)
+        RETURNS BOOLEAN RETURN arrays_overlap(a, b)""",
+    # MV_OFFSET is 0-based, MV_ORDINAL 1-based (both NULL out of range).
+    """CREATE OR REPLACE TEMPORARY FUNCTION MV_OFFSET(a ARRAY<STRING>, i INT)
+        RETURNS STRING RETURN try_element_at(a, i + 1)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION MV_ORDINAL(a ARRAY<STRING>, i INT)
+        RETURNS STRING RETURN try_element_at(a, i)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION MV_TO_STRING(a ARRAY<STRING>, d STRING)
+        RETURNS STRING RETURN array_join(a, d)""",
+    # Druid's delimiter is a regex; so is Spark's split().
+    """CREATE OR REPLACE TEMPORARY FUNCTION STRING_TO_MV(s STRING, d STRING)
+        RETURNS ARRAY<STRING> RETURN split(s, d)""",
 ]
 
 _REGISTERED: set[str] = set()
