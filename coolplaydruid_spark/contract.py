@@ -19,6 +19,7 @@ from coolplaydruid_spark.catalog import Catalog, register_fixtures
 from coolplaydruid_spark.engine import DruidEngine
 from coolplaydruid_spark.operators import (
     chunking,
+    classifier,
     corpus,
     dedup,
     embeddings,
@@ -4746,3 +4747,37 @@ def sql_mv_ipv4_suite(spark, sf_dir):
         FROM base
         """
     )
+
+
+@q(
+    "text_classifier_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({DUCK_TOKS}) AS tok FROM documents
+    ), b AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 64 AS bucket
+      FROM toks
+    ), s AS (
+      SELECT doc_id, count(*) AS n,
+             sum(((bucket * 37) % 21 - 10) / 10.0) AS ws
+      FROM b GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_toks,
+           round(-0.1 + coalesce(ws / n, 0), 4) AS margin,
+           round(1 / (1 + exp(-(-0.1 + coalesce(ws / n, 0)))), 4) AS prob
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    """,
+)
+def text_classifier_score(spark, sf_dir):
+    """fastText-style hashed linear classifier scoring (the standard
+    quality/toxicity filter for LLM corpora): 64-bucket model with a
+    fixed synthetic weight vector, inline map-literal path — zero
+    shuffles, whole-stage codegen (operators/classifier.py)."""
+    eng = engine_for(spark, sf_dir)
+    weights = {b: ((b * 37) % 21 - 10) / 10.0 for b in range(64)}
+    df = classifier.hashed_linear_score(
+        eng.catalog.table("documents"), weights, n_buckets=64, bias=-0.1
+    )
+    return _r4(df, "margin", "prob")
