@@ -46,6 +46,29 @@ from coolplaydruid_spark.functions.filters import compile_filter
 _THETA_POST_TYPES = ("thetaSketchEstimate", "thetaSketchSetOp")
 
 
+def _nullsafe_join(left: DataFrame, right: DataFrame, keys: list[str], how: str) -> DataFrame:
+    """Join on ``keys`` with NULL-SAFE equality, keeping the left side's
+    key columns. Group keys are legitimately null (granularity 'all'
+    without intervals keys the single bucket by a null timestamp; null
+    dimension values form real groups) and a plain equi-join would drop
+    those rows' matches."""
+    renamed = right
+    for i, k in enumerate(keys):
+        renamed = renamed.withColumnRenamed(k, f"__rk_{i}")
+    cond = None
+    for i, k in enumerate(keys):
+        c = left[k].eqNullSafe(renamed[f"__rk_{i}"])
+        cond = c if cond is None else (cond & c)
+    joined = left.join(renamed, cond, how)
+    if how == "full":
+        # Right-only rows carry the key only on the right. Under
+        # null-safe matching a right-only row's key can be null ONLY
+        # when no left row had a null key either — so coalesce is exact.
+        for i, k in enumerate(keys):
+            joined = joined.withColumn(k, F.coalesce(left[k], renamed[f"__rk_{i}"]))
+    return joined.drop(*[f"__rk_{i}" for i in range(len(keys))])
+
+
 def _unwrap(spec: dict) -> tuple[str, dict | None] | None:
     """If ``spec`` is a thetaSketch aggregator (possibly wrapped in
     ``filtered``), return (fieldName, filter_spec|None); else None."""
@@ -181,7 +204,9 @@ def theta_frame(
                 F.sum(F.when(expr, 1).otherwise(0)).cast("long").alias(post["name"])
             )
         part = inner.groupBy(*[F.col(k) for k in key_names]).agg(*estimates)
-        out = part if out is None else out.join(part, on=key_names, how="outer")
+        # Full outer across field groups: a group may have values in one
+        # source column and none in another. Null-safe keys — see above.
+        out = part if out is None else _nullsafe_join(out, part, key_names, "full")
 
     fills = {name: 0 for name in split.names}
     return out, fills
@@ -198,7 +223,7 @@ def attach_theta(
     (which owns the complete group set) and fill absent groups — groups
     whose rows all had null sketch values — with 0."""
     tdf, fills = theta_frame(base, key_cols, key_names, split)
-    joined = agg_df.join(tdf, on=key_names, how="left")
+    joined = _nullsafe_join(agg_df, tdf, key_names, "left")
     for name in split.names:
         joined = joined.withColumn(name, F.coalesce(F.col(name), F.lit(0)))
     return joined, fills

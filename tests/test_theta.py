@@ -186,3 +186,94 @@ def test_theta_cross_field_setop_rejected(engine):
                 ],
             }
         ).collect()
+
+
+# ---- property-based differential: random data + random set-op trees ----
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+    TYPES = ["click", "view", "purchase"]
+
+    rows_st = st.lists(
+        st.tuples(st.integers(0, 12), st.sampled_from(TYPES)),
+        min_size=1, max_size=40,
+    )
+
+    def tree_st(depth=2):
+        leaf = st.sampled_from(TYPES)
+        if depth == 0:
+            return leaf
+        sub = tree_st(depth - 1)
+        return st.one_of(
+            leaf,
+            st.tuples(st.sampled_from(["UNION", "INTERSECT", "NOT"]),
+                      st.lists(sub, min_size=2, max_size=3)),
+        )
+
+    def to_post(node):
+        if isinstance(node, str):
+            return {"type": "fieldAccess", "fieldName": f"s_{node}"}
+        func, kids = node
+        return {"type": "thetaSketchSetOp", "func": func,
+                "fields": [to_post(k) for k in kids]}
+
+    def eval_py(node, sets):
+        if isinstance(node, str):
+            return sets[node]
+        func, kids = node
+        parts = [eval_py(k, sets) for k in kids]
+        out = parts[0]
+        for p in parts[1:]:
+            if func == "UNION":
+                out = out | p
+            elif func == "INTERSECT":
+                out = out & p
+            else:
+                out = out - p
+        return out
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=rows_st, tree=tree_st())
+    def test_theta_matches_python_set_algebra(spark, rows, tree):
+        from coolplaydruid_spark.catalog import Catalog
+        from coolplaydruid_spark.engine import DruidEngine
+
+        df = spark.createDataFrame(
+            [(u, t, "2024-01-01T00:00:00") for u, t in rows],
+            "user_id long, event_type string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        cat = Catalog(spark)
+        cat.register("ev", df=df, time_column="ts")
+        eng = DruidEngine(spark, cat)
+        out = eng.plan(
+            {
+                "queryType": "timeseries",
+                "dataSource": "ev",
+                "granularity": "all",
+                "aggregations": [
+                    {"type": "filtered", "name": f"s_{t}",
+                     "filter": {"type": "selector", "dimension": "event_type",
+                                "value": t},
+                     "aggregator": {"type": "thetaSketch", "name": f"s_{t}",
+                                    "fieldName": "user_id"}}
+                    for t in TYPES
+                ],
+                "postAggregations": [
+                    {"type": "thetaSketchEstimate", "name": "est",
+                     "field": to_post(tree)},
+                ],
+            }
+        )
+        row = out.collect()[0]
+        sets = {t: {u for u, et in rows if et == t} for t in TYPES}
+        assert row["est"] == len(eval_py(tree, sets))
+        for t in TYPES:
+            assert row[f"s_{t}"] == len(sets[t])
