@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 import uuid
 from typing import Any
 
@@ -56,7 +57,7 @@ def _iso(v):
 
 class DruidEngine:
     def __init__(self, spark: SparkSession, catalog: Catalog | None = None,
-                 result_cache_entries: int = 1024):
+                 result_cache_entries: int = 1024, metrics_entries: int = 1024):
         self.spark = spark
         self.catalog = catalog or Catalog(spark)
         # ETag-keyed result cache (see execute()); plain FIFO bound —
@@ -64,6 +65,12 @@ class DruidEngine:
         self._result_cache: dict[str, list] = {}
         self._result_cache_max = result_cache_entries
         self._rollups: list[RollupSpec] = []
+        # Per-query metrics ring buffer — the analogue of the reference's
+        # QueryLifecycle.emitLogsAndMetrics (query/query-internal-procedure.md:
+        # 143-189: query/time, success, id, on completion OR failure).
+        from collections import deque
+
+        self._metrics: deque = deque(maxlen=metrics_entries)
 
     # ---- planning -------------------------------------------------------
 
@@ -133,6 +140,33 @@ class DruidEngine:
 
     # ---- execution with the operational contract ------------------------
 
+    def _emit_metrics(self, query: dict, query_id: str, t0: float, *,
+                      success: bool, rows: int | None = None,
+                      cache_hit: bool = False, error: str | None = None) -> None:
+        """Record one query/time metrics row (reference:
+        QueryLifecycle.emitLogsAndMetrics, emitted on completion AND on
+        failure — query/query-internal-procedure.md:143-189)."""
+        self._metrics.append(
+            {
+                "queryId": query_id,
+                "queryType": query.get("queryType"),
+                "dataSource": str(query.get("dataSource")),
+                "success": success,
+                "rows": rows,
+                "cacheHit": cache_hit,
+                "queryTimeMs": round((time.perf_counter() - t0) * 1000.0, 3),
+                "error": error,
+            }
+        )
+
+    def metrics(self, query_id: str | None = None) -> list[dict[str, Any]]:
+        """Recorded query metrics, newest last; optionally filtered by
+        queryId."""
+        out = list(self._metrics)
+        if query_id is not None:
+            out = [m for m in out if m["queryId"] == query_id]
+        return out
+
     def execute(self, query: dict | str) -> list[dict[str, Any]]:
         """Run a query and return Druid-shaped result rows. Applies
         ``context.timeout`` (ms) via job-group cancellation and maps any
@@ -145,6 +179,7 @@ class DruidEngine:
         context = query.get("context") or {}
         query_id = context.get("queryId") or str(uuid.uuid4())
         timeout_ms = context.get("timeout")
+        t0 = time.perf_counter()
         # Rollup routing happens BEFORE the cache key: the ETag must
         # fingerprint the table the query actually reads (the rollup's
         # files), not the base table's — otherwise a base-table change
@@ -168,6 +203,8 @@ class DruidEngine:
         if cache_key and context.get("useCache", True):
             hit = self._result_cache.get(cache_key)
             if hit is not None:
+                self._emit_metrics(query, query_id, t0, success=True,
+                                   rows=len(hit), cache_hit=True)
                 return hit
         sc = self.spark.sparkContext
         sc.setJobGroup(query_id, f"druid query {query_id}", interruptOnCancel=True)
@@ -216,12 +253,19 @@ class DruidEngine:
                 if len(self._result_cache) >= self._result_cache_max:
                     self._result_cache.pop(next(iter(self._result_cache)))
                 self._result_cache[cache_key] = result
+            self._emit_metrics(query, query_id, t0, success=True, rows=len(result))
             return result
-        except DruidQueryError:
+        except DruidQueryError as e:
+            self._emit_metrics(query, query_id, t0, success=False,
+                               error=type(e).__name__)
             raise
         except Exception as e:
             if timed_out.is_set():
+                self._emit_metrics(query, query_id, t0, success=False,
+                                   error="QueryTimeoutError")
                 raise QueryTimeoutError() from e
+            self._emit_metrics(query, query_id, t0, success=False,
+                               error=type(e).__name__)
             raise UnknownQueryError(str(e), error_class=type(e).__name__) from e
         finally:
             if timer:

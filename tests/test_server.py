@@ -365,3 +365,39 @@ def test_sql_endpoint_truncate_one_arg(server):
         "query": "SELECT TRUNCATE(-12.789) AS a, TRUNCATE(-12.789, 2) AS b"})
     assert status == 200
     assert json.loads(body) == [{"a": -12.0, "b": -12.78}]
+
+
+def test_query_metrics_emitted(engine):
+    """emitLogsAndMetrics analogue (query/query-internal-procedure.md:
+    143-189): one metrics row per execute — success, failure, cache hit."""
+    q = {
+        "queryType": "timeseries", "dataSource": "events",
+        "granularity": "day",
+        "aggregations": [{"type": "count", "name": "n"}],
+        "intervals": ["2024-01-01T00:00:00/2024-01-03T00:00:00"],
+        "context": {"queryId": "metrics-test-1"},
+    }
+    engine.execute(q)
+    m = engine.metrics("metrics-test-1")
+    assert len(m) == 1
+    assert m[0]["success"] and m[0]["queryType"] == "timeseries"
+    assert m[0]["rows"] == 2 and m[0]["queryTimeMs"] > 0
+    assert not m[0]["cacheHit"]
+
+    engine.execute(q)  # same ETag → cache hit
+    m = engine.metrics("metrics-test-1")
+    assert len(m) == 2 and m[1]["cacheHit"] and m[1]["rows"] == 2
+
+    import pytest as _pytest
+
+    from coolplaydruid_spark.errors import DruidQueryError
+
+    with _pytest.raises(DruidQueryError):
+        engine.execute({
+            "queryType": "timeseries", "dataSource": "no_such_table",
+            "granularity": "day",
+            "aggregations": [{"type": "count", "name": "n"}],
+            "context": {"queryId": "metrics-test-2"},
+        })
+    m = engine.metrics("metrics-test-2")
+    assert len(m) == 1 and not m[0]["success"] and m[0]["error"]
