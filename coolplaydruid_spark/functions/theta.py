@@ -91,10 +91,35 @@ class ThetaSplit:
     theta_posts: list = field(default_factory=list)
     other_aggs: list = field(default_factory=list)
     other_posts: list = field(default_factory=list)
+    # Synthetic columns created by hoisting theta nodes nested inside
+    # arithmetic/greatest/least post-agg trees; the planner drops them
+    # after compiling other_posts.
+    hoisted: list = field(default_factory=list)
 
     @property
     def names(self) -> list[str]:
         return [*self.sketches, *[p["name"] for p in self.theta_posts]]
+
+
+def _hoist_nested(spec, s: "ThetaSplit") -> dict:
+    """A thetaSketchEstimate/thetaSketchSetOp node nested inside another
+    post-aggregator's field tree (legal in Druid — e.g. an arithmetic
+    ratio of two estimates) is hoisted to its own synthetically-named
+    theta post-agg and replaced in the tree by a fieldAccess reference,
+    so compile_post_aggregator only ever sees numeric nodes. Copies the
+    touched nodes — never mutates the caller's query dict."""
+    if not isinstance(spec, dict):
+        return spec
+    if spec.get("type") in _THETA_POST_TYPES:
+        name = f"__theta_h{len(s.hoisted)}"
+        s.theta_posts.append({**spec, "name": name})
+        s.hoisted.append(name)
+        return {"type": "fieldAccess", "fieldName": name}
+    if isinstance(spec.get("fields"), list):
+        spec = {**spec, "fields": [_hoist_nested(f, s) for f in spec["fields"]]}
+    if isinstance(spec.get("field"), dict):
+        spec = {**spec, "field": _hoist_nested(spec["field"], s)}
+    return spec
 
 
 def split_query(query: dict) -> ThetaSplit:
@@ -109,7 +134,7 @@ def split_query(query: dict) -> ThetaSplit:
         if spec.get("type") in _THETA_POST_TYPES:
             s.theta_posts.append(spec)
         else:
-            s.other_posts.append(spec)
+            s.other_posts.append(_hoist_nested(spec, s))
     if s.theta_posts and not s.sketches:
         raise ValueError("thetaSketch post-aggregators require thetaSketch aggregators")
     return s

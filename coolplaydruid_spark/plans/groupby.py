@@ -87,6 +87,7 @@ def plan_groupby(engine, query: dict) -> DataFrame:
     out = out.drop(*drop_cols)
     for name, col in compile_post_aggregators(tsplit.other_posts):
         out = out.withColumn(name, col)
+    out = out.drop(*tsplit.hoisted)
 
     having = compile_having(query.get("having"))
     if having is not None:

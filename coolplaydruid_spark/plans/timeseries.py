@@ -101,6 +101,7 @@ def plan_timeseries(engine, query: dict) -> DataFrame:
     agg_df = agg_df.drop(*drop_cols)
     for name, col in compile_post_aggregators(tsplit.other_posts):
         agg_df = agg_df.withColumn(name, col)
+    agg_df = agg_df.drop(*tsplit.hoisted)
 
     order = F.col(BUCKET).desc() if query.get("descending") else F.col(BUCKET).asc()
     out = agg_df.orderBy(order)

@@ -24,6 +24,7 @@ from coolplaydruid_spark.functions.aggregators import compile_aggregators
 from coolplaydruid_spark.functions.extraction import dimension_column
 from coolplaydruid_spark.functions.granularity import parse_granularity, parse_interval
 from coolplaydruid_spark.functions.postaggs import compile_post_aggregators
+from coolplaydruid_spark.functions.theta import attach_theta, split_query
 from coolplaydruid_spark.plans.common import BUCKET, filtered_frame, grouped_agg
 
 
@@ -58,10 +59,25 @@ def plan_topn(engine, query: dict) -> DataFrame:
     else:
         bucket = gran.bucket(F.col(TIME_COLUMN)).alias(BUCKET)
 
-    aggs = compile_aggregators(query.get("aggregations"), context, df=base)
+    # thetaSketch aggregators (legal in topN — e.g. rank dimensions by
+    # distinct-user overlap) plan as the same separate two-level
+    # aggregation as timeseries/groupBy, joined back on (bucket, dim).
+    tsplit = split_query(query)
+    agg_specs, drop_cols = tsplit.other_aggs, []
+    if tsplit.sketches and not agg_specs:
+        agg_specs = [{"type": "count", "name": "__theta_rows"}]
+        drop_cols = ["__theta_rows"]
+
+    aggs = compile_aggregators(agg_specs, context, df=base)
     out = grouped_agg(base, [bucket, dim_col.alias(dim_name)], [BUCKET, dim_name], aggs)
-    for name, col in compile_post_aggregators(query.get("postAggregations")):
+    if tsplit.sketches:
+        out, _tf = attach_theta(
+            out, base, [bucket, dim_col.alias(dim_name)], [BUCKET, dim_name], tsplit
+        )
+    out = out.drop(*drop_cols)
+    for name, col in compile_post_aggregators(tsplit.other_posts):
         out = out.withColumn(name, col)
+    out = out.drop(*tsplit.hoisted)
 
     metric = query.get("metric")
     ps = _previous_stop(metric)

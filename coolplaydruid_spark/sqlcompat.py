@@ -186,13 +186,18 @@ _DEFS = [
                  CAST(x % 256 AS STRING))
         ELSE NULL END""",
     # IPV4_MATCH(addr, 'a.b.c.d/n'): compare the n-bit prefixes. All
-    # values are < 2^32 so arithmetic shiftright is exact.
+    # values are < 2^32 so arithmetic shiftright is exact. Druid returns
+    # FALSE for an unparseable address (not NULL), and a malformed
+    # subnet must fail soft: try_cast keeps a missing '/n' from
+    # throwing under ANSI mode, and coalesce(..., false) converts the
+    # resulting NULL comparison to FALSE.
     """CREATE OR REPLACE TEMPORARY FUNCTION IPV4_MATCH(addr STRING, subnet STRING)
-        RETURNS BOOLEAN RETURN
+        RETURNS BOOLEAN RETURN COALESCE(
           shiftright(IPV4_PARSE(addr),
-                     32 - CAST(split_part(subnet, '/', 2) AS INT))
+                     32 - TRY_CAST(split_part(subnet, '/', 2) AS INT))
           = shiftright(IPV4_PARSE(split_part(subnet, '/', 1)),
-                       32 - CAST(split_part(subnet, '/', 2) AS INT))""",
+                       32 - TRY_CAST(split_part(subnet, '/', 2) AS INT)),
+          false)""",
     # ---- Multi-value string functions (Druid SQL MV_*) over ARRAY
     # columns — our representation of Druid multi-value dimensions. ----
     """CREATE OR REPLACE TEMPORARY FUNCTION MV_LENGTH(a ARRAY<STRING>)
@@ -201,11 +206,18 @@ _DEFS = [
         RETURNS BOOLEAN RETURN array_contains(a, x)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION MV_OVERLAP(a ARRAY<STRING>, b ARRAY<STRING>)
         RETURNS BOOLEAN RETURN arrays_overlap(a, b)""",
-    # MV_OFFSET is 0-based, MV_ORDINAL 1-based (both NULL out of range).
+    # MV_OFFSET is 0-based, MV_ORDINAL 1-based; Druid returns NULL for
+    # ALL out-of-range indexes including negative ones. The explicit
+    # sign guards matter: try_element_at(a, 0) throws
+    # INVALID_INDEX_OF_ZERO (so MV_OFFSET(a,-1) / MV_ORDINAL(a,0) would
+    # abort the query), and more-negative indexes would silently index
+    # from the END of the array via Spark's negative-index semantics.
     """CREATE OR REPLACE TEMPORARY FUNCTION MV_OFFSET(a ARRAY<STRING>, i INT)
-        RETURNS STRING RETURN try_element_at(a, i + 1)""",
+        RETURNS STRING RETURN
+          CASE WHEN i < 0 THEN NULL ELSE try_element_at(a, i + 1) END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION MV_ORDINAL(a ARRAY<STRING>, i INT)
-        RETURNS STRING RETURN try_element_at(a, i)""",
+        RETURNS STRING RETURN
+          CASE WHEN i <= 0 THEN NULL ELSE try_element_at(a, i) END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION MV_TO_STRING(a ARRAY<STRING>, d STRING)
         RETURNS STRING RETURN array_join(a, d)""",
     # Druid's delimiter is a regex; so is Spark's split().

@@ -238,3 +238,30 @@ def test_druid_sql_time_function_edges(engine):
         "SELECT LOOKUP('k','esc_lkp') AS a, LOOKUP('q','esc_lkp') AS b"
     ).collect()[0]
     assert row.a == "C:\\path\\" and row.b == "it's"
+
+
+def test_mv_index_and_ipv4_match_edges(engine):
+    """Druid returns NULL for ALL out-of-range MV indexes including
+    negative ones (Spark's try_element_at would throw on 0 and index
+    from the END on negatives), and IPV4_MATCH fails soft: FALSE for an
+    unparseable address, NULL-not-abort for a malformed subnet."""
+    r = engine.sql("""
+        SELECT MV_OFFSET(array('a','b','c'), -1) AS off_neg1,
+               MV_OFFSET(array('a','b','c'), -2) AS off_neg2,
+               MV_OFFSET(array('a','b','c'), 3) AS off_past,
+               MV_OFFSET(array('a','b','c'), 0) AS off_first,
+               MV_ORDINAL(array('a','b','c'), 0) AS ord_zero,
+               MV_ORDINAL(array('a','b','c'), -1) AS ord_neg,
+               MV_ORDINAL(array('a','b','c'), 1) AS ord_first,
+               IPV4_MATCH('not.an.ip', '10.0.0.0/8') AS bad_addr,
+               IPV4_MATCH('10.1.2.3', 'garbage') AS bad_subnet,
+               IPV4_MATCH('10.1.2.3', '10.0.0.0') AS no_slash,
+               IPV4_MATCH('10.1.2.3', '10.0.0.0/8') AS hit,
+               IPV4_MATCH('11.1.2.3', '10.0.0.0/8') AS miss
+    """).collect()[0]
+    assert r.off_neg1 is None and r.off_neg2 is None and r.off_past is None
+    assert r.off_first == "a"
+    assert r.ord_zero is None and r.ord_neg is None and r.ord_first == "a"
+    assert r.bad_addr is False
+    assert r.bad_subnet is False and r.no_slash is False
+    assert r.hit is True and r.miss is False

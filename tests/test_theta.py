@@ -277,3 +277,91 @@ if HAVE_HYP:
         assert row["est"] == len(eval_py(tree, sets))
         for t in TYPES:
             assert row[f"s_{t}"] == len(sets[t])
+
+
+def test_theta_in_topn(engine, duck):
+    """A topN ranked by a thetaSketch estimate (legal in Druid): the
+    two-level theta plan joins onto the per-dimension frame and the
+    estimate serves as the ranking metric."""
+    df = engine.plan(
+        {
+            "queryType": "topN",
+            "dataSource": "events",
+            "dimension": "event_type",
+            "threshold": 3,
+            "metric": "users",
+            "granularity": "all",
+            "intervals": IV,
+            "aggregations": [
+                {"type": "count", "name": "n"},
+                {"type": "thetaSketch", "name": "users", "fieldName": "user_id"},
+            ],
+        }
+    )
+    got = [(r["event_type"], r["users"], r["n"]) for r in df.collect()]
+    exp = duck.execute(
+        """
+        SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-04'
+        GROUP BY 1 ORDER BY users DESC, event_type ASC LIMIT 3
+        """
+    ).fetchall()
+    assert got == [(t, u, n) for t, u, n in exp]
+
+
+def test_theta_nested_in_arithmetic_postagg(engine):
+    """A thetaSketchEstimate nested inside an arithmetic post-agg's
+    fields (legal in Druid — e.g. overlap RATIO) is hoisted to its own
+    synthetic estimate and referenced by fieldAccess; the synthetic
+    column does not leak into the result."""
+    df = engine.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "all",
+            "intervals": IV,
+            "aggregations": [_theta("a", "click"), _theta("b", "view")],
+            "postAggregations": [
+                {
+                    "type": "arithmetic", "name": "overlap_ratio", "fn": "quotient",
+                    "fields": [
+                        {"type": "thetaSketchEstimate",
+                         "field": {"type": "thetaSketchSetOp", "func": "INTERSECT",
+                                   "fields": [{"type": "fieldAccess", "fieldName": "a"},
+                                              {"type": "fieldAccess", "fieldName": "b"}]}},
+                        {"type": "thetaSketchEstimate",
+                         "field": {"type": "thetaSketchSetOp", "func": "UNION",
+                                   "fields": [{"type": "fieldAccess", "fieldName": "a"},
+                                              {"type": "fieldAccess", "fieldName": "b"}]}},
+                    ],
+                },
+            ],
+        }
+    )
+    row = df.collect()[0]
+    assert not any(c.startswith("__theta_h") for c in df.columns)
+    assert 0.0 < row["overlap_ratio"] < 1.0
+    # Jaccard identity recomputed from the named estimates via a second
+    # query with explicit top-level set ops.
+    df2 = engine.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "all",
+            "intervals": IV,
+            "aggregations": [_theta("a", "click"), _theta("b", "view")],
+            "postAggregations": [
+                {"type": "thetaSketchEstimate", "name": "i",
+                 "field": {"type": "thetaSketchSetOp", "func": "INTERSECT",
+                           "fields": [{"type": "fieldAccess", "fieldName": "a"},
+                                      {"type": "fieldAccess", "fieldName": "b"}]}},
+                {"type": "thetaSketchEstimate", "name": "u",
+                 "field": {"type": "thetaSketchSetOp", "func": "UNION",
+                           "fields": [{"type": "fieldAccess", "fieldName": "a"},
+                                      {"type": "fieldAccess", "fieldName": "b"}]}},
+            ],
+        }
+    )
+    r2 = df2.collect()[0]
+    assert row["overlap_ratio"] == pytest.approx(r2["i"] / r2["u"])
