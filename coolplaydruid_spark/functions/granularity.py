@@ -206,37 +206,45 @@ class Granularity:
             .replace(tzinfo=None)
         )
 
-    # Hard cap on zero-fill spine cardinality: the spine is built on the
-    # driver, one datetime per bucket — a sub-second duration over a wide
-    # interval without skipEmptyBuckets would otherwise loop for minutes
-    # and allocate GBs before the query even plans. Druid's own result-row
-    # limits play the same resource-guard role.
+    # Default cap on zero-fill spine cardinality: the spine is built on
+    # the driver, one datetime per bucket — a sub-second duration over a
+    # wide interval without skipEmptyBuckets would otherwise loop for
+    # minutes and allocate GBs before the query even plans. Raises the
+    # Druid "Resource limit exceeded" envelope (errors.py), matching
+    # Druid's own resource-guard behavior for over-limit queries;
+    # per-query override via context.maxZeroFillBuckets.
     MAX_SPINE_BUCKETS = 1_000_000
 
-    def buckets_in(self, start: datetime, end: datetime) -> list[datetime]:
+    def buckets_in(
+        self, start: datetime, end: datetime, max_buckets: int | None = None
+    ) -> list[datetime]:
         """All bucket starts for buckets intersecting [start, end) —
         the zero-fill spine (query/query-timeseries.md:74-95: every bucket
         inside the queried intervals appears in the result)."""
+        from coolplaydruid_spark.errors import ResourceLimitExceededError
+
+        cap = self.MAX_SPINE_BUCKETS if max_buckets is None else int(max_buckets)
         if self.kind in ("all", "none"):
             raise ValueError("spine only defined for bucketing granularities")
         if self.kind == "duration":
             est = ((end - start).total_seconds() * 1000) / self.duration_ms
-            if est > self.MAX_SPINE_BUCKETS:
-                raise ValueError(
+            if est > cap:
+                raise ResourceLimitExceededError(
                     f"zero-fill spine would have ~{int(est)} buckets "
-                    f"(cap {self.MAX_SPINE_BUCKETS}); narrow the interval, "
-                    "coarsen the granularity, or set skipEmptyBuckets"
+                    f"(cap {cap}); narrow the interval, coarsen the "
+                    "granularity, set skipEmptyBuckets, or raise "
+                    "context.maxZeroFillBuckets"
                 )
         out = []
         b = self.bucket_py(start)
         while b < end:
             out.append(b)
             b = self.next_bucket_py(b)
-            if len(out) > self.MAX_SPINE_BUCKETS:
-                raise ValueError(
-                    f"zero-fill spine exceeds {self.MAX_SPINE_BUCKETS} buckets; "
-                    "narrow the interval, coarsen the granularity, or set "
-                    "skipEmptyBuckets"
+            if len(out) > cap:
+                raise ResourceLimitExceededError(
+                    f"zero-fill spine exceeds {cap} buckets; narrow the "
+                    "interval, coarsen the granularity, set "
+                    "skipEmptyBuckets, or raise context.maxZeroFillBuckets"
                 )
         return out
 

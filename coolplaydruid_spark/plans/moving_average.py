@@ -45,7 +45,13 @@ from coolplaydruid_spark.functions.aggregators import compile_aggregators
 from coolplaydruid_spark.functions.extraction import dimension_column
 from coolplaydruid_spark.functions.granularity import parse_granularity, parse_interval
 from coolplaydruid_spark.functions.postaggs import compile_post_aggregators
-from coolplaydruid_spark.plans.common import BUCKET, bucket_spine, filtered_frame, grouped_agg
+from coolplaydruid_spark.plans.common import (
+    BUCKET,
+    ZERO_FILL_BROADCAST_MAX,
+    bucket_spine,
+    filtered_frame,
+    grouped_agg,
+)
 
 _AVERAGER_FNS = {
     "doubleMean": F.avg,
@@ -116,13 +122,16 @@ def plan_moving_average(engine, query: dict) -> DataFrame:
     # must see explicit zero rows for empty buckets (fixed denominator).
     # Both sides of the cross join are aggregated-cardinality, and the
     # spine side is broadcast.
-    spine = bucket_spine(engine.spark, gran, expanded)
+    spine, n_buckets = bucket_spine(
+        engine.spark, gran, expanded, max_buckets=context.get("maxZeroFillBuckets")
+    )
+    small = n_buckets <= ZERO_FILL_BROADCAST_MAX
     if dim_names:
         combos = agg_df.select(*dim_names).distinct()
-        grid = combos.crossJoin(F.broadcast(spine))
+        grid = combos.crossJoin(F.broadcast(spine) if small else spine)
         filled = grid.join(agg_df, on=[BUCKET, *dim_names], how="left")
     else:
-        filled = spine.join(F.broadcast(agg_df), on=BUCKET, how="left")
+        filled = spine.join(F.broadcast(agg_df) if small else agg_df, on=BUCKET, how="left")
     fill_cols = [F.col(BUCKET), *[F.col(d) for d in dim_names]]
     for name, fill in aggs.fills.items():
         c = F.col(name) if fill is None else F.coalesce(F.col(name), F.lit(fill))
@@ -144,8 +153,14 @@ def plan_moving_average(engine, query: dict) -> DataFrame:
         filled = filled.withColumn(av["name"], fn(F.col(av["fieldName"])).over(w))
 
     # Trim the warm-up buckets: keep only buckets of the ORIGINAL
-    # intervals' spine (tiny, broadcast semi-join).
-    orig_spine = bucket_spine(engine.spark, gran, intervals)
-    out = filled.join(F.broadcast(orig_spine), on=BUCKET, how="left_semi")
+    # intervals' spine (tiny, broadcast semi-join; hint dropped for
+    # pathological spine sizes so AQE decides).
+    orig_spine, n_orig = bucket_spine(
+        engine.spark, gran, intervals, max_buckets=context.get("maxZeroFillBuckets")
+    )
+    out = filled.join(
+        F.broadcast(orig_spine) if n_orig <= ZERO_FILL_BROADCAST_MAX else orig_spine,
+        on=BUCKET, how="left_semi",
+    )
     order = F.col(BUCKET).desc() if query.get("descending") else F.col(BUCKET).asc()
     return out.orderBy(order, *[F.col(d) for d in dim_names])

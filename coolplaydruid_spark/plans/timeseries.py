@@ -95,8 +95,11 @@ def plan_timeseries(engine, query: dict) -> DataFrame:
             fills = {**fills, **theta_fills}
         skip_empty = bool(context.get("skipEmptyBuckets"))
         if not skip_empty and query.get("intervals"):
-            spine = bucket_spine(engine.spark, gran, _intervals(query))
-            agg_df = zero_fill(agg_df, spine, fills)
+            spine, n_buckets = bucket_spine(
+                engine.spark, gran, _intervals(query),
+                max_buckets=context.get("maxZeroFillBuckets"),
+            )
+            agg_df = zero_fill(agg_df, spine, fills, spine_rows=n_buckets)
 
     agg_df = agg_df.drop(*drop_cols)
     for name, col in compile_post_aggregators(tsplit.other_posts):

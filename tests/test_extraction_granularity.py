@@ -347,11 +347,45 @@ def test_subsecond_spine_capped():
 
     import pytest as _pt
 
+    from coolplaydruid_spark.errors import ResourceLimitExceededError
     from coolplaydruid_spark.functions.granularity import parse_granularity
 
     g = parse_granularity({"type": "duration", "duration": 1})  # 1 ms
-    with _pt.raises(ValueError, match="spine"):
+    with _pt.raises(ResourceLimitExceededError, match="spine"):
         g.buckets_in(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 3))
+    # per-query override: the same spine builds under a raised cap
+    assert len(g.buckets_in(
+        dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 1, 0, 0, 1),
+        max_buckets=2_000,
+    )) == 1000
+
+
+def test_fine_granularity_long_interval_resource_limit(engine):
+    """Verdict round-4 item 1: a second-granularity query over a year
+    (~31.5M buckets) must return Druid's 'Resource limit exceeded'
+    envelope instead of attempting a multi-GB spine broadcast."""
+    import pytest as _pt
+
+    from coolplaydruid_spark.errors import ResourceLimitExceededError
+
+    q = {
+        "queryType": "timeseries",
+        "dataSource": "events",
+        "granularity": "second",
+        "aggregations": [{"type": "count", "name": "n"}],
+        "intervals": ["2024-01-01T00:00:00/2025-01-01T00:00:00"],
+    }
+    with _pt.raises(ResourceLimitExceededError, match="spine"):
+        engine.plan(q)
+    env = ResourceLimitExceededError("x").envelope()
+    assert env["error"] == "Resource limit exceeded"
+    # skipEmptyBuckets sidesteps the spine entirely — same query runs
+    q_skip = dict(q, context={"skipEmptyBuckets": True})
+    assert engine.plan(q_skip).count() > 0
+    # tight per-query cap override trips even a day-granularity spine
+    q_tight = dict(q, granularity="day", context={"maxZeroFillBuckets": 10})
+    with _pt.raises(ResourceLimitExceededError):
+        engine.plan(q_tight)
 
 
 def test_bucket_extraction(spark):
