@@ -4338,6 +4338,57 @@ def timeseries_rollup_routed(spark, sf_dir):
 
 
 @q(
+    "timeseries_rollup_filtered_agg",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_bucket,
+           CAST(count(*) AS BIGINT) AS rows,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,
+           round(COALESCE(sum(value) FILTER (WHERE event_type = 'purchase'), 0), 4)
+             AS purchase_total
+    FROM events
+    WHERE {EVENTS_WHERE}
+    GROUP BY 1
+    """,
+)
+def timeseries_rollup_filtered_agg(spark, sf_dir):
+    """FILTERED aggregators routed to the hourly rollup: a filter over a
+    preserved dimension selects whole rollup rows (they partition the
+    raw rows by that dimension), so filtered count → filtered
+    longSum(cnt) and filtered doubleSum → filtered sum-of-sums rewrite
+    losslessly. The oracle reads raw events; Spark reads the rollup
+    (routing asserted in tests/test_rollup_routing.py)."""
+    eng = _rollup_engine(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "day",
+            "aggregations": [
+                {"type": "count", "name": "rows"},
+                {
+                    "type": "filtered",
+                    "name": "clicks",
+                    "filter": {"type": "selector", "dimension": "event_type",
+                               "value": "click"},
+                    "aggregator": {"type": "count", "name": "clicks"},
+                },
+                {
+                    "type": "filtered",
+                    "name": "purchase_total",
+                    "filter": {"type": "selector", "dimension": "event_type",
+                               "value": "purchase"},
+                    "aggregator": {"type": "doubleSum", "name": "purchase_total",
+                                   "fieldName": "value"},
+                },
+            ],
+            "intervals": EVENTS_INTERVAL,
+            "context": {"skipEmptyBuckets": True},
+        }
+    )
+    return _r4(df, "purchase_total")
+
+
+@q(
     "groupby_js_postagg",
     f"""
     SELECT event_type,

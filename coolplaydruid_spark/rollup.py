@@ -146,6 +146,27 @@ class RollupSpec:
         atype = spec.get("type")
         name = spec.get("name")
         fn = spec.get("fieldName")
+        if atype == "filtered":
+            # A filtered aggregator whose filter touches only preserved
+            # dimensions rewrites exactly: the rollup groups by those
+            # dimensions, so its rows PARTITION the raw rows by filter
+            # outcome — filtering rollup rows selects precisely the
+            # pre-aggregates of the matching raw rows, and the inner
+            # re-aggregation (sum-of-sums, min-of-mins, sketch union)
+            # runs over them unchanged.
+            if not self._filter_dims_ok(spec.get("filter")):
+                return None
+            inner_spec = dict(spec.get("aggregator") or {})
+            inner_spec.setdefault("name", name or inner_spec.get("name"))
+            inner = self._rewrite_agg(inner_spec)
+            if inner is None:
+                return None
+            return {
+                "type": "filtered",
+                "name": name or inner.get("name"),
+                "filter": spec["filter"],
+                "aggregator": inner,
+            }
         if atype == "count":
             if self._count_metric is None:
                 return None

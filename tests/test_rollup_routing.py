@@ -263,3 +263,49 @@ def test_etag_tracks_rollup_table_and_unregister_restores_raw(rolled_engine):
             base="events", table="events_hourly", granularity="hour",
             dimensions={"event_type"}, aggregations=ROLLUP_AGGS,
         ))
+
+
+def test_filtered_aggregators_route(rolled_engine):
+    """A filtered aggregator whose filter touches only preserved
+    dimensions routes: filtered count → filtered longSum(cnt), filtered
+    doubleSum → filtered sum-of-sums. A filter on a dropped dimension
+    blocks routing for the whole query."""
+    q = {
+        "queryType": "timeseries",
+        "dataSource": "events",
+        "granularity": "day",
+        "aggregations": [
+            {"type": "count", "name": "rows"},
+            {"type": "filtered", "name": "clicks",
+             "filter": {"type": "selector", "dimension": "event_type",
+                        "value": "click"},
+             "aggregator": {"type": "count", "name": "clicks"}},
+            {"type": "filtered", "name": "click_total",
+             "filter": {"type": "in", "dimension": "event_type",
+                        "values": ["click", "view"]},
+             "aggregator": {"type": "doubleSum", "name": "click_total",
+                            "fieldName": "value"}},
+        ],
+        "intervals": ["2024-01-01T00:00:00/2024-01-08T00:00:00"],
+        "context": {"skipEmptyBuckets": True},
+    }
+    routed = rolled_engine.plan(q)
+    assert _reads_rollup(routed)
+    raw = rolled_engine.plan(
+        dict(q, context={"skipEmptyBuckets": True, "useRollup": False})
+    )
+    assert not _reads_rollup(raw)
+    r1 = [(r.ts_bucket, r.rows, r.clicks, round(r.click_total, 6))
+          for r in routed.collect()]
+    r2 = [(r.ts_bucket, r.rows, r.clicks, round(r.click_total, 6))
+          for r in raw.collect()]
+    assert r1 == r2 and len(r1) == 7
+
+    # filter over a DROPPED dimension inside the filtered agg → raw
+    blocked = dict(q)
+    blocked["aggregations"] = [
+        {"type": "filtered", "name": "x",
+         "filter": {"type": "selector", "dimension": "props", "value": "y"},
+         "aggregator": {"type": "count", "name": "x"}},
+    ]
+    assert not _reads_rollup(rolled_engine.plan(blocked))
