@@ -4195,6 +4195,62 @@ def timeseries_virtual_column(spark, sf_dir):
 
 
 @q(
+    "timeseries_virtual_column_druid_expr",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_bucket,
+           CAST(count(*) AS BIGINT) AS rows,
+           round(sum(value), 4) AS evening_total
+    FROM events
+    WHERE {EVENTS_WHERE}
+      AND hour(ts) >= 18 AND user_id % 2 = 0
+    GROUP BY 1
+    """,
+)
+def timeseries_virtual_column_druid_expr(spark, sf_dir):
+    """virtualColumns written in DRUID'S OWN expression dialect
+    (functions/druidexpr.py): timestamp_extract over timestamp_floor of
+    __time, Druid's long % long arithmetic, and 1/0 boolean outputs —
+    a real Druid query runs unmodified. Both virtual columns feed the
+    FILTER (bound + selector on the computed values); the oracle
+    recomputes from raw SQL."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "day",
+            "virtualColumns": [
+                {
+                    "type": "expression",
+                    "name": "hod",
+                    "expression": "timestamp_extract(timestamp_floor(__time, 'PT1H'), 'HOUR')",
+                },
+                {
+                    "type": "expression",
+                    "name": "is_even_user",
+                    "expression": "user_id % 2 == 0",
+                },
+            ],
+            "filter": {
+                "type": "and",
+                "fields": [
+                    {"type": "bound", "dimension": "hod", "lower": "18",
+                     "ordering": "numeric"},
+                    {"type": "selector", "dimension": "is_even_user", "value": "1"},
+                ],
+            },
+            "aggregations": [
+                {"type": "count", "name": "rows"},
+                {"type": "doubleSum", "name": "evening_total", "fieldName": "value"},
+            ],
+            "intervals": EVENTS_INTERVAL,
+            "context": {"skipEmptyBuckets": True},
+        }
+    )
+    return _r4(df, "evening_total")
+
+
+@q(
     "groupby_virtual_dimension",
     f"""
     SELECT CASE WHEN value > 50 THEN 'high' ELSE 'low' END AS band,

@@ -1,0 +1,670 @@
+"""Druid-native expression language front-end.
+
+Druid virtual columns, transforms, and expression filters are written in
+Druid's own expression dialect (public ``math-expr`` docs; the reference
+declares expression virtual columns as part of the query surface,
+query/query-module-overview.md:20-33). This module is a recursive-descent
+parser that COMPILES that dialect to native Spark Columns — the same
+pattern as jsexpr.py for JavaScript sources — so a real Druid query's
+``timestamp_floor(__time,'PT1H')`` or ``nvl(x,'-')`` runs unmodified,
+inside whole-stage codegen, with zero per-row interpretation.
+
+Supported surface (the practical Druid expression subset):
+ - operators: ``||  &&  <  <=  >  >=  ==  !=  +  -  *  /  %  ^``
+   (``^`` is POWER — Druid, not Spark SQL where it is XOR), unary
+   ``-`` and ``!``, parentheses, ternary-free (Druid uses ``if()``);
+ - literals: longs, doubles, ``'strings'`` (backslash escapes), null;
+   identifiers plain or ``"double-quoted"``;
+ - general: ``cast(expr,'LONG'|'DOUBLE'|'STRING')``, ``if``, ``nvl``,
+   ``isnull``, ``notnull``, ``case_searched``, ``case_simple``,
+   ``like(expr, pattern[, escape])``;
+ - strings: ``concat``, ``lower``, ``upper``, ``strlen``,
+   ``strpos(haystack, needle)`` (0-based, -1 absent — Druid),
+   ``substring(expr, index, length)`` (0-based, -1 = to end),
+   ``left``, ``right``, ``replace`` (all occurrences, literal),
+   ``trim``/``ltrim``/``rtrim``, ``repeat``, ``parse_long``,
+   ``regexp_extract``, ``regexp_like``, ``contains_string``,
+   ``icontains_string``;
+ - time: ``timestamp_floor(t, period[, origin[, tz]])``,
+   ``timestamp_ceil``, ``timestamp_shift(t, period, step[, tz])``,
+   ``timestamp_extract(t, unit[, tz])``, ``timestamp_parse``,
+   ``timestamp_format``, ``unix_timestamp``;
+ - math: ``abs ceil floor exp ln log10 sqrt sin cos tan pow min max
+   round div pi signum cbrt atan2 hypot``.
+
+Type semantics follow Druid: long/long arithmetic stays long
+(``7/2 == 3`` — integral division), any double operand widens to
+double, ``+`` concatenates when either side is a string, comparisons
+and logical operators yield 1/0 longs. One documented divergence:
+Druid models ``__time`` as epoch-millis LONG; here time-typed columns
+stay Spark timestamps through the time functions (floor/ceil/shift are
+type-preserving), and ``cast(t,'LONG')``/``timestamp_parse`` convert
+explicitly — millis-long inputs get exact Druid behavior.
+
+Out-of-subset sources raise ``DruidExprError``; the virtualColumns
+planner falls back to the Spark SQL dialect (plans/common.py), which
+remains fully supported.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class DruidExprError(ValueError):
+    """The source is not a compilable Druid expression."""
+
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:"
+    r"(?P<num>\d+\.\d*(?:[eE][-+]?\d+)?|\.\d+(?:[eE][-+]?\d+)?|\d+[eE][-+]?\d+|\d+)"
+    r"|(?P<str>'(?:[^'\\]|\\.)*')"
+    r"|(?P<qid>\"(?:[^\"\\]|\\.)*\")"
+    r"|(?P<ident>[A-Za-z_$][A-Za-z0-9_$]*)"
+    r"|(?P<op>==|!=|<=|>=|&&|\|\||[-+*/%^!<>(),])"
+    r")"
+)
+
+
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    toks, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            if src[pos:].strip() == "":
+                break
+            raise DruidExprError(f"unexpected character at: {src[pos:pos+20]!r}")
+        pos = m.end()
+        for kind in ("num", "str", "qid", "ident", "op"):
+            if m.group(kind) is not None:
+                toks.append((kind, m.group(kind)))
+                break
+    toks.append(("eof", ""))
+    return toks
+
+
+class _Val:
+    """Compiled expression: Column + static type tag
+    ('long' | 'num' | 'str' | 'bool' | 'time' | 'unknown') + the Python
+    value when the node is a literal (functions like timestamp_floor
+    need driver-side literals for period parsing)."""
+
+    __slots__ = ("col", "tag", "pyval", "is_lit")
+
+    def __init__(self, col: Column, tag: str, pyval=None, is_lit: bool = False):
+        self.col = col
+        self.tag = tag
+        self.pyval = pyval
+        self.is_lit = is_lit
+
+
+def _num(v: _Val) -> Column:
+    """Operand under numeric context: bools count 1/0 (Druid's numeric
+    booleans), strings coerce best-effort."""
+    if v.tag == "bool":
+        return v.col.cast("long")
+    if v.tag == "str":
+        return v.col.cast("double")
+    return v.col
+
+
+def _truthy(v: _Val) -> Column:
+    if v.tag == "bool":
+        return v.col
+    if v.tag == "str":
+        return v.col.isNotNull() & (v.col != "")
+    return _num(v).isNotNull() & (_num(v) != 0)
+
+
+def _both_long(a: _Val, b: _Val) -> bool:
+    return a.tag in ("long", "bool") and b.tag in ("long", "bool")
+
+
+def _as_str(v: _Val) -> Column:
+    return v.col.cast("string")
+
+
+def _req_lit(v: _Val, what: str):
+    if not v.is_lit:
+        raise DruidExprError(f"{what} must be a literal")
+    return v.pyval
+
+
+# ISO-8601 period for shift arithmetic: calendar part (Y/M) via
+# make_interval months, fixed part (W/D/H/M/S) via exact millis.
+_PERIOD_RE = re.compile(
+    r"^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?"
+    r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
+)
+
+
+def _period_parts(p: str) -> tuple[int, int]:
+    m = _PERIOD_RE.match(p)
+    if not m or p in ("P", "PT"):
+        raise DruidExprError(f"bad period {p!r}")
+    y, mo, w, d, h, mi, s = m.groups()
+    months = int(y or 0) * 12 + int(mo or 0)
+    ms = (
+        int(w or 0) * 604800000
+        + int(d or 0) * 86400000
+        + int(h or 0) * 3600000
+        + int(mi or 0) * 60000
+        + int(round(float(s or 0) * 1000))
+    )
+    return months, ms
+
+
+def _shift_col(t: Column, period: str, n: int) -> Column:
+    months, ms = _period_parts(period)
+    out = t
+    if months:
+        out = out + F.make_interval(months=F.lit(months * n))
+    if ms:
+        out = F.timestamp_millis(F.unix_millis(out) + ms * n)
+    return out
+
+
+def _gran_for(period: str, origin, tz) -> "object":
+    from coolplaydruid_spark.functions.granularity import parse_granularity
+
+    spec: dict = {"type": "period", "period": period}
+    if tz is not None:
+        spec["timeZone"] = tz
+    if origin is not None:
+        spec["origin"] = origin
+    return parse_granularity(spec)
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]], resolve):
+        self.toks = toks
+        self.i = 0
+        self.resolve = resolve  # name -> _Val for column identifiers
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def eat(self, value: str):
+        kind, v = self.next()
+        if v != value:
+            raise DruidExprError(f"expected {value!r}, got {v!r}")
+
+    def try_eat(self, value: str) -> bool:
+        if self.peek()[1] == value:
+            self.i += 1
+            return True
+        return False
+
+    # --- precedence climbing: || < && < cmp < add < mul < pow < unary ---
+
+    def expr(self) -> _Val:
+        return self.logical_or()
+
+    def logical_or(self) -> _Val:
+        left = self.logical_and()
+        while self.try_eat("||"):
+            right = self.logical_and()
+            left = _Val(_truthy(left) | _truthy(right), "bool")
+        return left
+
+    def logical_and(self) -> _Val:
+        left = self.comparison()
+        while self.try_eat("&&"):
+            right = self.comparison()
+            left = _Val(_truthy(left) & _truthy(right), "bool")
+        return left
+
+    def comparison(self) -> _Val:
+        left = self.additive()
+        while self.peek()[1] in ("<", "<=", ">", ">=", "==", "!="):
+            op = self.next()[1]
+            right = self.additive()
+            # string-vs-string compares lexically; otherwise numeric
+            if left.tag == "str" and right.tag == "str":
+                a, b = left.col, right.col
+            else:
+                a, b = _num(left), _num(right)
+            col = {
+                "<": lambda: a < b,
+                "<=": lambda: a <= b,
+                ">": lambda: a > b,
+                ">=": lambda: a >= b,
+                "==": lambda: a == b,
+                "!=": lambda: a != b,
+            }[op]()
+            left = _Val(col, "bool")
+        return left
+
+    def additive(self) -> _Val:
+        left = self.multiplicative()
+        while self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            right = self.multiplicative()
+            if op == "+" and ("str" in (left.tag, right.tag)):
+                left = _Val(F.concat(_as_str(left), _as_str(right)), "str")
+                continue
+            tag = "long" if _both_long(left, right) else "num"
+            col = _num(left) + _num(right) if op == "+" else _num(left) - _num(right)
+            left = _Val(col, tag)
+        return left
+
+    def multiplicative(self) -> _Val:
+        left = self.power()
+        while self.peek()[1] in ("*", "/", "%"):
+            op = self.next()[1]
+            right = self.power()
+            both_long = _both_long(left, right)
+            a, b = _num(left), _num(right)
+            if op == "*":
+                left = _Val(a * b, "long" if both_long else "num")
+            elif op == "/":
+                if both_long:
+                    # Druid long/long is integral division (7/2 == 3)
+                    left = _Val(F.call_function("div", a, b), "long")
+                else:
+                    left = _Val(a.cast("double") / b, "num")
+            else:
+                left = _Val(a % b, "long" if both_long else "num")
+        return left
+
+    def power(self) -> _Val:
+        left = self.unary()
+        if self.try_eat("^"):
+            right = self.power()  # right-associative
+            col = F.pow(_num(left), _num(right))
+            if _both_long(left, right):
+                return _Val(col.cast("long"), "long")
+            return _Val(col, "num")
+        return left
+
+    def unary(self) -> _Val:
+        if self.try_eat("!"):
+            return _Val(~_truthy(self.unary()), "bool")
+        if self.try_eat("-"):
+            v = self.unary()
+            tag = v.tag if v.tag in ("long", "num") else "num"
+            if v.is_lit and isinstance(v.pyval, (int, float)):
+                # negated numeric literal stays a literal (function args
+                # like timestamp_shift(..., -1) need the Python value)
+                return _Val(-_num(v), tag, -v.pyval, True)
+            return _Val(-_num(v), tag)
+        return self.primary()
+
+    def args(self) -> list[_Val]:
+        out = []
+        if self.try_eat(")"):
+            return out
+        out.append(self.expr())
+        while self.try_eat(","):
+            out.append(self.expr())
+        self.eat(")")
+        return out
+
+    def primary(self) -> _Val:
+        kind, v = self.next()
+        if kind == "num":
+            if re.fullmatch(r"\d+", v):
+                return _Val(F.lit(int(v)).cast("long"), "long", int(v), True)
+            return _Val(F.lit(float(v)), "num", float(v), True)
+        if kind == "str":
+            # only \' and \\ are escapes; other backslashes pass through
+            # verbatim (regex patterns like '\w+' keep their backslash)
+            body = re.sub(r"\\(['\\])", lambda m: m.group(1), v[1:-1])
+            return _Val(F.lit(body), "str", body, True)
+        if v == "(":
+            e = self.expr()
+            self.eat(")")
+            return e
+        if kind == "qid":
+            name = re.sub(r"\\(.)", lambda m: m.group(1), v[1:-1])
+            return self.resolve(name)
+        if kind == "ident":
+            if v == "null":
+                return _Val(F.lit(None), "unknown", None, True)
+            if self.try_eat("("):
+                return self.func(v, self.args())
+            return self.resolve(v)
+        raise DruidExprError(f"unexpected token {v!r}")
+
+    # --- function table -------------------------------------------------
+
+    def func(self, name: str, a: list[_Val]) -> _Val:
+        fn = name.lower()
+        handler = getattr(self, f"_fn_{fn}", None)
+        if handler is None:
+            raise DruidExprError(f"unsupported function {name!r}")
+        return handler(a)
+
+    # general
+    def _fn_cast(self, a):
+        t = str(_req_lit(a[1], "cast type")).upper()
+        if t == "LONG":
+            src = F.unix_millis(a[0].col) if a[0].tag == "time" else _num(a[0])
+            return _Val(src.cast("long"), "long")
+        if t == "DOUBLE":
+            return _Val(_num(a[0]).cast("double"), "num")
+        if t == "STRING":
+            return _Val(a[0].col.cast("string"), "str")
+        raise DruidExprError(f"unsupported cast type {t!r}")
+
+    def _fn_if(self, a):
+        if len(a) != 3:
+            raise DruidExprError("if(cond, then, else) takes 3 arguments")
+        tag = a[1].tag if a[1].tag == a[2].tag else "unknown"
+        return _Val(F.when(_truthy(a[0]), a[1].col).otherwise(a[2].col), tag)
+
+    def _fn_nvl(self, a):
+        tag = a[0].tag if a[0].tag == a[1].tag else "unknown"
+        return _Val(F.coalesce(a[0].col, a[1].col), tag)
+
+    def _fn_isnull(self, a):
+        return _Val(a[0].col.isNull(), "bool")
+
+    def _fn_notnull(self, a):
+        return _Val(a[0].col.isNotNull(), "bool")
+
+    def _fn_case_searched(self, a):
+        if len(a) < 3 or len(a) % 2 == 0:
+            raise DruidExprError("case_searched(c1, r1, ..., else)")
+        out = F.when(_truthy(a[0]), a[1].col)
+        for i in range(2, len(a) - 1, 2):
+            out = out.when(_truthy(a[i]), a[i + 1].col)
+        tags = {a[i].tag for i in range(1, len(a), 2)} | {a[-1].tag}
+        return _Val(out.otherwise(a[-1].col), tags.pop() if len(tags) == 1 else "unknown")
+
+    def _fn_case_simple(self, a):
+        if len(a) < 4 or len(a) % 2 != 0:
+            raise DruidExprError("case_simple(expr, v1, r1, ..., else)")
+        base = a[0].col
+        out = F.when(base == a[1].col, a[2].col)
+        for i in range(3, len(a) - 1, 2):
+            out = out.when(base == a[i].col, a[i + 1].col)
+        tags = {a[i].tag for i in range(2, len(a), 2)} | {a[-1].tag}
+        return _Val(out.otherwise(a[-1].col), tags.pop() if len(tags) == 1 else "unknown")
+
+    def _fn_like(self, a):
+        if len(a) == 3:
+            return _Val(
+                F.like(_as_str(a[0]), _as_str(a[1]), _as_str(a[2])), "bool"
+            )
+        return _Val(F.like(_as_str(a[0]), _as_str(a[1])), "bool")
+
+    # strings
+    def _fn_concat(self, a):
+        return _Val(F.concat(*[_as_str(x) for x in a]), "str")
+
+    def _fn_lower(self, a):
+        return _Val(F.lower(_as_str(a[0])), "str")
+
+    def _fn_upper(self, a):
+        return _Val(F.upper(_as_str(a[0])), "str")
+
+    def _fn_strlen(self, a):
+        return _Val(F.length(_as_str(a[0])).cast("long"), "long")
+
+    def _fn_strpos(self, a):
+        # Druid: 0-based position, -1 when absent
+        return _Val(
+            (F.call_function("locate", _as_str(a[1]), _as_str(a[0])) - 1).cast("long"),
+            "long",
+        )
+
+    def _fn_substring(self, a):
+        # Druid: 0-based index; length -1 = to end
+        s = _as_str(a[0])
+        start = (_num(a[1]) + 1).cast("int")
+        length = _num(a[2]).cast("int")
+        return _Val(
+            F.when(length < 0, F.substring(s, start, 2**30)).otherwise(
+                F.substring(s, start, length)
+            ),
+            "str",
+        )
+
+    def _fn_left(self, a):
+        return _Val(F.substring(_as_str(a[0]), 1, _num(a[1]).cast("int")), "str")
+
+    def _fn_right(self, a):
+        s = _as_str(a[0])
+        n = _num(a[1]).cast("int")
+        return _Val(F.when(n <= 0, F.lit("")).otherwise(s.substr(-n, n)), "str")
+
+    def _fn_replace(self, a):
+        return _Val(
+            F.call_function("replace", _as_str(a[0]), _as_str(a[1]), _as_str(a[2])),
+            "str",
+        )
+
+    def _fn_trim(self, a):
+        return _Val(F.trim(_as_str(a[0])), "str")
+
+    def _fn_ltrim(self, a):
+        return _Val(F.ltrim(_as_str(a[0])), "str")
+
+    def _fn_rtrim(self, a):
+        return _Val(F.rtrim(_as_str(a[0])), "str")
+
+    def _fn_repeat(self, a):
+        return _Val(F.repeat(_as_str(a[0]), _num(a[1]).cast("int")), "str")
+
+    def _fn_parse_long(self, a):
+        return _Val(_as_str(a[0]).try_cast("long"), "long")
+
+    def _fn_regexp_extract(self, a):
+        pat = str(_req_lit(a[1], "regexp pattern"))
+        idx = int(_req_lit(a[2], "group index")) if len(a) > 2 else 0
+        out = F.regexp_extract(_as_str(a[0]), pat, idx)
+        # Druid returns null (not '') for a non-match
+        return _Val(F.when(out == "", F.lit(None)).otherwise(out), "str")
+
+    def _fn_regexp_like(self, a):
+        pat = str(_req_lit(a[1], "regexp pattern"))
+        return _Val(_as_str(a[0]).rlike(pat), "bool")
+
+    def _fn_contains_string(self, a):
+        return _Val(
+            F.call_function("locate", _as_str(a[1]), _as_str(a[0])) > 0, "bool"
+        )
+
+    def _fn_icontains_string(self, a):
+        return _Val(
+            F.call_function(
+                "locate", F.lower(_as_str(a[1])), F.lower(_as_str(a[0]))
+            )
+            > 0,
+            "bool",
+        )
+
+    # time — accepts 'time' (Spark timestamp) or long millis inputs;
+    # returns the input's kind (type-preserving, see module docstring).
+    def _time_in(self, v: _Val) -> tuple[Column, bool]:
+        if v.tag == "time":
+            return v.col, True
+        return F.timestamp_millis(_num(v).cast("long")), False
+
+    def _time_out(self, col: Column, was_time: bool) -> _Val:
+        if was_time:
+            return _Val(col, "time")
+        return _Val(F.unix_millis(col), "long")
+
+    def _fn_timestamp_floor(self, a):
+        t, was_time = self._time_in(a[0])
+        period = str(_req_lit(a[1], "period"))
+        origin = _req_lit(a[2], "origin") if len(a) > 2 and a[2].pyval is not None else None
+        tz = str(_req_lit(a[3], "timezone")) if len(a) > 3 else None
+        gran = _gran_for(period, origin, tz)
+        return self._time_out(gran.bucket(t), was_time)
+
+    def _fn_timestamp_ceil(self, a):
+        t, was_time = self._time_in(a[0])
+        period = str(_req_lit(a[1], "period"))
+        origin = _req_lit(a[2], "origin") if len(a) > 2 and a[2].pyval is not None else None
+        tz = str(_req_lit(a[3], "timezone")) if len(a) > 3 else None
+        gran = _gran_for(period, origin, tz)
+        floor = gran.bucket(t)
+        ceil = F.when(floor == t, t).otherwise(_shift_col(floor, period, 1))
+        return self._time_out(ceil, was_time)
+
+    def _fn_timestamp_shift(self, a):
+        t, was_time = self._time_in(a[0])
+        period = str(_req_lit(a[1], "period"))
+        n = int(_req_lit(a[2], "step"))
+        return self._time_out(_shift_col(t, period, n), was_time)
+
+    def _fn_timestamp_extract(self, a):
+        t, _ = self._time_in(a[0])
+        unit = str(_req_lit(a[1], "unit")).upper()
+        if len(a) > 2:
+            tz = str(_req_lit(a[2], "timezone"))
+            t = F.convert_timezone(F.lit("UTC"), F.lit(tz), t)
+        col = {
+            "EPOCH": lambda: F.unix_seconds(t),
+            "MILLIS": lambda: F.unix_millis(t),
+            "SECOND": lambda: F.second(t),
+            "MINUTE": lambda: F.minute(t),
+            "HOUR": lambda: F.hour(t),
+            "DAY": lambda: F.dayofmonth(t),
+            "DOW": lambda: F.weekday(t) + 1,  # ISO: Monday=1
+            "DOY": lambda: F.dayofyear(t),
+            "WEEK": lambda: F.weekofyear(t),
+            "MONTH": lambda: F.month(t),
+            "QUARTER": lambda: F.quarter(t),
+            "YEAR": lambda: F.year(t),
+        }.get(unit)
+        if col is None:
+            raise DruidExprError(f"unsupported timestamp_extract unit {unit!r}")
+        return _Val(col().cast("long"), "long")
+
+    def _fn_timestamp_parse(self, a):
+        if len(a) > 1 and a[1].pyval is not None:
+            fmt = str(_req_lit(a[1], "pattern"))
+            return _Val(F.try_to_timestamp(_as_str(a[0]), F.lit(fmt)), "time")
+        return _Val(_as_str(a[0]).try_cast("timestamp"), "time")
+
+    def _fn_timestamp_format(self, a):
+        t, _ = self._time_in(a[0])
+        fmt = str(_req_lit(a[1], "pattern")) if len(a) > 1 else "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        if len(a) > 2:
+            tz = str(_req_lit(a[2], "timezone"))
+            t = F.convert_timezone(F.lit("UTC"), F.lit(tz), t)
+        return _Val(F.date_format(t, fmt), "str")
+
+    def _fn_unix_timestamp(self, a):
+        t, _ = self._time_in(a[0])
+        return _Val(F.unix_seconds(t), "long")
+
+    # math
+    def _fn_abs(self, a):
+        return _Val(F.abs(_num(a[0])), a[0].tag if a[0].tag == "long" else "num")
+
+    def _fn_ceil(self, a):
+        return _Val(F.ceil(_num(a[0])).cast("double"), "num")
+
+    def _fn_floor(self, a):
+        return _Val(F.floor(_num(a[0])).cast("double"), "num")
+
+    def _fn_exp(self, a):
+        return _Val(F.exp(_num(a[0])), "num")
+
+    def _fn_ln(self, a):
+        return _Val(F.log(_num(a[0])), "num")
+
+    def _fn_log10(self, a):
+        return _Val(F.log10(_num(a[0])), "num")
+
+    def _fn_sqrt(self, a):
+        return _Val(F.sqrt(_num(a[0])), "num")
+
+    def _fn_cbrt(self, a):
+        return _Val(F.cbrt(_num(a[0])), "num")
+
+    def _fn_sin(self, a):
+        return _Val(F.sin(_num(a[0])), "num")
+
+    def _fn_cos(self, a):
+        return _Val(F.cos(_num(a[0])), "num")
+
+    def _fn_tan(self, a):
+        return _Val(F.tan(_num(a[0])), "num")
+
+    def _fn_atan2(self, a):
+        return _Val(F.atan2(_num(a[0]), _num(a[1])), "num")
+
+    def _fn_hypot(self, a):
+        return _Val(F.hypot(_num(a[0]), _num(a[1])), "num")
+
+    def _fn_signum(self, a):
+        return _Val(F.signum(_num(a[0])), "num")
+
+    def _fn_pow(self, a):
+        return _Val(F.pow(_num(a[0]), _num(a[1])), "num")
+
+    def _fn_min(self, a):
+        tag = "long" if all(x.tag in ("long", "bool") for x in a) else "num"
+        return _Val(F.least(*[_num(x) for x in a]), tag)
+
+    def _fn_max(self, a):
+        tag = "long" if all(x.tag in ("long", "bool") for x in a) else "num"
+        return _Val(F.greatest(*[_num(x) for x in a]), tag)
+
+    def _fn_round(self, a):
+        d = int(_req_lit(a[1], "scale")) if len(a) > 1 else 0
+        tag = a[0].tag if a[0].tag == "long" else "num"
+        return _Val(F.round(_num(a[0]), d), tag)
+
+    def _fn_div(self, a):
+        return _Val(F.call_function("div", _num(a[0]), _num(a[1])), "long")
+
+    def _fn_pi(self, a):
+        import math
+
+        return _Val(F.lit(math.pi), "num", math.pi, True)
+
+
+_TAG_FOR_DTYPE = {
+    "byte": "long", "short": "long", "integer": "long", "long": "long",
+    "float": "num", "double": "num",
+    "string": "str",
+    "timestamp": "time", "timestamp_ntz": "time",
+    "boolean": "bool",
+}
+
+
+def _resolver(df: DataFrame | None):
+    types = {}
+    if df is not None:
+        for f in df.schema.fields:
+            t = f.dataType.typeName()
+            if t.startswith("decimal"):
+                t = "double"
+            types[f.name] = _TAG_FOR_DTYPE.get(t, "unknown")
+
+    def resolve(name: str) -> _Val:
+        if df is not None and name not in types:
+            raise DruidExprError(f"unknown column {name!r}")
+        return _Val(F.col(name), types.get(name, "unknown"))
+
+    return resolve
+
+
+def compile_druid_expr(src: str, df: DataFrame | None = None) -> Column:
+    """Compile Druid expression source to a native Column. Comparisons /
+    logical results surface as 1/0 longs (Druid's numeric booleans).
+    ``df`` supplies column types for long-vs-double arithmetic; without
+    it identifiers are typed 'unknown' (widening arithmetic to double).
+    Raises DruidExprError for out-of-subset sources."""
+    p = _Parser(_tokenize(src), _resolver(df))
+    out = p.expr()
+    if p.peek()[0] != "eof":
+        raise DruidExprError(f"trailing tokens at {p.peek()[1]!r}")
+    if out.tag == "bool":
+        return out.col.cast("long")
+    return out.col

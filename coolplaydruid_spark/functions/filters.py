@@ -104,6 +104,20 @@ def _compile(spec: dict, array_dims: set[str]) -> Column:
         return F.lit(True)
     if ftype == "false":
         return F.lit(False)
+    if ftype == "expression":
+        # Druid expression filter: the row matches when the expression is
+        # truthy (nonzero / non-empty). Druid dialect first, Spark SQL
+        # fallback — the virtualColumns priority (plans/common.py).
+        from coolplaydruid_spark.functions.druidexpr import (
+            DruidExprError,
+            compile_druid_expr,
+        )
+
+        try:
+            col = compile_druid_expr(spec["expression"])
+        except DruidExprError:
+            col = F.expr(spec["expression"])
+        return F.coalesce(col.cast("boolean"), F.lit(False))
     if ftype == "extraction":
         # Deprecated pre-0.13 filter form: selector + extractionFn spelled
         # as its own type — normalize and recurse.

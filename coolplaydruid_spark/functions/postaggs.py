@@ -66,9 +66,21 @@ def compile_post_aggregator(spec: dict) -> Column:
 
         return compile_scalar(fn, [F.col(f) for f in fields], kind="num")
     if ptype == "expression":
-        # SQL-expression post-agg (a later-Druid convenience we expose
-        # because Catalyst parses it for free).
-        return F.expr(spec["expression"])
+        # expression post-agg (a later-Druid convenience): Druid's own
+        # expression dialect first, Spark SQL fallback — same priority
+        # as virtualColumns (plans/common.py). No df in scope here, so
+        # identifiers (aggregate outputs — always numeric) type as
+        # 'unknown' and arithmetic widens to double, which is what
+        # Druid's finalized post-agg doubles are anyway.
+        from coolplaydruid_spark.functions.druidexpr import (
+            DruidExprError,
+            compile_druid_expr,
+        )
+
+        try:
+            return compile_druid_expr(spec["expression"])
+        except DruidExprError:
+            return F.expr(spec["expression"])
     raise ValueError(f"unknown postAggregator type {ptype!r}")
 
 

@@ -46,17 +46,36 @@ def grouped_agg(base: DataFrame, key_cols: list, key_names: list[str], aggs) -> 
 def apply_virtual_columns(df: DataFrame, query: dict) -> DataFrame:
     """``virtualColumns``: computed columns usable by filters, dimensions
     and aggregators of the same query (public Druid expression virtual
-    columns). The expression dialect here IS Spark SQL (documented
-    divergence from Druid's expression language — the arithmetic /
-    comparison / `if()` / string-function subset Druid specs typically
-    use is syntax-identical). Each column is a projection folded into
-    whole-stage codegen; Catalyst still pushes filters on *source*
-    columns beneath the Project, so scan pruning is unaffected."""
+    columns). The PRIMARY dialect is Druid's own expression language
+    (functions/druidexpr.py — ``timestamp_floor(__time,'PT1H')``,
+    ``nvl()``, ``if()``, Druid's long/long integral division and
+    ``^``-as-power), so a real Druid query runs unmodified; sources
+    outside that subset fall back to Spark SQL, which remains fully
+    supported. An explicit ``"dialect": "sql"``/``"druid"`` key pins
+    one dialect (Druid spec extension — absent keys are ignored by
+    Druid itself). Each column is a projection folded into whole-stage
+    codegen; Catalyst still pushes filters on *source* columns beneath
+    the Project, so scan pruning is unaffected."""
+    from coolplaydruid_spark.functions.druidexpr import (
+        DruidExprError,
+        compile_druid_expr,
+    )
+
     for vc in query.get("virtualColumns") or []:
         vtype = vc.get("type", "expression")
         if vtype != "expression":
             raise ValueError(f"unknown virtualColumn type {vtype!r}")
-        df = df.withColumn(vc["name"], F.expr(vc["expression"]))
+        dialect = vc.get("dialect")
+        if dialect == "sql":
+            col = F.expr(vc["expression"])
+        elif dialect == "druid":
+            col = compile_druid_expr(vc["expression"], df)
+        else:
+            try:
+                col = compile_druid_expr(vc["expression"], df)
+            except DruidExprError:
+                col = F.expr(vc["expression"])
+        df = df.withColumn(vc["name"], col)
     return df
 
 

@@ -1,0 +1,212 @@
+"""Druid-native expression language (functions/druidexpr.py): parser
+unit tests against hand-computed expectations, Druid type semantics
+(long/long integral division, ^-as-power, 1/0 booleans), time functions
+via the shared granularity machinery, and the virtualColumns dialect
+priority (Druid first, Spark SQL fallback)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from coolplaydruid_spark.functions.druidexpr import (
+    DruidExprError,
+    compile_druid_expr,
+)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(
+        [
+            (7, 2.5, "hello world", datetime(2024, 3, 15, 13, 47, 21), None),
+            (-3, 0.0, "", datetime(2024, 1, 1, 0, 0, 0), "x"),
+        ],
+        "n long, d double, s string, t timestamp, maybe string",
+    )
+
+
+def _one(frame, src, **extra):
+    df = frame.limit(1).select(compile_druid_expr(src, frame).alias("v"))
+    return df.collect()[0]["v"]
+
+
+class TestArithmetic:
+    def test_long_long_stays_long_integral_division(self, frame):
+        # Druid: 7/2 == 3 (integral), 7.0/2 == 3.5
+        assert _one(frame, "n / 2") == 3
+        assert _one(frame, "n / 2.0") == 3.5
+        assert _one(frame, "7 / 2") == 3
+        assert _one(frame, "7 % 3") == 1
+
+    def test_caret_is_power_not_xor(self, frame):
+        assert _one(frame, "2 ^ 10") == 1024  # Spark SQL would say 8
+        assert _one(frame, "2 ^ 0.5") == pytest.approx(2**0.5)
+        # right-associative: 2^(3^2)
+        assert _one(frame, "2 ^ 3 ^ 2") == 512
+
+    def test_precedence_and_unary(self, frame):
+        assert _one(frame, "1 + 2 * 3") == 7
+        assert _one(frame, "-(1 + 2) * 3") == -9
+        assert _one(frame, "2 * n + 1") == 15
+
+    def test_string_plus_concatenates(self, frame):
+        assert _one(frame, "s + '!'") == "hello world!"
+        assert _one(frame, "'n=' + n") == "n=7"
+
+
+class TestBooleansAndNulls:
+    def test_comparisons_yield_long_1_0(self, frame):
+        assert _one(frame, "n > 2") == 1
+        assert _one(frame, "n < 2") == 0
+        assert _one(frame, "n == 7 && d < 3") == 1
+        assert _one(frame, "n == 0 || d == 2.5") == 1
+        assert _one(frame, "!(n == 7)") == 0
+
+    def test_if_nvl_isnull(self, frame):
+        assert _one(frame, "if(n > 5, 'big', 'small')") == "big"
+        assert _one(frame, "nvl(maybe, 'dflt')") == "dflt"
+        assert _one(frame, "isnull(maybe)") == 1
+        assert _one(frame, "notnull(maybe)") == 0
+
+    def test_case_searched_and_simple(self, frame):
+        assert _one(frame, "case_searched(n > 10, 'big', n > 5, 'mid', 'small')") == "mid"
+        assert _one(frame, "case_simple(s, 'hello world', 'greeting', 'other')") == "greeting"
+
+
+class TestStrings:
+    def test_druid_indexing_semantics(self, frame):
+        # substring is 0-based, -1 length = to end; strpos 0-based, -1 absent
+        assert _one(frame, "substring(s, 6, -1)") == "world"
+        assert _one(frame, "substring(s, 0, 5)") == "hello"
+        assert _one(frame, "strpos(s, 'world')") == 6
+        assert _one(frame, "strpos(s, 'zzz')") == -1
+        assert _one(frame, "strlen(s)") == 11
+
+    def test_string_functions(self, frame):
+        assert _one(frame, "upper(left(s, 5))") == "HELLO"
+        assert _one(frame, "right(s, 5)") == "world"
+        assert _one(frame, "replace(s, 'l', 'L')") == "heLLo worLd"
+        assert _one(frame, "concat(s, '/', n)") == "hello world/7"
+        assert _one(frame, "like(s, 'hello%')") == 1
+        assert _one(frame, "regexp_like(s, '^h.*d$')") == 1
+        assert _one(frame, "regexp_extract(s, 'h(\\w+)', 1)") == "ello"
+        assert _one(frame, "regexp_extract(s, 'zzz(9)?', 1)") is None
+        assert _one(frame, "contains_string(s, 'o w')") == 1
+        assert _one(frame, "icontains_string(s, 'HELLO')") == 1
+        assert _one(frame, "parse_long('42')") == 42
+        assert _one(frame, "parse_long('4x2')") is None
+
+    def test_cast(self, frame):
+        assert _one(frame, "cast(d, 'LONG')") == 2
+        assert _one(frame, "cast(n, 'STRING')") == "7"
+        assert _one(frame, "cast('3.5', 'DOUBLE')") == 3.5
+
+
+class TestTime:
+    def test_floor_ceil_shift_type_preserving(self, frame):
+        assert _one(frame, "timestamp_floor(t, 'PT1H')") == datetime(2024, 3, 15, 13)
+        assert _one(frame, "timestamp_floor(t, 'P1D')") == datetime(2024, 3, 15)
+        assert _one(frame, "timestamp_ceil(t, 'PT1H')") == datetime(2024, 3, 15, 14)
+        # on-boundary ceil is identity
+        assert _one(frame, "timestamp_ceil(timestamp_floor(t, 'P1D'), 'P1D')") == datetime(2024, 3, 15)
+        assert _one(frame, "timestamp_shift(t, 'P1M', 2)") == datetime(2024, 5, 15, 13, 47, 21)
+        assert _one(frame, "timestamp_shift(t, 'PT15M', -1)") == datetime(2024, 3, 15, 13, 32, 21)
+
+    def test_millis_long_inputs_stay_druid_longs(self, frame):
+        # cast(t,'LONG') -> epoch millis; floor on millis returns millis
+        millis = _one(frame, "cast(t, 'LONG')")
+        assert millis == int(datetime(2024, 3, 15, 13, 47, 21).timestamp() * 1000)
+        floored = _one(frame, "timestamp_floor(cast(t, 'LONG'), 'PT1H')")
+        assert floored == int(datetime(2024, 3, 15, 13).timestamp() * 1000)
+
+    def test_extract_and_format(self, frame):
+        assert _one(frame, "timestamp_extract(t, 'HOUR')") == 13
+        assert _one(frame, "timestamp_extract(t, 'DOY')") == 75
+        assert _one(frame, "timestamp_extract(t, 'DOW')") == 5  # Friday, ISO
+        assert _one(frame, "timestamp_format(t, 'yyyy-MM-dd')") == "2024-03-15"
+        assert _one(frame, "timestamp_extract(t, 'HOUR', 'America/New_York')") == 9
+        parsed = _one(frame, "timestamp_parse('2024-03-15T13:47:21')")
+        assert parsed == datetime(2024, 3, 15, 13, 47, 21)
+
+    def test_tz_floor_matches_granularity_path(self, frame):
+        # P1D in New York: 13:47 UTC on 3/15 is 09:47 EDT -> local midnight
+        # is 04:00 UTC
+        assert _one(
+            frame, "timestamp_floor(t, 'P1D', null, 'America/New_York')"
+        ) == datetime(2024, 3, 15, 4)
+
+
+class TestMath:
+    def test_functions(self, frame):
+        assert _one(frame, "abs(-3.5)") == 3.5
+        assert _one(frame, "max(n, 10)") == 10
+        assert _one(frame, "min(n, 2)") == 2
+        assert _one(frame, "round(d + 0.04, 1)") == 2.5
+        assert _one(frame, "div(17, 5)") == 3
+        assert _one(frame, "sqrt(n + 2)") == 3.0
+        assert _one(frame, "floor(d)") == 2.0
+        assert _one(frame, "pow(2, 3)") == 8.0
+
+
+class TestErrorsAndFallback:
+    def test_out_of_subset_raises(self, frame):
+        for bad in [
+            "date_trunc('hour', t)",  # Spark SQL function
+            "n +",  # truncated
+            "unknown_fn(1)",
+            "timestamp_floor(t, s)",  # non-literal period
+            "nosuchcol + 1",
+        ]:
+            with pytest.raises((DruidExprError, ValueError)):
+                compile_druid_expr(bad, frame)
+
+    def test_virtual_column_dialect_priority(self, engine):
+        """Druid dialect compiles first; Spark-SQL-only expressions fall
+        back; explicit dialect pins; `^` resolves to POWER (druid) by
+        default but XOR under dialect=sql."""
+        base = {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "all",
+            "intervals": ["2024-01-01T00:00:00/2024-01-02T00:00:00"],
+            "aggregations": [{"type": "doubleMax", "name": "m", "fieldName": "vc"}],
+        }
+        druid_pow = engine.plan(dict(base, virtualColumns=[
+            {"type": "expression", "name": "vc", "expression": "2 ^ 3"}]))
+        assert druid_pow.collect()[0]["m"] == 8.0  # power, not xor
+        sql_xor = engine.plan(dict(base, virtualColumns=[
+            {"type": "expression", "name": "vc", "expression": "2 ^ 3",
+             "dialect": "sql"}]))
+        assert sql_xor.collect()[0]["m"] == 1.0  # Spark XOR
+        fallback = engine.plan(dict(base, virtualColumns=[
+            {"type": "expression", "name": "vc",
+             "expression": "hour(__time)"}]))  # Spark-SQL-only source
+        assert 0.0 <= fallback.collect()[0]["m"] <= 23.0
+
+    def test_druid_time_virtual_column_groups(self, engine, duck):
+        """The verdict's 'runs unmodified' check: a virtualColumn written
+        in pure Druid dialect (timestamp_floor + timestamp_extract)
+        drives a groupBy, matching a DuckDB oracle on raw SQL."""
+        df = engine.plan({
+            "queryType": "groupBy",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimensions": ["hod"],
+            "virtualColumns": [{
+                "type": "expression", "name": "hod",
+                "expression": "timestamp_extract(timestamp_floor(__time, 'PT1H'), 'HOUR')",
+            }],
+            "intervals": ["2024-01-01T00:00:00/2024-01-08T00:00:00"],
+            "aggregations": [{"type": "count", "name": "n"}],
+            "limitSpec": {"type": "default", "limit": 1000,
+                          "columns": [{"dimension": "hod"}]},
+        })
+        got = [(r["hod"], r["n"]) for r in df.collect()]
+        exp = duck.execute("""
+            SELECT CAST(hour(date_trunc('hour', ts)) AS BIGINT), count(*)
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+            GROUP BY 1 ORDER BY 1
+        """).fetchall()
+        assert got == [(h, n) for h, n in exp]

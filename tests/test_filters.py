@@ -130,3 +130,27 @@ def test_python_callable_filter(engine):
     )
     rows = engine.execute(q)
     assert rows[0]["result"]["rows"] > 0
+
+
+def test_expression_filter(engine):
+    """Druid expression filter: row matches when the expression is
+    truthy; Druid dialect (== compare, % on longs) compiles natively."""
+    df = engine.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "all",
+            "intervals": ["2024-01-01T00:00:00/2024-01-08T00:00:00"],
+            "filter": {"type": "expression",
+                       "expression": "user_id % 2 == 0 && value > 10"},
+            "aggregations": [{"type": "count", "name": "n"}],
+        }
+    )
+    n = df.collect()[0]["n"]
+    base = engine.catalog.table("events")
+    from pyspark.sql import functions as F
+    exp = base.where(
+        (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-08")
+        & (F.col("user_id") % 2 == 0) & (F.col("value") > 10)
+    ).count()
+    assert n == exp > 0
