@@ -182,6 +182,130 @@ def _membership(spec: dict, flags: dict[str, Column]) -> Column:
     return out
 
 
+# ---- approximate mode (context.useApproxTheta) -------------------------
+#
+# The exact two-level plan's level-1 shuffle is |distinct (group, value)|
+# — the exactness minimum, but unbounded at extreme per-bucket
+# cardinality. The approximate mode bounds it with Spark's native
+# DataSketches HLL aggregates (hll_sketch_agg): fixed-size sketches with
+# MAP-SIDE partial aggregation, so the exchange carries one ~2^lgK-byte
+# sketch per (group, sketch) regardless of cardinality — the same
+# fixed-size-shuffle property as Druid's own thetaSketch. Set-op
+# estimates come from sketch unions + inclusion-exclusion (HLL unions
+# are native; intersections are derived: |A∩B| = |A|+|B|-|A∪B|), which
+# matches Druid's sketch-algebra error model. INTERSECT/NOT operands
+# must be union-representable (fieldAccess or nested UNIONs); trees with
+# nested intersections raise — use the exact mode for those.
+
+
+def _union_units(spec: dict, sketches: dict[str, Column]) -> list[Column] | None:
+    """The node's set as a list of HLL sketch columns whose UNION is the
+    set, or None when the node is not union-representable."""
+    ptype = spec.get("type")
+    if ptype in ("fieldAccess", "finalizingFieldAccess"):
+        return [sketches[spec["fieldName"]]]
+    if ptype == "thetaSketchSetOp" and spec.get("func", "UNION").upper() == "UNION":
+        out: list[Column] = []
+        for f in spec["fields"]:
+            u = _union_units(f, sketches)
+            if u is None:
+                return None
+            out.extend(u)
+        return out
+    return None
+
+
+def _est_union(units: list[Column]) -> Column:
+    u = units[0]
+    for c in units[1:]:
+        u = F.hll_union(u, c)
+    return F.hll_sketch_estimate(u)
+
+
+def _approx_estimate(spec: dict, sketches: dict[str, Column]) -> Column:
+    """Estimate a set-op tree from HLL sketches via unions +
+    inclusion-exclusion."""
+    ptype = spec.get("type")
+    units = _union_units(spec, sketches)
+    if units is not None:
+        return _est_union(units)
+    func = spec.get("func", "UNION").upper()
+    operands = [_union_units(f, sketches) for f in spec["fields"]]
+    if any(u is None for u in operands):
+        raise ValueError(
+            "approx thetaSketch: INTERSECT/NOT operands must be fieldAccess "
+            "or UNION trees (nested intersections need the exact mode)"
+        )
+    if func == "INTERSECT":
+        if len(operands) > 6:
+            raise ValueError("approx thetaSketch INTERSECT limited to 6 operands")
+        # |∩ S_i| = Σ_{∅≠T⊆S} (-1)^{|T|+1} |∪_{i∈T} S_i|
+        from itertools import combinations
+
+        est = F.lit(0.0)
+        for r in range(1, len(operands) + 1):
+            sign = 1.0 if r % 2 == 1 else -1.0
+            for combo in combinations(operands, r):
+                est = est + F.lit(sign) * _est_union([c for u in combo for c in u])
+        return est
+    if func == "NOT":
+        # |A \ (B∪…)| = |A ∪ rest| - |rest|
+        rest = [c for u in operands[1:] for c in u]
+        return _est_union(operands[0] + rest) - _est_union(rest)
+    raise ValueError(f"unknown thetaSketchSetOp func {func!r}")
+
+
+def _approx_theta_frame(
+    base: DataFrame,
+    key_cols: list,
+    key_names: list[str],
+    split: ThetaSplit,
+    lg_k: int,
+) -> tuple[DataFrame, dict[str, object]]:
+    by_field: dict[str, list[str]] = {}
+    for name, (fname, _flt) in split.sketches.items():
+        by_field.setdefault(fname, []).append(name)
+    post_domains = {
+        post["name"]: _post_domain(post["field"] if "field" in post else post, split)
+        for post in split.theta_posts
+    }
+    out: DataFrame | None = None
+    for fname, names in by_field.items():
+        sk_aggs = []
+        for name in names:
+            _f, flt = split.sketches[name]
+            pred = compile_filter(flt) if flt is not None else F.lit(True)
+            # aggregate functions skip nulls, so gating through when()
+            # restricts each sketch to its filter's rows
+            gated = F.when(F.coalesce(pred, F.lit(False)), F.col(fname))
+            sk_aggs.append(
+                F.hll_sketch_agg(gated.cast("string"), lg_k).alias(f"__sk_{name}")
+            )
+        part = (
+            base.where(F.col(fname).isNotNull())
+            .groupBy(*key_cols)
+            .agg(*sk_aggs)
+        )
+        sketches = {name: F.col(f"__sk_{name}") for name in names}
+        cols = [F.col(k) for k in key_names]
+        for name in names:
+            cols.append(
+                F.greatest(F.lit(0), F.round(F.hll_sketch_estimate(sketches[name])))
+                .cast("long").alias(name)
+            )
+        for post in split.theta_posts:
+            if post_domains[post["name"]] != fname:
+                continue
+            src = post["field"] if "field" in post else post
+            est = _approx_estimate(src, sketches)
+            cols.append(
+                F.greatest(F.lit(0.0), F.round(est)).cast("long").alias(post["name"])
+            )
+        part = part.select(*cols)
+        out = part if out is None else _nullsafe_join(out, part, key_names, "full")
+    return out, {name: 0 for name in split.names}
+
+
 def theta_frame(
     base: DataFrame, key_cols: list, key_names: list[str], split: ThetaSplit
 ) -> tuple[DataFrame, dict[str, object]]:
@@ -243,11 +367,22 @@ def attach_theta(
     key_cols: list,
     key_names: list[str],
     split: ThetaSplit,
+    context: dict | None = None,
 ) -> tuple[DataFrame, dict[str, object]]:
     """Left-join the theta estimates onto the main aggregation frame
     (which owns the complete group set) and fill absent groups — groups
-    whose rows all had null sketch values — with 0."""
-    tdf, fills = theta_frame(base, key_cols, key_names, split)
+    whose rows all had null sketch values — with 0.
+
+    ``context.useApproxTheta`` switches to the fixed-size HLL-sketch
+    plan (bounded level-1 shuffle — see the approximate-mode comment
+    above); ``context.approxThetaLgK`` sets sketch precision
+    (default 12 ≈ Druid's default sketch accuracy class)."""
+    context = context or {}
+    if context.get("useApproxTheta"):
+        lg_k = int(context.get("approxThetaLgK", 12))
+        tdf, fills = _approx_theta_frame(base, key_cols, key_names, split, lg_k)
+    else:
+        tdf, fills = theta_frame(base, key_cols, key_names, split)
     joined = _nullsafe_join(agg_df, tdf, key_names, "left")
     for name in split.names:
         joined = joined.withColumn(name, F.coalesce(F.col(name), F.lit(0)))

@@ -81,7 +81,7 @@ def plan_groupby(engine, query: dict) -> DataFrame:
         out = grouped_agg(base, [bucket, *dim_cols], [BUCKET, *dim_names], aggs)
         if tsplit.sketches:
             out, _tf = attach_theta(
-                out, base, [bucket, *dim_cols], [BUCKET, *dim_names], tsplit
+                out, base, [bucket, *dim_cols], [BUCKET, *dim_names], tsplit, context=context
             )
 
     out = out.drop(*drop_cols)

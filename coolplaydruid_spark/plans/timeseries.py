@@ -74,7 +74,8 @@ def plan_timeseries(engine, query: dict) -> DataFrame:
         agg_df = agg_df.select(bucket.alias(BUCKET), *[F.col(n) for n in aggs.names])
         if tsplit.sketches:
             agg_df, _tf = attach_theta(
-                agg_df, base, [bucket.alias(BUCKET)], [BUCKET], tsplit
+                agg_df, base, [bucket.alias(BUCKET)], [BUCKET], tsplit,
+                context=context,
             )
     elif gran.kind == "none":
         agg_df = grouped_agg(
@@ -82,7 +83,8 @@ def plan_timeseries(engine, query: dict) -> DataFrame:
         )
         if tsplit.sketches:
             agg_df, _tf = attach_theta(
-                agg_df, base, [F.col(TIME_COLUMN).alias(BUCKET)], [BUCKET], tsplit
+                agg_df, base, [F.col(TIME_COLUMN).alias(BUCKET)], [BUCKET], tsplit,
+                context=context,
             )
     else:
         bucket_col = gran.bucket(F.col(TIME_COLUMN)).alias(BUCKET)
@@ -90,7 +92,7 @@ def plan_timeseries(engine, query: dict) -> DataFrame:
         fills = aggs.fills
         if tsplit.sketches:
             agg_df, theta_fills = attach_theta(
-                agg_df, base, [bucket_col], [BUCKET], tsplit
+                agg_df, base, [bucket_col], [BUCKET], tsplit, context=context
             )
             fills = {**fills, **theta_fills}
         skip_empty = bool(context.get("skipEmptyBuckets"))

@@ -72,7 +72,8 @@ def plan_topn(engine, query: dict) -> DataFrame:
     out = grouped_agg(base, [bucket, dim_col.alias(dim_name)], [BUCKET, dim_name], aggs)
     if tsplit.sketches:
         out, _tf = attach_theta(
-            out, base, [bucket, dim_col.alias(dim_name)], [BUCKET, dim_name], tsplit
+            out, base, [bucket, dim_col.alias(dim_name)], [BUCKET, dim_name], tsplit,
+            context=context,
         )
     out = out.drop(*drop_cols)
     for name, col in compile_post_aggregators(tsplit.other_posts):

@@ -5,8 +5,11 @@ post-agg coverage (longMin/Max, stringFirst/Last, greatest/least,
 hyperUnique)."""
 
 import json
+import os
 import time
 
+import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from coolplaydruid_spark.engine import DruidEngine
@@ -309,3 +312,65 @@ def test_kafka_mock_rollup_windows(spark, tmp_path):
     for h in ("2024-01-01T00:00:00", "2024-01-01T01:00:00"):
         for et in ("click", "view", "purchase"):
             assert per_hour.get((h, et)) == 40, (h, et, per_hour)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("KAFKA_BOOTSTRAP"),
+    reason="KAFKA_BOOTSTRAP not set — no broker in this environment; "
+    "the mock-source test above is the standing CI gate",
+)
+def test_kafka_stream_against_real_broker(spark, tmp_path):
+    """I4 opt-in: the same kafka_stream production graph against a LIVE
+    broker (set KAFKA_BOOTSTRAP=host:port and optionally KAFKA_TOPIC).
+    Publishes via Spark's batch Kafka sink, consumes via
+    format('kafka'), lands a __dt-partitioned table — the one code path
+    kafka_mock cannot prove. Requires spark-sql-kafka on the classpath
+    wherever a broker exists."""
+    import json as _json
+    import time
+    import uuid
+
+    from coolplaydruid_spark.streaming import realtime
+
+    brokers = os.environ["KAFKA_BOOTSTRAP"]
+    topic = os.environ.get("KAFKA_TOPIC", f"cpd-spark-test-{uuid.uuid4().hex[:8]}")
+    rows = [
+        ("2024-01-01T00:00:05", "click", 1.5),
+        ("2024-01-01T00:30:05", "view", 2.5),
+        ("2024-01-01T01:00:05", "purchase", 3.5),
+    ]
+    payload = spark.createDataFrame(
+        [(None, _json.dumps({"ts": ts, "event_type": et, "value": v}))
+         for ts, et, v in rows],
+        "key string, value string",
+    )
+    (payload.write.format("kafka")
+     .option("kafka.bootstrap.servers", brokers)
+     .option("topic", topic).save())
+
+    stream = realtime.kafka_stream(
+        spark, brokers, topic,
+        "ts string, event_type string, value double",
+        starting_offsets="earliest",
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    q = realtime.realtime_index(
+        stream, str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
+        time_column="ts", trigger_seconds=1,
+        query_name="kafka_real_broker",
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            import glob
+
+            if glob.glob(str(tmp_path / "tbl" / "__dt=*/*.parquet")):
+                got = spark.read.parquet(str(tmp_path / "tbl"))
+                if got.count() >= len(rows):
+                    break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.read.parquet(str(tmp_path / "tbl"))
+    assert got.count() == len(rows)
+    assert {r["event_type"] for r in got.collect()} == {"click", "view", "purchase"}

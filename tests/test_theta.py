@@ -365,3 +365,71 @@ def test_theta_nested_in_arithmetic_postagg(engine):
     )
     r2 = df2.collect()[0]
     assert row["overlap_ratio"] == pytest.approx(r2["i"] / r2["u"])
+
+
+def test_approx_theta_within_tolerance(engine):
+    """context.useApproxTheta: the fixed-size HLL-sketch plan — level-1
+    shuffle carries one ~2^lgK-byte sketch per (group, sketch) instead
+    of |distinct (group, value)| rows. Estimates must land inside the
+    sketch error band of the exact answers; the exact path is
+    unchanged."""
+    base = {
+        "queryType": "timeseries",
+        "dataSource": "events",
+        "granularity": "day",
+        "intervals": IV,
+        "aggregations": [_theta("click_users", "click"), _theta("view_users", "view")],
+        "postAggregations": [
+            {"type": "thetaSketchEstimate", "name": "both",
+             "field": {"type": "thetaSketchSetOp", "func": "INTERSECT",
+                       "fields": [{"type": "fieldAccess", "fieldName": "click_users"},
+                                  {"type": "fieldAccess", "fieldName": "view_users"}]}},
+            {"type": "thetaSketchEstimate", "name": "either",
+             "field": {"type": "thetaSketchSetOp", "func": "UNION",
+                       "fields": [{"type": "fieldAccess", "fieldName": "click_users"},
+                                  {"type": "fieldAccess", "fieldName": "view_users"}]}},
+            {"type": "thetaSketchEstimate", "name": "only_click",
+             "field": {"type": "thetaSketchSetOp", "func": "NOT",
+                       "fields": [{"type": "fieldAccess", "fieldName": "click_users"},
+                                  {"type": "fieldAccess", "fieldName": "view_users"}]}},
+        ],
+    }
+    exact = {r["ts_bucket"]: r.asDict() for r in engine.plan(base).collect()}
+    approx_df = engine.plan(dict(base, context={"useApproxTheta": True}))
+    approx = {r["ts_bucket"]: r.asDict() for r in approx_df.collect()}
+    assert set(exact) == set(approx)
+    # lgK=12 relative error ~1.6%; the fixture's per-day cardinalities
+    # are small so HLL is near-exact — 5% + 2 absolute is generous
+    for b, e in exact.items():
+        a = approx[b]
+        for k in ("click_users", "view_users", "both", "either", "only_click"):
+            tol = max(2, 0.05 * max(e[k], 1))
+            assert abs(a[k] - e[k]) <= tol, (b, k, e[k], a[k])
+    # plan check: HLL sketch aggregation present, and no per-value
+    # second aggregation level
+    plan = _plan(approx_df)
+    assert "hll_sketch_agg" in plan.lower()
+
+
+def test_approx_theta_nested_intersection_rejected(engine):
+    with pytest.raises(ValueError, match="exact mode"):
+        engine.plan(
+            {
+                "queryType": "timeseries",
+                "dataSource": "events",
+                "granularity": "all",
+                "intervals": IV,
+                "context": {"useApproxTheta": True},
+                "aggregations": [_theta("a", "click"), _theta("b", "view"),
+                                 _theta("c", "purchase")],
+                "postAggregations": [
+                    {"type": "thetaSketchEstimate", "name": "x",
+                     "field": {"type": "thetaSketchSetOp", "func": "NOT",
+                               "fields": [
+                                   {"type": "thetaSketchSetOp", "func": "INTERSECT",
+                                    "fields": [{"type": "fieldAccess", "fieldName": "a"},
+                                               {"type": "fieldAccess", "fieldName": "b"}]},
+                                   {"type": "fieldAccess", "fieldName": "c"}]}},
+                ],
+            }
+        ).collect()
