@@ -4857,6 +4857,59 @@ def sql_mv_ipv4_suite(spark, sf_dir):
 
 
 @q(
+    "sql_mv_extended_suite",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 100
+    ), ev AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_in_iv FROM events
+      WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-05'
+    )
+    SELECT doc_id,
+           CAST(len(list_append(toks, 'X')) AS BIGINT) AS len_app,
+           list_prepend('Y', toks)[1] AS first_after_prepend,
+           CAST(len(list_concat(toks, toks)) AS BIGINT) AS len_double,
+           array_to_string(toks[2:3], '-') AS mid,
+           CAST(len(list_filter(toks, x -> list_contains(['data','the','of'], x)))
+                AS BIGINT) AS n_kept,
+           CAST(len(list_filter(toks, x -> NOT list_contains(['data','the','of'], x)))
+                AS BIGINT) AS n_dropped,
+           (SELECT n_in_iv FROM ev) AS n_in_iv
+    FROM base
+    """,
+)
+def sql_mv_extended_suite(spark, sf_dir):
+    """Extended Druid SQL multi-value family (MV_APPEND/PREPEND/CONCAT/
+    SLICE/FILTER_ONLY/FILTER_NONE — order- and duplicate-preserving,
+    which is why FILTER_ONLY is a lambda filter, not array_intersect)
+    plus TIME_IN_INTERVAL — all inline SQL UDFs in codegen."""
+    eng = engine_for(spark, sf_dir)
+    return eng.sql(
+        """
+        WITH base AS (
+          SELECT doc_id, STRING_TO_MV(text, ' ') AS toks
+          FROM documents WHERE doc_id < 100
+        ), ev AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_in_iv FROM events
+          WHERE TIME_IN_INTERVAL(ts, '2024-01-03T00:00:00/2024-01-05T00:00:00')
+        )
+        SELECT doc_id,
+               CAST(MV_LENGTH(MV_APPEND(toks, 'X')) AS BIGINT) AS len_app,
+               MV_OFFSET(MV_PREPEND('Y', toks), 0) AS first_after_prepend,
+               CAST(MV_LENGTH(MV_CONCAT(toks, toks)) AS BIGINT) AS len_double,
+               MV_TO_STRING(MV_SLICE(toks, 1, 3), '-') AS mid,
+               CAST(MV_LENGTH(MV_FILTER_ONLY(toks, array('data','the','of')))
+                    AS BIGINT) AS n_kept,
+               CAST(MV_LENGTH(MV_FILTER_NONE(toks, array('data','the','of')))
+                    AS BIGINT) AS n_dropped,
+               (SELECT n_in_iv FROM ev) AS n_in_iv
+        FROM base
+        """
+    )
+
+
+@q(
     "text_classifier_score",
     f"""
     WITH toks AS (

@@ -31,8 +31,11 @@ Registered (scalar) functions:
  - DECODE_BASE64_UTF8(s)
  - IPV4_PARSE / IPV4_STRINGIFY / IPV4_MATCH(addr, 'cidr/n')
  - MV_LENGTH / MV_CONTAINS / MV_OVERLAP / MV_OFFSET / MV_ORDINAL /
-   MV_TO_STRING / STRING_TO_MV — Druid multi-value string functions
-   over ARRAY<STRING> columns (our multi-value dimension type).
+   MV_TO_STRING / STRING_TO_MV / MV_APPEND / MV_PREPEND / MV_CONCAT /
+   MV_SLICE / MV_FILTER_ONLY / MV_FILTER_NONE / MV_TO_ARRAY /
+   ARRAY_TO_MV — Druid multi-value string functions over ARRAY<STRING>
+   columns (our multi-value dimension type).
+ - TIME_IN_INTERVAL(t, 'start/end') — ISO interval containment.
 
 Druid SQL aggregate names that Spark covers natively need no shim:
 APPROX_COUNT_DISTINCT is a same-name Spark builtin; APPROX_QUANTILE's
@@ -223,6 +226,36 @@ _DEFS = [
     # Druid's delimiter is a regex; so is Spark's split().
     """CREATE OR REPLACE TEMPORARY FUNCTION STRING_TO_MV(s STRING, d STRING)
         RETURNS ARRAY<STRING> RETURN split(s, d)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION MV_APPEND(a ARRAY<STRING>, x STRING)
+        RETURNS ARRAY<STRING> RETURN array_append(a, x)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION MV_PREPEND(x STRING, a ARRAY<STRING>)
+        RETURNS ARRAY<STRING> RETURN array_prepend(a, x)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION MV_CONCAT(a ARRAY<STRING>, b ARRAY<STRING>)
+        RETURNS ARRAY<STRING> RETURN concat(a, b)""",
+    # MV_SLICE: 0-based [start, end) like Druid; negative/invalid ranges
+    # yield NULL (Druid behavior for out-of-range slices).
+    """CREATE OR REPLACE TEMPORARY FUNCTION MV_SLICE(a ARRAY<STRING>, s INT, e INT)
+        RETURNS ARRAY<STRING> RETURN
+          CASE WHEN s < 0 OR e < s THEN NULL
+               ELSE slice(a, s + 1, e - s) END""",
+    # MV_FILTER_ONLY/NONE preserve order AND duplicates (array_intersect
+    # would dedup — wrong for multi-value dimensions).
+    """CREATE OR REPLACE TEMPORARY FUNCTION MV_FILTER_ONLY(a ARRAY<STRING>, allow ARRAY<STRING>)
+        RETURNS ARRAY<STRING> RETURN filter(a, x -> array_contains(allow, x))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION MV_FILTER_NONE(a ARRAY<STRING>, deny ARRAY<STRING>)
+        RETURNS ARRAY<STRING> RETURN filter(a, x -> NOT array_contains(deny, x))""",
+    # Identity pair in our representation (multi-value dims ARE arrays).
+    """CREATE OR REPLACE TEMPORARY FUNCTION MV_TO_ARRAY(a ARRAY<STRING>)
+        RETURNS ARRAY<STRING> RETURN a""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION ARRAY_TO_MV(a ARRAY<STRING>)
+        RETURNS ARRAY<STRING> RETURN a""",
+    # TIME_IN_INTERVAL(t, 'start/end'): ISO interval containment,
+    # start-inclusive end-exclusive (Druid SQL). Duration-form endpoints
+    # (P1D) are not supported — both endpoints must be timestamps.
+    """CREATE OR REPLACE TEMPORARY FUNCTION TIME_IN_INTERVAL(t TIMESTAMP, iv STRING)
+        RETURNS BOOLEAN RETURN
+          t >= TIME_PARSE(split_part(iv, '/', 1))
+          AND t < TIME_PARSE(split_part(iv, '/', 2))""",
 ]
 
 _REGISTERED: set[str] = set()

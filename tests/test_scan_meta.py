@@ -265,3 +265,29 @@ def test_mv_index_and_ipv4_match_edges(engine):
     assert r.bad_addr is False
     assert r.bad_subnet is False and r.no_slash is False
     assert r.hit is True and r.miss is False
+
+
+def test_mv_extended_and_time_in_interval(engine):
+    """MV_APPEND/PREPEND/CONCAT/SLICE/FILTER_* preserve order and
+    duplicates; TIME_IN_INTERVAL is start-inclusive end-exclusive."""
+    r = engine.sql("""
+        SELECT MV_APPEND(array('a','b'), 'c') AS app,
+               MV_PREPEND('z', array('a','b')) AS pre,
+               MV_CONCAT(array('a'), array('a','b')) AS cc,
+               MV_SLICE(array('a','b','c','d'), 1, 3) AS sl,
+               MV_SLICE(array('a','b'), -1, 1) AS sl_bad,
+               MV_FILTER_ONLY(array('a','b','a','c'), array('a','c')) AS only,
+               MV_FILTER_NONE(array('a','b','a','c'), array('a','c')) AS none,
+               TIME_IN_INTERVAL(TIMESTAMP '2024-01-03 00:00:00',
+                                '2024-01-03T00:00:00/2024-01-05T00:00:00') AS lo,
+               TIME_IN_INTERVAL(TIMESTAMP '2024-01-05 00:00:00',
+                                '2024-01-03T00:00:00/2024-01-05T00:00:00') AS hi
+    """).collect()[0]
+    assert r.app == ["a", "b", "c"]
+    assert r.pre == ["z", "a", "b"]
+    assert r.cc == ["a", "a", "b"]       # duplicates preserved
+    assert r.sl == ["b", "c"]
+    assert r.sl_bad is None
+    assert r.only == ["a", "a", "c"]     # order + duplicates preserved
+    assert r.none == ["b"]
+    assert r.lo is True and r.hi is False
