@@ -179,10 +179,11 @@ def _gran_for(period: str, origin, tz) -> "object":
 
 
 class _Parser:
-    def __init__(self, toks: list[tuple[str, str]], resolve):
+    def __init__(self, toks: list[tuple[str, str]], resolve, lookups=None):
         self.toks = toks
         self.i = 0
         self.resolve = resolve  # name -> _Val for column identifiers
+        self.lookups = lookups  # name -> bounded {key: value} dict, or None
 
     def peek(self):
         return self.toks[self.i]
@@ -389,6 +390,27 @@ class _Parser:
             out = out.when(base == a[i].col, a[i + 1].col)
         tags = {a[i].tag for i in range(2, len(a), 2)} | {a[-1].tag}
         return _Val(out.otherwise(a[-1].col), tags.pop() if len(tags) == 1 else "unknown")
+
+    def _fn_lookup(self, a):
+        # Druid's lookup(expr, 'name'): registered lookups as inline map
+        # literals — faithful to Druid's replicated in-heap maps, same
+        # bounded-inlining contract as the SQL LOOKUP shim (sqlcompat).
+        # Missing keys yield null (Druid's retainMissingValue=false
+        # default). Oversized lookups raise toward the broadcast-join
+        # path (registeredLookup extractionFn).
+        if self.lookups is None:
+            raise DruidExprError("lookup() requires an engine context")
+        name = str(_req_lit(a[1], "lookup name"))
+        mapping = self.lookups(name)
+        if not mapping:
+            return _Val(F.lit(None).cast("string"), "str")
+        pairs: list[Column] = []
+        for k, v in mapping.items():
+            pairs.append(F.lit(str(k)))
+            pairs.append(F.lit("" if v is None else str(v)))
+        return _Val(
+            F.element_at(F.create_map(*pairs), _as_str(a[0])), "str"
+        )
 
     def _fn_like(self, a):
         if len(a) == 3:
@@ -655,13 +677,17 @@ def _resolver(df: DataFrame | None):
     return resolve
 
 
-def compile_druid_expr(src: str, df: DataFrame | None = None) -> Column:
+def compile_druid_expr(
+    src: str, df: DataFrame | None = None, lookups=None
+) -> Column:
     """Compile Druid expression source to a native Column. Comparisons /
     logical results surface as 1/0 longs (Druid's numeric booleans).
     ``df`` supplies column types for long-vs-double arithmetic; without
     it identifiers are typed 'unknown' (widening arithmetic to double).
-    Raises DruidExprError for out-of-subset sources."""
-    p = _Parser(_tokenize(src), _resolver(df))
+    ``lookups`` is a callable name -> bounded {key: value} dict enabling
+    the ``lookup()`` function. Raises DruidExprError for out-of-subset
+    sources."""
+    p = _Parser(_tokenize(src), _resolver(df), lookups=lookups)
     out = p.expr()
     if p.peek()[0] != "eof":
         raise DruidExprError(f"trailing tokens at {p.peek()[1]!r}")

@@ -43,7 +43,31 @@ def grouped_agg(base: DataFrame, key_cols: list, key_names: list[str], aggs) -> 
     return base.groupBy(*key_cols).agg(*aggs.exprs)
 
 
-def apply_virtual_columns(df: DataFrame, query: dict) -> DataFrame:
+def _lookup_resolver(engine):
+    """name -> bounded {key: value} dict for Druid-expression lookup().
+    Same inlining cap as the SQL LOOKUP shim; oversized lookups raise
+    toward the broadcast-join path (registeredLookup extractionFn)."""
+    if engine is None:
+        return None
+    from coolplaydruid_spark.sqlcompat import MAX_INLINE_LOOKUP_ENTRIES
+
+    def resolve(name: str) -> dict:
+        df_l = engine.catalog.lookup(name)
+        rows = df_l.limit(MAX_INLINE_LOOKUP_ENTRIES + 1).collect()
+        if len(rows) > MAX_INLINE_LOOKUP_ENTRIES:
+            raise ValueError(
+                f"lookup {name!r} exceeds {MAX_INLINE_LOOKUP_ENTRIES} entries; "
+                "use the registeredLookup extractionFn (broadcast join)"
+            )
+        out = {}
+        for r in rows:  # last-write-wins, like the SQL shim
+            out[r["key"]] = r["value"]
+        return out
+
+    return resolve
+
+
+def apply_virtual_columns(df: DataFrame, query: dict, engine=None) -> DataFrame:
     """``virtualColumns``: computed columns usable by filters, dimensions
     and aggregators of the same query (public Druid expression virtual
     columns). The PRIMARY dialect is Druid's own expression language
@@ -61,6 +85,7 @@ def apply_virtual_columns(df: DataFrame, query: dict) -> DataFrame:
         compile_druid_expr,
     )
 
+    lookups = _lookup_resolver(engine)
     for vc in query.get("virtualColumns") or []:
         vtype = vc.get("type", "expression")
         if vtype != "expression":
@@ -69,19 +94,20 @@ def apply_virtual_columns(df: DataFrame, query: dict) -> DataFrame:
         if dialect == "sql":
             col = F.expr(vc["expression"])
         elif dialect == "druid":
-            col = compile_druid_expr(vc["expression"], df)
+            col = compile_druid_expr(vc["expression"], df, lookups=lookups)
         else:
             try:
-                col = compile_druid_expr(vc["expression"], df)
+                col = compile_druid_expr(vc["expression"], df, lookups=lookups)
             except DruidExprError:
                 col = F.expr(vc["expression"])
         df = df.withColumn(vc["name"], col)
     return df
 
 
-def filtered_frame(df: DataFrame, query: dict) -> DataFrame:
+def filtered_frame(df: DataFrame, query: dict, engine=None) -> DataFrame:
     """Apply the query's ``virtualColumns``, ``intervals`` + ``filter``
-    to the dataSource frame.
+    to the dataSource frame. ``engine`` (optional) supplies the lookup
+    registry for Druid-expression ``lookup()``.
 
     The predicates are plain Columns, so Catalyst pushes them into the
     Parquet scan: the intervals predicate is the Spark analogue of Druid's
@@ -89,7 +115,7 @@ def filtered_frame(df: DataFrame, query: dict) -> DataFrame:
     dimension filters land in PushedFilters (≈ bitmap-index skipping,
     TOC.md:39-40).
     """
-    df = apply_virtual_columns(df, query)
+    df = apply_virtual_columns(df, query, engine=engine)
     intervals = query.get("intervals")
     if intervals:
         if isinstance(intervals, str):

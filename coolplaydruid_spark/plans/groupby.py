@@ -36,7 +36,7 @@ def plan_groupby(engine, query: dict) -> DataFrame:
     df = engine.resolve_datasource(query["dataSource"])
     context = query.get("context") or {}
     gran = parse_granularity(query.get("granularity", "all"))
-    base = filtered_frame(df, query)
+    base = filtered_frame(df, query, engine=engine)
 
     # Multi-value string dimensions (public Druid 0.12 semantics, SURVEY
     # §1.1/§7.5.7): a row with an array-valued dimension groups once per

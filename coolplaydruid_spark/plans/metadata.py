@@ -27,7 +27,7 @@ from coolplaydruid_spark.plans.common import filtered_frame
 
 
 def plan_time_boundary(engine, query: dict) -> DataFrame:
-    df = filtered_frame(engine.resolve_datasource(query["dataSource"]), query)
+    df = filtered_frame(engine.resolve_datasource(query["dataSource"]), query, engine=engine)
     bound = query.get("bound")
     aggs = []
     if bound in (None, "minTime"):
@@ -52,7 +52,7 @@ def plan_segment_metadata(engine, query: dict) -> DataFrame:
     engine-independent stand-in for serialized size). Everything is ONE
     aggregation pass over the (filtered) table regardless of how many
     analyses are requested; output is one row per column."""
-    df = filtered_frame(engine.resolve_datasource(query["dataSource"]), query)
+    df = filtered_frame(engine.resolve_datasource(query["dataSource"]), query, engine=engine)
     context = query.get("context") or {}
     exact = bool(context.get("useExactCountDistinct"))
     analysis = set(query.get("analysisTypes") or [])

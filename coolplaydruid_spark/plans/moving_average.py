@@ -108,7 +108,7 @@ def plan_moving_average(engine, query: dict) -> DataFrame:
     # Inner aggregation over the EXPANDED intervals — ordinary
     # bucket × dims groupBy, the one data-sized shuffle in the plan.
     inner_q = dict(query, intervals=expanded)
-    base = filtered_frame(df, inner_q)
+    base = filtered_frame(df, inner_q, engine=engine)
     aggs = compile_aggregators(query.get("aggregations"), context, df=base)
     dim_cols, dim_names = [], []
     for spec in query.get("dimensions") or []:

@@ -35,7 +35,7 @@ def _projection(df: DataFrame, query: dict) -> DataFrame:
 
 
 def plan_scan(engine, query: dict) -> DataFrame:
-    df = filtered_frame(engine.resolve_datasource(query["dataSource"]), query)
+    df = filtered_frame(engine.resolve_datasource(query["dataSource"]), query, engine=engine)
     df = _projection(df, query)
     order = query.get("order", "none")
     if order in ("ascending", "descending"):
@@ -57,7 +57,7 @@ def plan_select(engine, query: dict) -> DataFrame:
     sort and no single-partition window materializes the whole table on
     one executor (a page is small by construction; offset+threshold rows
     reach the driver regardless of table size)."""
-    df = filtered_frame(engine.resolve_datasource(query["dataSource"]), query)
+    df = filtered_frame(engine.resolve_datasource(query["dataSource"]), query, engine=engine)
     df = _projection(df, query)
     paging = query.get("pagingSpec") or {}
     threshold = int(paging.get("threshold", 1000))

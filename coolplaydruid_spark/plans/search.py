@@ -42,7 +42,7 @@ def _match(col, qspec: dict):
 
 
 def plan_search(engine, query: dict) -> DataFrame:
-    df = filtered_frame(engine.resolve_datasource(query["dataSource"]), query)
+    df = filtered_frame(engine.resolve_datasource(query["dataSource"]), query, engine=engine)
     dims = query.get("searchDimensions")
     if not dims:
         dims = [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]

@@ -38,7 +38,7 @@ def plan_timeseries(engine, query: dict) -> DataFrame:
     df = engine.resolve_datasource(query["dataSource"])
     context = query.get("context") or {}
     gran = parse_granularity(query.get("granularity", "all"))
-    base = filtered_frame(df, query)
+    base = filtered_frame(df, query, engine=engine)
 
     # thetaSketch aggregators + set-op post-aggs plan as a separate
     # two-level aggregation joined back on the bucket (functions/theta.py);

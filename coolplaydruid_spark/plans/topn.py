@@ -32,7 +32,7 @@ def plan_topn(engine, query: dict) -> DataFrame:
     df = engine.resolve_datasource(query["dataSource"])
     context = query.get("context") or {}
     gran = parse_granularity(query.get("granularity", "all"))
-    base = filtered_frame(df, query)
+    base = filtered_frame(df, query, engine=engine)
 
     dim_col, dim_name = dimension_column(query["dimension"])
     threshold = int(query["threshold"])

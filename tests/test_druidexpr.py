@@ -210,3 +210,27 @@ class TestErrorsAndFallback:
             GROUP BY 1 ORDER BY 1
         """).fetchall()
         assert got == [(h, n) for h, n in exp]
+
+
+def test_lookup_in_druid_expression(engine):
+    """Druid's lookup(expr, 'name') inside a virtualColumn expression:
+    registered lookups inline as map literals; missing keys yield null
+    (nvl provides Druid's replaceMissingValueWith pattern)."""
+    engine.catalog.register_lookup("type_labels", {"click": "Click!", "view": "View"})
+    df = engine.plan({
+        "queryType": "groupBy",
+        "dataSource": "events",
+        "granularity": "all",
+        "dimensions": ["label"],
+        "virtualColumns": [{
+            "type": "expression", "name": "label",
+            "expression": "nvl(lookup(event_type, 'type_labels'), 'other')",
+        }],
+        "intervals": ["2024-01-01T00:00:00/2024-01-08T00:00:00"],
+        "aggregations": [{"type": "count", "name": "n"}],
+        "limitSpec": {"type": "default", "limit": 10,
+                      "columns": [{"dimension": "label"}]},
+    })
+    rows = {r["label"]: r["n"] for r in df.collect()}
+    assert set(rows) == {"Click!", "View", "other"}
+    assert rows["other"] > 0
