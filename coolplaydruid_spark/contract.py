@@ -4910,6 +4910,38 @@ def sql_mv_extended_suite(spark, sf_dir):
 
 
 @q(
+    "sql_druid_aggregate_renames",
+    f"""
+    SELECT event_type,
+           round(min_by(value, ts), 4) AS first_val,
+           round(max_by(value, ts), 4) AS last_val,
+           CAST(bit_and(user_id) AS BIGINT) AS band,
+           CAST(bit_or(user_id) AS BIGINT) AS bor
+    FROM events WHERE {EVENTS_WHERE}
+    GROUP BY 1
+    """,
+)
+def sql_druid_aggregate_renames(spark, sf_dir):
+    """Druid SQL aggregate spellings (EARLIEST_BY/LATEST_BY,
+    BITWISE_AND_AGG/BITWISE_OR_AGG) rewritten to exact Spark aggregates
+    at the SQL front-end (sqlcompat.rewrite_druid_sql) — a Druid SQL
+    statement runs unmodified; the oracle uses the native DuckDB
+    spellings."""
+    eng = engine_for(spark, sf_dir)
+    return eng.sql(
+        f"""
+        SELECT event_type,
+               round(EARLIEST_BY(value, ts), 4) AS first_val,
+               round(LATEST_BY(value, ts), 4) AS last_val,
+               BITWISE_AND_AGG(user_id) AS band,
+               BITWISE_OR_AGG(user_id) AS bor
+        FROM events WHERE {EVENTS_WHERE}
+        GROUP BY 1
+        """
+    )
+
+
+@q(
     "text_classifier_score",
     f"""
     WITH toks AS (

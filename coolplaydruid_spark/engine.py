@@ -464,10 +464,12 @@ class DruidEngine:
         from coolplaydruid_spark.sqlcompat import (
             register_druid_sql_functions,
             register_lookup_sql_function,
+            rewrite_druid_sql,
         )
 
         register_druid_sql_functions(self.spark)
         register_lookup_sql_function(self.spark, self.catalog)
+        statement = rewrite_druid_sql(statement)
         if args:
             return self.spark.sql(statement, args=args)
         return self.spark.sql(statement)

@@ -258,6 +258,44 @@ _DEFS = [
           AND t < TIME_PARSE(split_part(iv, '/', 2))""",
 ]
 
+# Druid SQL AGGREGATE names that are pure renames of Spark aggregates.
+# CREATE FUNCTION bodies are scalar-only, so these rewrite at the text
+# level (whole word + '(' — see rewrite_druid_sql). Shapes align:
+# APPROX_QUANTILE(expr, prob[, k]) ≡ percentile_approx;
+# EARLIEST_BY/LATEST_BY(expr, ts) ≡ min_by/max_by;
+# BITWISE_*_AGG(expr) ≡ bit_and/bit_or/bit_xor;
+# APPROX_COUNT_DISTINCT_DS_* 1-arg form ≡ approx_count_distinct (a
+# second lgK argument is NOT an rsd — left to fail loudly).
+_AGG_RENAMES = {
+    "APPROX_QUANTILE": "percentile_approx",
+    "APPROX_QUANTILE_DS": "percentile_approx",
+    "APPROX_COUNT_DISTINCT_DS_HLL": "approx_count_distinct",
+    "APPROX_COUNT_DISTINCT_DS_THETA": "approx_count_distinct",
+    "EARLIEST_BY": "min_by",
+    "LATEST_BY": "max_by",
+    "BITWISE_AND_AGG": "bit_and",
+    "BITWISE_OR_AGG": "bit_or",
+    "BITWISE_XOR_AGG": "bit_xor",
+}
+
+import re as _re
+
+_AGG_RENAME_RE = _re.compile(
+    r"\b(" + "|".join(sorted(_AGG_RENAMES, key=len, reverse=True)) + r")\s*\(",
+    _re.IGNORECASE,
+)
+
+
+def rewrite_druid_sql(statement: str) -> str:
+    """Rename Druid-SQL-only aggregate functions to their exact Spark
+    equivalents. Word-boundary + '(' matching; a (rare) string literal
+    containing one of these call shapes would also rewrite — documented
+    limitation of text-level aggregate renaming."""
+    return _AGG_RENAME_RE.sub(
+        lambda m: _AGG_RENAMES[m.group(1).upper()] + "(", statement
+    )
+
+
 _REGISTERED: set[str] = set()
 
 

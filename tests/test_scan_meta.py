@@ -291,3 +291,30 @@ def test_mv_extended_and_time_in_interval(engine):
     assert r.only == ["a", "a", "c"]     # order + duplicates preserved
     assert r.none == ["b"]
     assert r.lo is True and r.hi is False
+
+
+def test_druid_sql_aggregate_renames(engine):
+    """Druid-SQL-only aggregate names rewrite to exact Spark
+    equivalents: EARLIEST_BY/LATEST_BY (min_by/max_by), BITWISE_*_AGG,
+    APPROX_QUANTILE (percentile_approx) — case-insensitive, inside a
+    real grouped query over a registered dataSource."""
+    rows = engine.sql("""
+        SELECT event_type,
+               EARLIEST_BY(value, ts) AS first_val,
+               latest_by(value, ts) AS last_val,
+               BITWISE_AND_AGG(user_id) AS band,
+               BITWISE_OR_AGG(user_id) AS bor,
+               APPROX_QUANTILE(value, 0.5) AS med
+        FROM events GROUP BY 1 ORDER BY 1 LIMIT 2
+    """).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.first_val is not None and r.last_val is not None
+        assert isinstance(r.band, int) and isinstance(r.bor, int)
+        assert r.med is not None
+    # sanity against direct Spark aggregates
+    direct = engine.sql("""
+        SELECT event_type, min_by(value, ts) AS first_val
+        FROM events GROUP BY 1 ORDER BY 1 LIMIT 2
+    """).collect()
+    assert [r.first_val for r in rows] == [r.first_val for r in direct]
