@@ -4163,6 +4163,46 @@ def groupby_subtotals(spark, sf_dir):
 
 
 @q(
+    "timeseries_hour_origin_phase",
+    """
+    WITH b AS (
+      SELECT make_timestamp((1704069000000
+               + CAST(floor((epoch_ms(ts) - 1704069000000) / 3600000.0) AS BIGINT)
+                 * 3600000) * 1000) AS ts_bucket,
+             value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01 00:30:00'
+        AND ts < TIMESTAMP '2024-01-02 00:30:00'
+    )
+    SELECT ts_bucket, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total
+    FROM b GROUP BY 1
+    """,
+)
+def timeseries_hour_origin_phase(spark, sf_dir):
+    """Period granularity with an ORIGIN: PT1H anchored at :30 buckets
+    on half-hour boundaries (round-5 fix — the single-unit trunc
+    mapping previously dropped the origin). Oracle mirrors the
+    origin-anchored epoch arithmetic; the origin-aware SPINE is
+    covered by tests/test_extraction_granularity.py."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": {"type": "period", "period": "PT1H",
+                            "origin": "2024-01-01T00:30:00"},
+            "aggregations": [
+                {"type": "count", "name": "n"},
+                {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            ],
+            "intervals": ["2024-01-01T00:30:00/2024-01-02T00:30:00"],
+            "context": {"skipEmptyBuckets": True},
+        }
+    )
+    return _r4(df, "total")
+
+
+@q(
     "timeseries_virtual_column",
     f"""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_bucket,

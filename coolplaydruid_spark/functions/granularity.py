@@ -299,7 +299,18 @@ def _parse_period(spec: dict) -> Granularity:
         ("minutes", 1): "minute",
         ("seconds", 1): "second",
     }
-    if len(parts) == 1:
+    has_origin = bool(spec.get("origin"))
+    if has_origin and ("years" in parts or "months" in parts):
+        raise ValueError(
+            f"calendar period {period!r} with origin is unsupported "
+            "(calendar buckets are epoch-anchored; use a fixed-length "
+            "period for origin-shifted buckets)"
+        )
+    if len(parts) == 1 and not has_origin:
+        # Single-unit periods map to trunc grains — but an origin SHIFTS
+        # the bucket phase (PT1H origin :30 buckets at half-hours), so
+        # origin'd fixed-length periods take the duration path below
+        # instead of an origin-less truncation.
         (unit, n), = parts.items()
         if (unit, n) in single:
             return Granularity(kind="trunc", grain=single[(unit, n)], time_zone=tz)

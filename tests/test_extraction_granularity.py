@@ -425,3 +425,33 @@ def test_bucket_extraction_edge_cases(spark):
     assert out[0].b == "1.0E19" and out[1].b == "5"
     with _pt.raises(ValueError, match="size > 0"):
         apply_extraction(F.col("v"), {"type": "bucket", "size": 0})
+
+
+def test_period_with_origin_shifts_bucket_phase(engine):
+    """A fixed-length period granularity with an origin anchors buckets
+    at the origin's phase (PT1H origin :30 → half-hour boundaries) —
+    previously the single-unit trunc mapping silently dropped the
+    origin. Calendar periods with origin raise loudly."""
+    import pytest as _pt
+
+    from coolplaydruid_spark.functions.granularity import parse_granularity
+
+    df = engine.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": {"type": "period", "period": "PT1H",
+                            "origin": "2024-01-01T00:30:00"},
+            "aggregations": [{"type": "count", "name": "n"}],
+            "intervals": ["2024-01-01T00:30:00/2024-01-01T06:30:00"],
+        }
+    )
+    rows = df.collect()
+    assert len(rows) == 6
+    assert all(r["ts_bucket"].minute == 30 for r in rows)
+    # origin-less PT1H still truncates on the hour
+    g = parse_granularity({"type": "period", "period": "PT1H"})
+    assert g.kind == "trunc" and g.grain == "hour"
+    with _pt.raises(ValueError, match="origin"):
+        parse_granularity({"type": "period", "period": "P1M",
+                           "origin": "2024-01-15T00:00:00"})
