@@ -123,8 +123,26 @@ def _both_long(a: _Val, b: _Val) -> bool:
     return a.tag in ("long", "bool") and b.tag in ("long", "bool")
 
 
+def _value(v: _Val) -> Column:
+    """A _Val used as a VALUE (function argument, branch result, string
+    coercion source): Druid's booleans are 1/0 longs, so a comparison
+    result materializes as long — also what keeps if/nvl/case branches
+    type-consistent for Spark."""
+    return v.col.cast("long") if v.tag == "bool" else v.col
+
+
+def _vtag(v: _Val) -> str:
+    return "long" if v.tag == "bool" else v.tag
+
+
 def _as_str(v: _Val) -> Column:
-    return v.col.cast("string")
+    return _value(v).cast("string")
+
+
+def _branches(*vals: "_Val") -> list[Column]:
+    """Branch results for if/nvl/case: booleans as 1/0 longs; remaining
+    numeric-width mixes are left to Spark's common-type coercion."""
+    return [_value(v) for v in vals]
 
 
 def _req_lit(v: _Val, what: str):
@@ -359,12 +377,14 @@ class _Parser:
     def _fn_if(self, a):
         if len(a) != 3:
             raise DruidExprError("if(cond, then, else) takes 3 arguments")
-        tag = a[1].tag if a[1].tag == a[2].tag else "unknown"
-        return _Val(F.when(_truthy(a[0]), a[1].col).otherwise(a[2].col), tag)
+        then, other = _branches(a[1], a[2])
+        tag = _vtag(a[1]) if _vtag(a[1]) == _vtag(a[2]) else "unknown"
+        return _Val(F.when(_truthy(a[0]), then).otherwise(other), tag)
 
     def _fn_nvl(self, a):
-        tag = a[0].tag if a[0].tag == a[1].tag else "unknown"
-        return _Val(F.coalesce(a[0].col, a[1].col), tag)
+        x, y = _branches(a[0], a[1])
+        tag = _vtag(a[0]) if _vtag(a[0]) == _vtag(a[1]) else "unknown"
+        return _Val(F.coalesce(x, y), tag)
 
     def _fn_isnull(self, a):
         return _Val(a[0].col.isNull(), "bool")
@@ -375,21 +395,25 @@ class _Parser:
     def _fn_case_searched(self, a):
         if len(a) < 3 or len(a) % 2 == 0:
             raise DruidExprError("case_searched(c1, r1, ..., else)")
-        out = F.when(_truthy(a[0]), a[1].col)
+        out = F.when(_truthy(a[0]), _value(a[1]))
         for i in range(2, len(a) - 1, 2):
-            out = out.when(_truthy(a[i]), a[i + 1].col)
-        tags = {a[i].tag for i in range(1, len(a), 2)} | {a[-1].tag}
-        return _Val(out.otherwise(a[-1].col), tags.pop() if len(tags) == 1 else "unknown")
+            out = out.when(_truthy(a[i]), _value(a[i + 1]))
+        tags = {_vtag(a[i]) for i in range(1, len(a), 2)} | {_vtag(a[-1])}
+        return _Val(
+            out.otherwise(_value(a[-1])), tags.pop() if len(tags) == 1 else "unknown"
+        )
 
     def _fn_case_simple(self, a):
         if len(a) < 4 or len(a) % 2 != 0:
             raise DruidExprError("case_simple(expr, v1, r1, ..., else)")
-        base = a[0].col
-        out = F.when(base == a[1].col, a[2].col)
+        base = _value(a[0])
+        out = F.when(base == _value(a[1]), _value(a[2]))
         for i in range(3, len(a) - 1, 2):
-            out = out.when(base == a[i].col, a[i + 1].col)
-        tags = {a[i].tag for i in range(2, len(a), 2)} | {a[-1].tag}
-        return _Val(out.otherwise(a[-1].col), tags.pop() if len(tags) == 1 else "unknown")
+            out = out.when(base == _value(a[i]), _value(a[i + 1]))
+        tags = {_vtag(a[i]) for i in range(2, len(a), 2)} | {_vtag(a[-1])}
+        return _Val(
+            out.otherwise(_value(a[-1])), tags.pop() if len(tags) == 1 else "unknown"
+        )
 
     def _fn_lookup(self, a):
         # Druid's lookup(expr, 'name'): registered lookups as inline map

@@ -432,3 +432,126 @@ def test_cap_per_group_matches_python_reference(spark, n_rows, n_groups, cap):
         )
         expect.extend(members[:cap])
     assert got == sorted(expect)
+
+
+# ---- Druid expression parser vs a pure-Python evaluator ------------------
+#
+# hypothesis generates random expression TREES (rendered to Druid source
+# text); a pure-Python evaluator applies Druid's semantics (long/long
+# integral division toward zero, ^-as-power, 1/0 booleans, string +
+# concat); the compiled Column must agree on a row of known values.
+
+VARS = {"a": 7, "b": -3, "x": 2.5}
+
+
+def _expr_leaf():
+    return st.one_of(
+        st.sampled_from(list(VARS)),
+        st.integers(0, 100).map(str),
+        st.sampled_from(["1.5", "0.25", "2.0"]),
+    )
+
+
+def _expr_tree(depth=3):
+    leaf = _expr_leaf()
+    if depth == 0:
+        return leaf
+    sub = _expr_tree(depth - 1)
+    return st.one_of(
+        leaf,
+        st.tuples(st.sampled_from(["+", "-", "*", "/", "%"]), sub, sub),
+        st.tuples(st.sampled_from(["<", "<=", ">", ">=", "==", "!="]), sub, sub),
+        st.tuples(st.just("if"), sub, sub, sub),
+        st.tuples(st.sampled_from(["min2", "max2", "abs1"]), sub, sub),
+    )
+
+
+def _render(node) -> str:
+    if isinstance(node, str):
+        return node
+    op = node[0]
+    if op == "if":
+        return f"if({_render(node[1])}, {_render(node[2])}, {_render(node[3])})"
+    if op == "min2":
+        return f"min({_render(node[1])}, {_render(node[2])})"
+    if op == "max2":
+        return f"max({_render(node[1])}, {_render(node[2])})"
+    if op == "abs1":
+        return f"abs({_render(node[1])})"
+    return f"({_render(node[1])} {op} {_render(node[2])})"
+
+
+def _is_long(v) -> bool:
+    return isinstance(v, int) and not isinstance(v, bool)
+
+
+def _eval(node):
+    """Pure-Python Druid-semantics evaluator. Returns int (long), float
+    (double), or raises ZeroDivisionError (skipped examples)."""
+    if isinstance(node, str):
+        if node in VARS:
+            return VARS[node]
+        return int(node) if "." not in node else float(node)
+    op = node[0]
+    if op == "if":
+        return _eval(node[2]) if _truthy_py(_eval(node[1])) else _eval(node[3])
+    if op == "min2":
+        return min(_eval(node[1]), _eval(node[2]))
+    if op == "max2":
+        return max(_eval(node[1]), _eval(node[2]))
+    if op == "abs1":
+        return abs(_eval(node[1]))
+    a, b = _eval(node[1]), _eval(node[2])
+    if op in ("<", "<=", ">", ">=", "==", "!="):
+        import operator
+
+        f = {"<": operator.lt, "<=": operator.le, ">": operator.gt,
+             ">=": operator.ge, "==": operator.eq, "!=": operator.ne}[op]
+        return 1 if f(a, b) else 0
+    both_long = _is_long(a) and _is_long(b)
+    if op == "+":
+        return a + b
+    if op == "-":
+        return a - b
+    if op == "*":
+        return a * b
+    if op == "/":
+        if b == 0:
+            raise ZeroDivisionError
+        if both_long:
+            q = abs(a) // abs(b)  # truncation toward zero, Java-style
+            return q if (a >= 0) == (b >= 0) else -q
+        return a / b
+    if op == "%":
+        if b == 0:
+            raise ZeroDivisionError
+        if both_long:
+            r = abs(a) % abs(b)  # sign of the dividend, Java-style
+            return r if a >= 0 else -r
+        return math.fmod(a, b)
+    raise ValueError(op)
+
+
+def _truthy_py(v) -> bool:
+    return bool(v)
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(tree=_expr_tree())
+def test_druid_expr_matches_python_semantics(spark, tree):
+    from coolplaydruid_spark.functions.druidexpr import compile_druid_expr
+
+    try:
+        expected = _eval(tree)
+    except ZeroDivisionError:
+        return  # Spark yields NULL where Java Druid throws; skip
+    src = _render(tree)
+    df = spark.createDataFrame(
+        [(VARS["a"], VARS["b"], VARS["x"])], "a long, b long, x double"
+    )
+    got = df.select(compile_druid_expr(src, df).alias("v")).collect()[0]["v"]
+    if isinstance(expected, float) or isinstance(got, float):
+        assert got == pytest.approx(expected, rel=1e-9, abs=1e-9), src
+    else:
+        assert got == expected, src
