@@ -96,6 +96,16 @@ def _read_source(spark: SparkSession, source: dict) -> DataFrame:
         return reader.json(path)
     if fmt == "csv":
         return reader.option("header", "true").option("inferSchema", "true").csv(path)
+    if fmt in ("tsv", "delimited"):
+        # Druid 0.12 tsv parseSpec: custom delimiter via
+        # source["delimiter"] (default tab), header + schema inference
+        # like csv.
+        return (
+            reader.option("header", "true")
+            .option("inferSchema", "true")
+            .option("sep", source.get("delimiter", "\t"))
+            .csv(path)
+        )
     if fmt == "orc":
         return reader.orc(path)
     raise ValueError(f"unsupported source format {fmt!r}")

@@ -454,3 +454,33 @@ def test_index_task_transform_spec(spark, tmp_path):
     rows = out.select("value", "net", "kind").collect()
     assert all(abs(r.net - r.value * 0.9) < 1e-9 for r in rows)
     assert {r.kind for r in rows} == {"CLICK"}
+
+
+def test_tsv_and_delimited_ingest(spark, tmp_path):
+    """Druid 0.12 tsv parseSpec: tab-delimited (default) and custom
+    delimiter sources ingest through the same index task."""
+    from coolplaydruid_spark.sources import batch
+
+    tsv = tmp_path / "src.tsv"
+    tsv.write_text("ts\tevent_type\tvalue\n"
+                   "2024-01-01T00:00:05\tclick\t1.5\n"
+                   "2024-01-02T00:00:05\tview\t2.5\n")
+    dest = str(tmp_path / "tbl")
+    status = batch.index_task(
+        spark, {"type": "file", "path": str(tsv), "format": "tsv"},
+        dest, time_column="ts",
+    )
+    assert status.status == "SUCCESS"
+    got = spark.read.parquet(dest)
+    assert got.count() == 2
+    assert {r["event_type"] for r in got.collect()} == {"click", "view"}
+
+    psv = tmp_path / "src.psv"
+    psv.write_text("ts|event_type|value\n2024-01-03T00:00:05|purchase|3.5\n")
+    status = batch.index_task(
+        spark, {"type": "file", "path": str(psv), "format": "delimited",
+                "delimiter": "|"},
+        str(tmp_path / "tbl2"), time_column="ts",
+    )
+    assert status.status == "SUCCESS"
+    assert spark.read.parquet(str(tmp_path / "tbl2")).count() == 1
