@@ -108,6 +108,24 @@ def _read_source(spark: SparkSession, source: dict) -> DataFrame:
         )
     if fmt == "orc":
         return reader.orc(path)
+    if fmt == "regex":
+        # Druid 0.12 regex parseSpec: one capture group per column
+        # (source["pattern"], source["columns"]). spark.read.text →
+        # rlike filter + regexp_extract projection, all codegen;
+        # non-matching lines are dropped (Druid's unparseable-row
+        # behavior).
+        pattern = source["pattern"]
+        columns = source["columns"]
+        return (
+            reader.text(path)
+            .where(F.col("value").rlike(pattern))
+            .select(
+                *[
+                    F.regexp_extract(F.col("value"), pattern, i + 1).alias(c)
+                    for i, c in enumerate(columns)
+                ]
+            )
+        )
     raise ValueError(f"unsupported source format {fmt!r}")
 
 

@@ -484,3 +484,34 @@ def test_tsv_and_delimited_ingest(spark, tmp_path):
     )
     assert status.status == "SUCCESS"
     assert spark.read.parquet(str(tmp_path / "tbl2")).count() == 1
+
+
+def test_regex_parsespec_ingest(spark, tmp_path):
+    """Druid 0.12 regex parseSpec: one capture group per column;
+    unparseable lines dropped; metrics cast downstream by transforms."""
+    from coolplaydruid_spark.sources import batch
+
+    log = tmp_path / "app.log"
+    log.write_text(
+        "[2024-01-01T00:00:05] click value=1.5\n"
+        "GARBAGE LINE\n"
+        "[2024-01-02T10:00:05] view value=2.25\n"
+    )
+    dest = str(tmp_path / "tbl")
+    status = batch.index_task(
+        spark,
+        {
+            "type": "file", "path": str(log), "format": "regex",
+            "pattern": r"^\[([0-9T:.-]+)\] (\w+) value=([0-9.]+)$",
+            "columns": ["ts", "event_type", "value"],
+        },
+        dest, time_column="ts",
+        transform_spec={"transforms": [
+            {"name": "value", "expression": "cast(value, 'DOUBLE')"}]},
+    )
+    assert status.status == "SUCCESS"
+    got = spark.read.parquet(dest).orderBy("ts").collect()
+    assert len(got) == 2  # garbage line dropped
+    assert got[0]["event_type"] == "click" and got[0]["value"] == 1.5
+    assert got[1]["value"] == 2.25
+    assert {str(r["__dt"]) for r in got} == {"2024-01-01", "2024-01-02"}
