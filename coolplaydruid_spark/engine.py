@@ -470,6 +470,15 @@ class DruidEngine:
         register_druid_sql_functions(self.spark)
         register_lookup_sql_function(self.spark, self.catalog)
         statement = rewrite_druid_sql(statement)
+        # Metadata views materialize only for statements that reference
+        # them — the hot SQL path never pays for introspection.
+        from coolplaydruid_spark.sqlmeta import (
+            references_metadata,
+            register_metadata_views,
+        )
+
+        if references_metadata(statement):
+            register_metadata_views(self.spark, self.catalog)
         if args:
             return self.spark.sql(statement, args=args)
         return self.spark.sql(statement)

@@ -286,11 +286,35 @@ _AGG_RENAME_RE = _re.compile(
 )
 
 
+# Dotted Druid metadata tables → underscore temp views (Spark temp view
+# names cannot contain dots); the views themselves are materialized by
+# sqlmeta.register_metadata_views. EXPLAIN PLAN FOR is Druid SQL's
+# explain spelling; Spark's is plain EXPLAIN.
+_META_RENAMES = {
+    "INFORMATION_SCHEMA.SCHEMATA": "information_schema_schemata",
+    "INFORMATION_SCHEMA.TABLES": "information_schema_tables",
+    "INFORMATION_SCHEMA.COLUMNS": "information_schema_columns",
+    "SYS.SEGMENTS": "sys_segments",
+}
+
+_META_RENAME_RE = _re.compile(
+    r"\b(" + "|".join(_re.escape(k) for k in _META_RENAMES) + r")\b",
+    _re.IGNORECASE,
+)
+
+_EXPLAIN_RE = _re.compile(r"^\s*EXPLAIN\s+PLAN\s+FOR\b", _re.IGNORECASE)
+
+
 def rewrite_druid_sql(statement: str) -> str:
     """Rename Druid-SQL-only aggregate functions to their exact Spark
-    equivalents. Word-boundary + '(' matching; a (rare) string literal
-    containing one of these call shapes would also rewrite — documented
-    limitation of text-level aggregate renaming."""
+    equivalents, dotted metadata tables to their underscore views, and
+    EXPLAIN PLAN FOR to EXPLAIN. Word-boundary matching; a (rare)
+    string literal containing one of these shapes would also rewrite —
+    documented limitation of text-level renaming."""
+    statement = _EXPLAIN_RE.sub("EXPLAIN", statement)
+    statement = _META_RENAME_RE.sub(
+        lambda m: _META_RENAMES[m.group(1).upper()], statement
+    )
     return _AGG_RENAME_RE.sub(
         lambda m: _AGG_RENAMES[m.group(1).upper()] + "(", statement
     )

@@ -318,3 +318,34 @@ def test_druid_sql_aggregate_renames(engine):
         FROM events GROUP BY 1 ORDER BY 1 LIMIT 2
     """).collect()
     assert [r.first_val for r in rows] == [r.first_val for r in direct]
+
+
+def test_information_schema_and_sys_segments(engine):
+    """Druid SQL metadata introspection: dotted INFORMATION_SCHEMA /
+    sys.segments spellings rewrite to catalog-backed views; EXPLAIN
+    PLAN FOR works."""
+    tables = {r.TABLE_NAME for r in engine.sql(
+        "SELECT TABLE_NAME FROM INFORMATION_SCHEMA.TABLES"
+    ).collect()}
+    assert {"events", "orders", "lineitem", "documents"} <= tables
+
+    cols = engine.sql("""
+        SELECT COLUMN_NAME, DATA_TYPE, ORDINAL_POSITION
+        FROM INFORMATION_SCHEMA.COLUMNS
+        WHERE TABLE_NAME = 'events' ORDER BY ORDINAL_POSITION
+    """).collect()
+    by_name = {r.COLUMN_NAME: r.DATA_TYPE for r in cols}
+    assert by_name["event_type"] == "VARCHAR"
+    assert by_name["value"] == "DOUBLE"
+    assert by_name["__time"] == "TIMESTAMP"
+    assert [r.ORDINAL_POSITION for r in cols] == list(range(1, len(cols) + 1))
+
+    segs = engine.sql(
+        "SELECT datasource, size FROM sys.segments WHERE datasource = 'events'"
+    ).collect()
+    assert len(segs) >= 1 and all(s.size is None or s.size > 0 for s in segs)
+
+    plan = engine.sql(
+        "EXPLAIN PLAN FOR SELECT count(*) FROM events"
+    ).collect()
+    assert plan and "Aggregate" in plan[0][0]
