@@ -68,6 +68,28 @@ def _jsonable(v):
     return v
 
 
+def _dims_and_metrics(engine, name: str) -> tuple[list[str], list[str]]:
+    """Dimensions/metrics for the broker dataSource endpoints: the
+    registration's declared lists when present, else derived from the
+    schema (strings/arrays → dimensions, numerics → metrics) — the same
+    split segmentMetadata reports."""
+    src = engine.catalog.source(name)  # KeyError for unknown names
+    if src.dimensions or src.metrics:
+        return list(src.dimensions or []), list(src.metrics or [])
+    from coolplaydruid_spark.catalog import RAW_TIME_NS, TIME_COLUMN
+
+    dims, mets = [], []
+    for f in engine.catalog.table(name).schema.fields:
+        if f.name in (TIME_COLUMN, RAW_TIME_NS, "__dt"):
+            continue
+        kind = f.dataType.typeName()
+        if kind in ("string", "array"):
+            dims.append(f.name)
+        elif kind in ("long", "integer", "double", "float", "short", "byte"):
+            mets.append(f.name)
+    return dims, mets
+
+
 def make_handler(engine: DruidEngine):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -127,6 +149,32 @@ def make_handler(engine: DruidEngine):
                 self._send(200, json.dumps(
                     {"version": "coolplaydruid_spark", "status": "ok"}
                 ).encode())
+                return
+            if self.path in ("/druid/v2/datasources", "/druid/v2/datasources/"):
+                # Broker dataSource listing (public Druid broker API).
+                self._send(200, json.dumps(engine.catalog.names()).encode())
+                return
+            if self.path.startswith("/druid/v2/datasources/"):
+                parts = self.path.rstrip("/").split("/")
+                name = parts[4] if len(parts) > 4 else ""
+                sub = parts[5] if len(parts) > 5 else None
+                try:
+                    dims, mets = _dims_and_metrics(engine, name)
+                except KeyError:
+                    self._send(404, json.dumps(
+                        {"error": f"unknown dataSource {name!r}"}
+                    ).encode())
+                    return
+                if sub == "dimensions":
+                    self._send(200, json.dumps(dims).encode())
+                elif sub == "metrics":
+                    self._send(200, json.dumps(mets).encode())
+                elif sub is None:
+                    self._send(200, json.dumps(
+                        {"dimensions": dims, "metrics": mets}
+                    ).encode())
+                else:
+                    self._send(404, b'{"error": "not found"}')
                 return
             if self.path.startswith("/druid/indexer/v1/task/") and self.path.endswith(
                 "/status"

@@ -401,3 +401,26 @@ def test_query_metrics_emitted(engine):
         })
     m = engine.metrics("metrics-test-2")
     assert len(m) == 1 and not m[0]["success"] and m[0]["error"]
+
+
+def test_datasource_introspection_endpoints(server):
+    """Broker dataSource endpoints: list, per-source dims+metrics,
+    the /dimensions and /metrics sub-resources, 404 for unknown."""
+    status, _h, body = _req(server, "GET", "/druid/v2/datasources")
+    names = json.loads(body)
+    assert status == 200 and "events" in names and "lineitem" in names
+
+    status, _h, body = _req(server, "GET", "/druid/v2/datasources/events")
+    assert status == 200
+    info = json.loads(body)
+    assert "event_type" in info["dimensions"]
+    assert "value" in info["metrics"]
+    assert "__time" not in info["dimensions"] + info["metrics"]
+
+    _s, _h, dims = _req(server, "GET", "/druid/v2/datasources/events/dimensions")
+    _s, _h, mets = _req(server, "GET", "/druid/v2/datasources/events/metrics")
+    assert json.loads(dims) == info["dimensions"]
+    assert json.loads(mets) == info["metrics"]
+
+    status, _h, _b = _req(server, "GET", "/druid/v2/datasources/nope")
+    assert status == 404
