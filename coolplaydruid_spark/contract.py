@@ -4203,6 +4203,57 @@ def timeseries_hour_origin_phase(spark, sf_dir):
 
 
 @q(
+    "groupby_join_datasource",
+    f"""
+    WITH lk AS (
+      SELECT * FROM (VALUES ('click', 'engagement'), ('view', 'engagement'),
+                            ('purchase', 'revenue')) AS t(k, v)
+    )
+    SELECT lk.v AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total
+    FROM events LEFT JOIN lk ON events.event_type = lk.k
+    WHERE {EVENTS_WHERE}
+    GROUP BY 1
+    """,
+)
+def groupby_join_datasource(spark, sf_dir):
+    """JOIN dataSource (public post-0.12 Druid dataSource type): events
+    LEFT-joined to an inline key/value table, grouped by the joined
+    column. The right side broadcasts (plan-asserted in
+    tests/test_join_datasource.py); the condition is a Druid expression
+    with prefixed right-column references."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "groupBy",
+            "dataSource": {
+                "type": "join",
+                "left": "events",
+                "right": {
+                    "type": "inline",
+                    "columnNames": ["k", "v"],
+                    "rows": [["click", "engagement"], ["view", "engagement"],
+                             ["purchase", "revenue"]],
+                },
+                "rightPrefix": "r.",
+                "condition": 'event_type == "r.k"',
+                "joinType": "LEFT",
+            },
+            "granularity": "all",
+            "dimensions": [{"type": "default", "dimension": "r.v",
+                            "outputName": "segment"}],
+            "intervals": EVENTS_INTERVAL,
+            "aggregations": [
+                {"type": "count", "name": "n"},
+                {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            ],
+        }
+    ).drop("ts_bucket")
+    return _r4(df, "total")
+
+
+@q(
     "timeseries_virtual_column",
     f"""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_bucket,

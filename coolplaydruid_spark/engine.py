@@ -25,6 +25,7 @@ import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from coolplaydruid_spark.catalog import Catalog
 from coolplaydruid_spark.errors import (
@@ -88,16 +89,90 @@ class DruidEngine:
     }
 
     def resolve_datasource(self, spec) -> DataFrame:
-        """Resolve table/union/nested-query dataSources. A nested query
-        dataSource (groupBy over groupBy, query/query-module-overview.md:40)
-        recursively plans the inner query; its bucket column becomes the
-        inner frame's ``__time`` so outer granularity still applies."""
+        """Resolve table/union/nested-query/join/lookup/inline
+        dataSources. A nested query dataSource (groupBy over groupBy,
+        query/query-module-overview.md:40) recursively plans the inner
+        query; its bucket column becomes the inner frame's ``__time`` so
+        outer granularity still applies. join/lookup/inline are the
+        public post-0.12 Druid dataSource types (extension surface —
+        the taxonomy is open-ended per query/query-module-overview.md:40)."""
         if isinstance(spec, dict) and spec.get("type") == "query":
             inner = self.plan(spec["query"])
             if BUCKET in inner.columns:
                 inner = inner.withColumnRenamed(BUCKET, "__time")
             return inner
+        if isinstance(spec, dict) and spec.get("type") == "join":
+            return self._resolve_join(spec)
+        if isinstance(spec, dict) and spec.get("type") == "lookup":
+            # Lookup dataSource: the registered lookup as a two-column
+            # (k, v) frame — Druid's column names.
+            lk = self.catalog.lookup(spec["lookup"])
+            return lk.select(F.col("key").alias("k"), F.col("value").alias("v"))
+        if isinstance(spec, dict) and spec.get("type") == "inline":
+            cols = spec["columnNames"]
+            rows = [tuple(r) for r in spec.get("rows") or []]
+            if rows:
+                return self.spark.createDataFrame(rows, cols)
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            return self.spark.createDataFrame(
+                [], StructType([StructField(c, StringType()) for c in cols])
+            )
         return self.catalog.resolve(spec)
+
+    def _resolve_join(self, spec: dict) -> DataFrame:
+        """Join dataSource (public Druid semantics): right-side columns
+        exposed under ``rightPrefix``; ``condition`` is a Druid
+        expression over left columns and prefixed (double-quoted) right
+        columns, e.g. ``event_type == "r.k"``; joinType INNER or LEFT.
+
+        Druid restricts the right side to broadcast-able sources
+        (lookup/inline/query results held on every server); mirroring
+        that, lookup and inline right sides get an explicit broadcast
+        hint — query/table right sides are left to AQE, which broadcasts
+        small ones from observed sizes."""
+        from coolplaydruid_spark.functions.druidexpr import compile_druid_predicate
+
+        left = self.resolve_datasource(spec["left"])
+        right = self.resolve_datasource(spec["right"])
+        prefix = spec.get("rightPrefix", "r.")
+        if not prefix:
+            raise ValueError("join dataSource requires a non-empty rightPrefix")
+        for c in right.columns:
+            right = right.withColumnRenamed(c, prefix + c)
+        rtype = spec["right"].get("type") if isinstance(spec["right"], dict) else None
+        if rtype in ("lookup", "inline"):
+            right = F.broadcast(right)
+
+        tags = {}
+        for side in (left, right):
+            for f in side.schema.fields:
+                t = f.dataType.typeName()
+                tags[f.name] = {
+                    "byte": "long", "short": "long", "integer": "long",
+                    "long": "long", "float": "num", "double": "num",
+                    "string": "str", "timestamp": "time", "boolean": "bool",
+                }.get(t, "unknown")
+
+        from coolplaydruid_spark.functions.druidexpr import DruidExprError, _Val
+        from coolplaydruid_spark.functions.extraction import safe_col
+
+        def resolve(name: str):
+            # Names are unique across the two inputs (the prefix
+            # guarantees it), so plain backtick-quoted references
+            # resolve unambiguously inside the join condition.
+            side = "right" if name.startswith(prefix) else "left"
+            if name not in tags:
+                raise DruidExprError(f"unknown {side} column {name!r}")
+            return _Val(safe_col(name), tags[name])
+
+        cond = compile_druid_predicate(spec["condition"], resolver=resolve)
+        how = {"INNER": "inner", "LEFT": "left"}.get(
+            str(spec.get("joinType", "INNER")).upper()
+        )
+        if how is None:
+            raise ValueError(f"unsupported joinType {spec.get('joinType')!r}")
+        return left.join(right, cond, how)
 
     def plan(self, query: dict) -> DataFrame:
         """JSON query spec → DataFrame (lazy logical plan)."""

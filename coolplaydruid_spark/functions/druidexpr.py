@@ -702,19 +702,35 @@ def _resolver(df: DataFrame | None):
 
 
 def compile_druid_expr(
-    src: str, df: DataFrame | None = None, lookups=None
+    src: str, df: DataFrame | None = None, lookups=None, resolver=None
 ) -> Column:
     """Compile Druid expression source to a native Column. Comparisons /
     logical results surface as 1/0 longs (Druid's numeric booleans).
     ``df`` supplies column types for long-vs-double arithmetic; without
     it identifiers are typed 'unknown' (widening arithmetic to double).
     ``lookups`` is a callable name -> bounded {key: value} dict enabling
-    the ``lookup()`` function. Raises DruidExprError for out-of-subset
+    the ``lookup()`` function. ``resolver`` (name -> _Val) overrides
+    identifier resolution entirely — used by join dataSources to bind
+    left/right-side columns. Raises DruidExprError for out-of-subset
     sources."""
-    p = _Parser(_tokenize(src), _resolver(df), lookups=lookups)
+    p = _Parser(_tokenize(src), resolver or _resolver(df), lookups=lookups)
     out = p.expr()
     if p.peek()[0] != "eof":
         raise DruidExprError(f"trailing tokens at {p.peek()[1]!r}")
     if out.tag == "bool":
         return out.col.cast("long")
     return out.col
+
+
+def compile_druid_predicate(
+    src: str, df: DataFrame | None = None, lookups=None, resolver=None
+) -> Column:
+    """Compile a Druid expression used AS A PREDICATE (filter, join
+    condition) to a raw boolean Column — no 1/0-long materialization, so
+    Catalyst still recognizes equi-conditions (hash joins) and pushes
+    comparisons into the scan."""
+    p = _Parser(_tokenize(src), resolver or _resolver(df), lookups=lookups)
+    out = p.expr()
+    if p.peek()[0] != "eof":
+        raise DruidExprError(f"trailing tokens at {p.peek()[1]!r}")
+    return _truthy(out)

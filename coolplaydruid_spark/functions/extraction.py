@@ -136,15 +136,22 @@ def _lookup(col: Column, spec: dict) -> Column:
     return looked
 
 
+def safe_col(name: str) -> Column:
+    """F.col that tolerates dots in the column NAME (join dataSources'
+    rightPrefix default is "r.", so joined frames carry dotted columns;
+    unquoted dots would parse as struct access)."""
+    return F.col(f"`{name}`") if "." in name else F.col(name)
+
+
 def dimension_column(spec) -> tuple[Column, str]:
     """Compile a DimensionSpec (string | {type: default|extraction}) to
     (expression, outputName)."""
     if isinstance(spec, str):
-        return F.col(spec), spec
+        return safe_col(spec), spec
     dtype = spec.get("type", "default")
     dim = spec["dimension"]
     out = spec.get("outputName", dim)
-    col = F.col(dim)
+    col = safe_col(dim)
     if dtype == "extraction":
         col = apply_extraction(col, spec.get("extractionFn"))
     elif dtype != "default":

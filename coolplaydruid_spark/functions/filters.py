@@ -110,14 +110,16 @@ def _compile(spec: dict, array_dims: set[str]) -> Column:
         # fallback — the virtualColumns priority (plans/common.py).
         from coolplaydruid_spark.functions.druidexpr import (
             DruidExprError,
-            compile_druid_expr,
+            compile_druid_predicate,
         )
 
         try:
-            col = compile_druid_expr(spec["expression"])
+            # predicate form: raw boolean, so comparisons reach
+            # PushedFilters instead of hiding behind a 1/0-long cast
+            col = compile_druid_predicate(spec["expression"])
         except DruidExprError:
-            col = F.expr(spec["expression"])
-        return F.coalesce(col.cast("boolean"), F.lit(False))
+            col = F.expr(spec["expression"]).cast("boolean")
+        return F.coalesce(col, F.lit(False))
     if ftype == "extraction":
         # Deprecated pre-0.13 filter form: selector + extractionFn spelled
         # as its own type — normalize and recurse.
@@ -143,14 +145,14 @@ def _scalar_leaf(spec: dict, ftype: str) -> Column:
         and spec.get("dimension") is not None
         and _matches_empty(spec, ftype)
     ):
-        pred = pred | F.col(spec["dimension"]).isNull()
+        pred = pred | _raw_dim(spec).isNull()
     return pred
 
 
 def _multivalue_leaf(spec: dict, ftype: str) -> Column:
     """Any-element-matches over an ArrayType dimension. A null/empty array
     is equivalent to a null scalar dimension (Druid 0.12)."""
-    arr = F.col(spec["dimension"])
+    arr = _raw_dim(spec)
     ex = spec.get("extractionFn")
     if ftype == "selector" and ex is None:
         value = spec.get("value")
@@ -250,9 +252,17 @@ def _matches_empty(spec: dict, ftype: str) -> bool:
 
 
 def _dim_col(spec: dict) -> Column:
+    from coolplaydruid_spark.functions.extraction import safe_col
+
     dim = spec.get("dimension")
-    col = F.col(dim) if dim is not None else F.lit(None)
+    col = safe_col(dim) if dim is not None else F.lit(None)
     return apply_extraction(col, spec.get("extractionFn"))
+
+
+def _raw_dim(spec: dict) -> Column:
+    from coolplaydruid_spark.functions.extraction import safe_col
+
+    return safe_col(spec["dimension"])
 
 
 def _bound(dim: Column, spec: dict) -> Column:
