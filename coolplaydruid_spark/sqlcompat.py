@@ -295,6 +295,7 @@ _META_RENAMES = {
     "INFORMATION_SCHEMA.TABLES": "information_schema_tables",
     "INFORMATION_SCHEMA.COLUMNS": "information_schema_columns",
     "SYS.SEGMENTS": "sys_segments",
+    "SYS.TASKS": "sys_tasks",
 }
 
 _META_RENAME_RE = _re.compile(

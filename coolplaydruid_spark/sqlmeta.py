@@ -58,11 +58,26 @@ _META_VERSIONS: dict[tuple[str, int], int] = {}
 
 def references_metadata(statement: str) -> bool:
     s = statement.lower()
-    return "information_schema_" in s or "sys_segments" in s
+    return "information_schema_" in s or "sys_segments" in s or "sys_tasks" in s
 
 
 def register_metadata_views(spark: SparkSession, catalog) -> None:
-    """Idempotent per (session, catalog, registry-version)."""
+    """sys.tasks rebuilds every call (task statuses churn independently
+    of the table registry and the frame is registry-sized); the
+    catalog-derived views are idempotent per (session, catalog,
+    registry-version)."""
+    from coolplaydruid_spark.sources.batch import REGISTRY
+
+    tasks = [
+        (t.task_id, t.task_type, t.status, t.created_at, t.detail)
+        for t in REGISTRY.all()
+    ]
+    spark.createDataFrame(
+        tasks,
+        "task_id string, `type` string, status string, created_time string, "
+        "error_msg string",
+    ).createOrReplaceTempView("sys_tasks")
+
     version = len(catalog.names())
     key = (spark.sparkContext.applicationId, id(catalog))
     if _META_VERSIONS.get(key) == version:

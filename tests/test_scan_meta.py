@@ -349,3 +349,21 @@ def test_information_schema_and_sys_segments(engine):
         "EXPLAIN PLAN FOR SELECT count(*) FROM events"
     ).collect()
     assert plan and "Aggregate" in plan[0][0]
+
+
+def test_sys_tasks_view(engine, spark, tmp_path):
+    """sys.tasks reflects the task registry, refreshing per query."""
+    from coolplaydruid_spark.sources import batch
+
+    before = engine.sql("SELECT count(*) AS n FROM sys.tasks").collect()[0].n
+    src = tmp_path / "x.csv"
+    src.write_text("ts,event_type,value\n2024-01-01T00:00:05,click,1.0\n")
+    batch.index_task(
+        spark, {"type": "file", "path": str(src), "format": "csv"},
+        str(tmp_path / "t"), time_column="ts",
+    )
+    rows = engine.sql(
+        "SELECT status, type FROM sys.tasks ORDER BY created_time DESC"
+    ).collect()
+    assert len(rows) == before + 1
+    assert rows[0].status == "SUCCESS" and rows[0].type == "index"
