@@ -529,6 +529,74 @@ class _Parser:
             "bool",
         )
 
+    # arrays (multi-value dimensions in expressions; Druid array fns).
+    # Indexing mirrors the MV_* SQL family: *_offset 0-based, *_ordinal
+    # 1-based, NULL out of range (explicit guards — Spark's
+    # element_at throws on 0 and indexes from the END on negatives).
+    def _fn_array(self, a):
+        return _Val(F.array(*[_value(x) for x in a]), "unknown")
+
+    def _fn_array_length(self, a):
+        return _Val(F.size(a[0].col).cast("long"), "long")
+
+    def _fn_array_contains(self, a):
+        return _Val(
+            F.coalesce(F.array_contains(a[0].col, _value(a[1])), F.lit(False)),
+            "bool",
+        )
+
+    def _fn_array_offset(self, a):
+        i = _num(a[1]).cast("int")
+        return _Val(
+            F.when(i < 0, F.lit(None)).otherwise(F.try_element_at(a[0].col, i + 1)),
+            "unknown",
+        )
+
+    def _fn_array_ordinal(self, a):
+        i = _num(a[1]).cast("int")
+        return _Val(
+            F.when(i <= 0, F.lit(None)).otherwise(F.try_element_at(a[0].col, i)),
+            "unknown",
+        )
+
+    def _fn_array_offset_of(self, a):
+        pos = F.array_position(a[0].col, _value(a[1]))
+        return _Val(F.when(pos == 0, F.lit(None)).otherwise(pos - 1), "long")
+
+    def _fn_array_ordinal_of(self, a):
+        pos = F.array_position(a[0].col, _value(a[1]))
+        return _Val(F.when(pos == 0, F.lit(None)).otherwise(pos), "long")
+
+    def _fn_array_concat(self, a):
+        return _Val(F.concat(a[0].col, a[1].col), "unknown")
+
+    def _fn_array_append(self, a):
+        return _Val(F.array_append(a[0].col, _value(a[1])), "unknown")
+
+    def _fn_array_prepend(self, a):
+        return _Val(F.array_prepend(a[1].col, _value(a[0])), "unknown")
+
+    def _fn_array_slice(self, a):
+        # [start, end) 0-based like Druid; invalid ranges → NULL
+        s = _num(a[1]).cast("int")
+        e = _num(a[2]).cast("int")
+        return _Val(
+            F.when((s < 0) | (e < s), F.lit(None)).otherwise(
+                F.slice(a[0].col, s + 1, e - s)
+            ),
+            "unknown",
+        )
+
+    def _fn_array_to_string(self, a):
+        # call_function: F.array_join's python wrapper only takes str
+        # delimiters, not Columns
+        return _Val(
+            F.call_function("array_join", a[0].col, _as_str(a[1])), "str"
+        )
+
+    def _fn_string_to_array(self, a):
+        return _Val(F.split(_as_str(a[0]), _as_str(a[1])), "unknown")
+
     # time — accepts 'time' (Spark timestamp) or long millis inputs;
     # returns the input's kind (type-preserving, see module docstring).
     def _time_in(self, v: _Val) -> tuple[Column, bool]:

@@ -234,3 +234,48 @@ def test_lookup_in_druid_expression(engine):
     rows = {r["label"]: r["n"] for r in df.collect()}
     assert set(rows) == {"Click!", "View", "other"}
     assert rows["other"] > 0
+
+
+class TestArrays:
+    def test_array_functions(self, spark):
+        df = spark.createDataFrame(
+            [(["a", "b", "c"], "x,y")], "arr array<string>, s string"
+        )
+
+        def one(src):
+            return df.select(compile_druid_expr(src, df).alias("v")).collect()[0]["v"]
+
+        assert one("array_length(arr)") == 3
+        assert one("array_contains(arr, 'b')") == 1
+        assert one("array_contains(arr, 'z')") == 0
+        assert one("array_offset(arr, 0)") == "a"
+        assert one("array_offset(arr, -1)") is None
+        assert one("array_offset(arr, 5)") is None
+        assert one("array_ordinal(arr, 1)") == "a"
+        assert one("array_ordinal(arr, 0)") is None
+        assert one("array_offset_of(arr, 'c')") == 2
+        assert one("array_offset_of(arr, 'z')") is None
+        assert one("array_ordinal_of(arr, 'c')") == 3
+        assert one("array_to_string(arr, '-')") == "a-b-c"
+        assert one("array_length(string_to_array(s, ','))") == 2
+        assert one("array_length(array_append(arr, 'd'))") == 4
+        assert one("array_offset(array_prepend('z', arr), 0)") == "z"
+        assert one("array_length(array_concat(arr, arr))") == 6
+        assert one("array_to_string(array_slice(arr, 1, 3), '')") == "bc"
+        assert one("array_slice(arr, -1, 2)") is None
+        assert one("array_to_string(array('p', 'q'), '+')") == "p+q"
+
+    def test_array_in_virtual_column(self, engine):
+        """MV dimension through an array expression virtualColumn."""
+        df = engine.plan({
+            "queryType": "timeseries",
+            "dataSource": "documents",
+            "granularity": "all",
+            "virtualColumns": [{
+                "type": "expression", "name": "n_toks",
+                "expression": "array_length(string_to_array(text, ' '))",
+            }],
+            "aggregations": [
+                {"type": "longSum", "name": "total_toks", "fieldName": "n_toks"}],
+        })
+        assert df.collect()[0]["total_toks"] > 0
