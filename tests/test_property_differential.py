@@ -555,3 +555,48 @@ def test_druid_expr_matches_python_semantics(spark, tree):
         assert got == pytest.approx(expected, rel=1e-9, abs=1e-9), src
     else:
         assert got == expected, src
+
+
+# ---- granularity: Column bucketing must agree with bucket_py ------------
+#
+# The zero-fill spine is built driver-side from bucket_py while the data
+# buckets via the Column path — any disagreement silently drops or
+# duplicates result rows, so their exact agreement is a correctness
+# invariant, property-checked across granularity kinds here.
+
+GRAN_SPECS = [
+    "second", "minute", "hour", "day", "week", "month", "quarter", "year",
+    {"type": "duration", "duration": 15 * 60 * 1000},
+    {"type": "duration", "duration": 90 * 1000,
+     "origin": "2024-01-01T00:00:30"},
+    {"type": "period", "period": "PT6H"},
+    {"type": "period", "period": "PT1H", "origin": "2024-01-01T00:30:00"},
+    {"type": "period", "period": "P2M"},
+    {"type": "period", "period": "P1D", "timeZone": "America/New_York"},
+    {"type": "period", "period": "P1D", "timeZone": "Asia/Tokyo"},
+]
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    epoch_s=st.integers(1_500_000_000, 1_800_000_000),  # 2017..2027
+    micros=st.integers(0, 999_999),
+    spec=st.sampled_from(GRAN_SPECS),
+)
+def test_bucket_column_agrees_with_bucket_py(spark, epoch_s, micros, spec):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from coolplaydruid_spark.functions.granularity import parse_granularity
+
+    g = parse_granularity(spec)
+    t = dt.datetime(1970, 1, 1) + dt.timedelta(seconds=epoch_s, microseconds=micros)
+    df = spark.createDataFrame([(t,)], "t timestamp")
+    got = df.select(g.bucket(F.col("t")).alias("b")).collect()[0]["b"]
+    exp = g.bucket_py(t)
+    assert got == exp, (spec, t, got, exp)
+    # the bucket is a fixed point, and t never precedes its bucket
+    assert g.bucket_py(exp) == exp
+    assert exp <= t
