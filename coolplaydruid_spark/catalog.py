@@ -100,6 +100,7 @@ class Catalog:
         self._frames: dict[str, DataFrame] = {}
         self._lookups: dict[str, DataFrame] = {}
         self._lookup_version = 0
+        self._registry_version = 0
 
     # ---- registered lookups (Druid's lookup dataSources) ----------------
 
@@ -146,6 +147,12 @@ class Catalog:
         return dict(self._lookups)
 
     @property
+    def registry_version(self) -> int:
+        """Bumped on every register() — metadata views (sqlmeta) cache
+        until the table registry changes, including re-registrations."""
+        return self._registry_version
+
+    @property
     def lookup_version(self) -> int:
         """Bumped on every register_lookup — lets SQL-side lookup
         inlining (sqlcompat) cache until the registry changes."""
@@ -166,6 +173,9 @@ class Catalog:
             dimensions=dimensions, metrics=metrics,
         )
         self._sources[name] = source
+        # Monotonic: bumps on re-registration too (a replaced path or
+        # schema must invalidate metadata-view caches — sqlmeta.py).
+        self._registry_version += 1
         if df is not None:
             if time_column and time_column in df.columns:
                 df = df.withColumn(TIME_COLUMN, F.col(time_column))

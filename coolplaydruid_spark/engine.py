@@ -144,17 +144,16 @@ class DruidEngine:
         if rtype in ("lookup", "inline"):
             right = F.broadcast(right)
 
+        from coolplaydruid_spark.functions.druidexpr import (
+            DruidExprError,
+            _Val,
+            tag_for_dtype,
+        )
+
         tags = {}
         for side in (left, right):
             for f in side.schema.fields:
-                t = f.dataType.typeName()
-                tags[f.name] = {
-                    "byte": "long", "short": "long", "integer": "long",
-                    "long": "long", "float": "num", "double": "num",
-                    "string": "str", "timestamp": "time", "boolean": "bool",
-                }.get(t, "unknown")
-
-        from coolplaydruid_spark.functions.druidexpr import DruidExprError, _Val
+                tags[f.name] = tag_for_dtype(f.dataType)
         from coolplaydruid_spark.functions.extraction import safe_col
 
         def resolve(name: str):

@@ -80,7 +80,10 @@ def _is_python_agg(spec: dict) -> bool:
 
 
 def _field(spec: dict) -> Column:
-    return F.col(spec["fieldName"])
+    from coolplaydruid_spark.functions.extraction import safe_col
+
+    # safe_col: join-dataSource right columns carry a dotted prefix
+    return safe_col(spec["fieldName"])
 
 
 def _compile_one(spec: dict, context: dict, filter_pred: Column | None):

@@ -151,6 +151,18 @@ def _req_lit(v: _Val, what: str):
     return v.pyval
 
 
+def _arity(a: list, lo: int, hi: int, name: str) -> None:
+    """Unsupported arities must raise — a silently-ignored extra
+    argument (e.g. a fromIndex or timezone we don't implement) would
+    return wrong values instead of falling back / failing loudly."""
+    if not (lo <= len(a) <= hi):
+        raise DruidExprError(
+            f"{name} takes {lo}"
+            + (f"..{hi}" if hi != lo else "")
+            + f" arguments, got {len(a)}"
+        )
+
+
 # ISO-8601 period for shift arithmetic: calendar part (Y/M) via
 # make_interval months, fixed part (W/D/H/M/S) via exact millis.
 _PERIOD_RE = re.compile(
@@ -246,8 +258,19 @@ class _Parser:
         while self.peek()[1] in ("<", "<=", ">", ">=", "==", "!="):
             op = self.next()[1]
             right = self.additive()
-            # string-vs-string compares lexically; otherwise numeric
+            # string-vs-string compares lexically. A 'str' against an
+            # 'unknown' (untyped identifier — e.g. an expression filter
+            # compiled without a schema) must NOT take the numeric path:
+            # _num would cast the string side to double (NULL for
+            # non-numeric text) and the comparison would silently match
+            # nothing — compare raw and let Spark coerce instead.
+            # Explicitly numeric operands take the numeric path.
+            numeric = ("long", "num", "bool")
             if left.tag == "str" and right.tag == "str":
+                a, b = left.col, right.col
+            elif "str" in (left.tag, right.tag) and not (
+                left.tag in numeric or right.tag in numeric
+            ):
                 a, b = left.col, right.col
             else:
                 a, b = _num(left), _num(right)
@@ -364,6 +387,7 @@ class _Parser:
 
     # general
     def _fn_cast(self, a):
+        _arity(a, 2, 2, "cast")
         t = str(_req_lit(a[1], "cast type")).upper()
         if t == "LONG":
             src = F.unix_millis(a[0].col) if a[0].tag == "time" else _num(a[0])
@@ -382,14 +406,17 @@ class _Parser:
         return _Val(F.when(_truthy(a[0]), then).otherwise(other), tag)
 
     def _fn_nvl(self, a):
+        _arity(a, 2, 2, "nvl")
         x, y = _branches(a[0], a[1])
         tag = _vtag(a[0]) if _vtag(a[0]) == _vtag(a[1]) else "unknown"
         return _Val(F.coalesce(x, y), tag)
 
     def _fn_isnull(self, a):
+        _arity(a, 1, 1, "isnull")
         return _Val(a[0].col.isNull(), "bool")
 
     def _fn_notnull(self, a):
+        _arity(a, 1, 1, "notnull")
         return _Val(a[0].col.isNotNull(), "bool")
 
     def _fn_case_searched(self, a):
@@ -416,6 +443,7 @@ class _Parser:
         )
 
     def _fn_lookup(self, a):
+        _arity(a, 2, 2, "lookup")
         # Druid's lookup(expr, 'name'): registered lookups as inline map
         # literals — faithful to Druid's replicated in-heap maps, same
         # bounded-inlining contract as the SQL LOOKUP shim (sqlcompat).
@@ -437,6 +465,7 @@ class _Parser:
         )
 
     def _fn_like(self, a):
+        _arity(a, 2, 3, "like")
         if len(a) == 3:
             return _Val(
                 F.like(_as_str(a[0]), _as_str(a[1]), _as_str(a[2])), "bool"
@@ -448,22 +477,32 @@ class _Parser:
         return _Val(F.concat(*[_as_str(x) for x in a]), "str")
 
     def _fn_lower(self, a):
+        _arity(a, 1, 1, "lower")
         return _Val(F.lower(_as_str(a[0])), "str")
 
     def _fn_upper(self, a):
+        _arity(a, 1, 1, "upper")
         return _Val(F.upper(_as_str(a[0])), "str")
 
     def _fn_strlen(self, a):
+        _arity(a, 1, 1, "strlen")
         return _Val(F.length(_as_str(a[0])).cast("long"), "long")
 
     def _fn_strpos(self, a):
-        # Druid: 0-based position, -1 when absent
-        return _Val(
-            (F.call_function("locate", _as_str(a[1]), _as_str(a[0])) - 1).cast("long"),
-            "long",
-        )
+        # Druid: 0-based position, -1 when absent; optional 0-based
+        # fromIndex (locate's start is 1-based, result stays absolute)
+        _arity(a, 2, 3, "strpos")
+        if len(a) == 3:
+            pos = F.call_function(
+                "locate", _as_str(a[1]), _as_str(a[0]),
+                (_num(a[2]) + 1).cast("int"),
+            )
+        else:
+            pos = F.call_function("locate", _as_str(a[1]), _as_str(a[0]))
+        return _Val((pos - 1).cast("long"), "long")
 
     def _fn_substring(self, a):
+        _arity(a, 3, 3, "substring")
         # Druid: 0-based index; length -1 = to end
         s = _as_str(a[0])
         start = (_num(a[1]) + 1).cast("int")
@@ -476,35 +515,49 @@ class _Parser:
         )
 
     def _fn_left(self, a):
+        _arity(a, 2, 2, "left")
         return _Val(F.substring(_as_str(a[0]), 1, _num(a[1]).cast("int")), "str")
 
     def _fn_right(self, a):
+        _arity(a, 2, 2, "right")
         s = _as_str(a[0])
         n = _num(a[1]).cast("int")
         return _Val(F.when(n <= 0, F.lit("")).otherwise(s.substr(-n, n)), "str")
 
     def _fn_replace(self, a):
+        _arity(a, 3, 3, "replace")
         return _Val(
             F.call_function("replace", _as_str(a[0]), _as_str(a[1]), _as_str(a[2])),
             "str",
         )
 
     def _fn_trim(self, a):
+        _arity(a, 1, 1, "trim")
         return _Val(F.trim(_as_str(a[0])), "str")
 
     def _fn_ltrim(self, a):
+        _arity(a, 1, 1, "ltrim")
         return _Val(F.ltrim(_as_str(a[0])), "str")
 
     def _fn_rtrim(self, a):
+        _arity(a, 1, 1, "rtrim")
         return _Val(F.rtrim(_as_str(a[0])), "str")
 
     def _fn_repeat(self, a):
+        _arity(a, 2, 2, "repeat")
         return _Val(F.repeat(_as_str(a[0]), _num(a[1]).cast("int")), "str")
 
     def _fn_parse_long(self, a):
+        _arity(a, 1, 2, "parse_long")
+        if len(a) == 2:
+            radix = int(_req_lit(a[1], "radix"))
+            return _Val(
+                F.conv(_as_str(a[0]), radix, 10).try_cast("long"), "long"
+            )
         return _Val(_as_str(a[0]).try_cast("long"), "long")
 
     def _fn_regexp_extract(self, a):
+        _arity(a, 2, 3, "regexp_extract")
         pat = str(_req_lit(a[1], "regexp pattern"))
         idx = int(_req_lit(a[2], "group index")) if len(a) > 2 else 0
         out = F.regexp_extract(_as_str(a[0]), pat, idx)
@@ -512,15 +565,18 @@ class _Parser:
         return _Val(F.when(out == "", F.lit(None)).otherwise(out), "str")
 
     def _fn_regexp_like(self, a):
+        _arity(a, 2, 2, "regexp_like")
         pat = str(_req_lit(a[1], "regexp pattern"))
         return _Val(_as_str(a[0]).rlike(pat), "bool")
 
     def _fn_contains_string(self, a):
+        _arity(a, 2, 2, "contains_string")
         return _Val(
             F.call_function("locate", _as_str(a[1]), _as_str(a[0])) > 0, "bool"
         )
 
     def _fn_icontains_string(self, a):
+        _arity(a, 2, 2, "icontains_string")
         return _Val(
             F.call_function(
                 "locate", F.lower(_as_str(a[1])), F.lower(_as_str(a[0]))
@@ -537,15 +593,18 @@ class _Parser:
         return _Val(F.array(*[_value(x) for x in a]), "unknown")
 
     def _fn_array_length(self, a):
+        _arity(a, 1, 1, "array_length")
         return _Val(F.size(a[0].col).cast("long"), "long")
 
     def _fn_array_contains(self, a):
+        _arity(a, 2, 2, "array_contains")
         return _Val(
             F.coalesce(F.array_contains(a[0].col, _value(a[1])), F.lit(False)),
             "bool",
         )
 
     def _fn_array_offset(self, a):
+        _arity(a, 2, 2, "array_offset")
         i = _num(a[1]).cast("int")
         return _Val(
             F.when(i < 0, F.lit(None)).otherwise(F.try_element_at(a[0].col, i + 1)),
@@ -553,6 +612,7 @@ class _Parser:
         )
 
     def _fn_array_ordinal(self, a):
+        _arity(a, 2, 2, "array_ordinal")
         i = _num(a[1]).cast("int")
         return _Val(
             F.when(i <= 0, F.lit(None)).otherwise(F.try_element_at(a[0].col, i)),
@@ -560,23 +620,29 @@ class _Parser:
         )
 
     def _fn_array_offset_of(self, a):
+        _arity(a, 2, 2, "array_offset_of")
         pos = F.array_position(a[0].col, _value(a[1]))
         return _Val(F.when(pos == 0, F.lit(None)).otherwise(pos - 1), "long")
 
     def _fn_array_ordinal_of(self, a):
+        _arity(a, 2, 2, "array_ordinal_of")
         pos = F.array_position(a[0].col, _value(a[1]))
         return _Val(F.when(pos == 0, F.lit(None)).otherwise(pos), "long")
 
     def _fn_array_concat(self, a):
+        _arity(a, 2, 2, "array_concat")
         return _Val(F.concat(a[0].col, a[1].col), "unknown")
 
     def _fn_array_append(self, a):
+        _arity(a, 2, 2, "array_append")
         return _Val(F.array_append(a[0].col, _value(a[1])), "unknown")
 
     def _fn_array_prepend(self, a):
+        _arity(a, 2, 2, "array_prepend")
         return _Val(F.array_prepend(a[1].col, _value(a[0])), "unknown")
 
     def _fn_array_slice(self, a):
+        _arity(a, 3, 3, "array_slice")
         # [start, end) 0-based like Druid; invalid ranges → NULL
         s = _num(a[1]).cast("int")
         e = _num(a[2]).cast("int")
@@ -588,6 +654,7 @@ class _Parser:
         )
 
     def _fn_array_to_string(self, a):
+        _arity(a, 2, 2, "array_to_string")
         # call_function: F.array_join's python wrapper only takes str
         # delimiters, not Columns
         return _Val(
@@ -595,6 +662,7 @@ class _Parser:
         )
 
     def _fn_string_to_array(self, a):
+        _arity(a, 2, 2, "string_to_array")
         return _Val(F.split(_as_str(a[0]), _as_str(a[1])), "unknown")
 
     # time — accepts 'time' (Spark timestamp) or long millis inputs;
@@ -610,6 +678,7 @@ class _Parser:
         return _Val(F.unix_millis(col), "long")
 
     def _fn_timestamp_floor(self, a):
+        _arity(a, 2, 4, "timestamp_floor")
         t, was_time = self._time_in(a[0])
         period = str(_req_lit(a[1], "period"))
         origin = _req_lit(a[2], "origin") if len(a) > 2 and a[2].pyval is not None else None
@@ -618,6 +687,7 @@ class _Parser:
         return self._time_out(gran.bucket(t), was_time)
 
     def _fn_timestamp_ceil(self, a):
+        _arity(a, 2, 4, "timestamp_ceil")
         t, was_time = self._time_in(a[0])
         period = str(_req_lit(a[1], "period"))
         origin = _req_lit(a[2], "origin") if len(a) > 2 and a[2].pyval is not None else None
@@ -628,12 +698,14 @@ class _Parser:
         return self._time_out(ceil, was_time)
 
     def _fn_timestamp_shift(self, a):
+        _arity(a, 3, 3, "timestamp_shift (timezone argument unsupported)")
         t, was_time = self._time_in(a[0])
         period = str(_req_lit(a[1], "period"))
         n = int(_req_lit(a[2], "step"))
         return self._time_out(_shift_col(t, period, n), was_time)
 
     def _fn_timestamp_extract(self, a):
+        _arity(a, 2, 3, "timestamp_extract")
         t, _ = self._time_in(a[0])
         unit = str(_req_lit(a[1], "unit")).upper()
         if len(a) > 2:
@@ -658,12 +730,21 @@ class _Parser:
         return _Val(col().cast("long"), "long")
 
     def _fn_timestamp_parse(self, a):
+        _arity(a, 1, 3, "timestamp_parse")
         if len(a) > 1 and a[1].pyval is not None:
             fmt = str(_req_lit(a[1], "pattern"))
-            return _Val(F.try_to_timestamp(_as_str(a[0]), F.lit(fmt)), "time")
-        return _Val(_as_str(a[0]).try_cast("timestamp"), "time")
+            out = F.try_to_timestamp(_as_str(a[0]), F.lit(fmt))
+        else:
+            out = _as_str(a[0]).try_cast("timestamp")
+        if len(a) > 2:
+            # the string is wall-clock time IN tz; convert to our
+            # naive-UTC representation
+            tz = str(_req_lit(a[2], "timezone"))
+            out = F.convert_timezone(F.lit(tz), F.lit("UTC"), out)
+        return _Val(out, "time")
 
     def _fn_timestamp_format(self, a):
+        _arity(a, 1, 3, "timestamp_format")
         t, _ = self._time_in(a[0])
         fmt = str(_req_lit(a[1], "pattern")) if len(a) > 1 else "yyyy-MM-dd'T'HH:mm:ss'Z'"
         if len(a) > 2:
@@ -672,6 +753,7 @@ class _Parser:
         return _Val(F.date_format(t, fmt), "str")
 
     def _fn_unix_timestamp(self, a):
+        _arity(a, 1, 1, "unix_timestamp")
         t, _ = self._time_in(a[0])
         return _Val(F.unix_seconds(t), "long")
 
@@ -710,15 +792,18 @@ class _Parser:
         return _Val(F.tan(_num(a[0])), "num")
 
     def _fn_atan2(self, a):
+        _arity(a, 2, 2, "atan2")
         return _Val(F.atan2(_num(a[0]), _num(a[1])), "num")
 
     def _fn_hypot(self, a):
+        _arity(a, 2, 2, "hypot")
         return _Val(F.hypot(_num(a[0]), _num(a[1])), "num")
 
     def _fn_signum(self, a):
         return _Val(F.signum(_num(a[0])), "num")
 
     def _fn_pow(self, a):
+        _arity(a, 2, 2, "pow")
         return _Val(F.pow(_num(a[0]), _num(a[1])), "num")
 
     def _fn_min(self, a):
@@ -730,11 +815,13 @@ class _Parser:
         return _Val(F.greatest(*[_num(x) for x in a]), tag)
 
     def _fn_round(self, a):
+        _arity(a, 1, 2, "round")
         d = int(_req_lit(a[1], "scale")) if len(a) > 1 else 0
         tag = a[0].tag if a[0].tag == "long" else "num"
         return _Val(F.round(_num(a[0]), d), tag)
 
     def _fn_div(self, a):
+        _arity(a, 2, 2, "div")
         return _Val(F.call_function("div", _num(a[0]), _num(a[1])), "long")
 
     def _fn_pi(self, a):
@@ -752,19 +839,31 @@ _TAG_FOR_DTYPE = {
 }
 
 
+def tag_for_dtype(dtype) -> str:
+    """Spark DataType → expression type tag (shared by the df-based
+    resolver here and the join-dataSource resolver in engine.py)."""
+    t = dtype.typeName()
+    if t.startswith("decimal"):
+        t = "double"
+    return _TAG_FOR_DTYPE.get(t, "unknown")
+
+
+def _safe_col(name: str) -> Column:
+    # join dataSources' rightPrefix default is "r." — dotted column
+    # names need backticks or F.col parses struct access
+    return F.col(f"`{name}`") if "." in name else F.col(name)
+
+
 def _resolver(df: DataFrame | None):
     types = {}
     if df is not None:
         for f in df.schema.fields:
-            t = f.dataType.typeName()
-            if t.startswith("decimal"):
-                t = "double"
-            types[f.name] = _TAG_FOR_DTYPE.get(t, "unknown")
+            types[f.name] = tag_for_dtype(f.dataType)
 
     def resolve(name: str) -> _Val:
         if df is not None and name not in types:
             raise DruidExprError(f"unknown column {name!r}")
-        return _Val(F.col(name), types.get(name, "unknown"))
+        return _Val(_safe_col(name), types.get(name, "unknown"))
 
     return resolve
 

@@ -60,20 +60,20 @@ def compile_filter(spec: dict | None, df: DataFrame | None = None) -> Column | N
         array_dims = {
             f.name for f in df.schema.fields if f.dataType.typeName() == "array"
         }
-    return _compile(spec, array_dims)
+    return _compile(spec, array_dims, df)
 
 
-def _compile(spec: dict, array_dims: set[str]) -> Column:
+def _compile(spec: dict, array_dims: set[str], df: DataFrame | None = None) -> Column:
     ftype = spec.get("type")
     if ftype in ("and", "or"):
-        subs = [_compile(f, array_dims) for f in spec["fields"]]
+        subs = [_compile(f, array_dims, df) for f in spec["fields"]]
         op = (lambda a, b: a & b) if ftype == "and" else (lambda a, b: a | b)
         return reduce(op, subs)
     if ftype == "not":
         # Druid two-valued logic: the inner filter is false (not unknown)
         # on null dimensions, so NOT must match those rows — coalesce the
         # SQL NULL away before negating.
-        return ~F.coalesce(_compile(spec["field"], array_dims), F.lit(False))
+        return ~F.coalesce(_compile(spec["field"], array_dims, df), F.lit(False))
     if ftype == "columnComparison":
         a, b = spec["dimensions"]
         ca = F.col(a if isinstance(a, str) else a["dimension"])
@@ -115,15 +115,16 @@ def _compile(spec: dict, array_dims: set[str]) -> Column:
 
         try:
             # predicate form: raw boolean, so comparisons reach
-            # PushedFilters instead of hiding behind a 1/0-long cast
-            col = compile_druid_predicate(spec["expression"])
+            # PushedFilters instead of hiding behind a 1/0-long cast;
+            # df supplies column types (string comparisons stay lexical)
+            col = compile_druid_predicate(spec["expression"], df)
         except DruidExprError:
             col = F.expr(spec["expression"]).cast("boolean")
         return F.coalesce(col, F.lit(False))
     if ftype == "extraction":
         # Deprecated pre-0.13 filter form: selector + extractionFn spelled
         # as its own type — normalize and recurse.
-        return _compile({**spec, "type": "selector"}, array_dims)
+        return _compile({**spec, "type": "selector"}, array_dims, df)
     if ftype in _STRING_LEAVES:
         if spec.get("dimension") in array_dims:
             return _multivalue_leaf(spec, ftype)

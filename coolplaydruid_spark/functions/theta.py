@@ -43,6 +43,13 @@ from pyspark.sql import functions as F
 
 from coolplaydruid_spark.functions.filters import compile_filter
 
+
+def _scol(name: str):
+    """Dot-safe column ref (join-dataSource right columns are dotted)."""
+    from coolplaydruid_spark.functions.extraction import safe_col
+
+    return safe_col(name)
+
 _THETA_POST_TYPES = ("thetaSketchEstimate", "thetaSketchSetOp")
 
 
@@ -249,8 +256,11 @@ def _approx_estimate(spec: dict, sketches: dict[str, Column]) -> Column:
                 est = est + F.lit(sign) * _est_union([c for u in combo for c in u])
         return est
     if func == "NOT":
-        # |A \ (B∪…)| = |A ∪ rest| - |rest|
+        # |A \ (B∪…)| = |A ∪ rest| - |rest|; a single-operand NOT is
+        # just A (matching the exact-mode fold over one operand).
         rest = [c for u in operands[1:] for c in u]
+        if not rest:
+            return _est_union(operands[0])
         return _est_union(operands[0] + rest) - _est_union(rest)
     raise ValueError(f"unknown thetaSketchSetOp func {func!r}")
 
@@ -277,12 +287,12 @@ def _approx_theta_frame(
             pred = compile_filter(flt) if flt is not None else F.lit(True)
             # aggregate functions skip nulls, so gating through when()
             # restricts each sketch to its filter's rows
-            gated = F.when(F.coalesce(pred, F.lit(False)), F.col(fname))
+            gated = F.when(F.coalesce(pred, F.lit(False)), _scol(fname))
             sk_aggs.append(
                 F.hll_sketch_agg(gated.cast("string"), lg_k).alias(f"__sk_{name}")
             )
         part = (
-            base.where(F.col(fname).isNotNull())
+            base.where(_scol(fname).isNotNull())
             .groupBy(*key_cols)
             .agg(*sk_aggs)
         )
@@ -335,8 +345,8 @@ def theta_frame(
                 F.bool_or(F.coalesce(pred, F.lit(False))).alias(f"__in_{name}")
             )
         inner = (
-            base.where(F.col(fname).isNotNull())
-            .groupBy(*key_cols, F.col(fname).alias("__theta_value"))
+            base.where(_scol(fname).isNotNull())
+            .groupBy(*key_cols, _scol(fname).alias("__theta_value"))
             .agg(*flag_aggs)
         )
         flags = {name: F.col(f"__in_{name}") for name in names}

@@ -56,12 +56,17 @@ def spread(df: DataFrame, by: str | None = None,
     return df.repartition(target)
 
 
-# Logical operators whose physical plan carries an Exchange (or a range
-# partitioning), making the frame spark.sql.shuffle.partitions wide.
+import re as _re
+
+# Logical operators whose physical plan ALWAYS carries an Exchange (or a
+# range partitioning), making the frame spark.sql.shuffle.partitions
+# wide. Join is deliberately absent: a broadcast join preserves the
+# (possibly narrow) left partitioning, and the safe failure mode is an
+# extra repartition of a wide frame, never single-partition compute.
 _WIDE_NODES = (
-    "Repartition",  # covers Repartition + RepartitionByExpression
+    "RepartitionByExpression",  # before "Repartition": \b needs the full name
+    "Repartition",
     "Aggregate",
-    "Join",
     "Window",
     "Distinct",
     "Deduplicate",
@@ -70,14 +75,22 @@ _WIDE_NODES = (
     "Except",
 )
 
+# Plan-tree lines put the operator name first after the tree-drawing
+# prefix ("+- Sort [...]", ":  +- Aggregate [...]"); anchoring there
+# keeps literals and column names (a column called sort_key, a filter
+# value 'Sorted') from false-matching.
+_WIDE_NODE_RE = _re.compile(
+    r"^[\s:+\-*]*(?:" + "|".join(_WIDE_NODES) + r")\b", _re.MULTILINE
+)
+
 
 def _plan_has_exchange(df: DataFrame) -> bool:
     """True when the analyzed logical plan (already materialized — schema
-    analysis ran at DataFrame creation) contains an operator that plans
-    with a shuffle, so the frame's width is the shuffle partition count
-    rather than its input file count."""
+    analysis ran at DataFrame creation) contains an operator that always
+    plans with a shuffle, so the frame's width is the shuffle partition
+    count rather than its input file count."""
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:
         return False
-    return any(node in plan for node in _WIDE_NODES)
+    return bool(_WIDE_NODE_RE.search(plan))

@@ -139,8 +139,14 @@ class RollupSpec:
             if dim not in ("__time", None):
                 return dim in self.dimensions
             return self._intervals_aligned(spec.get("intervals"))
+        if ftype in ("true", "false"):
+            return True  # constant filters touch no columns
+        # Remaining leaf types must name a preserved dimension. FAIL
+        # CLOSED for anything without one (expression filters, unknown
+        # types): an unverifiable filter must not route to the rollup —
+        # it could reference a dropped or pre-aggregated column.
         dim = spec.get("dimension")
-        return dim is None or dim in self.dimensions
+        return dim is not None and dim in self.dimensions
 
     def _rewrite_agg(self, spec: dict) -> dict | None:
         atype = spec.get("type")

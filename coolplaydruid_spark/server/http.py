@@ -150,12 +150,15 @@ def make_handler(engine: DruidEngine):
                     {"version": "coolplaydruid_spark", "status": "ok"}
                 ).encode())
                 return
-            if self.path in ("/druid/v2/datasources", "/druid/v2/datasources/"):
+            # Druid clients append query params (?full, ?interval=...)
+            # — route on the bare path.
+            path = self.path.split("?", 1)[0]
+            if path in ("/druid/v2/datasources", "/druid/v2/datasources/"):
                 # Broker dataSource listing (public Druid broker API).
                 self._send(200, json.dumps(engine.catalog.names()).encode())
                 return
-            if self.path.startswith("/druid/v2/datasources/"):
-                parts = self.path.rstrip("/").split("/")
+            if path.startswith("/druid/v2/datasources/"):
+                parts = path.rstrip("/").split("/")
                 name = parts[4] if len(parts) > 4 else ""
                 sub = parts[5] if len(parts) > 5 else None
                 try:
@@ -164,6 +167,11 @@ def make_handler(engine: DruidEngine):
                     self._send(404, json.dumps(
                         {"error": f"unknown dataSource {name!r}"}
                     ).encode())
+                    return
+                except Exception as exc:  # noqa: BLE001 — table load failure
+                    from coolplaydruid_spark.errors import envelope_for
+
+                    self._send(500, json.dumps(envelope_for(exc)).encode())
                     return
                 if sub == "dimensions":
                     self._send(200, json.dumps(dims).encode())

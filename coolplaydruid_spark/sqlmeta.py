@@ -78,7 +78,7 @@ def register_metadata_views(spark: SparkSession, catalog) -> None:
         "error_msg string",
     ).createOrReplaceTempView("sys_tasks")
 
-    version = len(catalog.names())
+    version = catalog.registry_version
     key = (spark.sparkContext.applicationId, id(catalog))
     if _META_VERSIONS.get(key) == version:
         return

@@ -154,3 +154,33 @@ def test_expression_filter(engine):
         & (F.col("user_id") % 2 == 0) & (F.col("value") > 10)
     ).count()
     assert n == exp > 0
+
+
+def test_expression_filter_string_comparison(engine):
+    """Review-driven regression: string-column comparisons inside an
+    expression filter must compare lexically (the filter compiler
+    threads the frame's schema through), not cast the string side to
+    double and silently match nothing."""
+    df = engine.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "all",
+            "intervals": ["2024-01-01T00:00:00/2024-01-08T00:00:00"],
+            "filter": {"type": "expression", "expression": "event_type == 'click'"},
+            "aggregations": [{"type": "count", "name": "n"}],
+        }
+    )
+    n = df.collect()[0]["n"]
+    base = engine.plan(
+        {
+            "queryType": "timeseries",
+            "dataSource": "events",
+            "granularity": "all",
+            "intervals": ["2024-01-01T00:00:00/2024-01-08T00:00:00"],
+            "filter": {"type": "selector", "dimension": "event_type",
+                       "value": "click"},
+            "aggregations": [{"type": "count", "name": "n"}],
+        }
+    )
+    assert n == base.collect()[0]["n"] > 0
