@@ -631,6 +631,41 @@ def scan_clicks(spark, sf_dir):
 
 
 @q(
+    "scan_virtual_columns",
+    """
+    SELECT event_id,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           upper(event_type) AS etype_uc
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03'
+      AND hour(ts) >= 12
+    """,
+)
+def scan_virtual_columns(spark, sf_dir):
+    """Scan with Druid-dialect virtualColumns in the projection AND the
+    filter: computed columns appear alongside source columns in raw-row
+    retrieval, with source filters still pushed to the scan."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "scan",
+            "dataSource": "events",
+            "columns": ["event_id", "hod", "etype_uc"],
+            "virtualColumns": [
+                {"type": "expression", "name": "hod",
+                 "expression": "timestamp_extract(__time, 'HOUR')"},
+                {"type": "expression", "name": "etype_uc",
+                 "expression": "upper(event_type)"},
+            ],
+            "filter": {"type": "bound", "dimension": "hod", "lower": "12",
+                       "ordering": "numeric"},
+            "intervals": ["2024-01-02T00:00:00/2024-01-03T00:00:00"],
+        }
+    )
+    return df.drop("__time")
+
+
+@q(
     "select_page2",
     """
     WITH ordered AS (
