@@ -176,6 +176,9 @@ class Catalog:
         # Monotonic: bumps on re-registration too (a replaced path or
         # schema must invalidate metadata-view caches — sqlmeta.py).
         self._registry_version += 1
+        # Re-registration must also evict the cached frame, or table()
+        # keeps serving the old path/schema until process restart.
+        self._frames.pop(name, None)
         if df is not None:
             if time_column and time_column in df.columns:
                 df = df.withColumn(TIME_COLUMN, F.col(time_column))

@@ -5083,8 +5083,8 @@ def sql_druid_aggregate_renames(spark, sf_dir):
     )
     SELECT d.doc_id,
            CAST(coalesce(n, 0) AS BIGINT) AS n_toks,
-           round(-0.1 + coalesce(ws / n, 0), 4) AS margin,
-           round(1 / (1 + exp(-(-0.1 + coalesce(ws / n, 0)))), 4) AS prob
+           round(1e-9 + -0.1 + coalesce(ws / n, 0), 4) AS margin,
+           round(1e-9 + 1 / (1 + exp(-(-0.1 + coalesce(ws / n, 0)))), 4) AS prob
     FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
     """,
 )
@@ -5092,10 +5092,19 @@ def text_classifier_score(spark, sf_dir):
     """fastText-style hashed linear classifier scoring (the standard
     quality/toxicity filter for LLM corpora): 64-bucket model with a
     fixed synthetic weight vector, inline map-literal path — zero
-    shuffles, whole-stage codegen (operators/classifier.py)."""
+    shuffles, whole-stage codegen (operators/classifier.py).
+
+    Both sides nudge by 1e-9 before rounding: the toy weights are
+    multiples of 0.1, so margins land EXACTLY on 4-decimal round-half
+    ties (e.g. -0.14125 at n=80) where FP sum-order noise (~1e-16)
+    flips Spark and DuckDB to opposite sides; the shared nudge moves
+    every value 1e-9 off the tie lattice — far above FP noise, far
+    below the 1e-4 resolution."""
     eng = engine_for(spark, sf_dir)
     weights = {b: ((b * 37) % 21 - 10) / 10.0 for b in range(64)}
     df = classifier.hashed_linear_score(
         eng.catalog.table("documents"), weights, n_buckets=64, bias=-0.1
     )
-    return _r4(df, "margin", "prob")
+    for c in ("margin", "prob"):
+        df = df.withColumn(c, F.round(F.col(c) + F.lit(1e-9), 4))
+    return df

@@ -19,6 +19,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from coolplaydruid_spark.functions.extraction import safe_col
+
 from coolplaydruid_spark.catalog import TIME_COLUMN
 from coolplaydruid_spark.functions.filters import compile_filter
 
@@ -61,7 +63,7 @@ def compile_aggregators(
     fills: dict[str, object] = {}
     for spec in specs or []:
         name = spec["name"]
-        col, fill = _compile_one(spec, context, filter_pred=None)
+        col, fill = _compile_one(spec, context, filter_pred=None, df=df)
         if _is_python_agg(spec):
             py_exprs.append(col.alias(name))
         else:
@@ -80,20 +82,20 @@ def _is_python_agg(spec: dict) -> bool:
 
 
 def _field(spec: dict) -> Column:
-    from coolplaydruid_spark.functions.extraction import safe_col
-
     # safe_col: join-dataSource right columns carry a dotted prefix
     return safe_col(spec["fieldName"])
 
 
-def _compile_one(spec: dict, context: dict, filter_pred: Column | None):
+def _compile_one(spec: dict, context: dict, filter_pred: Column | None, df=None):
     """Return (unaliased aggregate Column, zero-fill identity)."""
     atype = spec["type"]
     if atype == "filtered":
-        pred = compile_filter(spec["filter"])
+        # df: multi-value (ArrayType) dimensions in the wrapped filter
+        # need any-element-matches compilation
+        pred = compile_filter(spec["filter"], df)
         inner = dict(spec["aggregator"])
         inner.setdefault("name", spec.get("name", inner.get("name")))
-        col, fill = _compile_one(inner, context, filter_pred=pred)
+        col, fill = _compile_one(inner, context, filter_pred=pred, df=df)
         return col, fill
 
     def guard(col: Column) -> Column:

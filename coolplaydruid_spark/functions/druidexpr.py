@@ -490,13 +490,13 @@ class _Parser:
 
     def _fn_strpos(self, a):
         # Druid: 0-based position, -1 when absent; optional 0-based
-        # fromIndex (locate's start is 1-based, result stays absolute)
+        # fromIndex (locate's start is 1-based, result stays absolute).
+        # Negative fromIndex clamps to 0 like Java's String.indexOf —
+        # Spark's locate returns 0 ("absent") for pos < 1.
         _arity(a, 2, 3, "strpos")
         if len(a) == 3:
-            pos = F.call_function(
-                "locate", _as_str(a[1]), _as_str(a[0]),
-                (_num(a[2]) + 1).cast("int"),
-            )
+            start = F.greatest(F.lit(0), _num(a[2]).cast("int")) + 1
+            pos = F.call_function("locate", _as_str(a[1]), _as_str(a[0]), start)
         else:
             pos = F.call_function("locate", _as_str(a[1]), _as_str(a[0]))
         return _Val((pos - 1).cast("long"), "long")
@@ -550,10 +550,24 @@ class _Parser:
     def _fn_parse_long(self, a):
         _arity(a, 1, 2, "parse_long")
         if len(a) == 2:
+            # Long.parseLong semantics, which F.conv alone does not give
+            # (conv treats '-' input as unsigned 64-bit wraparound and
+            # partial-parses invalid digits): validate the digit set for
+            # the radix, handle the sign explicitly, accept 0x at 16.
             radix = int(_req_lit(a[1], "radix"))
-            return _Val(
-                F.conv(_as_str(a[0]), radix, 10).try_cast("long"), "long"
-            )
+            if not 2 <= radix <= 36:
+                raise DruidExprError(f"parse_long radix {radix} out of range")
+            digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:radix]
+            s = F.lower(F.trim(_as_str(a[0])))
+            neg = s.startswith("-")
+            body = F.when(neg, s.substr(F.lit(2), F.length(s))).otherwise(s)
+            if radix == 16:
+                body = F.regexp_replace(body, "^0x", "")
+            mag = F.conv(body, radix, 10).try_cast("long")
+            out = F.when(
+                ~body.rlike(f"^[{digits}]+$"), F.lit(None).cast("long")
+            ).when(neg, -mag).otherwise(mag)
+            return _Val(out, "long")
         return _Val(_as_str(a[0]).try_cast("long"), "long")
 
     def _fn_regexp_extract(self, a):
@@ -848,10 +862,9 @@ def tag_for_dtype(dtype) -> str:
     return _TAG_FOR_DTYPE.get(t, "unknown")
 
 
-def _safe_col(name: str) -> Column:
-    # join dataSources' rightPrefix default is "r." — dotted column
-    # names need backticks or F.col parses struct access
-    return F.col(f"`{name}`") if "." in name else F.col(name)
+# dotted-column-safe references (join dataSources' rightPrefix default
+# is "r.") — single shared implementation in extraction.py
+from coolplaydruid_spark.functions.extraction import safe_col as _safe_col  # noqa: E402
 
 
 def _resolver(df: DataFrame | None):

@@ -15,23 +15,18 @@ from functools import reduce
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-
-def _scol(name: str) -> Column:
-    """Dot-safe column ref (join-dataSource right columns are dotted)."""
-    from coolplaydruid_spark.functions.extraction import safe_col
-
-    return safe_col(name)
+from coolplaydruid_spark.functions.extraction import safe_col
 
 
 def compile_post_aggregator(spec: dict) -> Column:
     ptype = spec["type"]
     if ptype == "fieldAccess" or ptype == "finalizingFieldAccess":
-        return _scol(spec["fieldName"])
+        return safe_col(spec["fieldName"])
     if ptype == "constant":
         return F.lit(spec["value"])
     if ptype == "hyperUniqueCardinality":
         # Our hyperUnique aggregator output is already a finalized number.
-        return _scol(spec["fieldName"])
+        return safe_col(spec["fieldName"])
     if ptype == "arithmetic":
         fields = [compile_post_aggregator(f) for f in spec["fields"]]
         fn = spec["fn"]

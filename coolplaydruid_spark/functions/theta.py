@@ -41,14 +41,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from coolplaydruid_spark.functions.extraction import safe_col
+
 from coolplaydruid_spark.functions.filters import compile_filter
 
-
-def _scol(name: str):
-    """Dot-safe column ref (join-dataSource right columns are dotted)."""
-    from coolplaydruid_spark.functions.extraction import safe_col
-
-    return safe_col(name)
 
 _THETA_POST_TYPES = ("thetaSketchEstimate", "thetaSketchSetOp")
 
@@ -284,15 +280,15 @@ def _approx_theta_frame(
         sk_aggs = []
         for name in names:
             _f, flt = split.sketches[name]
-            pred = compile_filter(flt) if flt is not None else F.lit(True)
+            pred = compile_filter(flt, base) if flt is not None else F.lit(True)
             # aggregate functions skip nulls, so gating through when()
             # restricts each sketch to its filter's rows
-            gated = F.when(F.coalesce(pred, F.lit(False)), _scol(fname))
+            gated = F.when(F.coalesce(pred, F.lit(False)), safe_col(fname))
             sk_aggs.append(
                 F.hll_sketch_agg(gated.cast("string"), lg_k).alias(f"__sk_{name}")
             )
         part = (
-            base.where(_scol(fname).isNotNull())
+            base.where(safe_col(fname).isNotNull())
             .groupBy(*key_cols)
             .agg(*sk_aggs)
         )
@@ -340,13 +336,13 @@ def theta_frame(
         flag_aggs = []
         for name in names:
             _f, flt = split.sketches[name]
-            pred = compile_filter(flt) if flt is not None else F.lit(True)
+            pred = compile_filter(flt, base) if flt is not None else F.lit(True)
             flag_aggs.append(
                 F.bool_or(F.coalesce(pred, F.lit(False))).alias(f"__in_{name}")
             )
         inner = (
-            base.where(_scol(fname).isNotNull())
-            .groupBy(*key_cols, _scol(fname).alias("__theta_value"))
+            base.where(safe_col(fname).isNotNull())
+            .groupBy(*key_cols, safe_col(fname).alias("__theta_value"))
             .agg(*flag_aggs)
         )
         flags = {name: F.col(f"__in_{name}") for name in names}

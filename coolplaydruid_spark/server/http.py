@@ -145,14 +145,15 @@ def make_handler(engine: DruidEngine):
             self.wfile.write(b"0\r\n\r\n")
 
         def do_GET(self):  # noqa: N802
+            # Druid clients append query params (?pretty, ?full, ...) to
+            # any GET — route every endpoint on the bare path.
+            self.path = self.path.split("?", 1)[0]
             if self.path == "/status":
                 self._send(200, json.dumps(
                     {"version": "coolplaydruid_spark", "status": "ok"}
                 ).encode())
                 return
-            # Druid clients append query params (?full, ?interval=...)
-            # — route on the bare path.
-            path = self.path.split("?", 1)[0]
+            path = self.path
             if path in ("/druid/v2/datasources", "/druid/v2/datasources/"):
                 # Broker dataSource listing (public Druid broker API).
                 self._send(200, json.dumps(engine.catalog.names()).encode())

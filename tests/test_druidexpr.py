@@ -279,3 +279,19 @@ class TestArrays:
                 {"type": "longSum", "name": "total_toks", "fieldName": "n_toks"}],
         })
         assert df.collect()[0]["total_toks"] > 0
+
+
+def test_parse_long_radix_and_strpos_from_index(frame):
+    """Review-driven: parse_long radix follows Long.parseLong (negative
+    sign, full-string validation, 0x at 16 — not conv's unsigned
+    wraparound / partial parse); strpos clamps negative fromIndex."""
+    assert _one(frame, "parse_long('-5', 10)") == -5
+    assert _one(frame, "parse_long('ff', 16)") == 255
+    assert _one(frame, "parse_long('0x1f', 16)") == 31
+    assert _one(frame, "parse_long('-ff', 16)") == -255
+    assert _one(frame, "parse_long('12z', 10)") is None
+    assert _one(frame, "parse_long('101', 2)") == 5
+    assert _one(frame, "strpos(s, 'l', 3)") == 3
+    assert _one(frame, "strpos(s, 'l', 4)") == 9
+    assert _one(frame, "strpos(s, 'h', -1)") == 0  # clamp, Java indexOf
+    assert _one(frame, "strpos(s, 'zzz', 2)") == -1

@@ -168,3 +168,38 @@ def test_cardinality_by_row_false_union(nengine, spark):
     # union of d values {'a','b'} (null and ""≡null not counted) and
     # id strings {'1','2','3','4'} -> 6 distinct; HLL exact at this size
     assert rows[0]["result"]["u"] == 6
+
+
+def test_filtered_aggregator_over_multivalue_dim(engine, spark):
+    """Review-driven regression: a filtered AGGREGATOR whose filter hits
+    an ArrayType dimension must get any-element-matches compilation
+    (the schema threads through compile_aggregators), matching the same
+    filter at the query level."""
+    from pyspark.sql import functions as F
+
+    from coolplaydruid_spark.catalog import Catalog
+    from coolplaydruid_spark.engine import DruidEngine
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], "2024-01-01T00:00:00"),
+         (2, ["b", "c"], "2024-01-01T01:00:00"),
+         (3, ["c"], "2024-01-01T02:00:00")],
+        "id long, tags array<string>, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    cat = Catalog(spark)
+    cat.register("tagged", df=df, time_column="ts")
+    eng = DruidEngine(spark, cat)
+    out = eng.plan({
+        "queryType": "timeseries", "dataSource": "tagged", "granularity": "all",
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "filtered", "name": "with_b",
+             "filter": {"type": "selector", "dimension": "tags", "value": "b"},
+             "aggregator": {"type": "count", "name": "with_b"}},
+            {"type": "filtered", "name": "b_users",
+             "filter": {"type": "selector", "dimension": "tags", "value": "b"},
+             "aggregator": {"type": "thetaSketch", "name": "b_users",
+                            "fieldName": "id"}},
+        ],
+    }).collect()[0]
+    assert out["n"] == 3 and out["with_b"] == 2 and out["b_users"] == 2
