@@ -84,7 +84,9 @@ _DEFS = [
           WHEN p RLIKE '^P[0-9]+Y$'
             THEN 12 * CAST(regexp_extract(p, '^P([0-9]+)Y$', 1) AS INT)
           ELSE NULL END""",
-    f"""CREATE OR REPLACE TEMPORARY FUNCTION TIME_FLOOR(t TIMESTAMP, p STRING)
+    # Internal 2-arg floor core (CREATE FUNCTION bodies cannot
+    # self-reference, so the public TIME_FLOOR wraps this).
+    f"""CREATE OR REPLACE TEMPORARY FUNCTION DRUID_TIME_FLOOR2(t TIMESTAMP, p STRING)
         RETURNS TIMESTAMP RETURN COALESCE(
           {_CALENDAR_TRUNC},
           CASE WHEN DRUID_PERIOD_MONTHS(p) IS NOT NULL THEN
@@ -100,42 +102,89 @@ _DEFS = [
           timestamp_millis(
             CAST(floor(unix_millis(t) / DRUID_PERIOD_MILLIS(p))
                  * DRUID_PERIOD_MILLIS(p) AS BIGINT)))""",
-    """CREATE OR REPLACE TEMPORARY FUNCTION TIME_SHIFT(t TIMESTAMP, p STRING, n INT)
+    # TIME_FLOOR(t, p[, origin[, tz]]) — Druid SQL's full signature:
+    # origin anchors fixed-length buckets at its phase; tz floors in
+    # local wall-clock (convert→floor→convert, the granularity.py
+    # period+timeZone semantics). origin+calendar periods → NULL.
+    """CREATE OR REPLACE TEMPORARY FUNCTION TIME_FLOOR(
+          t TIMESTAMP, p STRING,
+          o TIMESTAMP DEFAULT NULL, tz STRING DEFAULT NULL)
+        RETURNS TIMESTAMP RETURN CASE
+          WHEN o IS NOT NULL THEN
+            CASE WHEN DRUID_PERIOD_MILLIS(p) IS NOT NULL THEN
+              timestamp_millis(unix_millis(o)
+                + CAST(floor((unix_millis(t) - unix_millis(o))
+                       / DRUID_PERIOD_MILLIS(p))
+                       * DRUID_PERIOD_MILLIS(p) AS BIGINT))
+            END
+          WHEN tz IS NOT NULL THEN
+            convert_timezone(tz, 'UTC',
+              DRUID_TIME_FLOOR2(convert_timezone('UTC', tz, t), p))
+          ELSE DRUID_TIME_FLOOR2(t, p) END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION TIME_SHIFT(
+          t TIMESTAMP, p STRING, n INT, tz STRING DEFAULT NULL)
         RETURNS TIMESTAMP RETURN CASE
           WHEN p RLIKE '^P[0-9]+M$'
             THEN add_months(t, n * CAST(regexp_extract(p, '^P([0-9]+)M$', 1) AS INT))
           WHEN p RLIKE '^P[0-9]+Y$'
             THEN add_months(t, n * 12 * CAST(regexp_extract(p, '^P([0-9]+)Y$', 1) AS INT))
           ELSE timestamp_millis(unix_millis(t) + n * DRUID_PERIOD_MILLIS(p)) END""",
-    """CREATE OR REPLACE TEMPORARY FUNCTION TIME_CEIL(t TIMESTAMP, p STRING)
+    # tz ceil works in LOCAL wall-clock (floor + one local period, then
+    # back to UTC) so a P1D ceil across a DST change lands on local
+    # midnight, not midnight ± 1h.
+    """CREATE OR REPLACE TEMPORARY FUNCTION TIME_CEIL(
+          t TIMESTAMP, p STRING,
+          o TIMESTAMP DEFAULT NULL, tz STRING DEFAULT NULL)
         RETURNS TIMESTAMP RETURN CASE
-          WHEN TIME_FLOOR(t, p) = t THEN t
-          ELSE TIME_SHIFT(TIME_FLOOR(t, p), p, 1) END""",
-    """CREATE OR REPLACE TEMPORARY FUNCTION TIME_EXTRACT(t TIMESTAMP, u STRING)
+          WHEN tz IS NOT NULL AND o IS NULL THEN convert_timezone(tz, 'UTC',
+            CASE WHEN DRUID_TIME_FLOOR2(convert_timezone('UTC', tz, t), p)
+                      = convert_timezone('UTC', tz, t)
+                 THEN convert_timezone('UTC', tz, t)
+                 ELSE TIME_SHIFT(
+                   DRUID_TIME_FLOOR2(convert_timezone('UTC', tz, t), p), p, 1)
+            END)
+          WHEN TIME_FLOOR(t, p, o, tz) = t THEN t
+          ELSE TIME_SHIFT(TIME_FLOOR(t, p, o, tz), p, 1) END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION TIME_EXTRACT(
+          t0 TIMESTAMP, u STRING, tz STRING DEFAULT NULL)
         RETURNS BIGINT RETURN CAST(CASE upper(u)
-          WHEN 'EPOCH' THEN unix_seconds(t)
-          WHEN 'SECOND' THEN second(t)
-          WHEN 'MINUTE' THEN minute(t)
-          WHEN 'HOUR' THEN hour(t)
-          WHEN 'DAY' THEN day(t)
-          WHEN 'DOW' THEN weekday(t) + 1
-          WHEN 'DOY' THEN dayofyear(t)
-          WHEN 'WEEK' THEN weekofyear(t)
-          WHEN 'MONTH' THEN month(t)
-          WHEN 'QUARTER' THEN quarter(t)
-          WHEN 'YEAR' THEN year(t)
-          ELSE NULL END AS BIGINT)""",
+          WHEN 'EPOCH' THEN unix_seconds(t0)
+          ELSE CASE upper(u)
+            WHEN 'SECOND' THEN second(COALESCE(convert_timezone('UTC', tz, t0), t0))
+            WHEN 'MINUTE' THEN minute(COALESCE(convert_timezone('UTC', tz, t0), t0))
+            WHEN 'HOUR' THEN hour(COALESCE(convert_timezone('UTC', tz, t0), t0))
+            WHEN 'DAY' THEN day(COALESCE(convert_timezone('UTC', tz, t0), t0))
+            WHEN 'DOW' THEN weekday(COALESCE(convert_timezone('UTC', tz, t0), t0)) + 1
+            WHEN 'DOY' THEN dayofyear(COALESCE(convert_timezone('UTC', tz, t0), t0))
+            WHEN 'WEEK' THEN weekofyear(COALESCE(convert_timezone('UTC', tz, t0), t0))
+            WHEN 'MONTH' THEN month(COALESCE(convert_timezone('UTC', tz, t0), t0))
+            WHEN 'QUARTER' THEN quarter(COALESCE(convert_timezone('UTC', tz, t0), t0))
+            WHEN 'YEAR' THEN year(COALESCE(convert_timezone('UTC', tz, t0), t0))
+            ELSE NULL END
+          END AS BIGINT)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION MILLIS_TO_TIMESTAMP(x BIGINT)
         RETURNS TIMESTAMP RETURN timestamp_millis(x)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION TIMESTAMP_TO_MILLIS(t TIMESTAMP)
         RETURNS BIGINT RETURN unix_millis(t)""",
-    """CREATE OR REPLACE TEMPORARY FUNCTION TIME_PARSE(s STRING)
-        RETURNS TIMESTAMP RETURN TRY_CAST(s AS TIMESTAMP)""",
+    # TIME_PARSE(s[, pattern[, tz]]): pattern parses with Java patterns;
+    # tz interprets the string as wall-clock time IN tz.
+    """CREATE OR REPLACE TEMPORARY FUNCTION TIME_PARSE(
+          s STRING, p STRING DEFAULT NULL, tz STRING DEFAULT NULL)
+        RETURNS TIMESTAMP RETURN CASE
+          WHEN tz IS NOT NULL THEN convert_timezone(tz, 'UTC',
+            CASE WHEN p IS NOT NULL THEN try_to_timestamp(s, p)
+                 ELSE TRY_CAST(s AS TIMESTAMP) END)
+          WHEN p IS NOT NULL THEN try_to_timestamp(s, p)
+          ELSE TRY_CAST(s AS TIMESTAMP) END""",
     # Joda and java.time patterns agree on the subset Druid SQL docs use
     # (yyyy MM dd HH mm ss EEE MMM); exotic Joda tokens are a documented
-    # divergence.
-    """CREATE OR REPLACE TEMPORARY FUNCTION TIME_FORMAT(t TIMESTAMP, p STRING)
-        RETURNS STRING RETURN date_format(t, p)""",
+    # divergence. 3rd arg renders in tz.
+    """CREATE OR REPLACE TEMPORARY FUNCTION TIME_FORMAT(
+          t TIMESTAMP, p STRING, tz STRING DEFAULT NULL)
+        RETURNS STRING RETURN CASE
+          WHEN tz IS NOT NULL
+            THEN date_format(convert_timezone('UTC', tz, t), p)
+          ELSE date_format(t, p) END""",
     # ---- Druid SQL scalar functions with no same-name Spark builtin ----
     # TRUNCATE(x[, d]): truncate toward zero to d decimal digits (Druid
     # semantics — unlike round(); negative d truncates left of the
@@ -404,8 +453,10 @@ def register_lookup_sql_function(spark: SparkSession, catalog) -> None:
         if arms
         else "CAST(NULL AS STRING)"
     )
+    # 3rd arg = Druid's replaceMissingValueWith (LOOKUP(expr, name, d)).
     spark.sql(
-        "CREATE OR REPLACE TEMPORARY FUNCTION LOOKUP(x STRING, n STRING) "
-        f"RETURNS STRING RETURN {body}"
+        "CREATE OR REPLACE TEMPORARY FUNCTION LOOKUP"
+        "(x STRING, n STRING, d STRING DEFAULT NULL) "
+        f"RETURNS STRING RETURN COALESCE({body}, d)"
     )
     _LOOKUP_VERSIONS[cache_key] = version

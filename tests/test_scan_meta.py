@@ -367,3 +367,39 @@ def test_sys_tasks_view(engine, spark, tmp_path):
     ).collect()
     assert len(rows) == before + 1
     assert rows[0].status == "SUCCESS" and rows[0].type == "index"
+
+
+def test_time_function_tz_origin_and_lookup_default_args(engine):
+    """Druid SQL full signatures: TIME_FLOOR/CEIL origin + timezone
+    args, TIME_EXTRACT/FORMAT/PARSE timezone args, LOOKUP's
+    replaceMissingValueWith."""
+    engine.catalog.register_lookup("tl", {"a": "A"})
+    r = engine.sql("""
+        SELECT TIME_FLOOR(TIMESTAMP '2024-03-15 13:47:21', 'PT1H',
+                          TIMESTAMP '2024-01-01 00:30:00') AS f_origin,
+               TIME_FLOOR(TIMESTAMP '2024-03-15 13:47:21', 'P1D',
+                          NULL, 'America/New_York') AS f_tz,
+               TIME_CEIL(TIMESTAMP '2024-03-15 13:47:21', 'P1D',
+                         NULL, 'America/New_York') AS c_tz,
+               TIME_EXTRACT(TIMESTAMP '2024-03-15 13:47:21', 'HOUR',
+                            'America/New_York') AS h_tz,
+               TIME_EXTRACT(TIMESTAMP '2024-03-15 13:47:21', 'EPOCH') AS epoch_s,
+               TIME_FORMAT(TIMESTAMP '2024-03-15 13:47:21', 'HH:mm',
+                           'Asia/Tokyo') AS fmt_tz,
+               TIME_PARSE('15/03/2024 13:47', 'dd/MM/yyyy HH:mm') AS p_pat,
+               TIME_PARSE('2024-03-15 09:47:21', NULL,
+                          'America/New_York') AS p_tz,
+               LOOKUP('a', 'tl', 'dflt') AS hit,
+               LOOKUP('z', 'tl', 'dflt') AS miss,
+               LOOKUP('z', 'tl') AS miss_null
+    """).collect()[0]
+    assert r.f_origin.minute == 30  # anchored at the origin's phase
+    # 13:47 UTC = 09:47 EDT -> local midnight = 04:00 UTC
+    assert (r.f_tz.hour, r.f_tz.day) == (4, 15)
+    assert (r.c_tz.hour, r.c_tz.day) == (4, 16)
+    assert r.h_tz == 9
+    assert r.epoch_s == 1710510441
+    assert r.fmt_tz == "22:47"  # UTC+9
+    assert (r.p_pat.day, r.p_pat.hour) == (15, 13)
+    assert (r.p_tz.hour, r.p_tz.minute) == (13, 47)  # EDT -> UTC
+    assert r.hit == "A" and r.miss == "dflt" and r.miss_null is None
