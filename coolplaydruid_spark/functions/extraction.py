@@ -143,6 +143,28 @@ def safe_col(name: str) -> Column:
     return F.col(f"`{name}`") if "." in name else F.col(name)
 
 
+def unwrap_list_filtered(spec):
+    """``listFiltered`` dimensionSpec (public Druid multi-value spec:
+    filter a multi-value dimension's ELEMENTS before grouping): returns
+    (delegate_spec, values, is_whitelist) or None. The planner applies
+    the element filter to the array column before its explode and then
+    treats the spec as its delegate."""
+    if isinstance(spec, dict) and spec.get("type") == "listFiltered":
+        return (
+            spec["delegate"],
+            [str(v) for v in spec.get("values") or []],
+            bool(spec.get("isWhitelist", True)),
+        )
+    return None
+
+
+def list_filtered_column(col: Column, values: list[str], is_whitelist: bool) -> Column:
+    allow = F.array(*[F.lit(v) for v in values])
+    if is_whitelist:
+        return F.filter(col, lambda x: F.array_contains(allow, x))
+    return F.filter(col, lambda x: ~F.array_contains(allow, x))
+
+
 def dimension_column(spec) -> tuple[Column, str]:
     """Compile a DimensionSpec (string | {type: default|extraction}) to
     (expression, outputName)."""

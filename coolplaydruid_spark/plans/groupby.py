@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 
 from coolplaydruid_spark.catalog import TIME_COLUMN
 from coolplaydruid_spark.functions.aggregators import compile_aggregators
-from coolplaydruid_spark.functions.extraction import dimension_column
+from coolplaydruid_spark.functions.extraction import (
+    dimension_column,
+    list_filtered_column,
+    unwrap_list_filtered,
+)
 from coolplaydruid_spark.functions.filters import compile_filter
 from coolplaydruid_spark.functions.granularity import parse_granularity, parse_interval
 from coolplaydruid_spark.functions.postaggs import compile_post_aggregators
@@ -46,6 +50,19 @@ def plan_groupby(engine, query: dict) -> DataFrame:
     }
     dim_cols, dim_names = [], []
     for spec in query.get("dimensions") or []:
+        lf = unwrap_list_filtered(spec)
+        if lf is not None:
+            # listFiltered: filter the multi-value dim's ELEMENTS before
+            # the explode, then behave as the delegate spec.
+            spec, values, is_whitelist = lf
+            raw0 = spec if isinstance(spec, str) else spec.get("dimension")
+            if raw0 not in array_dims:
+                raise ValueError(
+                    f"listFiltered delegate {raw0!r} is not a multi-value dimension"
+                )
+            base = base.withColumn(
+                raw0, list_filtered_column(F.col(raw0), values, is_whitelist)
+            )
         col, name = dimension_column(spec)
         raw = spec if isinstance(spec, str) else spec.get("dimension")
         if raw in array_dims:

@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 
 from coolplaydruid_spark.catalog import TIME_COLUMN
 from coolplaydruid_spark.functions.aggregators import compile_aggregators
-from coolplaydruid_spark.functions.extraction import dimension_column
+from coolplaydruid_spark.functions.extraction import (
+    dimension_column,
+    list_filtered_column,
+    unwrap_list_filtered,
+)
 from coolplaydruid_spark.functions.granularity import parse_granularity, parse_interval
 from coolplaydruid_spark.functions.postaggs import compile_post_aggregators
 from coolplaydruid_spark.functions.theta import attach_theta, split_query
@@ -34,7 +38,18 @@ def plan_topn(engine, query: dict) -> DataFrame:
     gran = parse_granularity(query.get("granularity", "all"))
     base = filtered_frame(df, query, engine=engine)
 
-    dim_col, dim_name = dimension_column(query["dimension"])
+    dim_spec = query["dimension"]
+    lf = unwrap_list_filtered(dim_spec)
+    if lf is not None:
+        # listFiltered: filter the multi-value dim's ELEMENTS before the
+        # explode below, then behave as the delegate spec.
+        dim_spec, lf_values, lf_whitelist = lf
+        lf_raw = dim_spec if isinstance(dim_spec, str) else dim_spec.get("dimension")
+        base = base.withColumn(
+            lf_raw, list_filtered_column(F.col(lf_raw), lf_values, lf_whitelist)
+        )
+        query = dict(query, dimension=dim_spec)
+    dim_col, dim_name = dimension_column(dim_spec)
     threshold = int(query["threshold"])
 
     # Multi-value string dimension: one group per element, same core 0.12

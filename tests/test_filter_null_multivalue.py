@@ -203,3 +203,49 @@ def test_filtered_aggregator_over_multivalue_dim(engine, spark):
         ],
     }).collect()[0]
     assert out["n"] == 3 and out["with_b"] == 2 and out["b_users"] == 2
+
+
+def test_list_filtered_dimension_spec(engine, spark):
+    """listFiltered dimensionSpec: multi-value elements whitelisted /
+    blacklisted before grouping (groupBy and topN)."""
+    from pyspark.sql import functions as F
+
+    from coolplaydruid_spark.catalog import Catalog
+    from coolplaydruid_spark.engine import DruidEngine
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], "2024-01-01T00:00:00"),
+         (2, ["b", "c"], "2024-01-01T01:00:00"),
+         (3, ["c", "d"], "2024-01-01T02:00:00")],
+        "id long, tags array<string>, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    cat = Catalog(spark)
+    cat.register("lftags", df=df, time_column="ts")
+    eng = DruidEngine(spark, cat)
+    base = {
+        "queryType": "groupBy", "dataSource": "lftags", "granularity": "all",
+        "aggregations": [{"type": "count", "name": "n"}],
+    }
+    rows = {r["tag"]: r["n"] for r in eng.plan(dict(base, dimensions=[
+        {"type": "listFiltered",
+         "delegate": {"type": "default", "dimension": "tags", "outputName": "tag"},
+         "values": ["b", "c"]}])).collect()}
+    # whitelist keeps b/c elements; rows with no remaining element group null
+    assert rows == {"b": 2, "c": 2, None: 0} or rows == {"b": 2, "c": 2}
+
+    black = {r["tag"]: r["n"] for r in eng.plan(dict(base, dimensions=[
+        {"type": "listFiltered",
+         "delegate": {"type": "default", "dimension": "tags", "outputName": "tag"},
+         "values": ["b", "c"], "isWhitelist": False}])).collect()}
+    assert black.get("a") == 1 and black.get("d") == 1 and "b" not in black
+
+    topn = eng.plan({
+        "queryType": "topN", "dataSource": "lftags", "granularity": "all",
+        "dimension": {"type": "listFiltered",
+                      "delegate": {"type": "default", "dimension": "tags",
+                                   "outputName": "tag"},
+                      "values": ["b", "c"]},
+        "metric": "n", "threshold": 2,
+        "aggregations": [{"type": "count", "name": "n"}],
+    }).collect()
+    assert {r["tag"] for r in topn} <= {"b", "c", None}
