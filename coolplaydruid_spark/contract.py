@@ -4983,6 +4983,45 @@ def sql_mv_ipv4_suite(spark, sf_dir):
 
 
 @q(
+    "sql_time_full_signatures",
+    f"""
+    SELECT CAST(timezone('America/New_York',
+                date_trunc('day', timezone('America/New_York',
+                                           ts::TIMESTAMPTZ))) AS TIMESTAMP) AS local_day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN hour(timezone('America/New_York', ts::TIMESTAMPTZ))
+                         >= 18 THEN 1 ELSE 0 END) AS BIGINT) AS local_evening,
+           CAST(make_timestamp((1704069000000
+             + CAST(floor((min(epoch_ms(ts)) - 1704069000000) / 3600000.0) AS BIGINT)
+               * 3600000) * 1000) AS TIMESTAMP) AS first_half_hour_bucket
+    FROM events
+    WHERE {EVENTS_WHERE}
+    GROUP BY 1
+    """,
+)
+def sql_time_full_signatures(spark, sf_dir):
+    """Druid SQL time functions at their FULL signatures through the SQL
+    front-end: TIME_FLOOR with a timezone (DST-aware local-day buckets),
+    TIME_EXTRACT with a timezone (local evening flag), and TIME_FLOOR
+    with an ORIGIN (half-hour-anchored buckets). Oracle mirrors with
+    DuckDB timezone round-trips and epoch arithmetic."""
+    eng = engine_for(spark, sf_dir)
+    return eng.sql(
+        f"""
+        SELECT TIME_FLOOR(ts, 'P1D', NULL, 'America/New_York') AS local_day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN TIME_EXTRACT(ts, 'HOUR', 'America/New_York')
+                             >= 18 THEN 1 ELSE 0 END) AS BIGINT) AS local_evening,
+               TIME_FLOOR(min(ts), 'PT1H',
+                          TIMESTAMP '2024-01-01 00:30:00') AS first_half_hour_bucket
+        FROM events
+        WHERE {EVENTS_WHERE}
+        GROUP BY 1
+        """
+    )
+
+
+@q(
     "sql_mv_extended_suite",
     """
     WITH base AS (
