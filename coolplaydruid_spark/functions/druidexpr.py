@@ -560,7 +560,8 @@ class _Parser:
             digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:radix]
             s = F.lower(F.trim(_as_str(a[0])))
             neg = s.startswith("-")
-            body = F.when(neg, s.substr(F.lit(2), F.length(s))).otherwise(s)
+            signed = neg | s.startswith("+")  # Long.parseLong accepts both
+            body = F.when(signed, s.substr(F.lit(2), F.length(s))).otherwise(s)
             if radix == 16:
                 body = F.regexp_replace(body, "^0x", "")
             mag = F.conv(body, radix, 10).try_cast("long")

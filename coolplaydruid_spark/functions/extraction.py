@@ -162,7 +162,38 @@ def list_filtered_column(col: Column, values: list[str], is_whitelist: bool) -> 
     allow = F.array(*[F.lit(v) for v in values])
     if is_whitelist:
         return F.filter(col, lambda x: F.array_contains(allow, x))
-    return F.filter(col, lambda x: ~F.array_contains(allow, x))
+    # blacklist: a NULL element is not in the list and must be KEPT —
+    # bare ~array_contains(.., NULL) is NULL, which filter drops
+    return F.filter(
+        col, lambda x: ~F.coalesce(F.array_contains(allow, x), F.lit(False))
+    )
+
+
+def rewrite_list_filtered(spec, base, array_dims: set[str], tmp_name: str):
+    """Apply a ``listFiltered`` dimensionSpec WITHOUT touching the source
+    column: the element-filtered array lands in ``tmp_name`` and the
+    delegate is rewritten to read it, so aggregators / other dimensions
+    over the same multi-value column still see the row's REAL values
+    (Druid scopes listFiltered to the one dimensionSpec's output).
+    Returns (new_base, rewritten_delegate_spec)."""
+    delegate, values, is_whitelist = unwrap_list_filtered(spec)
+    raw = delegate if isinstance(delegate, str) else delegate.get("dimension")
+    if raw not in array_dims:
+        raise ValueError(
+            f"listFiltered delegate {raw!r} is not a multi-value dimension"
+        )
+    base = base.withColumn(
+        tmp_name, list_filtered_column(F.col(raw), values, is_whitelist)
+    )
+    if isinstance(delegate, str):
+        rewritten = {"type": "default", "dimension": tmp_name, "outputName": delegate}
+    else:
+        rewritten = {
+            **delegate,
+            "dimension": tmp_name,
+            "outputName": delegate.get("outputName", raw),
+        }
+    return base, rewritten
 
 
 def dimension_column(spec) -> tuple[Column, str]:

@@ -26,7 +26,7 @@ from coolplaydruid_spark.catalog import TIME_COLUMN
 from coolplaydruid_spark.functions.aggregators import compile_aggregators
 from coolplaydruid_spark.functions.extraction import (
     dimension_column,
-    list_filtered_column,
+    rewrite_list_filtered,
     unwrap_list_filtered,
 )
 from coolplaydruid_spark.functions.filters import compile_filter
@@ -49,20 +49,15 @@ def plan_groupby(engine, query: dict) -> DataFrame:
         f.name for f in base.schema.fields if f.dataType.typeName() == "array"
     }
     dim_cols, dim_names = [], []
-    for spec in query.get("dimensions") or []:
-        lf = unwrap_list_filtered(spec)
-        if lf is not None:
-            # listFiltered: filter the multi-value dim's ELEMENTS before
-            # the explode, then behave as the delegate spec.
-            spec, values, is_whitelist = lf
-            raw0 = spec if isinstance(spec, str) else spec.get("dimension")
-            if raw0 not in array_dims:
-                raise ValueError(
-                    f"listFiltered delegate {raw0!r} is not a multi-value dimension"
-                )
-            base = base.withColumn(
-                raw0, list_filtered_column(F.col(raw0), values, is_whitelist)
-            )
+    for i, spec in enumerate(query.get("dimensions") or []):
+        if unwrap_list_filtered(spec) is not None:
+            # listFiltered: element-filter into a TEMP column (never the
+            # source — aggregators over the same multi-value dimension
+            # must still see the row's real values) and behave as the
+            # rewritten delegate; the temp column is array-typed too.
+            tmp = f"__lf_{i}"
+            base, spec = rewrite_list_filtered(spec, base, array_dims, tmp)
+            array_dims = array_dims | {tmp}
         col, name = dimension_column(spec)
         raw = spec if isinstance(spec, str) else spec.get("dimension")
         if raw in array_dims:

@@ -23,7 +23,7 @@ from coolplaydruid_spark.catalog import TIME_COLUMN
 from coolplaydruid_spark.functions.aggregators import compile_aggregators
 from coolplaydruid_spark.functions.extraction import (
     dimension_column,
-    list_filtered_column,
+    rewrite_list_filtered,
     unwrap_list_filtered,
 )
 from coolplaydruid_spark.functions.granularity import parse_granularity, parse_interval
@@ -39,15 +39,15 @@ def plan_topn(engine, query: dict) -> DataFrame:
     base = filtered_frame(df, query, engine=engine)
 
     dim_spec = query["dimension"]
-    lf = unwrap_list_filtered(dim_spec)
-    if lf is not None:
-        # listFiltered: filter the multi-value dim's ELEMENTS before the
-        # explode below, then behave as the delegate spec.
-        dim_spec, lf_values, lf_whitelist = lf
-        lf_raw = dim_spec if isinstance(dim_spec, str) else dim_spec.get("dimension")
-        base = base.withColumn(
-            lf_raw, list_filtered_column(F.col(lf_raw), lf_values, lf_whitelist)
-        )
+    array_dims = {f.name for f in base.schema.fields if f.dataType.typeName() == "array"}
+    if unwrap_list_filtered(dim_spec) is not None:
+        # listFiltered: element-filter into a TEMP column (never the
+        # source — aggregators over the same multi-value dimension must
+        # still see the row's real values) and behave as the rewritten
+        # delegate; validates the delegate is array-typed (same
+        # ValueError as groupBy).
+        base, dim_spec = rewrite_list_filtered(dim_spec, base, array_dims, "__lf_0")
+        array_dims = array_dims | {"__lf_0"}
         query = dict(query, dimension=dim_spec)
     dim_col, dim_name = dimension_column(dim_spec)
     threshold = int(query["threshold"])
@@ -55,12 +55,7 @@ def plan_topn(engine, query: dict) -> DataFrame:
     # Multi-value string dimension: one group per element, same core 0.12
     # semantics as groupBy (the filter has already run with any-element
     # semantics — explode only for the grouping).
-    raw_dim = (
-        query["dimension"]
-        if isinstance(query["dimension"], str)
-        else query["dimension"].get("dimension")
-    )
-    array_dims = {f.name for f in base.schema.fields if f.dataType.typeName() == "array"}
+    raw_dim = dim_spec if isinstance(dim_spec, str) else dim_spec.get("dimension")
     if raw_dim in array_dims:
         base = base.withColumn(raw_dim, F.explode_outer(F.col(raw_dim)))
 

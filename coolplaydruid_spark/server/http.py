@@ -153,13 +153,12 @@ def make_handler(engine: DruidEngine):
                     {"version": "coolplaydruid_spark", "status": "ok"}
                 ).encode())
                 return
-            path = self.path
-            if path in ("/druid/v2/datasources", "/druid/v2/datasources/"):
+            if self.path in ("/druid/v2/datasources", "/druid/v2/datasources/"):
                 # Broker dataSource listing (public Druid broker API).
                 self._send(200, json.dumps(engine.catalog.names()).encode())
                 return
-            if path.startswith("/druid/v2/datasources/"):
-                parts = path.rstrip("/").split("/")
+            if self.path.startswith("/druid/v2/datasources/"):
+                parts = self.path.rstrip("/").split("/")
                 name = parts[4] if len(parts) > 4 else ""
                 sub = parts[5] if len(parts) > 5 else None
                 try:

@@ -116,19 +116,32 @@ _DEFS = [
                 + CAST(floor((unix_millis(t) - unix_millis(o))
                        / DRUID_PERIOD_MILLIS(p))
                        * DRUID_PERIOD_MILLIS(p) AS BIGINT))
+            ELSE raise_error(concat('TIME_FLOOR: origin with calendar period ',
+                                    p, ' is unsupported'))
             END
           WHEN tz IS NOT NULL THEN
             convert_timezone(tz, 'UTC',
               DRUID_TIME_FLOOR2(convert_timezone('UTC', tz, t), p))
           ELSE DRUID_TIME_FLOOR2(t, p) END""",
-    """CREATE OR REPLACE TEMPORARY FUNCTION TIME_SHIFT(
-          t TIMESTAMP, p STRING, n INT, tz STRING DEFAULT NULL)
+    # Internal tz-less shift core (CREATE FUNCTION bodies cannot
+    # self-reference).
+    """CREATE OR REPLACE TEMPORARY FUNCTION DRUID_TIME_SHIFT3(
+          t TIMESTAMP, p STRING, n INT)
         RETURNS TIMESTAMP RETURN CASE
           WHEN p RLIKE '^P[0-9]+M$'
             THEN add_months(t, n * CAST(regexp_extract(p, '^P([0-9]+)M$', 1) AS INT))
           WHEN p RLIKE '^P[0-9]+Y$'
             THEN add_months(t, n * 12 * CAST(regexp_extract(p, '^P([0-9]+)Y$', 1) AS INT))
           ELSE timestamp_millis(unix_millis(t) + n * DRUID_PERIOD_MILLIS(p)) END""",
+    # tz shifts in LOCAL wall-clock (convert → shift → convert), so
+    # P1D across a DST change lands on the next local midnight, not
+    # midnight ± 1h.
+    """CREATE OR REPLACE TEMPORARY FUNCTION TIME_SHIFT(
+          t TIMESTAMP, p STRING, n INT, tz STRING DEFAULT NULL)
+        RETURNS TIMESTAMP RETURN CASE
+          WHEN tz IS NOT NULL THEN convert_timezone(tz, 'UTC',
+            DRUID_TIME_SHIFT3(convert_timezone('UTC', tz, t), p, n))
+          ELSE DRUID_TIME_SHIFT3(t, p, n) END""",
     # tz ceil works in LOCAL wall-clock (floor + one local period, then
     # back to UTC) so a P1D ceil across a DST change lands on local
     # midnight, not midnight ± 1h.

@@ -33,6 +33,7 @@ def duck():
     import duckdb
 
     con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")  # match Spark's UTC session
     for name in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",

@@ -249,3 +249,52 @@ def test_list_filtered_dimension_spec(engine, spark):
         "aggregations": [{"type": "count", "name": "n"}],
     }).collect()
     assert {r["tag"] for r in topn} <= {"b", "c", None}
+
+
+def test_list_filtered_does_not_contaminate_aggregators(engine, spark):
+    """Review-driven: listFiltered scopes to ITS dimension's output —
+    a filtered aggregator over the same multi-value column still sees
+    the row's real elements; blacklists keep null elements."""
+    from pyspark.sql import functions as F
+
+    from coolplaydruid_spark.catalog import Catalog
+    from coolplaydruid_spark.engine import DruidEngine
+
+    df = spark.createDataFrame(
+        [(1, ["b", "c"], "2024-01-01T00:00:00"),
+         (2, ["a", None, "b"], "2024-01-01T01:00:00")],
+        "id long, tags array<string>, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    cat = Catalog(spark)
+    cat.register("lf2", df=df, time_column="ts")
+    eng = DruidEngine(spark, cat)
+    rows = eng.plan({
+        "queryType": "groupBy", "dataSource": "lf2", "granularity": "all",
+        "dimensions": [{"type": "listFiltered",
+                        "delegate": {"type": "default", "dimension": "tags",
+                                     "outputName": "tag"},
+                        "values": ["b"]}],
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            # filter on the SAME column's 'c' element — must still match
+            # row 1 even though the dimension whitelists only 'b'
+            {"type": "filtered", "name": "with_c",
+             "filter": {"type": "selector", "dimension": "tags", "value": "c"},
+             "aggregator": {"type": "count", "name": "with_c"}},
+        ],
+    }).collect()
+    by_tag = {r["tag"]: r for r in rows}
+    assert by_tag["b"]["n"] == 2
+    assert by_tag["b"]["with_c"] == 1  # row 1's real tags include 'c'
+
+    # blacklist keeps null elements (they are not in the list)
+    black = eng.plan({
+        "queryType": "groupBy", "dataSource": "lf2", "granularity": "all",
+        "dimensions": [{"type": "listFiltered",
+                        "delegate": {"type": "default", "dimension": "tags",
+                                     "outputName": "tag"},
+                        "values": ["a", "b"], "isWhitelist": False}],
+        "aggregations": [{"type": "count", "name": "n"}],
+    }).collect()
+    tags = {r["tag"] for r in black}
+    assert "c" in tags and None in tags and "a" not in tags

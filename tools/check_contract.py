@@ -35,6 +35,10 @@ def norm_cell(v):
 def run(sf_dir: str, name_filters: list[str] | None = None) -> int:
     spark = get_spark(app_name="contract_check")
     con = duckdb.connect()
+    # Pin the oracle session to UTC: the Spark side runs UTC, and
+    # ::TIMESTAMPTZ / CAST(timestamptz AS TIMESTAMP) in tz-aware oracles
+    # would otherwise follow the host's local zone.
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
