@@ -4289,6 +4289,41 @@ def groupby_join_datasource(spark, sf_dir):
 
 
 @q(
+    "groupby_expression_filter",
+    f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total
+    FROM events
+    WHERE {EVENTS_WHERE}
+      AND user_id % 2 = 0 AND value > 10
+    GROUP BY 1
+    """,
+)
+def groupby_expression_filter(spark, sf_dir):
+    """The `expression` filter type in Druid's own dialect (`%` on
+    longs, `&&`, comparisons): compiles to a raw boolean predicate that
+    reaches PushedFilters (plan-asserted in tests/test_filters.py)."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "groupBy",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimensions": ["event_type"],
+            "filter": {"type": "expression",
+                       "expression": "user_id % 2 == 0 && value > 10"},
+            "intervals": EVENTS_INTERVAL,
+            "aggregations": [
+                {"type": "count", "name": "n"},
+                {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            ],
+        }
+    ).drop("ts_bucket")
+    return _r4(df, "total")
+
+
+@q(
     "timeseries_virtual_column",
     f"""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_bucket,

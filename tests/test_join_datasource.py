@@ -109,3 +109,42 @@ def test_join_table_right_side_and_errors(engine):
     with pytest.raises(Exception, match="right column"):
         engine.plan({**q, "dataSource": {**q["dataSource"],
                                          "condition": 'o_custkey == "c_nope"'}})
+
+
+def test_join_with_query_right_side(engine):
+    """Right side = a nested QUERY dataSource (aggregated frame):
+    per-type totals joined back onto raw events."""
+    q = {
+        "queryType": "groupBy",
+        "dataSource": {
+            "type": "join",
+            "left": "events",
+            "right": {
+                "type": "query",
+                "query": {
+                    "queryType": "groupBy",
+                    "dataSource": "events",
+                    "granularity": "all",
+                    "dimensions": ["event_type"],
+                    "intervals": IV,
+                    "aggregations": [
+                        {"type": "doubleSum", "name": "type_total",
+                         "fieldName": "value"}],
+                },
+            },
+            "rightPrefix": "t_",
+            "condition": 'event_type == "t_event_type"',
+            "joinType": "INNER",
+        },
+        "granularity": "all",
+        "dimensions": ["event_type"],
+        "intervals": IV,
+        "aggregations": [{"type": "count", "name": "n"}],
+        "virtualColumns": [
+            {"type": "expression", "name": "share",
+             "expression": "value / t_type_total"},
+        ],
+    }
+    rows = engine.plan(q).collect()
+    assert len(rows) == 5
+    assert all(r["n"] > 0 for r in rows)
