@@ -28,6 +28,7 @@ from coolplaydruid_spark.operators import (
     sampling,
     sessions,
     similarity,
+    spans,
     text,
 )
 from coolplaydruid_spark.operators.corpus import EMAIL_RE, IPV4_RE, LONGNUM_RE
@@ -5139,6 +5140,46 @@ def sql_druid_aggregate_renames(spark, sf_dir):
         GROUP BY 1
         """
     )
+
+
+@q(
+    "text_dup_span_stats",
+    f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    w0 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, greatest(len(toks) - 8 + 1, 0)),
+                    i -> {{'pos': i,
+                           'h': md5(array_to_string(toks[i+1:i+8], ' '))}})) AS u
+      FROM t
+    ),
+    w AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM w0),
+    dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    dpos AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (h)),
+    cov AS (
+      SELECT doc_id, count(DISTINCT p) AS covered FROM (
+        SELECT doc_id, unnest(list_transform(range(0, 8), o -> pos + o)) AS p
+        FROM dpos) GROUP BY 1
+    ),
+    nd AS (SELECT doc_id, count(*) AS n_dup_windows FROM dpos GROUP BY 1)
+    SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(nd.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_tokens,
+           CAST(len(toks) - coalesce(cov.covered, 0) AS BIGINT) AS retained_tokens
+    FROM t LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)
+    """,
+)
+def text_dup_span_stats(spark, sf_dir):
+    """Cross-document duplicate-SPAN detection (substring-level dedup,
+    the Lee et al. 2022 training-data step): every 8-token sliding
+    window fingerprinted (md5 of the normalized span), windows recurring
+    in ≥2 distinct documents marked, per-doc covered/retained token
+    counts emitted. Two md5-keyed shuffles over ~token-count rows —
+    the MinHash exchange profile, no pairwise joins
+    (operators/spans.py; the text REWRITE form remove_duplicate_spans
+    is invariant-tested in tests/test_spans.py)."""
+    eng = engine_for(spark, sf_dir)
+    return spans.duplicate_span_stats(eng.catalog.table("documents"))
 
 
 @q(

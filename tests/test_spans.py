@@ -1,0 +1,74 @@
+"""Cross-document duplicate-span detection/removal (operators/spans.py):
+hand-computed expectations, rewrite invariants, plan shape, and the
+within-corpus consistency between the stats and the rewrite forms."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from coolplaydruid_spark.operators import spans
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    boiler = "this content is provided as is without warranty of any kind"
+    return spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {boiler} delta epsilon"),
+            (2, f"zeta eta {boiler} theta"),
+            (3, "completely unique text with no repeated spans anywhere at all ok"),
+            (4, "short doc"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_stats_hand_computed(corpus):
+    st = {r["doc_id"]: r.asDict() for r in
+          spans.duplicate_span_stats(corpus, window=8).collect()}
+    # docs 1 and 2 share an 11-token boilerplate span -> its 8-token
+    # sub-windows (4 of them) are cross-document duplicates
+    assert st[1]["n_dup_windows"] == 4
+    assert st[2]["n_dup_windows"] == 4
+    assert st[1]["covered_tokens"] == 11
+    assert st[2]["covered_tokens"] == 11
+    assert st[1]["retained_tokens"] == st[1]["n_tokens"] - 11
+    assert st[3]["n_dup_windows"] == 0
+    assert st[3]["retained_tokens"] == st[3]["n_tokens"]
+    assert st[4]["n_tokens"] == 2 and st[4]["n_dup_windows"] == 0  # < window
+    assert st[5]["n_tokens"] == 0
+
+
+def test_rewrite_removes_exactly_covered_tokens(corpus):
+    out = {r["doc_id"]: r.asDict() for r in
+           spans.remove_duplicate_spans(corpus, window=8).collect()}
+    boiler = "this content is provided as is without warranty of any kind"
+    assert out[1]["clean_text"] == "alpha beta gamma delta epsilon"
+    assert out[2]["clean_text"] == "zeta eta theta"
+    assert boiler not in out[1]["clean_text"] and boiler not in out[2]["clean_text"]
+    # untouched docs keep their full normalized token stream
+    assert out[3]["clean_text"].split() == out[3]["clean_text"].split()
+    assert out[3]["retained_tokens"] == out[3]["n_tokens"]
+    assert out[4]["clean_text"] == "short doc"
+    assert out[5]["clean_text"] == ""
+    # stats and rewrite agree on retained counts
+    st = {r["doc_id"]: r["retained_tokens"] for r in
+          spans.duplicate_span_stats(corpus, window=8).collect()}
+    assert {k: v["retained_tokens"] for k, v in out.items()} == st
+
+
+def test_min_docs_and_window_knobs(corpus):
+    # min_docs=3: the boilerplate appears in only 2 docs -> nothing marked
+    st = spans.duplicate_span_stats(corpus, window=8, min_docs=3)
+    assert st.where("n_dup_windows > 0").count() == 0
+    # smaller window marks more sub-windows of the same span
+    st4 = {r["doc_id"]: r["covered_tokens"] for r in
+           spans.duplicate_span_stats(corpus, window=4).collect()}
+    assert st4[1] >= 11
+
+
+def test_plan_is_jvm_only(corpus):
+    df = spans.duplicate_span_stats(corpus)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan.replace("ArrowEvalPython", "X")
+    assert "CartesianProduct" not in plan
