@@ -44,22 +44,33 @@ DEFAULT_WINDOW = 8
 
 
 def _window_hashes(df: DataFrame, window: int, text_col: str, id_col: str) -> DataFrame:
-    """(id, n_tokens, pos, h): one row per sliding window."""
-    toks = tokens(F.col(text_col))
-    wins = F.when(
-        F.size(toks) >= window,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - window),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """(id, pos, h): one row per sliding window (docs shorter than
+    ``window`` contribute none — plain posexplode drops empty arrays).
+
+    The window string is built with element_at + concat, not
+    slice + concat_ws — identical bytes, no per-window array allocation
+    (the same ~8× win dedup.shingles documents for its gram builder;
+    this projection runs at ~token-count rows)."""
     base = spread(df, by=id_col).select(
-        F.col(id_col),
-        F.size(toks).cast("long").alias("n_tokens"),
-        wins.alias("__wins"),
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
-    return base.select(
-        id_col, "n_tokens", F.posexplode_outer("__wins").alias("pos", "h")
+    t = F.col("__toks")
+    n = F.size(t)
+
+    def win(i):  # i is the 1-based index of the window's first token
+        parts = []
+        for j in range(window):
+            if j:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at(t, i + j))
+        return F.md5(F.concat(*parts))
+
+    wins = F.when(
+        n >= window, F.transform(F.sequence(F.lit(1), n - (window - 1)), win)
+    ).otherwise(F.array().cast("array<string>"))
+    # posexplode's pos is 0-based — the window START position.
+    return base.select(F.col(id_col), wins.alias("__wins")).select(
+        id_col, F.posexplode("__wins").alias("pos", "h")
     )
 
 
@@ -73,7 +84,7 @@ def duplicate_span_positions(
     """(id, pos) for every window start whose ``window``-token span also
     appears in at least ``min_docs`` distinct documents (including this
     one)."""
-    w = _window_hashes(df, window, text_col, id_col).where(F.col("h").isNotNull())
+    w = _window_hashes(df, window, text_col, id_col)
     dup = (
         w.groupBy("h")
         .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
@@ -131,27 +142,40 @@ def remove_duplicate_spans(
     REMOVED: tokens inside any duplicated window are dropped, the rest
     re-join with single spaces (tokenization is the normalized
     whitespace form, like every text operator here). Documents with no
-    duplicated spans keep their full normalized token stream."""
+    duplicated spans keep their full normalized token stream.
+
+    Scale shape: tokens posexplode to (id, pos, tok) rows, covered
+    positions drop via a LEFT ANTI join on (id, pos), and documents
+    re-assemble with sort_array(collect_list(struct(pos, tok))) — keyed
+    shuffles over token-count rows. (A per-row index-filter against a
+    covered-positions array would be O(n_tokens × covered) inside one
+    task for a mostly-boilerplate long document — exactly the target
+    input — so the rewrite stays relational instead.)"""
     dpos = duplicate_span_positions(df, window, min_docs, text_col, id_col)
-    covered = (
-        dpos.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + window - 1)).alias("__p"),
-        )
-        .groupBy(id_col)
-        .agg(F.collect_set("__p").alias("__covered"))
-    )
-    toks = tokens(F.col(text_col))
-    joined = df.join(covered, on=id_col, how="left")
-    kept = F.filter(
-        toks,
-        lambda x, i: ~F.coalesce(
-            F.array_contains(F.col("__covered"), i), F.lit(False)
-        ),
-    )
-    return joined.select(
+    covered = dpos.select(
         F.col(id_col),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(kept).cast("long").alias("retained_tokens"),
-        F.concat_ws(" ", kept).alias("clean_text"),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + window - 1)).alias("pos"),
+    ).distinct()
+    toks = tokens(F.col(text_col))
+    tok_rows = df.select(F.col(id_col), toks.alias("__toks")).select(
+        id_col, F.posexplode("__toks").alias("pos", "__tok")
+    )
+    kept_rows = tok_rows.join(covered, on=[id_col, "pos"], how="left_anti")
+    rebuilt = kept_rows.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("retained_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    base = df.select(F.col(id_col), F.size(toks).cast("long").alias("n_tokens"))
+    out = base.join(rebuilt, on=id_col, how="left")
+    return out.select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce("retained_tokens", F.lit(0)).cast("long").alias("retained_tokens"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )

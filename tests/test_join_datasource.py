@@ -139,7 +139,10 @@ def test_join_with_query_right_side(engine):
         "granularity": "all",
         "dimensions": ["event_type"],
         "intervals": IV,
-        "aggregations": [{"type": "count", "name": "n"}],
+        "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "share_sum", "fieldName": "share"},
+        ],
         "virtualColumns": [
             {"type": "expression", "name": "share",
              "expression": "value / t_type_total"},
@@ -147,4 +150,7 @@ def test_join_with_query_right_side(engine):
     }
     rows = engine.plan(q).collect()
     assert len(rows) == 5
-    assert all(r["n"] > 0 for r in rows)
+    # each row's value/type_total shares must sum to exactly 1 per type —
+    # proves the joined t_type_total is the RIGHT type's total
+    for r in rows:
+        assert r["share_sum"] == pytest.approx(1.0), r

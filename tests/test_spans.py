@@ -47,7 +47,9 @@ def test_rewrite_removes_exactly_covered_tokens(corpus):
     assert out[2]["clean_text"] == "zeta eta theta"
     assert boiler not in out[1]["clean_text"] and boiler not in out[2]["clean_text"]
     # untouched docs keep their full normalized token stream
-    assert out[3]["clean_text"].split() == out[3]["clean_text"].split()
+    assert out[3]["clean_text"] == (
+        "completely unique text with no repeated spans anywhere at all ok"
+    )
     assert out[3]["retained_tokens"] == out[3]["n_tokens"]
     assert out[4]["clean_text"] == "short doc"
     assert out[5]["clean_text"] == ""
@@ -68,7 +70,9 @@ def test_min_docs_and_window_knobs(corpus):
 
 
 def test_plan_is_jvm_only(corpus):
-    df = spans.duplicate_span_stats(corpus)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Python" not in plan.replace("ArrowEvalPython", "X")
-    assert "CartesianProduct" not in plan
+    for df in (spans.duplicate_span_stats(corpus),
+               spans.remove_duplicate_spans(corpus)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
