@@ -8,20 +8,23 @@ dedup (operators/dedup.py) cannot.
 Spark-first design — no suffix arrays, no Python:
 
   1. Per document, hash every ``window``-token sliding window
-     (``transform`` over an index ``sequence`` + ``slice`` + ``md5`` —
-     one higher-order projection, whole-stage codegen).
+     (``transform`` over an index ``sequence`` with an
+     ``element_at`` + ``concat`` gram builder + ``md5`` — one
+     higher-order projection, whole-stage codegen).
   2. ``posexplode`` to (doc, pos, hash) rows — ~one row per token, the
      same scale as the shingle pass the MinHash pipeline already pays.
   3. groupBy(hash) marking hashes seen in ≥ ``min_docs`` DISTINCT
-     documents (map-side partial aggregation collapses per-partition
-     repeats before the shuffle; the exchange is keyed by uniformly
+     documents — or repeated at all under ``within_doc=True`` —
+     (map-side partial aggregation collapses per-partition repeats
+     before the shuffle; the exchange is keyed by uniformly
      distributed md5 — no skew).
   4. Join the marks back; per document, the duplicated windows' covered
      token positions come from exploding each window's ``sequence`` of
      offsets (bounded by #duplicated windows × window, not corpus size).
-  5. ``remove_duplicate_spans`` rewrites the text by index-filtering the
-     token array against the covered-position set (again a single
-     higher-order projection).
+  5. ``remove_duplicate_spans`` rewrites the text RELATIONALLY:
+     posexplode tokens, LEFT ANTI join the covered positions, reassemble
+     with ``sort_array(collect_list(...))`` — keyed shuffles, never a
+     per-row scan over the covered set.
 
 At 100 TB this is two shuffles (window-hash groupBy + the mark join,
 both md5-keyed) over ~token-count rows — the same exchange profile as
@@ -80,17 +83,23 @@ def duplicate_span_positions(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    within_doc: bool = False,
 ) -> DataFrame:
     """(id, pos) for every window start whose ``window``-token span also
     appears in at least ``min_docs`` distinct documents (including this
-    one)."""
+    one). ``within_doc=True`` additionally marks spans repeated INSIDE a
+    single document (total occurrences ≥ 2 qualifies regardless of the
+    document count) — the full Lee-et-al. duplicate-substring criterion.
+    """
     w = _window_hashes(df, window, text_col, id_col)
-    dup = (
-        w.groupBy("h")
-        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
-        .where(F.col("__nd") >= min_docs)
-        .select("h")
+    marks = w.groupBy("h").agg(
+        F.count_distinct(F.col(id_col)).alias("__nd"),
+        F.count(F.lit(1)).alias("__nt"),
     )
+    cond = F.col("__nd") >= min_docs
+    if within_doc:
+        cond = cond | (F.col("__nt") >= 2)
+    dup = marks.where(cond).select("h")
     return w.join(dup, on="h").select(id_col, "pos")
 
 
@@ -100,13 +109,14 @@ def duplicate_span_stats(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    within_doc: bool = False,
 ) -> DataFrame:
     """Per document: n_tokens, n_dup_windows (window starts whose span
     recurs cross-document), covered_tokens (tokens inside ANY such
     span), retained_tokens. The thresholdable signal for span-level
     cleaning — every row keeps its document even with zero duplication.
     """
-    dpos = duplicate_span_positions(df, window, min_docs, text_col, id_col)
+    dpos = duplicate_span_positions(df, window, min_docs, text_col, id_col, within_doc)
     nd = dpos.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_windows"))
     cov = (
         dpos.select(
@@ -137,6 +147,7 @@ def remove_duplicate_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    within_doc: bool = False,
 ) -> DataFrame:
     """Rewrite each document with its cross-document duplicated spans
     REMOVED: tokens inside any duplicated window are dropped, the rest
@@ -151,7 +162,7 @@ def remove_duplicate_spans(
     covered-positions array would be O(n_tokens × covered) inside one
     task for a mostly-boilerplate long document — exactly the target
     input — so the rewrite stays relational instead.)"""
-    dpos = duplicate_span_positions(df, window, min_docs, text_col, id_col)
+    dpos = duplicate_span_positions(df, window, min_docs, text_col, id_col, within_doc)
     covered = dpos.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("pos"), F.col("pos") + window - 1)).alias("pos"),

@@ -76,3 +76,23 @@ def test_plan_is_jvm_only(corpus):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_within_doc_repeats(spark):
+    """within_doc=True marks spans repeated INSIDE one document even
+    when no other document shares them."""
+    df = spark.createDataFrame(
+        [(1, " ".join(["la the same eight token phrase repeats here"] * 2)),
+         (2, "nothing repeated in this one at all whatsoever today")],
+        "doc_id long, text string",
+    )
+    cross_only = spans.duplicate_span_stats(df, window=8)
+    assert cross_only.where("n_dup_windows > 0").count() == 0
+    within = {r["doc_id"]: r.asDict() for r in
+              spans.duplicate_span_stats(df, window=8, within_doc=True).collect()}
+    assert within[1]["n_dup_windows"] > 0
+    assert within[1]["covered_tokens"] == within[1]["n_tokens"]  # whole doc repeats
+    assert within[2]["n_dup_windows"] == 0
+    cleaned = {r["doc_id"]: r["clean_text"] for r in
+               spans.remove_duplicate_spans(df, window=8, within_doc=True).collect()}
+    assert cleaned[1] == "" and cleaned[2] != ""
