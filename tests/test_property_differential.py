@@ -600,3 +600,50 @@ def test_bucket_column_agrees_with_bucket_py(spark, epoch_s, micros, spec):
     # the bucket is a fixed point, and t never precedes its bucket
     assert g.bucket_py(exp) == exp
     assert exp <= t
+
+
+# ---- span dedup vs a pure-Python reference ------------------------------
+
+def _py_span_stats(docs, window, min_docs=2, within_doc=False):
+    """Pure-Python reference for operators/spans.duplicate_span_stats."""
+    toks = {i: [t for t in (s or "").lower().split() if t] for i, s in docs}
+    wins = {}
+    for i, ts in toks.items():
+        for p in range(max(len(ts) - window + 1, 0)):
+            key = " ".join(ts[p:p + window])
+            wins.setdefault(key, []).append((i, p))
+    dup_keys = {
+        k for k, occ in wins.items()
+        if len({d for d, _ in occ}) >= min_docs or (within_doc and len(occ) >= 2)
+    }
+    out = {}
+    for i, ts in toks.items():
+        starts = [p for k in dup_keys for d, p in wins.get(k, []) if d == i]
+        covered = {q for p in starts for q in range(p, p + window)}
+        out[i] = (len(ts), len(starts), len(covered), len(ts) - len(covered))
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=20)
+        .map(lambda ws: " ".join(ws)),
+        min_size=2, max_size=8,
+    ),
+    window=st.integers(2, 4),
+    within=st.booleans(),
+)
+def test_span_stats_match_python_reference(spark, docs, window, within):
+    from coolplaydruid_spark.operators import spans
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_windows"],
+                      r["covered_tokens"], r["retained_tokens"])
+        for r in spans.duplicate_span_stats(
+            df, window=window, within_doc=within).collect()
+    }
+    assert got == _py_span_stats(rows, window, within_doc=within), (docs, window, within)
