@@ -196,6 +196,13 @@ def rewrite_list_filtered(spec, base, array_dims: set[str], tmp_name: str):
     return base, rewritten
 
 
+# outputType (public Druid DimensionSpec field): coerce the dimension
+# value to the declared type; unparseable values → null (Druid's
+# null-on-coercion-failure behavior, matching try_cast).
+_OUTPUT_TYPES = {"STRING": "string", "LONG": "long", "FLOAT": "float",
+                 "DOUBLE": "double"}
+
+
 def dimension_column(spec) -> tuple[Column, str]:
     """Compile a DimensionSpec (string | {type: default|extraction}) to
     (expression, outputName)."""
@@ -209,4 +216,10 @@ def dimension_column(spec) -> tuple[Column, str]:
         col = apply_extraction(col, spec.get("extractionFn"))
     elif dtype != "default":
         raise ValueError(f"unknown dimensionSpec type {dtype!r}")
+    output_type = spec.get("outputType")
+    if output_type is not None:
+        target = _OUTPUT_TYPES.get(str(output_type).upper())
+        if target is None:
+            raise ValueError(f"unknown dimensionSpec outputType {output_type!r}")
+        col = col.try_cast(target)
     return col, out

@@ -455,3 +455,48 @@ def test_period_with_origin_shifts_bucket_phase(engine):
     with _pt.raises(ValueError, match="origin"):
         parse_granularity({"type": "period", "period": "P1M",
                            "origin": "2024-01-15T00:00:00"})
+
+
+def test_dimension_output_type(engine):
+    """DimensionSpec outputType: declared-type coercion of the grouped
+    value, null on unparseable (try_cast), numeric grouping semantics."""
+    df = engine.plan({
+        "queryType": "groupBy",
+        "dataSource": "events",
+        "granularity": "all",
+        "dimensions": [
+            {"type": "default", "dimension": "user_id",
+             "outputName": "uid_str", "outputType": "STRING"},
+        ],
+        "intervals": ["2024-01-01T00:00:00/2024-01-02T00:00:00"],
+        "aggregations": [{"type": "count", "name": "n"}],
+        "limitSpec": {"type": "default", "limit": 3,
+                      "columns": [{"dimension": "uid_str"}]},
+    })
+    rows = df.collect()
+    assert all(isinstance(r["uid_str"], str) for r in rows)
+    # extraction + outputType LONG: substring of a numeric string
+    df2 = engine.plan({
+        "queryType": "groupBy",
+        "dataSource": "events",
+        "granularity": "all",
+        "dimensions": [
+            {"type": "extraction", "dimension": "event_type",
+             "outputName": "first_char_num", "outputType": "LONG",
+             "extractionFn": {"type": "substring", "index": 0, "length": 1}},
+        ],
+        "intervals": ["2024-01-01T00:00:00/2024-01-02T00:00:00"],
+        "aggregations": [{"type": "count", "name": "n"}],
+    })
+    rows2 = df2.collect()
+    # event types start with letters -> try_cast LONG yields null group
+    assert [r["first_char_num"] for r in rows2] == [None]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="outputType"):
+        engine.plan({
+            "queryType": "groupBy", "dataSource": "events",
+            "granularity": "all",
+            "dimensions": [{"type": "default", "dimension": "user_id",
+                            "outputType": "COMPLEX"}],
+            "aggregations": [{"type": "count", "name": "n"}],
+        })
