@@ -402,6 +402,16 @@ class DruidEngine:
         (query/query-module-overview.md:55-59)."""
         self.spark.sparkContext.cancelJobGroup(query_id)
 
+    def explain(self, query: dict, mode: str = "formatted") -> str:
+        """The Catalyst plan for a NATIVE JSON query (the engine-level
+        counterpart of Druid SQL's EXPLAIN PLAN FOR): plans the query,
+        returns the plan string without executing. Modes are Spark's
+        explain modes (simple | extended | codegen | cost | formatted)."""
+        df = self.plan(query)
+        return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), mode
+        )
+
     def etag(self, query: dict) -> str | None:
         """ETag for If-None-Match caching
         (query/query-internal-procedure.md:41-47): hash of the canonical

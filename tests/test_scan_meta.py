@@ -403,3 +403,19 @@ def test_time_function_tz_origin_and_lookup_default_args(engine):
     assert (r.p_pat.day, r.p_pat.hour) == (15, 13)
     assert (r.p_tz.hour, r.p_tz.minute) == (13, 47)  # EDT -> UTC
     assert r.hit == "A" and r.miss == "dflt" and r.miss_null is None
+
+
+def test_engine_explain_native_query(engine):
+    """engine.explain: the Catalyst plan for a native JSON query without
+    executing it — the native counterpart of EXPLAIN PLAN FOR."""
+    s = engine.explain({
+        "queryType": "timeseries", "dataSource": "events",
+        "granularity": "day",
+        "aggregations": [{"type": "count", "name": "rows"}],
+        "intervals": ["2024-01-01T00:00:00/2024-01-04T00:00:00"],
+    })
+    assert "HashAggregate" in s and "PushedFilters" in s
+    simple = engine.explain({
+        "queryType": "scan", "dataSource": "events", "limit": 5,
+    }, mode="simple")
+    assert "Scan parquet" in simple or "FileScan" in simple
