@@ -221,5 +221,11 @@ def dimension_column(spec) -> tuple[Column, str]:
         target = _OUTPUT_TYPES.get(str(output_type).upper())
         if target is None:
             raise ValueError(f"unknown dimensionSpec outputType {output_type!r}")
-        col = col.try_cast(target)
+        if target == "long":
+            # Druid's convertObjectToLong falls back to double-parse +
+            # truncation for decimal-formatted strings ("3.5" -> 3);
+            # a direct try_cast('long') would null them instead.
+            col = col.try_cast("double").try_cast("long")
+        else:
+            col = col.try_cast(target)
     return col, out

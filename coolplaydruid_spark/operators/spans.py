@@ -88,17 +88,23 @@ def duplicate_span_positions(
     """(id, pos) for every window start whose ``window``-token span also
     appears in at least ``min_docs`` distinct documents (including this
     one). ``within_doc=True`` additionally marks spans repeated INSIDE a
-    single document (total occurrences ≥ 2 qualifies regardless of the
-    document count) — the full Lee-et-al. duplicate-substring criterion.
-    """
+    single document (some document contains the span ≥ 2 times — checked
+    per document, so it composes correctly with ``min_docs`` > 2) — the
+    full Lee-et-al. duplicate-substring criterion.
+
+    Two-level aggregation: (h, id) counts with map-side partials
+    (collapses per-partition repeats before the shuffle), then a
+    per-hash rollup — same md5-keyed exchange profile, and the second
+    level runs over distinct (h, id) pairs only."""
     w = _window_hashes(df, window, text_col, id_col)
-    marks = w.groupBy("h").agg(
-        F.count_distinct(F.col(id_col)).alias("__nd"),
-        F.count(F.lit(1)).alias("__nt"),
+    per_doc = w.groupBy("h", id_col).agg(F.count(F.lit(1)).alias("__c"))
+    marks = per_doc.groupBy("h").agg(
+        F.count(F.lit(1)).alias("__nd"),  # distinct docs (pre-grouped)
+        F.max("__c").alias("__max_in_doc"),
     )
     cond = F.col("__nd") >= min_docs
     if within_doc:
-        cond = cond | (F.col("__nt") >= 2)
+        cond = cond | (F.col("__max_in_doc") >= 2)
     dup = marks.where(cond).select("h")
     return w.join(dup, on="h").select(id_col, "pos")
 

@@ -170,7 +170,16 @@ def compile_having(spec: dict | None):
 def apply_limit_spec(df: DataFrame, spec: dict | None, dim_names: list[str]) -> DataFrame:
     """DefaultLimitSpec: order the grouped rows by the given columns and
     truncate. Spark turns sort+limit into TakeOrderedAndProject (per-
-    partition top-K + merge) — no global sort materialized."""
+    partition top-K + merge) — no global sort materialized.
+
+    Ordering semantics: an EXPLICIT dimensionOrder ('lexicographic' /
+    'numeric') is honored by casting; with no dimensionOrder the column
+    orders in its NATIVE type. For string dimensions that equals Druid's
+    lexicographic default; for numeric-outputType dimensions and metric
+    columns Druid 0.12 would string-compare by default (the well-known
+    '10 < 2' gotcha) — we order numerically instead (documented
+    divergence; pass dimensionOrder 'lexicographic' for the faithful
+    byte-wise order)."""
     if spec is None:
         return df
     if spec.get("type", "default") != "default":
@@ -182,6 +191,8 @@ def apply_limit_spec(df: DataFrame, spec: dict | None, dim_names: list[str]) -> 
         col = F.col(c["dimension"])
         if c.get("dimensionOrder") == "numeric":
             col = col.cast("double")
+        elif c.get("dimensionOrder") == "lexicographic":
+            col = col.cast("string")
         order_cols.append(col.desc() if c.get("direction") == "descending" else col.asc())
     if order_cols:
         df = df.orderBy(*order_cols)

@@ -500,3 +500,20 @@ def test_dimension_output_type(engine):
                             "outputType": "COMPLEX"}],
             "aggregations": [{"type": "count", "name": "n"}],
         })
+
+
+def test_output_type_long_truncates_decimals(spark):
+    """Review-driven: Druid's long coercion double-parses then
+    truncates decimal strings ('3.5' -> 3) rather than nulling them."""
+    from pyspark.sql import functions as F
+
+    from coolplaydruid_spark.functions.extraction import dimension_column
+
+    df = spark.createDataFrame(
+        [("3.5",), ("10",), ("junk",), (None,)], "v string"
+    )
+    col, name = dimension_column(
+        {"type": "default", "dimension": "v", "outputName": "lv",
+         "outputType": "LONG"})
+    got = [r["lv"] for r in df.select(col.alias(name)).collect()]
+    assert got == [3, 10, None, None]

@@ -612,10 +612,14 @@ def _py_span_stats(docs, window, min_docs=2, within_doc=False):
         for p in range(max(len(ts) - window + 1, 0)):
             key = " ".join(ts[p:p + window])
             wins.setdefault(key, []).append((i, p))
-    dup_keys = {
-        k for k, occ in wins.items()
-        if len({d for d, _ in occ}) >= min_docs or (within_doc and len(occ) >= 2)
-    }
+    from collections import Counter
+
+    dup_keys = set()
+    for k, occ in wins.items():
+        nd = len({d for d, _ in occ})
+        max_in_doc = max(Counter(d for d, _ in occ).values())
+        if nd >= min_docs or (within_doc and max_in_doc >= 2):
+            dup_keys.add(k)
     out = {}
     for i, ts in toks.items():
         starts = [p for k in dup_keys for d, p in wins.get(k, []) if d == i]

@@ -96,3 +96,24 @@ def test_within_doc_repeats(spark):
     cleaned = {r["doc_id"]: r["clean_text"] for r in
                spans.remove_duplicate_spans(df, window=8, within_doc=True).collect()}
     assert cleaned[1] == "" and cleaned[2] != ""
+
+
+def test_within_doc_respects_min_docs(spark):
+    """Review-driven: within_doc checks PER-DOCUMENT repeats — a span
+    seen once each in two docs must not be marked when min_docs > 2."""
+    shared = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, f"start {shared} end"), (2, f"other {shared} tail")],
+        "doc_id long, text string",
+    )
+    st = spans.duplicate_span_stats(df, window=8, min_docs=5, within_doc=True)
+    assert st.where("n_dup_windows > 0").count() == 0
+    # but a genuine intra-doc repeat IS marked under the same min_docs
+    df2 = spark.createDataFrame(
+        [(1, f"{shared} {shared}"), (2, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    st2 = {r["doc_id"]: r["n_dup_windows"] for r in
+           spans.duplicate_span_stats(df2, window=8, min_docs=5,
+                                      within_doc=True).collect()}
+    assert st2[1] > 0 and st2[2] == 0
