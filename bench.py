@@ -105,9 +105,10 @@ def main() -> None:
 
     # sf1 tail: standing scaling evidence (SCALE.md "sf1 scaling
     # evidence"). Synthesized once into .benchdata/sf1 and reused across
-    # rounds; skipped (with a marker) if synthesis fails. Best-of-2 —
-    # these queries are seconds-long, so the scheduling-jitter motive for
-    # best-of-3 matters less than wall-clock budget.
+    # rounds; skipped (with a marker) if synthesis fails. Best-of-3:
+    # measured run-to-run spread at sf1 is large (minhash 2.9-7.5s across
+    # rounds on this host), so the extra pass buys real stability for
+    # ~30s of wall clock.
     sf1_timings: dict[str, float] = {}
     sf1_dir = Path(__file__).resolve().parent / ".benchdata" / "sf1"
     if os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
@@ -133,7 +134,7 @@ def main() -> None:
             for name in SF1_TAIL:
                 fn = contract.QUERIES[name]
                 best = float("inf")
-                for _ in range(2):
+                for _ in range(3):
                     spark.catalog.clearCache()
                     t0 = time.perf_counter()
                     fn(spark, str(sf1_dir)).collect()
