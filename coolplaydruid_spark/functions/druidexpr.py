@@ -197,6 +197,19 @@ def _shift_col(t: Column, period: str, n: int) -> Column:
     return out
 
 
+def _shift_ntz(t: Column, period: str, n: int) -> Column:
+    # Wall-clock shift via interval arithmetic — works on the
+    # TIMESTAMP_NTZ produced by convert_timezone, where unix_millis
+    # (used by _shift_col) raises on Spark 4.x.
+    months, ms = _period_parts(period)
+    out = t
+    if months:
+        out = out + F.make_interval(months=F.lit(months * n))
+    if ms:
+        out = out + F.make_dt_interval(secs=F.lit(ms * n / 1000.0))
+    return out
+
+
 def _gran_for(period: str, origin, tz) -> "object":
     from coolplaydruid_spark.functions.granularity import parse_granularity
 
@@ -709,7 +722,18 @@ class _Parser:
         tz = str(_req_lit(a[3], "timezone")) if len(a) > 3 else None
         gran = _gran_for(period, origin, tz)
         floor = gran.bucket(t)
-        ceil = F.when(floor == t, t).otherwise(_shift_col(floor, period, 1))
+        if tz is not None:
+            # The +1-period shift happens in the target timezone
+            # (convert → shift → convert back), matching sqlcompat's
+            # TIME_CEIL: a P1D ceil across a DST transition lands on
+            # local midnight, not midnight ± 1h.
+            loc = F.convert_timezone(F.lit("UTC"), F.lit(tz), floor)
+            nxt = F.convert_timezone(
+                F.lit(tz), F.lit("UTC"), _shift_ntz(loc, period, 1)
+            )
+        else:
+            nxt = _shift_col(floor, period, 1)
+        ceil = F.when(floor == t, t).otherwise(nxt)
         return self._time_out(ceil, was_time)
 
     def _fn_timestamp_shift(self, a):
@@ -723,12 +747,19 @@ class _Parser:
         _arity(a, 2, 3, "timestamp_extract")
         t, _ = self._time_in(a[0])
         unit = str(_req_lit(a[1], "unit")).upper()
+        # EPOCH/MILLIS are absolute instants: Druid returns them
+        # unchanged regardless of the tz argument, and unix_seconds/
+        # unix_millis reject the TIMESTAMP_NTZ that convert_timezone
+        # yields — so compute them from the un-converted timestamp
+        # (mirrors the SQL shim TIME_EXTRACT).
+        if unit == "EPOCH":
+            return _Val(F.unix_seconds(t).cast("long"), "long")
+        if unit == "MILLIS":
+            return _Val(F.unix_millis(t).cast("long"), "long")
         if len(a) > 2:
             tz = str(_req_lit(a[2], "timezone"))
             t = F.convert_timezone(F.lit("UTC"), F.lit(tz), t)
         col = {
-            "EPOCH": lambda: F.unix_seconds(t),
-            "MILLIS": lambda: F.unix_millis(t),
             "SECOND": lambda: F.second(t),
             "MINUTE": lambda: F.minute(t),
             "HOUR": lambda: F.hour(t),
@@ -774,36 +805,47 @@ class _Parser:
 
     # math
     def _fn_abs(self, a):
+        _arity(a, 1, 1, "abs")
         return _Val(F.abs(_num(a[0])), a[0].tag if a[0].tag == "long" else "num")
 
     def _fn_ceil(self, a):
+        _arity(a, 1, 1, "ceil")
         return _Val(F.ceil(_num(a[0])).cast("double"), "num")
 
     def _fn_floor(self, a):
+        _arity(a, 1, 1, "floor")
         return _Val(F.floor(_num(a[0])).cast("double"), "num")
 
     def _fn_exp(self, a):
+        _arity(a, 1, 1, "exp")
         return _Val(F.exp(_num(a[0])), "num")
 
     def _fn_ln(self, a):
+        _arity(a, 1, 1, "ln")
         return _Val(F.log(_num(a[0])), "num")
 
     def _fn_log10(self, a):
+        _arity(a, 1, 1, "log10")
         return _Val(F.log10(_num(a[0])), "num")
 
     def _fn_sqrt(self, a):
+        _arity(a, 1, 1, "sqrt")
         return _Val(F.sqrt(_num(a[0])), "num")
 
     def _fn_cbrt(self, a):
+        _arity(a, 1, 1, "cbrt")
         return _Val(F.cbrt(_num(a[0])), "num")
 
     def _fn_sin(self, a):
+        _arity(a, 1, 1, "sin")
         return _Val(F.sin(_num(a[0])), "num")
 
     def _fn_cos(self, a):
+        _arity(a, 1, 1, "cos")
         return _Val(F.cos(_num(a[0])), "num")
 
     def _fn_tan(self, a):
+        _arity(a, 1, 1, "tan")
         return _Val(F.tan(_num(a[0])), "num")
 
     def _fn_atan2(self, a):
@@ -815,6 +857,7 @@ class _Parser:
         return _Val(F.hypot(_num(a[0]), _num(a[1])), "num")
 
     def _fn_signum(self, a):
+        _arity(a, 1, 1, "signum")
         return _Val(F.signum(_num(a[0])), "num")
 
     def _fn_pow(self, a):

@@ -368,12 +368,58 @@ _META_RENAME_RE = _re.compile(
 _EXPLAIN_RE = _re.compile(r"^\s*EXPLAIN\s+PLAN\s+FOR\b", _re.IGNORECASE)
 
 
+def _top_level_arg_count(statement: str, start: int) -> int:
+    """Count top-level comma-separated arguments of a call whose open
+    paren is at ``start``. Skips nested parens and ``'...'`` string
+    literals (with ``''`` escapes). Returns -1 if unbalanced."""
+    depth, args, i, n = 1, 1, start + 1, len(statement)
+    while i < n:
+        c = statement[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if statement[i] == "'":
+                    if i + 1 < n and statement[i + 1] == "'":
+                        i += 1
+                    else:
+                        break
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return args
+        elif c == "," and depth == 1:
+            args += 1
+        i += 1
+    return -1
+
+
+_AQDS_RE = _re.compile(r"\bAPPROX_QUANTILE_DS\s*\(", _re.IGNORECASE)
+
+
 def rewrite_druid_sql(statement: str) -> str:
     """Rename Druid-SQL-only aggregate functions to their exact Spark
     equivalents, dotted metadata tables to their underscore views, and
     EXPLAIN PLAN FOR to EXPLAIN. Word-boundary matching; a (rare)
     string literal containing one of these shapes would also rewrite —
     documented limitation of text-level renaming."""
+    # APPROX_QUANTILE_DS(expr, prob[, k]): only the 2-arg form maps to
+    # percentile_approx. Druid's third argument is the DataSketches
+    # sketch-size k (~128 default) — NOT Spark's accuracy (~10000
+    # default) — so passing it through would silently produce far
+    # coarser estimates. Fail loudly instead (like the DS lgK
+    # count-distinct case, which is left unrenamed on purpose).
+    for m in _AQDS_RE.finditer(statement):
+        if _top_level_arg_count(statement, m.end() - 1) >= 3:
+            raise ValueError(
+                "APPROX_QUANTILE_DS with an explicit k (sketch size) is "
+                "not translatable: Druid's k is a DataSketches sketch-"
+                "size parameter, not percentile_approx's accuracy. Use "
+                "the 2-arg form, or APPROX_QUANTILE(expr, prob, "
+                "accuracy) with a Spark accuracy value."
+            )
     statement = _EXPLAIN_RE.sub("EXPLAIN", statement)
     statement = _META_RENAME_RE.sub(
         lambda m: _META_RENAMES[m.group(1).upper()], statement

@@ -25,6 +25,7 @@ path never pays for introspection.
 from __future__ import annotations
 
 import os
+from datetime import date as _date, timedelta as _timedelta
 
 from pyspark.sql import SparkSession
 
@@ -121,9 +122,17 @@ def register_metadata_views(spark: SparkSession, catalog) -> None:
                 for d in parts:
                     day = d.split("=", 1)[1]
                     size = _dir_size(os.path.join(path, d))
+                    # Druid day-segment intervals end at the NEXT day's
+                    # T00:00:00 — many ISO-8601 parsers reject hour 24.
+                    try:
+                        nxt = (
+                            _date.fromisoformat(day) + _timedelta(days=1)
+                        ).isoformat()
+                    except ValueError:
+                        nxt = day
                     segments.append(
                         (f"{name}_{day}", name, f"{day}T00:00:00.000Z",
-                         f"{day}T24:00:00.000Z", size, "1", 1)
+                         f"{nxt}T00:00:00.000Z", size, "1", 1)
                     )
                 continue
         size = _dir_size(path) if path and os.path.exists(path) else None

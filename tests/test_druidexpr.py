@@ -136,6 +136,36 @@ class TestTime:
             frame, "timestamp_floor(t, 'P1D', null, 'America/New_York')"
         ) == datetime(2024, 3, 15, 4)
 
+    def test_extract_epoch_millis_ignore_tz(self, frame):
+        # Druid returns the absolute instant regardless of the timezone
+        # argument; previously this crashed (convert_timezone yields
+        # TIMESTAMP_NTZ, which unix_seconds/unix_millis reject).
+        epoch = int(datetime(2024, 3, 15, 13, 47, 21).timestamp())
+        assert _one(frame, "timestamp_extract(t, 'EPOCH')") == epoch
+        assert (
+            _one(frame, "timestamp_extract(t, 'EPOCH', 'America/New_York')")
+            == epoch
+        )
+        assert (
+            _one(frame, "timestamp_extract(t, 'MILLIS', 'Asia/Tokyo')")
+            == epoch * 1000
+        )
+
+    def test_tz_ceil_shifts_in_local_wall_clock(self, frame):
+        # 2024-03-15T13:47:21Z = 09:47 EDT -> next local midnight is
+        # 2024-03-16T00:00 EDT = 04:00 UTC
+        assert _one(
+            frame, "timestamp_ceil(t, 'P1D', null, 'America/New_York')"
+        ) == datetime(2024, 3, 16, 4)
+        # Across spring-forward (2024-03-10 02:00 EST->EDT): ceil of
+        # 2024-03-10T01:00 EST (06:00Z) to P1D must land on local
+        # midnight 3/11 = 04:00Z (EDT), not 05:00Z (fixed +24h).
+        assert _one(
+            frame,
+            "timestamp_ceil(timestamp_parse('2024-03-10T06:00:00'), "
+            "'P1D', null, 'America/New_York')",
+        ) == datetime(2024, 3, 11, 4)
+
 
 class TestMath:
     def test_functions(self, frame):
@@ -159,6 +189,13 @@ class TestErrorsAndFallback:
             "nosuchcol + 1",
         ]:
             with pytest.raises((DruidExprError, ValueError)):
+                compile_druid_expr(bad, frame)
+
+    def test_unary_math_extra_args_fail_loudly(self, frame):
+        # abs(x, y) must not silently compute abs(x)
+        for bad in ["abs(n, 1)", "sqrt(n, 2)", "floor(d, 1)", "sin(d, d)",
+                    "signum(n, 0)", "ln(d, 2)"]:
+            with pytest.raises(DruidExprError):
                 compile_druid_expr(bad, frame)
 
     def test_virtual_column_dialect_priority(self, engine):

@@ -320,6 +320,29 @@ def test_druid_sql_aggregate_renames(engine):
     assert [r.first_val for r in rows] == [r.first_val for r in direct]
 
 
+def test_approx_quantile_ds_two_arg_ok_three_arg_fails(engine):
+    """APPROX_QUANTILE_DS(expr, prob) maps to percentile_approx; the
+    3-arg form carries Druid's sketch-size k (NOT Spark's accuracy) and
+    must fail loudly instead of silently degrading precision."""
+    import pytest
+
+    r = engine.sql(
+        "SELECT APPROX_QUANTILE_DS(value, 0.5) AS med FROM events"
+    ).collect()
+    assert r[0].med is not None
+    with pytest.raises(Exception, match="APPROX_QUANTILE_DS"):
+        engine.sql(
+            "SELECT APPROX_QUANTILE_DS(value, 0.5, 128) AS med FROM events"
+        ).collect()
+    # arg counting is string-literal-aware: commas inside '...' don't
+    # inflate the arity of an unrelated 2-arg call
+    r2 = engine.sql(
+        "SELECT APPROX_QUANTILE_DS(value, 0.5) AS med, "
+        "'a,b,c' AS lit FROM events"
+    ).collect()
+    assert r2[0].med is not None and r2[0].lit == "a,b,c"
+
+
 def test_information_schema_and_sys_segments(engine):
     """Druid SQL metadata introspection: dotted INFORMATION_SCHEMA /
     sys.segments spellings rewrite to catalog-backed views; EXPLAIN
@@ -341,9 +364,21 @@ def test_information_schema_and_sys_segments(engine):
     assert [r.ORDINAL_POSITION for r in cols] == list(range(1, len(cols) + 1))
 
     segs = engine.sql(
-        "SELECT datasource, size FROM sys.segments WHERE datasource = 'events'"
+        "SELECT datasource, size, start, `end` FROM sys.segments "
+        "WHERE datasource = 'events'"
     ).collect()
     assert len(segs) >= 1 and all(s.size is None or s.size > 0 for s in segs)
+    # interval ends must be ISO-8601-parseable (next day T00:00:00, not
+    # the hour-24 spelling many parsers reject)
+    from datetime import datetime, timedelta
+
+    for s in segs:
+        if s.start is None:
+            continue
+        assert "T24" not in s.end
+        st = datetime.fromisoformat(s.start.replace("Z", "+00:00"))
+        en = datetime.fromisoformat(s.end.replace("Z", "+00:00"))
+        assert en == st + timedelta(days=1)
 
     plan = engine.sql(
         "EXPLAIN PLAN FOR SELECT count(*) FROM events"
