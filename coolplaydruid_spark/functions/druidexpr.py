@@ -403,7 +403,11 @@ class _Parser:
         _arity(a, 2, 2, "cast")
         t = str(_req_lit(a[1], "cast type")).upper()
         if t == "LONG":
-            src = F.unix_millis(a[0].col) if a[0].tag == "time" else _num(a[0])
+            src = (
+                F.unix_millis(a[0].col.cast("timestamp_ltz"))
+                if a[0].tag == "time"
+                else _num(a[0])
+            )
             return _Val(src.cast("long"), "long")
         if t == "DOUBLE":
             return _Val(_num(a[0]).cast("double"), "num")
@@ -697,7 +701,11 @@ class _Parser:
     # returns the input's kind (type-preserving, see module docstring).
     def _time_in(self, v: _Val) -> tuple[Column, bool]:
         if v.tag == "time":
-            return v.col, True
+            # ltz cast is an identity under the UTC session zone but
+            # required: parquet timestamps load as TIMESTAMP_NTZ, which
+            # unix_seconds/unix_millis reject (granularity.py does the
+            # same normalization).
+            return v.col.cast("timestamp_ltz"), True
         return F.timestamp_millis(_num(v).cast("long")), False
 
     def _time_out(self, col: Column, was_time: bool) -> _Val:

@@ -136,6 +136,23 @@ class TestTime:
             frame, "timestamp_floor(t, 'P1D', null, 'America/New_York')"
         ) == datetime(2024, 3, 15, 4)
 
+    def test_ntz_timestamp_columns_work(self, spark):
+        # parquet fixtures load as TIMESTAMP_NTZ; every time fn must
+        # accept it (unix_seconds/unix_millis reject NTZ without the
+        # ltz normalization in _time_in)
+        ntz = spark.createDataFrame(
+            [(datetime(2024, 3, 15, 13, 47, 21),)], "t timestamp_ntz"
+        )
+        epoch = int(datetime(2024, 3, 15, 13, 47, 21).timestamp())
+        assert _one(ntz, "timestamp_extract(t, 'EPOCH')") == epoch
+        assert _one(ntz, "timestamp_extract(t, 'MILLIS', 'Asia/Tokyo')") == epoch * 1000
+        assert _one(ntz, "cast(t, 'LONG')") == epoch * 1000
+        assert _one(ntz, "unix_timestamp(t)") == epoch
+        assert _one(ntz, "timestamp_shift(t, 'PT1H', 1)") == datetime(
+            2024, 3, 15, 14, 47, 21
+        )
+        assert _one(ntz, "timestamp_ceil(t, 'P1D', null, 'America/New_York')") == datetime(2024, 3, 16, 4)
+
     def test_extract_epoch_millis_ignore_tz(self, frame):
         # Druid returns the absolute instant regardless of the timezone
         # argument; previously this crashed (convert_timezone yields
