@@ -5179,7 +5179,9 @@ def text_dup_span_stats(spark, sf_dir):
     (operators/spans.py; the text REWRITE form remove_duplicate_spans
     is invariant-tested in tests/test_spans.py)."""
     eng = engine_for(spark, sf_dir)
-    return spans.duplicate_span_stats(eng.catalog.table("documents"))
+    return spans.duplicate_span_stats(
+        eng.catalog.table("documents"), cache=True
+    )
 
 
 @q(

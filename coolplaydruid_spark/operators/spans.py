@@ -46,17 +46,25 @@ from coolplaydruid_spark.operators.util import spread
 DEFAULT_WINDOW = 8
 
 
-def _window_hashes(df: DataFrame, window: int, text_col: str, id_col: str) -> DataFrame:
-    """(id, pos, h): one row per sliding window (docs shorter than
-    ``window`` contribute none — plain posexplode drops empty arrays).
+def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __toks): the single tokenize projection every span pass
+    derives from — n_tokens, window hashes, and the token-position rows
+    all come from this frame, so ``cache=True`` callers pay ONE corpus
+    tokenize instead of one per pass."""
+    return spread(df, by=id_col).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+
+
+def _window_hashes(tk: DataFrame, window: int, id_col: str) -> DataFrame:
+    """(id, pos, h) from a ``_tokenized`` frame: one row per sliding
+    window (docs shorter than ``window`` contribute none — plain
+    posexplode drops empty arrays).
 
     The window string is built with element_at + concat, not
     slice + concat_ws — identical bytes, no per-window array allocation
     (the same ~8× win dedup.shingles documents for its gram builder;
     this projection runs at ~token-count rows)."""
-    base = spread(df, by=id_col).select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
-    )
     t = F.col("__toks")
     n = F.size(t)
 
@@ -72,31 +80,26 @@ def _window_hashes(df: DataFrame, window: int, text_col: str, id_col: str) -> Da
         n >= window, F.transform(F.sequence(F.lit(1), n - (window - 1)), win)
     ).otherwise(F.array().cast("array<string>"))
     # posexplode's pos is 0-based — the window START position.
-    return base.select(F.col(id_col), wins.alias("__wins")).select(
+    return tk.select(F.col(id_col), wins.alias("__wins")).select(
         id_col, F.posexplode("__wins").alias("pos", "h")
     )
 
 
-def duplicate_span_positions(
-    df: DataFrame,
-    window: int = DEFAULT_WINDOW,
-    min_docs: int = 2,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    within_doc: bool = False,
+def _mark_positions(
+    w: DataFrame, id_col: str, min_docs: int, within_doc: bool
 ) -> DataFrame:
-    """(id, pos) for every window start whose ``window``-token span also
-    appears in at least ``min_docs`` distinct documents (including this
-    one). ``within_doc=True`` additionally marks spans repeated INSIDE a
-    single document (some document contains the span ≥ 2 times — checked
-    per document, so it composes correctly with ``min_docs`` > 2) — the
-    full Lee-et-al. duplicate-substring criterion.
+    """(id, pos) of duplicated window starts, given the window-hash
+    table.
 
     Two-level aggregation: (h, id) counts with map-side partials
     (collapses per-partition repeats before the shuffle), then a
     per-hash rollup — same md5-keyed exchange profile, and the second
-    level runs over distinct (h, id) pairs only."""
-    w = _window_hashes(df, window, text_col, id_col)
+    level runs over distinct (h, id) pairs only. The join back is
+    AQE-decided: ``dup`` (distinct duplicated hashes) broadcasts when
+    small; at scale it becomes a shuffle join on uniformly distributed
+    md5 — a boilerplate span present in ~every document is ONE hot key
+    on the w side only, which AQE skew-join splits (the dup side holds
+    a single row for that key)."""
     per_doc = w.groupBy("h", id_col).agg(F.count(F.lit(1)).alias("__c"))
     marks = per_doc.groupBy("h").agg(
         F.count(F.lit(1)).alias("__nd"),  # distinct docs (pre-grouped)
@@ -109,6 +112,34 @@ def duplicate_span_positions(
     return w.join(dup, on="h").select(id_col, "pos")
 
 
+def duplicate_span_positions(
+    df: DataFrame,
+    window: int = DEFAULT_WINDOW,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    within_doc: bool = False,
+    cache: bool = False,
+) -> DataFrame:
+    """(id, pos) for every window start whose ``window``-token span also
+    appears in at least ``min_docs`` distinct documents (including this
+    one). ``within_doc=True`` additionally marks spans repeated INSIDE a
+    single document (some document contains the span ≥ 2 times — checked
+    per document, so it composes correctly with ``min_docs`` > 2) — the
+    full Lee-et-al. duplicate-substring criterion.
+
+    ``cache=True`` persists the window-hash table, which the plan uses
+    twice (mark groupBy + join back) — one tokenize+hash scan instead
+    of two. Same not-unpersisted-here convention as
+    ``dedup.minhash_lsh_dedup``: the result is lazy and still
+    references the persisted frame; batch callers should
+    ``spark.catalog.clearCache()`` between corpora."""
+    w = _window_hashes(_tokenized(df, text_col, id_col), window, id_col)
+    if cache:
+        w = w.persist()
+    return _mark_positions(w, id_col, min_docs, within_doc)
+
+
 def duplicate_span_stats(
     df: DataFrame,
     window: int = DEFAULT_WINDOW,
@@ -116,13 +147,24 @@ def duplicate_span_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     within_doc: bool = False,
+    cache: bool = False,
 ) -> DataFrame:
     """Per document: n_tokens, n_dup_windows (window starts whose span
     recurs cross-document), covered_tokens (tokens inside ANY such
     span), retained_tokens. The thresholdable signal for span-level
     cleaning — every row keeps its document even with zero duplication.
-    """
-    dpos = duplicate_span_positions(df, window, min_docs, text_col, id_col, within_doc)
+
+    n_tokens derives from the SAME tokenize projection as the window
+    hashes; ``cache=True`` persists both the tokenized frame and the
+    window-hash table, so the whole stats pass tokenizes the corpus
+    exactly once (vs 3× uncached — mark pass, join-back, n_tokens)."""
+    tk = _tokenized(df, text_col, id_col)
+    if cache:
+        tk = tk.persist()
+    w = _window_hashes(tk, window, id_col)
+    if cache:
+        w = w.persist()
+    dpos = _mark_positions(w, id_col, min_docs, within_doc)
     nd = dpos.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_windows"))
     cov = (
         dpos.select(
@@ -132,8 +174,8 @@ def duplicate_span_stats(
         .groupBy(id_col)
         .agg(F.count_distinct("__p").alias("covered_tokens"))
     )
-    base = df.select(
-        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
+    base = tk.select(
+        F.col(id_col), F.size("__toks").cast("long").alias("n_tokens")
     )
     out = base.join(nd, on=id_col, how="left").join(cov, on=id_col, how="left")
     return out.select(
@@ -154,6 +196,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     within_doc: bool = False,
+    cache: bool = False,
 ) -> DataFrame:
     """Rewrite each document with its cross-document duplicated spans
     REMOVED: tokens inside any duplicated window are dropped, the rest
@@ -168,15 +211,18 @@ def remove_duplicate_spans(
     covered-positions array would be O(n_tokens × covered) inside one
     task for a mostly-boilerplate long document — exactly the target
     input — so the rewrite stays relational instead.)"""
-    dpos = duplicate_span_positions(df, window, min_docs, text_col, id_col, within_doc)
+    tk = _tokenized(df, text_col, id_col)
+    if cache:
+        tk = tk.persist()
+    w = _window_hashes(tk, window, id_col)
+    if cache:
+        w = w.persist()
+    dpos = _mark_positions(w, id_col, min_docs, within_doc)
     covered = dpos.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("pos"), F.col("pos") + window - 1)).alias("pos"),
     ).distinct()
-    toks = tokens(F.col(text_col))
-    tok_rows = df.select(F.col(id_col), toks.alias("__toks")).select(
-        id_col, F.posexplode("__toks").alias("pos", "__tok")
-    )
+    tok_rows = tk.select(id_col, F.posexplode("__toks").alias("pos", "__tok"))
     kept_rows = tok_rows.join(covered, on=[id_col, "pos"], how="left_anti")
     rebuilt = kept_rows.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("retained_tokens"),
@@ -188,7 +234,7 @@ def remove_duplicate_spans(
             ),
         ).alias("clean_text"),
     )
-    base = df.select(F.col(id_col), F.size(toks).cast("long").alias("n_tokens"))
+    base = tk.select(F.col(id_col), F.size("__toks").cast("long").alias("n_tokens"))
     out = base.join(rebuilt, on=id_col, how="left")
     return out.select(
         F.col(id_col),

@@ -78,6 +78,76 @@ def test_plan_is_jvm_only(corpus):
         assert "CartesianProduct" not in plan
 
 
+def test_cache_single_tokenize_and_same_results(spark, corpus):
+    """cache=True must (a) change no results, (b) leave exactly ONE
+    tokenize projection in the plan — everything downstream reads the
+    persisted tokenized/window-hash frames (the r5 verdict's
+    triple-scan finding)."""
+    spark.catalog.clearCache()
+    try:
+        cached = spans.duplicate_span_stats(corpus, window=8, cache=True)
+        plan = cached._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+        # tokens() lowercases + regexp-splits; outside the cached segment
+        # the final plan must not re-tokenize
+        assert "regexp" not in plan.lower().replace("inmemory", "")
+        want = {r["doc_id"]: r.asDict() for r in
+                spans.duplicate_span_stats(corpus, window=8).collect()}
+        got = {r["doc_id"]: r.asDict() for r in cached.collect()}
+        assert got == want
+        rm = {r["doc_id"]: r.asDict() for r in
+              spans.remove_duplicate_spans(corpus, window=8, cache=True).collect()}
+        rm0 = {r["doc_id"]: r.asDict() for r in
+               spans.remove_duplicate_spans(corpus, window=8).collect()}
+        assert rm == rm0
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_hot_key_skew_corpus(spark):
+    """A boilerplate span present in EVERY document makes its md5 one
+    hot key in the mark join-back. With the dup side forced off
+    broadcast (the 100 TB shape), AQE's skew-join machinery must be
+    active on the sort-merge join and results must stay exact."""
+    boiler = "all rights reserved unauthorized reproduction of this text is strictly prohibited"
+    n = 400
+    rows = [(i, f"doc {i} unique preamble token{i} {boiler} trailer{i}")
+            for i in range(n)]
+    # half the corpus is literally the boilerplate (50%-dup corpus)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    conf = spark.conf
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", None),
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        st = spans.duplicate_span_stats(df, window=8)
+        got = {r["doc_id"]: r.asDict() for r in st.collect()}
+        # every doc contains the 11-token boilerplate: 4 dup windows,
+        # 11 covered tokens
+        assert all(v["n_dup_windows"] == 4 for v in got.values())
+        assert all(v["covered_tokens"] == 11 for v in got.values())
+        plan = st._jdf.queryExecution().executedPlan().toString()
+        # the corpus-scaled join must be a (skew-splittable) SMJ under
+        # AQE, never a broadcast of the corpus side
+        assert "SortMergeJoin" in plan
+        assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
 def test_within_doc_repeats(spark):
     """within_doc=True marks spans repeated INSIDE one document even
     when no other document shares them."""
