@@ -53,10 +53,53 @@ BENCH_QUERIES = [
 ]
 
 
+# Deterministic plan metrics captured per query from the stage-metrics
+# REST API (records are plan properties — identical run to run — unlike
+# wall seconds, which swing ±10-25% on this shared host; a regression is
+# real when a RECORD metric moves, suspect when only seconds move).
+_METRIC_FIELDS = {
+    "input_records": "inputRecords",
+    "input_bytes": "inputBytes",
+    "shuffle_read_records": "shuffleReadRecords",
+    "shuffle_write_records": "shuffleWriteRecords",
+    "shuffle_write_bytes": "shuffleWriteBytes",
+}
+
+
+def _stage_totals(spark):
+    """Cumulative completed-stage metric totals (None if the UI is off)."""
+    import urllib.request
+
+    try:
+        url = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{app}/stages?status=complete",
+            timeout=10,
+        ) as r:
+            stages = json.load(r)
+    except Exception:  # noqa: BLE001 - metrics are evidence, not the gate
+        return None
+    tot = dict.fromkeys(_METRIC_FIELDS, 0)
+    for s in stages:
+        for out_k, in_k in _METRIC_FIELDS.items():
+            tot[out_k] += s.get(in_k) or 0
+    return tot
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
-    spark = get_spark(app_name="coolplaydruid_bench")
+    spark = get_spark(
+        app_name="coolplaydruid_bench",
+        extra_conf={
+            # the stage-metrics REST API is the deterministic-metrics
+            # source; retain enough stages that cumulative totals never
+            # evict between two snapshots of one query
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+        },
+    )
 
     # Warm the session outside the timed region: run every headline query
     # at the two smallest SFs — different data, so only code paths warm up
@@ -92,14 +135,22 @@ def main() -> None:
     # does the full cold-data work, and the min strips scheduler/GC
     # jitter from the shared host, not real computation.
     timings = {name: float("inf") for name in BENCH_QUERIES}
-    for _ in range(3):
+    plan_metrics: dict[str, dict] = {}
+    for pass_i in range(3):
         for name in BENCH_QUERIES:
             fn = contract.QUERIES[name]
             spark.catalog.clearCache()
+            before = _stage_totals(spark) if pass_i == 0 else None
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).collect()
             timings[name] = min(timings[name], time.perf_counter() - t0)
             assert rows is not None
+            if before is not None:
+                after = _stage_totals(spark)
+                if after is not None:
+                    plan_metrics[name] = {
+                        k: after[k] - before[k] for k in _METRIC_FIELDS
+                    }
     timings = {name: round(t, 3) for name, t in timings.items()}
     total = round(sum(timings.values()), 3)
 
@@ -158,6 +209,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "sf1_tail": sf1_timings,
+                "plan_metrics": plan_metrics,
             }
         )
     )
