@@ -539,7 +539,12 @@ class _Parser:
         _arity(a, 2, 2, "right")
         s = _as_str(a[0])
         n = _num(a[1]).cast("int")
-        return _Val(F.when(n <= 0, F.lit("")).otherwise(s.substr(-n, n)), "str")
+        # the n <= 0 branch must still propagate a null string
+        # (fuzz-found: right(null, 0) returned '' instead of null)
+        out = F.when(s.isNull(), F.lit(None).cast("string")).when(
+            n <= 0, F.lit("")
+        ).otherwise(s.substr(-n, n))
+        return _Val(out, "str")
 
     def _fn_replace(self, a):
         _arity(a, 3, 3, "replace")
@@ -816,13 +821,22 @@ class _Parser:
         _arity(a, 1, 1, "abs")
         return _Val(F.abs(_num(a[0])), a[0].tag if a[0].tag == "long" else "num")
 
+    # Druid's ceil/floor are Math.ceil/floor — double in, double out.
+    # Spark's F.ceil/F.floor return LONG, silently clamping |x| > 2^63
+    # to Long.MAX (fuzz-found: ceil(1.2e268) came back 9.2e18), so both
+    # build on trunc-toward-zero via x - x % 1, which is exact at any
+    # magnitude (x % 1 == 0 once doubles lose fractional precision).
     def _fn_ceil(self, a):
         _arity(a, 1, 1, "ceil")
-        return _Val(F.ceil(_num(a[0])).cast("double"), "num")
+        c = _num(a[0]).cast("double")
+        t = c - (c % F.lit(1.0))
+        return _Val(F.when(c > t, t + 1).otherwise(t), "num")
 
     def _fn_floor(self, a):
         _arity(a, 1, 1, "floor")
-        return _Val(F.floor(_num(a[0])).cast("double"), "num")
+        c = _num(a[0]).cast("double")
+        t = c - (c % F.lit(1.0))
+        return _Val(F.when(c < t, t - 1).otherwise(t), "num")
 
     def _fn_exp(self, a):
         _arity(a, 1, 1, "exp")
