@@ -66,8 +66,7 @@ _METRIC_FIELDS = {
 }
 
 
-def _stage_totals(spark):
-    """Cumulative completed-stage metric totals (None if the UI is off)."""
+def _stage_totals_once(spark):
     import urllib.request
 
     try:
@@ -85,6 +84,26 @@ def _stage_totals(spark):
         for out_k, in_k in _METRIC_FIELDS.items():
             tot[out_k] += s.get(in_k) or 0
     return tot
+
+
+def _stage_totals(spark):
+    """Cumulative completed-stage metric totals (None if the UI is off).
+
+    The status store is fed by an ASYNC listener bus, so a snapshot taken
+    right after collect() can miss stages still queued (their records
+    would silently shift into the next query's delta). Poll until two
+    consecutive reads agree — on an idle bus that's two immediate reads;
+    on a lagging one it waits out the drain (bounded)."""
+    prev = _stage_totals_once(spark)
+    if prev is None:
+        return None
+    for _ in range(25):
+        time.sleep(0.15)
+        cur = _stage_totals_once(spark)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
 
 
 def main() -> None:

@@ -760,6 +760,9 @@ class _Parser:
         _arity(a, 2, 3, "timestamp_extract")
         t, _ = self._time_in(a[0])
         unit = str(_req_lit(a[1], "unit")).upper()
+        # tz validates FIRST (even for the units that ignore it) so a
+        # non-literal timezone still fails loudly per _arity's rationale
+        tz = str(_req_lit(a[2], "timezone")) if len(a) > 2 else None
         # EPOCH/MILLIS are absolute instants: Druid returns them
         # unchanged regardless of the tz argument, and unix_seconds/
         # unix_millis reject the TIMESTAMP_NTZ that convert_timezone
@@ -769,8 +772,7 @@ class _Parser:
             return _Val(F.unix_seconds(t).cast("long"), "long")
         if unit == "MILLIS":
             return _Val(F.unix_millis(t).cast("long"), "long")
-        if len(a) > 2:
-            tz = str(_req_lit(a[2], "timezone"))
+        if tz is not None:
             t = F.convert_timezone(F.lit("UTC"), F.lit(tz), t)
         col = {
             "SECOND": lambda: F.second(t),
@@ -826,17 +828,30 @@ class _Parser:
     # to Long.MAX (fuzz-found: ceil(1.2e268) came back 9.2e18), so both
     # build on trunc-toward-zero via x - x % 1, which is exact at any
     # magnitude (x % 1 == 0 once doubles lose fractional precision).
+    @staticmethod
+    def _nonfinite(c: Column) -> Column:
+        # Inf % 1.0 is NaN, so the trunc formula must pass NaN/±Inf
+        # through unchanged (Math.ceil/floor do); null c makes this
+        # null, which falls through to the formula and stays null.
+        return F.isnan(c) | (F.abs(c) == F.lit(float("inf")))
+
     def _fn_ceil(self, a):
         _arity(a, 1, 1, "ceil")
         c = _num(a[0]).cast("double")
         t = c - (c % F.lit(1.0))
-        return _Val(F.when(c > t, t + 1).otherwise(t), "num")
+        out = F.when(self._nonfinite(c), c).otherwise(
+            F.when(c > t, t + 1).otherwise(t)
+        )
+        return _Val(out, "num")
 
     def _fn_floor(self, a):
         _arity(a, 1, 1, "floor")
         c = _num(a[0]).cast("double")
         t = c - (c % F.lit(1.0))
-        return _Val(F.when(c < t, t - 1).otherwise(t), "num")
+        out = F.when(self._nonfinite(c), c).otherwise(
+            F.when(c < t, t - 1).otherwise(t)
+        )
+        return _Val(out, "num")
 
     def _fn_exp(self, a):
         _arity(a, 1, 1, "exp")

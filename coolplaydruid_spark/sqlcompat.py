@@ -396,7 +396,30 @@ def _top_level_arg_count(statement: str, start: int) -> int:
     return -1
 
 
-_AQDS_RE = _re.compile(r"\bAPPROX_QUANTILE_DS\s*\(", _re.IGNORECASE)
+_APPROX_Q_RE = _re.compile(
+    r"\b(APPROX_QUANTILE(?:_DS)?)\s*\(", _re.IGNORECASE
+)
+
+
+def _literal_spans(statement: str) -> list[tuple[int, int]]:
+    """[start, end] index ranges of ``'...'`` string literals (with
+    ``''`` escapes), so syntactic checks can skip matches inside them."""
+    spans, i, n = [], 0, len(statement)
+    while i < n:
+        if statement[i] == "'":
+            j = i + 1
+            while j < n:
+                if statement[j] == "'":
+                    if j + 1 < n and statement[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j, n - 1)))
+            i = j + 1
+        else:
+            i += 1
+    return spans
 
 
 def rewrite_druid_sql(statement: str) -> str:
@@ -405,20 +428,26 @@ def rewrite_druid_sql(statement: str) -> str:
     EXPLAIN PLAN FOR to EXPLAIN. Word-boundary matching; a (rare)
     string literal containing one of these shapes would also rewrite —
     documented limitation of text-level renaming."""
-    # APPROX_QUANTILE_DS(expr, prob[, k]): only the 2-arg form maps to
-    # percentile_approx. Druid's third argument is the DataSketches
-    # sketch-size k (~128 default) — NOT Spark's accuracy (~10000
-    # default) — so passing it through would silently produce far
-    # coarser estimates. Fail loudly instead (like the DS lgK
-    # count-distinct case, which is left unrenamed on purpose).
-    for m in _AQDS_RE.finditer(statement):
+    # APPROX_QUANTILE[_DS](expr, prob[, third]): only the 2-arg forms
+    # map to percentile_approx. Druid's third argument is a resolution
+    # (APPROX_QUANTILE, default 50) or a DataSketches sketch-size k
+    # (_DS, ~128) — NOT Spark's accuracy (~10000 default) — so passing
+    # it through would silently produce far coarser estimates. Fail
+    # loudly instead (like the DS lgK count-distinct case, which is
+    # left unrenamed on purpose). Matches inside string literals are
+    # skipped — a literal mentioning the function must not reject the
+    # query.
+    lits = _literal_spans(statement)
+    for m in _APPROX_Q_RE.finditer(statement):
+        if any(a <= m.start() <= b for a, b in lits):
+            continue
         if _top_level_arg_count(statement, m.end() - 1) >= 3:
             raise ValueError(
-                "APPROX_QUANTILE_DS with an explicit k (sketch size) is "
-                "not translatable: Druid's k is a DataSketches sketch-"
-                "size parameter, not percentile_approx's accuracy. Use "
-                "the 2-arg form, or APPROX_QUANTILE(expr, prob, "
-                "accuracy) with a Spark accuracy value."
+                f"{m.group(1)} with an explicit third argument is not "
+                "translatable: Druid's resolution/sketch-size parameter "
+                "is not percentile_approx's accuracy. Use the 2-arg "
+                "form, or call percentile_approx(expr, prob, accuracy) "
+                "directly with a Spark accuracy value."
             )
     statement = _EXPLAIN_RE.sub("EXPLAIN", statement)
     statement = _META_RENAME_RE.sub(

@@ -185,6 +185,22 @@ class TestTime:
 
 
 class TestMath:
+    def test_ceil_floor_double_preserving(self, frame):
+        import math
+
+        # huge doubles: no long clamp (Spark F.ceil would return 9.2e18)
+        assert _one(frame, "ceil(exp(600.0))") == pytest.approx(
+            math.exp(600.0), rel=1e-9)
+        # infinities pass through (Inf % 1.0 is NaN in the trunc formula)
+        assert _one(frame, "ceil(exp(1000.0))") == float("inf")
+        assert _one(frame, "floor(0.0 - exp(1000.0))") == float("-inf")
+        # NaN in, NaN out
+        assert math.isnan(_one(frame, "ceil(sqrt(0.0 - 4.0))"))
+        # null propagates; normal values match Math.ceil/floor
+        assert _one(frame, "ceil(null)") is None
+        assert _one(frame, "ceil(-1.5)") == -1.0
+        assert _one(frame, "floor(-1.5)") == -2.0
+
     def test_functions(self, frame):
         assert _one(frame, "abs(-3.5)") == 3.5
         assert _one(frame, "max(n, 10)") == 10
@@ -207,6 +223,13 @@ class TestErrorsAndFallback:
         ]:
             with pytest.raises((DruidExprError, ValueError)):
                 compile_druid_expr(bad, frame)
+
+    def test_extract_non_literal_tz_fails_even_for_epoch(self, frame):
+        # the EPOCH/MILLIS early return must not skip tz validation
+        for src in ["timestamp_extract(t, 'EPOCH', s)",
+                    "timestamp_extract(t, 'MILLIS', s)"]:
+            with pytest.raises(DruidExprError):
+                compile_druid_expr(src, frame)
 
     def test_unary_math_extra_args_fail_loudly(self, frame):
         # abs(x, y) must not silently compute abs(x)

@@ -334,6 +334,12 @@ def test_approx_quantile_ds_two_arg_ok_three_arg_fails(engine):
         engine.sql(
             "SELECT APPROX_QUANTILE_DS(value, 0.5, 128) AS med FROM events"
         ).collect()
+    # plain APPROX_QUANTILE's 3rd arg is Druid's resolution (~50), not
+    # Spark accuracy (~10000) — same silent-degradation class, same guard
+    with pytest.raises(Exception, match="APPROX_QUANTILE"):
+        engine.sql(
+            "SELECT APPROX_QUANTILE(value, 0.5, 200) AS med FROM events"
+        ).collect()
     # arg counting is string-literal-aware: commas inside '...' don't
     # inflate the arity of an unrelated 2-arg call
     r2 = engine.sql(
@@ -341,6 +347,13 @@ def test_approx_quantile_ds_two_arg_ok_three_arg_fails(engine):
         "'a,b,c' AS lit FROM events"
     ).collect()
     assert r2[0].med is not None and r2[0].lit == "a,b,c"
+    # and a 3-arg-looking shape INSIDE a string literal must not reject
+    # the query
+    r3 = engine.sql(
+        "SELECT count(*) AS n, 'use APPROX_QUANTILE_DS(a, b, c)!' AS doc "
+        "FROM events"
+    ).collect()
+    assert r3[0].n > 0
 
 
 def test_information_schema_and_sys_segments(engine):
