@@ -715,6 +715,150 @@ def test_fuzz_null_semantics(spark, engine, duck):
         raise AssertionError("\n".join(msg))
 
 
+# ---------------------------------------------------------------------------
+# multi-value dimension fuzz surface (Druid 0.12 MV semantics)
+# ---------------------------------------------------------------------------
+# docs_mv: documents with tags = split(text) — an ArrayType dimension.
+# Druid leaf filters match when ANY element matches; groupBy on an MV
+# dim explodes one group per element of every MATCHING ROW (including
+# elements the filter didn't match — the documented Druid gotcha).
+MV_WORDS = ["spark", "join", "scan", "window", "the", "batch", "dup",
+            "merge", "zzz"]
+
+
+def gen_mv_filter(rng: random.Random, depth: int = 0):
+    kinds = ["selector", "in", "bound", "like", "regex", "search",
+             "scalar_selector"]
+    if depth < 2:
+        kinds += ["and", "or", "not"]
+    k = rng.choice(kinds)
+    if k in ("and", "or"):
+        subs = [gen_mv_filter(rng, depth + 1)
+                for _ in range(rng.randint(2, 3))]
+        glue = " AND " if k == "and" else " OR "
+        return ({"type": k, "fields": [s[0] for s in subs]},
+                "(" + glue.join(s[1] for s in subs) + ")")
+    if k == "not":
+        sub = gen_mv_filter(rng, depth + 1)
+        return ({"type": "not", "field": sub[0]},
+                f"(NOT COALESCE({sub[1]}, FALSE))")
+    if k == "selector":
+        v = rng.choice(MV_WORDS)
+        return ({"type": "selector", "dimension": "tags", "value": v},
+                f"COALESCE(list_contains(tags, '{v}'), FALSE)")
+    if k == "in":
+        vals = rng.sample(MV_WORDS, rng.randint(1, 3))
+        arr = ", ".join(f"'{v}'" for v in vals)
+        return ({"type": "in", "dimension": "tags", "values": vals},
+                f"COALESCE(list_has_any(tags, [{arr}]), FALSE)")
+    if k == "bound":
+        lo, hi = sorted(rng.sample(["a", "h", "p", "t", "x"], 2))
+        return (
+            {"type": "bound", "dimension": "tags", "lower": lo,
+             "upper": hi, "upperStrict": True},
+            f"COALESCE(len(list_filter(tags, x -> x >= '{lo}' AND "
+            f"x < '{hi}')) > 0, FALSE)",
+        )
+    if k == "like":
+        pat = rng.choice(["s%", "%a%", "%up"])
+        return (
+            {"type": "like", "dimension": "tags", "pattern": pat},
+            f"COALESCE(len(list_filter(tags, x -> x LIKE '{pat}')) > 0, "
+            "FALSE)",
+        )
+    if k == "regex":
+        pat = rng.choice(["^s", "an$", "a.c"])
+        return (
+            {"type": "regex", "dimension": "tags", "pattern": pat},
+            f"COALESCE(len(list_filter(tags, x -> regexp_matches(x, "
+            f"'{pat}'))) > 0, FALSE)",
+        )
+    if k == "search":
+        v = rng.choice(["ar", "oi", "at"])
+        return (
+            {"type": "search", "dimension": "tags",
+             "query": {"type": "insensitive_contains", "value": v}},
+            f"COALESCE(len(list_filter(tags, x -> contains(lower(x), "
+            f"'{v}'))) > 0, FALSE)",
+        )
+    v = rng.choice(["en", "es", "de", "fr"])
+    return ({"type": "selector", "dimension": "lang", "value": v},
+            f"COALESCE(lang = '{v}', FALSE)")
+
+
+def test_fuzz_multivalue(spark, engine, duck):
+    if "docs_mv" not in engine.catalog.names():
+        from pyspark.sql import functions as F
+
+        engine.catalog.register(
+            "docs_mv",
+            df=engine.catalog.table("documents").withColumn(
+                "tags", F.split("text", " ")),
+            as_view=False,
+        )
+    try:
+        duck.execute(
+            "CREATE VIEW docs_mv AS SELECT *, string_split(text, ' ') "
+            "AS tags FROM documents"
+        )
+    except Exception:
+        pass
+    rng = random.Random(SEED + 2)
+    failures = []
+    n = max(50, N_SPECS // 4)
+    for idx in range(n):
+        filt, fsql = gen_mv_filter(rng)
+        explode = rng.random() < 0.5
+        spec = {
+            "queryType": "groupBy" if explode else "timeseries",
+            "dataSource": "docs_mv",
+            "granularity": "all",
+            "filter": filt,
+            "aggregations": [
+                {"type": "count", "name": "rows"},
+                {"type": "longSum", "name": "chars",
+                 "fieldName": "n_chars"},
+            ],
+            "context": {"skipEmptyBuckets": True},
+        }
+        if explode:
+            # MV groupBy: filter selects ROWS, then every element of a
+            # matching row becomes a group
+            spec["dimensions"] = [
+                {"type": "default", "dimension": "tags",
+                 "outputName": "tag"}]
+            sql = (
+                "WITH m AS (SELECT * FROM docs_mv WHERE " + fsql + "), "
+                "x AS (SELECT unnest(tags) AS tag, n_chars FROM m) "
+                "SELECT tag, CAST(count(*) AS BIGINT) AS rows, "
+                "CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars "
+                "FROM x GROUP BY 1"
+            )
+            cols = ["tag", "rows", "chars"]
+            df = engine.plan(spec).select(*cols)
+        else:
+            sql = ("SELECT CAST(count(*) AS BIGINT) AS rows, "
+                   "CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars "
+                   "FROM docs_mv WHERE " + fsql)
+            cols = ["rows", "chars"]
+            df = engine.plan(spec).select(*cols)
+        try:
+            assert_df_matches_duck(df, duck, sql)
+        except AssertionError as e:
+            failures.append((idx, spec, sql, str(e)))
+        except Exception as e:
+            failures.append((idx, spec, sql, f"{type(e).__name__}: {e}"))
+    if failures:
+        msg = [f"{len(failures)}/{n} multi-value specs failed "
+               f"(seed={SEED + 2}); first 3:"]
+        for idx, spec, sql, err in failures[:3]:
+            msg.append(
+                f"--- spec #{idx} ---\n{json.dumps(spec, indent=1)}\n"
+                f"--- oracle ---\n{sql}\n--- error ---\n{err[:2000]}"
+            )
+        raise AssertionError("\n".join(msg))
+
+
 # Regression specs pinned from fuzz-found bugs: (spec, sql, cols).
 PINNED: list = []
 
