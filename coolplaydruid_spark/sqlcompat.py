@@ -15,7 +15,7 @@ Registered (scalar) functions:
    default).
  - TIME_CEIL(t, period)       — bucket end (floor + one period).
  - TIME_SHIFT(t, period, n)   — t shifted by n periods (calendar months
-   via add_months, fixed-length via millis).
+   via timestampadd, fixed-length via millis).
  - TIME_EXTRACT(t, unit)      — EPOCH/SECOND/MINUTE/HOUR/DAY/DOW/DOY/
    WEEK/MONTH/QUARTER/YEAR, as BIGINT.
  - MILLIS_TO_TIMESTAMP / TIMESTAMP_TO_MILLIS
@@ -125,13 +125,17 @@ _DEFS = [
           ELSE DRUID_TIME_FLOOR2(t, p) END""",
     # Internal tz-less shift core (CREATE FUNCTION bodies cannot
     # self-reference).
+    # timestampadd, NOT add_months: add_months returns a DATE and drops
+    # the time-of-day (fuzz-found: TIME_SHIFT(t,'P1M',5) lost 13:47:21).
+    # timestampadd(MONTH, ...) clamps end-of-month the same way and
+    # keeps the time component.
     """CREATE OR REPLACE TEMPORARY FUNCTION DRUID_TIME_SHIFT3(
           t TIMESTAMP, p STRING, n INT)
         RETURNS TIMESTAMP RETURN CASE
           WHEN p RLIKE '^P[0-9]+M$'
-            THEN add_months(t, n * CAST(regexp_extract(p, '^P([0-9]+)M$', 1) AS INT))
+            THEN timestampadd(MONTH, n * CAST(regexp_extract(p, '^P([0-9]+)M$', 1) AS INT), t)
           WHEN p RLIKE '^P[0-9]+Y$'
-            THEN add_months(t, n * 12 * CAST(regexp_extract(p, '^P([0-9]+)Y$', 1) AS INT))
+            THEN timestampadd(MONTH, n * 12 * CAST(regexp_extract(p, '^P([0-9]+)Y$', 1) AS INT), t)
           ELSE timestamp_millis(unix_millis(t) + n * DRUID_PERIOD_MILLIS(p)) END""",
     # tz shifts in LOCAL wall-clock (convert → shift → convert), so
     # P1D across a DST change lands on the next local midnight, not
@@ -162,6 +166,7 @@ _DEFS = [
           t0 TIMESTAMP, u STRING, tz STRING DEFAULT NULL)
         RETURNS BIGINT RETURN CAST(CASE upper(u)
           WHEN 'EPOCH' THEN unix_seconds(t0)
+          WHEN 'MILLIS' THEN unix_millis(t0)
           ELSE CASE upper(u)
             WHEN 'SECOND' THEN second(COALESCE(convert_timezone('UTC', tz, t0), t0))
             WHEN 'MINUTE' THEN minute(COALESCE(convert_timezone('UTC', tz, t0), t0))
