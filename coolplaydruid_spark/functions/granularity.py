@@ -48,6 +48,12 @@ _PERIOD_RE = re.compile(
 
 EPOCH = datetime(1970, 1, 1)
 
+# Sub-day grains are PRECISE fields (fixed length): tz truncation is
+# offset-preserving arithmetic, not a wall-clock round trip (see
+# Granularity.bucket). Hour is included because offsets can be
+# fractional-hour (+05:30, +05:45).
+_PRECISE_GRAIN_MS = {"second": 1000, "minute": 60_000, "hour": 3_600_000}
+
 
 def _trunc_grain(ts: datetime, g: str) -> datetime:
     """Wall-clock truncation of a naive datetime to a grain start."""
@@ -119,6 +125,26 @@ class Granularity:
             return col
         if self.kind == "trunc":
             if self.time_zone:
+                if self.grain in _PRECISE_GRAIN_MS:
+                    # Precise (sub-day) fields truncate OFFSET-
+                    # PRESERVINGLY, like Joda's ZonedChronology
+                    # roundFloor (Druid's engine): shift by the
+                    # instant's own utc-offset, floor, shift back. A
+                    # wall-clock round trip would collapse the DST
+                    # repeated hour into its first occurrence —
+                    # fuzz-found: PT1M@Europe/Berlin bucketed
+                    # 2024-10-27T01:30Z an hour early.
+                    g = F.lit(_PRECISE_GRAIN_MS[self.grain])
+                    t_ms = F.unix_millis(col.cast("timestamp_ltz"))
+                    off = (
+                        F.unix_millis(
+                            F.from_utc_timestamp(col, self.time_zone)
+                            .cast("timestamp_ltz")
+                        )
+                        - t_ms
+                    )
+                    lm = t_ms + off
+                    return F.timestamp_millis(lm - F.pmod(lm, g) - off)
                 local = F.from_utc_timestamp(col, self.time_zone)
                 return F.to_utc_timestamp(F.date_trunc(self.grain, local), self.time_zone)
             return F.date_trunc(self.grain, col)
@@ -170,6 +196,15 @@ class Granularity:
             start = datetime(1970 + bidx // 12, bidx % 12 + 1, 1)
             return self._local_to_utc(start) if self.time_zone else start
         if self.time_zone:
+            if self.grain in _PRECISE_GRAIN_MS:
+                # offset-preserving, mirroring bucket() exactly (the
+                # zero-fill spine must produce the same keys the JVM
+                # aggregation does — including BOTH occurrences of a
+                # DST repeated hour)
+                off = self._utc_offset(ts)
+                g = timedelta(milliseconds=_PRECISE_GRAIN_MS[self.grain])
+                lm = (ts - EPOCH) + off
+                return EPOCH + (lm - (lm % g)) - off
             return self._local_to_utc(_trunc_grain(self._utc_to_local(ts), self.grain))
         return _trunc_grain(ts, self.grain)
 
@@ -185,6 +220,13 @@ class Granularity:
             nxt = datetime(1970 + midx // 12, midx % 12 + 1, 1)
             return self._local_to_utc(nxt) if self.time_zone else nxt
         if self.time_zone:
+            if self.grain in _PRECISE_GRAIN_MS:
+                # precise fields step by their fixed duration — wall-
+                # clock stepping would skip the second occurrence of a
+                # DST repeated hour and the spine would drop that
+                # bucket's aggregate row
+                return bucket + timedelta(
+                    milliseconds=_PRECISE_GRAIN_MS[self.grain])
             return self._local_to_utc(_step_grain(self._utc_to_local(bucket), self.grain))
         return _step_grain(bucket, self.grain)
 
@@ -195,6 +237,15 @@ class Granularity:
             ts.replace(tzinfo=timezone.utc)
             .astimezone(ZoneInfo(self.time_zone))
             .replace(tzinfo=None)
+        )
+
+    def _utc_offset(self, ts: datetime) -> timedelta:
+        from zoneinfo import ZoneInfo
+
+        return (
+            ts.replace(tzinfo=timezone.utc)
+            .astimezone(ZoneInfo(self.time_zone))
+            .utcoffset()
         )
 
     def _local_to_utc(self, local: datetime) -> datetime:
