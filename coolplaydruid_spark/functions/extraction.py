@@ -22,11 +22,17 @@ def apply_extraction(col: Column, spec: dict | None) -> Column:
         return col
     etype = spec.get("type")
     if etype == "substring":
+        # Druid SubstringDimExtractionFn returns NULL (not "") when
+        # index >= length — including for the empty string. The
+        # distinction surfaces in cascades: stringFormat's NULLSTRING
+        # handling renders null as "null" but "" as "".
         index = int(spec.get("index", 0))
         length = spec.get("length")
         if length is None:
-            return F.substring(col, index + 1, 1 << 30)
-        return F.substring(col, index + 1, int(length))
+            out = F.substring(col, index + 1, 1 << 30)
+        else:
+            out = F.substring(col, index + 1, int(length))
+        return F.when(F.length(col) > index, out)
     if etype == "strlen":
         return F.length(col).cast("string")
     if etype == "bucket":
