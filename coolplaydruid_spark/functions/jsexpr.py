@@ -244,14 +244,16 @@ class _Parser:
         s = v.col.cast("string")
         if name == "substring":
             if len(a) == 1:
-                return _Val(F.substring(s, (a[0].col + 1).cast("int"), 2**30), "str")
-            # no-swap subset: assumes start <= end (the practical case)
-            return _Val(
-                F.substring(
-                    s, (a[0].col + 1).cast("int"), (a[1].col - a[0].col).cast("int")
-                ),
-                "str",
-            )
+                start = F.greatest(a[0].col.cast("int"), F.lit(0))
+                return _Val(F.substring(s, start + 1, 2**30), "str")
+            # JS substring SWAPS its arguments when start > end and
+            # clamps negatives to 0 (fuzz-found: the old no-swap
+            # shortcut returned '' for 'abc'.substring(2, 1))
+            lo = F.greatest(
+                F.least(a[0].col, a[1].col).cast("int"), F.lit(0))
+            hi = F.greatest(
+                F.greatest(a[0].col, a[1].col).cast("int"), F.lit(0))
+            return _Val(F.substring(s, lo + 1, hi - lo), "str")
         if name == "substr":
             return _Val(
                 F.substring(s, (a[0].col + 1).cast("int"), a[1].col.cast("int")),
@@ -328,10 +330,16 @@ class _Parser:
 
     def math(self, fn: str, a: list[_Val]) -> _Val:
         cols = [x.col for x in a]
-        if fn == "min":
-            return _Val(F.least(*cols), "num")
-        if fn == "max":
-            return _Val(F.greatest(*cols), "num")
+        if fn in ("min", "max"):
+            # least/greatest SKIP nulls — neither JS (Rhino coerces
+            # null to 0) nor this module's documented SQL three-valued
+            # semantics. Propagate null like every other arithmetic op
+            # here (fuzz-found: Math.min(nullcol, 10) returned 10).
+            out = F.least(*cols) if fn == "min" else F.greatest(*cols)
+            some_null = cols[0].isNull()
+            for c in cols[1:]:
+                some_null = some_null | c.isNull()
+            return _Val(F.when(~some_null, out), "num")
         if fn == "abs":
             return _Val(F.abs(cols[0]), "num")
         if fn == "floor":
