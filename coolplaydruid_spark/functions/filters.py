@@ -139,14 +139,21 @@ def _scalar_leaf(spec: dict, ftype: str) -> Column:
     # dimensions must match too. selector/in handle their null cases
     # inside _leaf_pred; for the rest, OR in an isNull branch (kept
     # outside the main predicate so pushdown still sees the raw
-    # comparison). Skipped when an extractionFn rewrites the value.
+    # comparison). With an extractionFn the same rule applies to the
+    # EXTRACTED value — extraction fns yield null for non-matches /
+    # out-of-range input (regex, partial, substring), and Druid 0.12
+    # treats that null as "" too; the isNull branch then wraps the
+    # extracted column (no pushdown to lose — the predicate is already
+    # an expression over the extraction).
     if (
         ftype not in ("selector", "in")
-        and spec.get("extractionFn") is None
         and spec.get("dimension") is not None
         and _matches_empty(spec, ftype)
     ):
-        pred = pred | _raw_dim(spec).isNull()
+        if spec.get("extractionFn") is None:
+            pred = pred | _raw_dim(spec).isNull()
+        else:
+            pred = pred | dim.isNull()
     return pred
 
 

@@ -108,12 +108,12 @@ class Granularity:
     milliseconds (with origin), a multi-month calendar period, or
     'all'/'none'."""
 
-    kind: str  # 'all' | 'none' | 'trunc' | 'duration' | 'months'
+    kind: str  # 'all' | 'none' | 'trunc' | 'duration' | 'wallduration' | 'months'
     grain: str | None = None  # for kind='trunc'
-    duration_ms: int | None = None  # for kind='duration'
+    duration_ms: int | None = None  # for kind='duration'/'wallduration'
     origin_ms: int = 0  # epoch-millis origin for duration buckets
     n_months: int | None = None  # for kind='months' (P2M, P1Y6M, ...)
-    time_zone: str | None = None  # for kind='trunc'/'months' with a timeZone
+    time_zone: str | None = None  # tz for 'trunc'/'months'/'wallduration'
 
     def bucket(self, col: Column) -> Column:
         """Bucket-start expression for a timestamp column."""
@@ -160,6 +160,18 @@ class Granularity:
             m = F.pmod(bidx, F.lit(12)).cast("int") + 1
             start = F.make_date(y, m, F.lit(1)).cast("timestamp")
             return F.to_utc_timestamp(start, self.time_zone) if self.time_zone else start
+        if self.kind == "wallduration":
+            # Day/week-bearing fixed periods with a timeZone (P2D@NY):
+            # Joda adds imprecise fields in LOCAL time, so buckets live
+            # on the local wall-clock timeline anchored at local
+            # midnight 1970 — floor the wall-clock millis, then convert
+            # back (earlier offset at DST overlaps, like Joda).
+            wall = F.unix_millis(
+                F.from_utc_timestamp(col, self.time_zone).cast("timestamp_ltz")
+            )
+            d = F.lit(self.duration_ms)
+            floored = F.timestamp_millis(wall - F.pmod(wall, d))
+            return F.to_utc_timestamp(floored, self.time_zone)
         # duration: origin + floor((t - origin) / d) * d, all in epoch
         # millis and all integral (pmod implements the floor), so
         # sub-second durations bucket exactly. The ltz cast is an
@@ -189,6 +201,11 @@ class Granularity:
             e = (naive - EPOCH) // timedelta(milliseconds=1)
             b = self.origin_ms + ((e - self.origin_ms) // self.duration_ms) * self.duration_ms
             return EPOCH + timedelta(milliseconds=b)
+        if self.kind == "wallduration":
+            local = self._utc_to_local(ts)
+            e = (local - EPOCH) // timedelta(milliseconds=1)
+            b = e - e % self.duration_ms
+            return self._local_to_utc(EPOCH + timedelta(milliseconds=b))
         if self.kind == "months":
             local = self._utc_to_local(ts) if self.time_zone else ts
             midx = (local.year - 1970) * 12 + local.month - 1
@@ -214,6 +231,11 @@ class Granularity:
         'day' in a DST zone can be 23 or 25 UTC hours)."""
         if self.kind == "duration":
             return bucket + timedelta(milliseconds=self.duration_ms)
+        if self.kind == "wallduration":
+            return self._local_to_utc(
+                self._utc_to_local(bucket)
+                + timedelta(milliseconds=self.duration_ms)
+            )
         if self.kind == "months":
             local = self._utc_to_local(bucket) if self.time_zone else bucket
             midx = (local.year - 1970) * 12 + local.month - 1 + self.n_months
@@ -277,7 +299,7 @@ class Granularity:
         cap = self.MAX_SPINE_BUCKETS if max_buckets is None else int(max_buckets)
         if self.kind in ("all", "none"):
             raise ValueError("spine only defined for bucketing granularities")
-        if self.kind == "duration":
+        if self.kind in ("duration", "wallduration"):
             est = ((end - start).total_seconds() * 1000) / self.duration_ms
             if est > cap:
                 raise ResourceLimitExceededError(
@@ -386,7 +408,30 @@ def _parse_period(spec: dict) -> Granularity:
     )
     if ms <= 0:
         raise ValueError(f"period {period!r} must have positive length")
+    if tz is not None and not has_origin:
+        # Druid's default origin is 1970-01-01T00:00:00 IN THE QUERY
+        # TIMEZONE (PeriodGranularity: withZoneRetainFields), not the
+        # UTC epoch — a PT6H@America/New_York bucket boundary falls at
+        # 05:00Z, not 00:00Z.
+        if "days" in parts or "weeks" in parts:
+            # imprecise fields: Joda adds them in LOCAL time, so the
+            # buckets live on the wall-clock timeline (a P2D bucket
+            # containing a DST change spans 47 or 49 real hours)
+            return Granularity(kind="wallduration", duration_ms=ms,
+                               time_zone=tz)
+        return Granularity(kind="duration", duration_ms=ms,
+                           origin_ms=_tz_epoch_origin_ms(tz))
     return Granularity(kind="duration", duration_ms=ms, origin_ms=_origin_ms(spec))
+
+
+def _tz_epoch_origin_ms(tz: str) -> int:
+    """Epoch-millis of 1970-01-01T00:00:00 local time in ``tz`` — the
+    default anchor for fixed-length period granularities with a
+    timeZone (NY was UTC-5 in Jan 1970 → origin 1970-01-01T05:00Z)."""
+    from zoneinfo import ZoneInfo
+
+    local = datetime(1970, 1, 1, tzinfo=ZoneInfo(tz))
+    return int(local.timestamp() * 1000)
 
 
 def _origin_ms(spec: dict) -> int:

@@ -243,9 +243,14 @@ class _Parser:
     def method(self, v: _Val, name: str, a: list[_Val]) -> _Val:
         s = v.col.cast("string")
         if name == "substring":
+            # least/greatest SKIP nulls, so every branch guards with an
+            # explicit isNull check to keep the module's SQL
+            # three-valued semantics (a null index yields null, as the
+            # pre-swap code did via arithmetic propagation)
             if len(a) == 1:
                 start = F.greatest(a[0].col.cast("int"), F.lit(0))
-                return _Val(F.substring(s, start + 1, 2**30), "str")
+                out = F.substring(s, start + 1, 2**30)
+                return _Val(F.when(a[0].col.isNotNull(), out), "str")
             # JS substring SWAPS its arguments when start > end and
             # clamps negatives to 0 (fuzz-found: the old no-swap
             # shortcut returned '' for 'abc'.substring(2, 1))
@@ -253,7 +258,11 @@ class _Parser:
                 F.least(a[0].col, a[1].col).cast("int"), F.lit(0))
             hi = F.greatest(
                 F.greatest(a[0].col, a[1].col).cast("int"), F.lit(0))
-            return _Val(F.substring(s, lo + 1, hi - lo), "str")
+            out = F.substring(s, lo + 1, hi - lo)
+            return _Val(
+                F.when(a[0].col.isNotNull() & a[1].col.isNotNull(), out),
+                "str",
+            )
         if name == "substr":
             return _Val(
                 F.substring(s, (a[0].col + 1).cast("int"), a[1].col.cast("int")),

@@ -42,6 +42,28 @@ def _count(nengine, dfilter) -> int:
 
 # --- null ≡ "" on scalar dims -------------------------------------------
 
+def test_extraction_null_matches_empty_satisfying_filters(nengine):
+    """Review-driven: extraction fns yield null for out-of-range /
+    non-matching input, and Druid treats that null as "" — so a
+    bound/like/regex filter whose predicate accepts "" must match
+    those rows (previously only non-extraction leaves got the isNull
+    branch)."""
+    sub2 = {"type": "substring", "index": 2}
+    # substring(index=2) of "a"/""/null -> null; of "abc..." -> tail.
+    # bound lower="" matches everything incl. "" ≡ extracted null.
+    n = _count(nengine, {"type": "bound", "dimension": "d", "lower": "",
+                         "extractionFn": sub2})
+    assert n == 4  # every row
+    # like '%' matches "" -> extracted nulls match too
+    n = _count(nengine, {"type": "like", "dimension": "d", "pattern": "%",
+                         "extractionFn": sub2})
+    assert n == 4
+    # but a filter "" does NOT satisfy keeps excluding extracted nulls
+    n = _count(nengine, {"type": "like", "dimension": "d", "pattern": "x%",
+                         "extractionFn": sub2})
+    assert n == 0
+
+
 def test_not_selector_matches_null_dims(nengine):
     # Druid: d null ≡ "", so not(d='a') matches rows 2 (null), 3 (""), 4 ('b')
     f = {"type": "not", "field": {"type": "selector", "dimension": "d", "value": "a"}}

@@ -143,6 +143,38 @@ def test_dst_repeated_hour_buckets_stay_distinct():
                      for i in range(6)]
 
 
+def test_fixed_period_tz_anchors_at_local_1970():
+    """Review-driven: Druid's default period-granularity origin is
+    1970-01-01T00:00 IN THE QUERY TIMEZONE. PT6H@America/New_York
+    buckets at 05/11/17/23Z (NY was UTC-5 in Jan 1970), not
+    00/06/12/18Z; previously the tz was silently dropped for
+    multi-unit fixed periods."""
+    g = parse_granularity({"type": "period", "period": "PT6H",
+                           "timeZone": "America/New_York"})
+    assert g.bucket_py(dt.datetime(2024, 1, 15, 7, 0)) == dt.datetime(
+        2024, 1, 15, 5, 0)
+    assert g.bucket_py(dt.datetime(2024, 1, 15, 4, 59)) == dt.datetime(
+        2024, 1, 14, 23, 0)
+    # day-bearing periods live on the local wall-clock timeline: the
+    # P2D bucket over the NY spring-forward day spans 47 real hours
+    g2 = parse_granularity({"type": "period", "period": "P2D",
+                            "timeZone": "America/New_York"})
+    b = g2.bucket_py(dt.datetime(2024, 3, 10, 12, 0))
+    # 2024-03-10 is an even local-day index -> starts its own bucket,
+    # at local midnight EST
+    assert b == dt.datetime(2024, 3, 10, 5, 0)
+    nxt = g2.next_bucket_py(b)
+    assert nxt == dt.datetime(2024, 3, 12, 4, 0)  # midnight 3/12 EDT
+    # the bucket contains the spring-forward: 47 real hours
+    assert (nxt - b) == dt.timedelta(hours=47)
+    # an explicit origin still wins over the tz default
+    g3 = parse_granularity({"type": "period", "period": "PT6H",
+                            "timeZone": "America/New_York",
+                            "origin": "2024-01-01T01:00:00Z"})
+    assert g3.bucket_py(dt.datetime(2024, 1, 15, 7, 30)) == dt.datetime(
+        2024, 1, 15, 7, 0)
+
+
 def test_fuzz_granularity_invariants():
     rng = random.Random(SEED + 1)
     for _ in range(N_SPECS):

@@ -20,6 +20,8 @@ def _eval_scalar(spark, src, value):
     [
         ("function(x) { return x.substring(0, 3) }", "hello", "hel"),
         ("function(x) { return x.substring(2) }", "hello", "llo"),
+        # JS substring swaps out-of-order args (fuzz-found regression)
+        ("function(x) { return x.substring(3, 1) }", "hello", "el"),
         ("function(x) { return x.substr(1, 3) }", "hello", "ell"),
         ("function(x) { return x.charAt(1) }", "hello", "e"),
         ("function(x) { return x.toUpperCase() }", "hello", "HELLO"),
@@ -170,3 +172,26 @@ def test_subset_rejection(src):
             jsexpr.compile_additive_aggregator(src, [F.lit(1.0)])
         else:
             jsexpr.compile_scalar(src, [F.lit("x")])
+
+
+def test_null_index_propagates_through_substring_and_minmax(spark):
+    """Review-driven: a null numeric argument must null the result
+    (SQL three-valued semantics) — least/greatest-based rewrites of
+    substring-swap and Math.min/max would otherwise SKIP the null."""
+    df = spark.createDataFrame([("hello", None), ("hello", 1.0)],
+                               "s string, n double")
+    out = df.select(
+        jsexpr.compile_scalar(
+            "function(x, y) { return x.substring(y, 3) }",
+            [F.col("s"), F.col("n")]).alias("two"),
+        jsexpr.compile_scalar(
+            "function(x, y) { return x.substring(y) }",
+            [F.col("s"), F.col("n")]).alias("one"),
+        jsexpr.compile_scalar(
+            "function(x, y) { return Math.min(y, 5) }",
+            [F.col("s"), F.col("n")], kind="num").alias("mn"),
+    ).collect()
+    assert out[0]["two"] is None and out[0]["one"] is None
+    assert out[0]["mn"] is None
+    assert out[1]["two"] == "el" and out[1]["one"] == "ello"
+    assert out[1]["mn"] == 1.0
