@@ -54,7 +54,7 @@ def gen_filter(rng: random.Random, depth: int = 0):
     kinds = [
         "selector", "selector", "in", "bound_num", "bound_lex",
         "bound_lex_num_dim", "like", "regex", "search", "interval",
-        "expression",
+        "expression", "sel_extract", "bound_extract", "sel_timefmt",
     ]
     if depth < 2:
         kinds += ["and", "or", "not", "and", "or"]
@@ -147,6 +147,34 @@ def gen_filter(rng: random.Random, depth: int = 0):
             {"type": "interval", "dimension": "__time",
              "intervals": [f"{_iso(d1)}/{_iso(d2)}"]},
             f"(ts >= {_sqlts(d1)} AND ts < {_sqlts(d2)})",
+        )
+    if k == "sel_extract":
+        # F13: selector + substring extractionFn (all event_type values
+        # are >= 4 chars, so index-0 substrings never go out of range)
+        ln = rng.randint(1, 3)
+        v = rng.choice(["c", "cl", "vi", "pu", "err", "si", "zz"])[:ln]
+        return (
+            {"type": "selector", "dimension": "event_type", "value": v,
+             "extractionFn": {"type": "substring", "index": 0,
+                              "length": ln}},
+            f"substr(event_type, 1, {ln}) = '{v}'",
+        )
+    if k == "bound_extract":
+        # lexicographic bound over an upper-cased dimension
+        lo = rng.choice(["C", "E", "P", "S"])
+        return (
+            {"type": "bound", "dimension": "event_type", "lower": lo,
+             "extractionFn": {"type": "upper"}},
+            f"upper(event_type) >= '{lo}'",
+        )
+    if k == "sel_timefmt":
+        d_ = rng.randint(1, 28)
+        return (
+            {"type": "selector", "dimension": "__time",
+             "value": f"2024-01-{d_:02d}",
+             "extractionFn": {"type": "timeFormat",
+                              "format": "yyyy-MM-dd"}},
+            f"strftime(ts, '%Y-%m-%d') = '2024-01-{d_:02d}'",
         )
     # expression filter: druid dialect, truthy-row semantics
     choice = rng.choice([
@@ -332,11 +360,20 @@ def make_spec(rng: random.Random):
         ["timeseries", "groupBy", "topN"], weights=[45, 45, 10]
     )[0]
 
-    # interval: day-aligned random sub-interval of January
+    # interval: day-aligned random sub-interval of January; 20% of
+    # specs use TWO disjoint intervals (multi-interval semantics —
+    # filters AND the zero-fill spine must cover both)
     d1 = rng.choice([1, 1, 1, rng.randint(1, 10)])
-    d2 = rng.randint(d1 + 3, 31)
-    interval = [f"{_iso(d1)}/{_iso(d2)}"]
-    time_where = f"(ts >= {_sqlts(d1)} AND ts < {_sqlts(d2)})"
+    d2 = rng.randint(d1 + 3, min(d1 + 12, 28))
+    spans = [(d1, d2)]
+    if rng.random() < 0.2 and d2 + 2 < 30:
+        d3 = d2 + rng.randint(1, 2)
+        d4 = rng.randint(d3 + 1, 31)
+        spans.append((d3, d4))
+    interval = [f"{_iso(a)}/{_iso(b)}" for a, b in spans]
+    time_where = "(" + " OR ".join(
+        f"(ts >= {_sqlts(a)} AND ts < {_sqlts(b)})" for a, b in spans
+    ) + ")"
 
     filt = gen_filter(rng) if rng.random() < 0.85 else None
     where = time_where + (f" AND ({filt[1]})" if filt else "")
@@ -430,10 +467,14 @@ def make_spec(rng: random.Random):
                 if fills[nm] is not None:
                     s2 = s2.replace(nm, f"coalesce({nm}, {fills[nm]})")
             post_on_filled.append(f"{s2} AS {n}")
+        spine_sql = " UNION ALL ".join(
+            f"SELECT unnest(generate_series({_sqlts(a)}, "
+            f"{_sqlts(b)} - INTERVAL {step} SECOND, "
+            f"INTERVAL {step} SECOND)) AS ts_bucket"
+            for a, b in spans
+        )
         sql = (
-            "WITH spine AS (SELECT unnest(generate_series("
-            f"{_sqlts(d1)}, {_sqlts(d2)} - INTERVAL {step} SECOND, "
-            f"INTERVAL {step} SECOND)) AS ts_bucket), "
+            f"WITH spine AS ({spine_sql}), "
             f"agg AS ({inner}) "
             "SELECT spine.ts_bucket, "
             + ", ".join(filled + post_on_filled)
