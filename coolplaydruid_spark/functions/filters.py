@@ -178,10 +178,23 @@ def _multivalue_leaf(spec: dict, ftype: str) -> Column:
         if len(non_null) != len(values):
             pred = pred | arr.isNull() | (F.size(arr) == 0) | F.array_contains(arr, "")
         return F.coalesce(pred, F.lit(False))
-    per_element = lambda x: F.coalesce(  # noqa: E731
-        _leaf_pred(apply_extraction(x, ex), spec, ftype), F.lit(False)
-    )
-    return F.coalesce(F.exists(arr, per_element), F.lit(False))
+    # null ≡ "" applies to arrays too: a null/empty array is one null
+    # value, and an extraction yielding null for an element behaves as
+    # "" — so when "" satisfies this leaf, those cases must match
+    # (mirrors the scalar path's isNull branch).
+    me = _matches_empty(spec, ftype)
+
+    def per_element(x):
+        ext = apply_extraction(x, ex)
+        p = F.coalesce(_leaf_pred(ext, spec, ftype), F.lit(False))
+        if me and ex is not None:
+            p = p | ext.isNull()
+        return p
+
+    pred = F.coalesce(F.exists(arr, per_element), F.lit(False))
+    if me:
+        pred = pred | arr.isNull() | (F.size(arr) == 0)
+    return pred
 
 
 def _leaf_pred(dim: Column, spec: dict, ftype: str) -> Column:

@@ -170,7 +170,9 @@ class Granularity:
                 F.from_utc_timestamp(col, self.time_zone).cast("timestamp_ltz")
             )
             d = F.lit(self.duration_ms)
-            floored = F.timestamp_millis(wall - F.pmod(wall, d))
+            o = F.lit(self.origin_ms)  # origin's LOCAL wall millis
+            delta = wall - o
+            floored = F.timestamp_millis(o + delta - F.pmod(delta, d))
             return F.to_utc_timestamp(floored, self.time_zone)
         # duration: origin + floor((t - origin) / d) * d, all in epoch
         # millis and all integral (pmod implements the floor), so
@@ -204,7 +206,8 @@ class Granularity:
         if self.kind == "wallduration":
             local = self._utc_to_local(ts)
             e = (local - EPOCH) // timedelta(milliseconds=1)
-            b = e - e % self.duration_ms
+            o = self.origin_ms  # origin's LOCAL wall millis
+            b = o + ((e - o) // self.duration_ms) * self.duration_ms
             return self._local_to_utc(EPOCH + timedelta(milliseconds=b))
         if self.kind == "months":
             local = self._utc_to_local(ts) if self.time_zone else ts
@@ -408,19 +411,41 @@ def _parse_period(spec: dict) -> Granularity:
     )
     if ms <= 0:
         raise ValueError(f"period {period!r} must have positive length")
-    if tz is not None and not has_origin:
+    if tz is not None:
         # Druid's default origin is 1970-01-01T00:00:00 IN THE QUERY
         # TIMEZONE (PeriodGranularity: withZoneRetainFields), not the
         # UTC epoch — a PT6H@America/New_York bucket boundary falls at
         # 05:00Z, not 00:00Z.
         if "days" in parts or "weeks" in parts:
+            if set(parts) - {"days", "weeks"}:
+                # Joda's compound truncation adds day fields locally
+                # but hour/minute fields on the instant timeline —
+                # a P1DT12H@tz grid cannot be expressed as either a
+                # fixed-duration or a wall-clock floor. Fail loudly
+                # rather than bucket rows one DST-hour off.
+                raise ValueError(
+                    f"mixed day+time period {period!r} with a timeZone "
+                    "is unsupported (use a pure day/week period, a "
+                    "time-only period, or drop the timeZone)"
+                )
             # imprecise fields: Joda adds them in LOCAL time, so the
             # buckets live on the wall-clock timeline (a P2D bucket
-            # containing a DST change spans 47 or 49 real hours)
+            # containing a DST change spans 47 or 49 real hours). An
+            # explicit origin anchors the grid at ITS local wall time.
+            wall_origin = 0
+            if has_origin:
+                from zoneinfo import ZoneInfo
+
+                o = _parse_iso(spec["origin"]).astimezone(
+                    ZoneInfo(tz)).replace(tzinfo=None)
+                wall_origin = (o - EPOCH) // timedelta(milliseconds=1)
             return Granularity(kind="wallduration", duration_ms=ms,
-                               time_zone=tz)
-        return Granularity(kind="duration", duration_ms=ms,
-                           origin_ms=_tz_epoch_origin_ms(tz))
+                               origin_ms=wall_origin, time_zone=tz)
+        if not has_origin:
+            return Granularity(kind="duration", duration_ms=ms,
+                               origin_ms=_tz_epoch_origin_ms(tz))
+        # precise fields with an explicit origin: instant-anchored at
+        # the origin (Joda precise-field arithmetic), tz irrelevant
     return Granularity(kind="duration", duration_ms=ms, origin_ms=_origin_ms(spec))
 
 

@@ -106,6 +106,36 @@ class RollupSpec:
             return q.time_zone == r.time_zone and q.n_months % r.n_months == 0
         if q.kind == "months" and r.kind == "trunc":
             return q.time_zone == r.time_zone and "month" in _NESTS.get(r.grain, set())
+        if q.kind == "duration" and r.kind == "trunc":
+            # A 2h-duration query nests in an hourly (tz-less) rollup:
+            # fixed-length rollup grains bucket at epoch multiples, so
+            # the query's buckets align iff its length AND origin are
+            # whole multiples of the grain.
+            grain_ms = {"second": 1000, "minute": 60_000,
+                        "hour": 3_600_000}.get(r.grain)
+            if grain_ms is None or r.time_zone is not None:
+                return False
+            return (
+                q.duration_ms % grain_ms == 0
+                and q.origin_ms % grain_ms == 0
+            )
+        if q.kind == "trunc" and r.kind == "duration":
+            # Calendar query grains coarser than a fixed-length rollup
+            # (day query over a 15-minute rollup): every calendar
+            # bucket boundary is a multiple of the rollup duration iff
+            # the duration divides a day, is epoch-anchored, and the
+            # query grain is day-or-coarser-aligned (weeks/days align
+            # at midnights; months/quarters/years too). tz'd query
+            # grains shift boundaries by the zone offset, which stays
+            # a whole number of rollup buckets only for durations
+            # dividing the smallest real offset unit — keep the
+            # conservative tz-less case.
+            return (
+                q.time_zone is None
+                and r.origin_ms == 0
+                and 86_400_000 % r.duration_ms == 0
+                and q.grain in ("day", "week", "month", "quarter", "year")
+            )
         return False
 
     def _intervals_aligned(self, intervals) -> bool:

@@ -69,7 +69,9 @@ def gen_gran(rng: random.Random):
         p = rng.choice(["P1D", "PT1H", "PT1M", "P1W", "P2D", "PT6H",
                         "PT90M", "PT30S", "P2DT12H"])
         spec = {"type": "period", "period": p}
-        tz = rng.choice(TZS)
+        # mixed day+time periods reject a timeZone (fail-loudly
+        # boundary: Joda compound truncation is not expressible)
+        tz = None if p == "P2DT12H" else rng.choice(TZS)
         if tz:
             spec["timeZone"] = tz
         return spec
@@ -173,6 +175,24 @@ def test_fixed_period_tz_anchors_at_local_1970():
                             "origin": "2024-01-01T01:00:00Z"})
     assert g3.bucket_py(dt.datetime(2024, 1, 15, 7, 30)) == dt.datetime(
         2024, 1, 15, 7, 0)
+    # P1D + tz + origin anchors the grid at the ORIGIN'S LOCAL WALL
+    # TIME and tracks DST (review-found: the duration path would pin it
+    # to fixed UTC): origin 05:00Z = local midnight EST, and after the
+    # 2024-03-10 spring-forward the daily boundary moves to 04:00Z
+    g4 = parse_granularity({"type": "period", "period": "P1D",
+                            "timeZone": "America/New_York",
+                            "origin": "2024-01-01T05:00:00Z"})
+    assert g4.bucket_py(dt.datetime(2024, 2, 1, 12, 0)) == dt.datetime(
+        2024, 2, 1, 5, 0)
+    assert g4.bucket_py(dt.datetime(2024, 3, 20, 12, 0)) == dt.datetime(
+        2024, 3, 20, 4, 0)
+    # mixed day+time periods with a tz fail loudly (Joda compound
+    # truncation is not expressible as a fixed or wall-clock floor)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mixed day\\+time"):
+        parse_granularity({"type": "period", "period": "P1DT12H",
+                           "timeZone": "America/New_York"})
 
 
 def test_fuzz_granularity_invariants():

@@ -72,7 +72,7 @@ def gen_query(rng: random.Random):
     gran = rng.choice([
         "hour", "day", "week", "month",          # routable (aligned)
         "minute", "fifteen_minute",              # finer -> fallback
-        {"type": "duration", "duration": 7200000},   # 2h multiple
+        {"type": "duration", "duration": 7200000},   # 2h: routable
         {"type": "duration", "duration": 5400000},   # 1.5h -> fallback
         "all",
     ])
@@ -119,20 +119,26 @@ def gen_query(rng: random.Random):
 
 
 def _rows(engine, q):
+    """(sorted rows, DataFrame) — one plan() per query."""
     df = engine.plan(q)
     out = []
     for row in df.collect():
-        vals = []
-        for c in sorted(df.columns):
-            v = row[c]
-            vals.append(round(v, 6) if isinstance(v, float) else v)
-        out.append(tuple(vals))
-    return sorted(out, key=lambda t: tuple(map(str, t)))
+        out.append(tuple(row[c] for c in sorted(df.columns)))
+    return sorted(out, key=lambda t: tuple(map(str, t))), df
 
 
-def _reads_rollup(engine, q) -> bool:
-    plan = engine.plan(q)._jdf.queryExecution().executedPlan().toString()
-    return "events_hourly_fz" in plan
+def _row_eq(a, b) -> bool:
+    # routed sums re-aggregate hourly partials, so float addition order
+    # differs from the raw path — isclose, not rounded equality
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if isinstance(x, float) and isinstance(y, float):
+            if not math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-6):
+                return False
+        elif x != y:
+            return False
+    return True
 
 
 def test_fuzz_rollup_routing_metamorphic(engines):
@@ -143,14 +149,19 @@ def test_fuzz_rollup_routing_metamorphic(engines):
     for idx in range(N_SPECS):
         q = gen_query(rng)
         try:
-            a = _rows(routed_eng, q)
-            b = _rows(raw_eng, q)
-            if a != b:
-                bad = next((x, y) for x, y in zip(a, b) if x != y) \
-                    if len(a) == len(b) else ("rowcount", (len(a), len(b)))
+            a, adf = _rows(routed_eng, q)
+            b, _ = _rows(raw_eng, q)
+            if len(a) != len(b) or not all(
+                _row_eq(x, y) for x, y in zip(a, b)
+            ):
+                bad = (next(((x, y) for x, y in zip(a, b)
+                             if not _row_eq(x, y)), None)
+                       if len(a) == len(b)
+                       else ("rowcount", (len(a), len(b))))
                 failures.append((idx, q, f"mismatch: {bad}"))
                 continue
-            if _reads_rollup(routed_eng, q):
+            plan = adf._jdf.queryExecution().executedPlan().toString()
+            if "events_hourly_fz" in plan:
                 n_routed += 1
             else:
                 n_raw += 1
