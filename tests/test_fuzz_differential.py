@@ -900,6 +900,97 @@ def test_fuzz_multivalue(spark, engine, duck):
         raise AssertionError("\n".join(msg))
 
 
+def test_fuzz_subtotals(engine, duck):
+    """groupBy subtotalsSpec (grouping sets): random dimension sets x
+    random subset lists (incl. the grand-total empty set), vs DuckDB
+    GROUP BY GROUPING SETS — non-included dimensions must come back
+    NULL, bucket column present in every set."""
+    rng = random.Random(SEED + 3)
+    DIMS = [
+        ("d0", {"type": "default", "dimension": "event_type",
+                "outputName": "d0"}, "event_type"),
+        ("d1", {"type": "extraction", "dimension": "event_type",
+                "outputName": "d1",
+                "extractionFn": {"type": "substring", "index": 0,
+                                 "length": 2}},
+         "substr(event_type, 1, 2)"),
+        ("d2", {"type": "extraction", "dimension": "__time",
+                "outputName": "d2",
+                "extractionFn": {"type": "timeFormat",
+                                 "format": "yyyy-MM-dd"}},
+         "strftime(ts, '%Y-%m-%d')"),
+    ]
+    failures = []
+    n = max(30, N_SPECS // 6)
+    for idx in range(n):
+        nd = rng.randint(2, 3)
+        dims = rng.sample(DIMS, nd)
+        names = [d[0] for d in dims]
+        # 1-3 distinct subsets, maybe incl. the grand total ()
+        all_subsets = []
+        for _ in range(rng.randint(1, 3)):
+            sz = rng.randint(0, nd)
+            sub = tuple(sorted(rng.sample(names, sz)))
+            if sub not in all_subsets:
+                all_subsets.append(sub)
+        d1_, d2_ = 1, rng.randint(5, 28)
+        spec = {
+            "queryType": "groupBy",
+            "dataSource": "events",
+            "granularity": rng.choice(["all", "day"]),
+            "dimensions": [d[1] for d in dims],
+            "subtotalsSpec": [list(s) for s in all_subsets],
+            "aggregations": [
+                {"type": "count", "name": "rows"},
+                {"type": "doubleSum", "name": "total",
+                 "fieldName": "value"},
+            ],
+            "intervals": [f"{_iso(d1_)}/{_iso(d2_)}"],
+        }
+        gran_all = spec["granularity"] == "all"
+        sets = ", ".join(
+            "(" + ", ".join((["ts_bucket"] if not gran_all else [])
+                            + list(s)) + ")"
+            for s in all_subsets
+        )
+        used = {nm for s in all_subsets for nm in s}
+        # a dim in NO subtotal set is NULL in every output row — and
+        # must not appear bare in the SELECT (binder error)
+        sel_dims = ", ".join(
+            f"{nm}" if nm in used else f"NULL AS {nm}" for nm in names)
+        cte = (
+            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS "
+            "ts_bucket, "
+            + ", ".join(f"{d[2]} AS {d[0]}" for d in dims)
+            + ", value FROM events WHERE "
+            + f"(ts >= {_sqlts(d1_)} AND ts < {_sqlts(d2_)})"
+        )
+        sql = (
+            f"WITH b AS ({cte}) SELECT "
+            + ("" if gran_all else "ts_bucket, ")
+            + sel_dims
+            + ", CAST(count(*) AS BIGINT) AS rows, sum(value) AS total "
+            + f"FROM b GROUP BY GROUPING SETS ({sets})"
+        )
+        cols = ([] if gran_all else ["ts_bucket"]) + names + [
+            "rows", "total"]
+        try:
+            _run_one(engine, duck, spec, sql, cols)
+        except AssertionError as e:
+            failures.append((idx, spec, sql, str(e)))
+        except Exception as e:
+            failures.append((idx, spec, sql, f"{type(e).__name__}: {e}"))
+    if failures:
+        msg = [f"{len(failures)}/{n} subtotals specs failed "
+               f"(seed={SEED + 3}); first 3:"]
+        for idx, spec, sql, err in failures[:3]:
+            msg.append(
+                f"--- spec #{idx} ---\n{json.dumps(spec, indent=1)}\n"
+                f"--- oracle ---\n{sql}\n--- error ---\n{err[:2000]}"
+            )
+        raise AssertionError("\n".join(msg))
+
+
 # Regression specs pinned from fuzz-found bugs: (spec, sql, cols).
 PINNED: list = []
 
