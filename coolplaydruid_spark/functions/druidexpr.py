@@ -187,6 +187,18 @@ def _period_parts(p: str) -> tuple[int, int]:
     return months, ms
 
 
+def _period_is_wallclock(p: str) -> bool:
+    """True for periods bearing imprecise (local-time) fields — years,
+    months, weeks, days — which Joda adds in LOCAL time. Time-only
+    periods (PT1H, PT90M, …) are precise fields advancing on the
+    instant timeline regardless of timezone."""
+    m = _PERIOD_RE.match(p)
+    if not m:
+        raise DruidExprError(f"bad period {p!r}")
+    y, mo, w, d, *_ = m.groups()
+    return any(x for x in (y, mo, w, d))
+
+
 def _shift_col(t: Column, period: str, n: int) -> Column:
     months, ms = _period_parts(period)
     out = t
@@ -735,16 +747,21 @@ class _Parser:
         tz = str(_req_lit(a[3], "timezone")) if len(a) > 3 else None
         gran = _gran_for(period, origin, tz)
         floor = gran.bucket(t)
-        if tz is not None:
-            # The +1-period shift happens in the target timezone
-            # (convert → shift → convert back), matching sqlcompat's
-            # TIME_CEIL: a P1D ceil across a DST transition lands on
-            # local midnight, not midnight ± 1h.
+        if tz is not None and _period_is_wallclock(period):
+            # Imprecise (day/week/month-bearing) periods shift in the
+            # target timezone (convert → shift → convert back): a P1D
+            # ceil across a DST transition lands on local midnight, not
+            # midnight ± 1h.
             loc = F.convert_timezone(F.lit("UTC"), F.lit(tz), floor)
             nxt = F.convert_timezone(
                 F.lit(tz), F.lit("UTC"), _shift_ntz(loc, period, 1)
             )
         else:
+            # Time-only periods are precise fields: +fixed millis on the
+            # instant timeline even with a tz, so a PT1H ceil at a DST
+            # fall-back still visits the repeated-hour bucket that
+            # granularity.py's bucketing keeps, and ceil stays a fixed
+            # point of floor.
             nxt = _shift_col(floor, period, 1)
         ceil = F.when(floor == t, t).otherwise(nxt)
         return self._time_out(ceil, was_time)

@@ -192,7 +192,21 @@ def _multivalue_leaf(spec: dict, ftype: str) -> Column:
         return p
 
     pred = F.coalesce(F.exists(arr, per_element), F.lit(False))
-    if me:
+    if ex is not None:
+        # A null/empty array is ONE null value, and Druid evaluates the
+        # extraction over it — a lookup/regex with a replaceMissingValue-
+        # style result can map null to a non-null value that the leaf
+        # then matches. exists() never runs the lambda for a null/empty
+        # array, so evaluate _leaf_pred over extraction(null) explicitly
+        # (a constant-foldable expression per spec) instead of gating on
+        # the raw _matches_empty alone; extraction(null) → null still
+        # behaves as "" (me), mirroring per_element.
+        ext_null = apply_extraction(F.lit(None).cast("string"), ex)
+        null_case = F.coalesce(_leaf_pred(ext_null, spec, ftype), F.lit(False))
+        if me:
+            null_case = null_case | ext_null.isNull()
+        pred = pred | ((arr.isNull() | (F.size(arr) == 0)) & null_case)
+    elif me:
         pred = pred | arr.isNull() | (F.size(arr) == 0)
     return pred
 

@@ -102,26 +102,71 @@ _DEFS = [
           timestamp_millis(
             CAST(floor(unix_millis(t) / DRUID_PERIOD_MILLIS(p))
                  * DRUID_PERIOD_MILLIS(p) AS BIGINT)))""",
+    # Offset-preserving floor for time-only (precise-field) periods with
+    # a timezone — mirrors granularity.py's Granularity.bucket exactly:
+    # PT1S/PT1M/PT1H truncate by the instant's OWN utc-offset (Joda
+    # ZonedChronology roundFloor — keeps both occurrences of a DST
+    # repeated hour distinct); multi-unit PT{n}X periods are fixed
+    # durations on the instant timeline anchored at 1970-01-01T00:00
+    # LOCAL time in tz (granularity.py _tz_epoch_origin_ms). A wall-
+    # clock round trip here would collapse the repeated hour into its
+    # first occurrence (PT1M@Europe/Berlin at 2024-10-27T01:30Z floored
+    # to 00:30Z — the exact bug the native engine fixed in round 6).
+    """CREATE OR REPLACE TEMPORARY FUNCTION DRUID_TZ_PRECISE_FLOOR(
+          t TIMESTAMP, p STRING, tz STRING)
+        RETURNS TIMESTAMP RETURN CASE
+          WHEN p IN ('PT1S', 'PT1M', 'PT1H') THEN
+            timestamp_millis(
+              (unix_millis(t)
+                 + (unix_millis(from_utc_timestamp(t, tz)) - unix_millis(t)))
+              - pmod(unix_millis(t)
+                       + (unix_millis(from_utc_timestamp(t, tz)) - unix_millis(t)),
+                     DRUID_PERIOD_MILLIS(p))
+              - (unix_millis(from_utc_timestamp(t, tz)) - unix_millis(t)))
+          ELSE
+            timestamp_millis(
+              unix_millis(to_utc_timestamp(TIMESTAMP '1970-01-01 00:00:00', tz))
+              + (unix_millis(t)
+                   - unix_millis(to_utc_timestamp(TIMESTAMP '1970-01-01 00:00:00', tz)))
+              - pmod(unix_millis(t)
+                       - unix_millis(to_utc_timestamp(TIMESTAMP '1970-01-01 00:00:00', tz)),
+                     DRUID_PERIOD_MILLIS(p)))
+          END""",
     # TIME_FLOOR(t, p[, origin[, tz]]) — Druid SQL's full signature:
-    # origin anchors fixed-length buckets at its phase; tz floors in
-    # local wall-clock (convert→floor→convert, the granularity.py
-    # period+timeZone semantics). origin+calendar periods → NULL.
+    # origin anchors fixed-length buckets at its phase (day/week periods
+    # with a tz anchor at the origin's LOCAL wall time, matching
+    # granularity.py's wallduration); a tz floors day-and-coarser
+    # periods in local wall-clock (convert→floor→convert) and time-only
+    # periods offset-preservingly on the instant timeline
+    # (DRUID_TZ_PRECISE_FLOOR, the granularity.py precise-field
+    # semantics). origin+calendar periods raise.
     """CREATE OR REPLACE TEMPORARY FUNCTION TIME_FLOOR(
           t TIMESTAMP, p STRING,
           o TIMESTAMP DEFAULT NULL, tz STRING DEFAULT NULL)
         RETURNS TIMESTAMP RETURN CASE
           WHEN o IS NOT NULL THEN
-            CASE WHEN DRUID_PERIOD_MILLIS(p) IS NOT NULL THEN
+            CASE WHEN DRUID_PERIOD_MILLIS(p) IS NULL THEN
+              raise_error(concat('TIME_FLOOR: origin with calendar period ',
+                                 p, ' is unsupported'))
+            WHEN tz IS NOT NULL AND p RLIKE '^P[0-9]+[DW]$' THEN
+              to_utc_timestamp(timestamp_millis(
+                unix_millis(from_utc_timestamp(o, tz))
+                + CAST(floor((unix_millis(from_utc_timestamp(t, tz))
+                              - unix_millis(from_utc_timestamp(o, tz)))
+                       / DRUID_PERIOD_MILLIS(p))
+                       * DRUID_PERIOD_MILLIS(p) AS BIGINT)), tz)
+            ELSE
               timestamp_millis(unix_millis(o)
                 + CAST(floor((unix_millis(t) - unix_millis(o))
                        / DRUID_PERIOD_MILLIS(p))
                        * DRUID_PERIOD_MILLIS(p) AS BIGINT))
-            ELSE raise_error(concat('TIME_FLOOR: origin with calendar period ',
-                                    p, ' is unsupported'))
             END
           WHEN tz IS NOT NULL THEN
-            convert_timezone(tz, 'UTC',
+            CASE WHEN p RLIKE '^PT[0-9]+[SMH]$'
+                 THEN DRUID_TZ_PRECISE_FLOOR(t, p, tz)
+            ELSE convert_timezone(tz, 'UTC',
               DRUID_TIME_FLOOR2(convert_timezone('UTC', tz, t), p))
+            END
           ELSE DRUID_TIME_FLOOR2(t, p) END""",
     # Internal tz-less shift core (CREATE FUNCTION bodies cannot
     # self-reference).
@@ -137,29 +182,39 @@ _DEFS = [
           WHEN p RLIKE '^P[0-9]+Y$'
             THEN timestampadd(MONTH, n * 12 * CAST(regexp_extract(p, '^P([0-9]+)Y$', 1) AS INT), t)
           ELSE timestamp_millis(unix_millis(t) + n * DRUID_PERIOD_MILLIS(p)) END""",
-    # tz shifts in LOCAL wall-clock (convert → shift → convert), so
-    # P1D across a DST change lands on the next local midnight, not
-    # midnight ± 1h.
+    # tz shifts imprecise (day-and-coarser) periods in LOCAL wall-clock
+    # (convert → shift → convert), so P1D across a DST change lands on
+    # the next local midnight, not midnight ± 1h. Time-only periods are
+    # precise fields: fixed millis on the instant timeline even with a
+    # tz (a PT1H shift across a DST fall-back must not skip the
+    # repeated hour).
     """CREATE OR REPLACE TEMPORARY FUNCTION TIME_SHIFT(
           t TIMESTAMP, p STRING, n INT, tz STRING DEFAULT NULL)
         RETURNS TIMESTAMP RETURN CASE
-          WHEN tz IS NOT NULL THEN convert_timezone(tz, 'UTC',
-            DRUID_TIME_SHIFT3(convert_timezone('UTC', tz, t), p, n))
+          WHEN tz IS NOT NULL AND NOT p RLIKE '^PT[0-9]+[SMH]$'
+            THEN convert_timezone(tz, 'UTC',
+              DRUID_TIME_SHIFT3(convert_timezone('UTC', tz, t), p, n))
           ELSE DRUID_TIME_SHIFT3(t, p, n) END""",
-    # tz ceil works in LOCAL wall-clock (floor + one local period, then
-    # back to UTC) so a P1D ceil across a DST change lands on local
-    # midnight, not midnight ± 1h.
+    # tz ceil of imprecise (day-and-coarser) periods works in LOCAL
+    # wall-clock (floor + one local period, then back to UTC) so a P1D
+    # ceil across a DST change lands on local midnight, not midnight
+    # ± 1h. Time-only periods ceil on the instant timeline (precise
+    # floor + fixed millis) — the TIME_FLOOR/TIME_SHIFT branches below
+    # already split on the period shape, so the generic fallthrough
+    # handles them.
     """CREATE OR REPLACE TEMPORARY FUNCTION TIME_CEIL(
           t TIMESTAMP, p STRING,
           o TIMESTAMP DEFAULT NULL, tz STRING DEFAULT NULL)
         RETURNS TIMESTAMP RETURN CASE
-          WHEN tz IS NOT NULL AND o IS NULL THEN convert_timezone(tz, 'UTC',
-            CASE WHEN DRUID_TIME_FLOOR2(convert_timezone('UTC', tz, t), p)
-                      = convert_timezone('UTC', tz, t)
-                 THEN convert_timezone('UTC', tz, t)
-                 ELSE TIME_SHIFT(
-                   DRUID_TIME_FLOOR2(convert_timezone('UTC', tz, t), p), p, 1)
-            END)
+          WHEN tz IS NOT NULL AND o IS NULL
+               AND NOT p RLIKE '^PT[0-9]+[SMH]$'
+            THEN convert_timezone(tz, 'UTC',
+              CASE WHEN DRUID_TIME_FLOOR2(convert_timezone('UTC', tz, t), p)
+                        = convert_timezone('UTC', tz, t)
+                   THEN convert_timezone('UTC', tz, t)
+                   ELSE TIME_SHIFT(
+                     DRUID_TIME_FLOOR2(convert_timezone('UTC', tz, t), p), p, 1)
+              END)
           WHEN TIME_FLOOR(t, p, o, tz) = t THEN t
           ELSE TIME_SHIFT(TIME_FLOOR(t, p, o, tz), p, 1) END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION TIME_EXTRACT(

@@ -183,6 +183,22 @@ class TestTime:
             "'P1D', null, 'America/New_York')",
         ) == datetime(2024, 3, 11, 4)
 
+    def test_tz_ceil_time_only_periods_stay_on_instant_timeline(self, frame):
+        """ADVICE r07: time-only periods (PT1H…) are precise Joda fields
+        — a tz'd ceil steps by fixed millis, so at a DST fall-back
+        (2024-11-03 @NY) the repeated-hour bucket 06:00Z is visited, not
+        skipped by a wall-clock +1h (which returned 07:00Z)."""
+        ceil = (
+            "timestamp_ceil(timestamp_parse('2024-11-03T05:30:00'), "
+            "'PT1H', null, 'America/New_York')"
+        )
+        assert _one(frame, ceil) == datetime(2024, 11, 3, 6)
+        # ceil must be a fixed point of floor
+        assert _one(
+            frame,
+            f"timestamp_floor({ceil}, 'PT1H', null, 'America/New_York')",
+        ) == datetime(2024, 11, 3, 6)
+
 
 class TestMath:
     def test_ceil_floor_double_preserving(self, frame):

@@ -133,6 +133,26 @@ def test_multivalue_bound_and_regex(nengine):
     assert _count(nengine, f) == 1
 
 
+def test_multivalue_extraction_evaluates_over_null_array(nengine):
+    """ADVICE r07: a null/empty array is ONE null value, and the
+    extractionFn runs over it — a lookup whose replaceMissingValueWith
+    maps null to a matched value must match null/empty-array rows
+    (exists() alone never evaluates the lambda for those)."""
+    f = {
+        "type": "selector", "dimension": "tags", "value": "MISSING",
+        "extractionFn": {
+            "type": "lookup",
+            "lookup": {"type": "map", "map": {"x": "X"}},
+            "replaceMissingValueWith": "MISSING",
+        },
+    }
+    # rows 1,4 have a non-x element -> MISSING; rows 2 (null), 3 (empty)
+    # match via extraction(null) = MISSING
+    assert _count(nengine, f) == 4
+    f2 = dict(f, value="X")
+    assert _count(nengine, f2) == 1  # only row 1 has 'x'
+
+
 def test_multivalue_groupby_filter_then_explode(nengine):
     """The ADVICE r01 scenario: filter on a multi-value dim (runs before
     the group-by explode) must use any-element semantics, not array==lit."""

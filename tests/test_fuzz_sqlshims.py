@@ -106,6 +106,20 @@ def _from_wall(w: dt.datetime, tz: str) -> dt.datetime:
         tzinfo=None)
 
 
+_PRECISE_SECS = {"PT1S": 1, "PT1M": 60, "PT1H": 3600}
+
+
+def _utc_off_s(t: dt.datetime, tz: str) -> int:
+    return int(
+        t.replace(tzinfo=UTC).astimezone(ZoneInfo(tz))
+        .utcoffset().total_seconds()
+    )
+
+
+def _is_time_only(p: str) -> bool:
+    return bool(re.fullmatch(r"PT\d+[SMH]", p))
+
+
 def py_time_floor(t, p, tz=None, origin=None):
     if t is None:
         return None
@@ -114,6 +128,25 @@ def py_time_floor(t, p, tz=None, origin=None):
         e, o = _epoch(t), _epoch(origin)
         return _from_epoch(o + ((e - o) // ms) * ms)
     if tz is not None:
+        # Time-only periods are precise fields (Joda): PT1S/M/H truncate
+        # offset-preservingly by the instant's own offset; multi-unit
+        # PT{n}X are fixed durations anchored at 1970-01-01T00:00 LOCAL
+        # in tz, both on the instant timeline — a wall-clock round trip
+        # would collapse the DST repeated hour.
+        if p in _PRECISE_SECS:
+            off, s = _utc_off_s(t, tz), _PRECISE_SECS[p]
+            lm = _epoch(t) + off
+            return _from_epoch(lm - (lm % s) - off)
+        if _is_time_only(p):
+            o = int(dt.datetime(1970, 1, 1, tzinfo=ZoneInfo(tz)).timestamp())
+            s, e = FIXED_SECS[p], _epoch(t)
+            return _from_epoch(o + ((e - o) // s) * s)
+        if p in FIXED_SECS:  # P2D / P1W: wall-clock duration @ wall-1970
+            w = _to_wall(t, tz)
+            e_w = int((w - dt.datetime(1970, 1, 1)).total_seconds())
+            return _from_wall(
+                dt.datetime(1970, 1, 1)
+                + dt.timedelta(seconds=e_w - e_w % FIXED_SECS[p]), tz)
         return _from_wall(_cal_floor(_to_wall(t, tz), CAL_PERIODS[p]), tz)
     if p in CAL_PERIODS:
         return _cal_floor(t, CAL_PERIODS[p])
@@ -133,6 +166,8 @@ def py_time_shift(t, p, n, tz=None):
     if t is None:
         return None
     if tz is not None:
+        if _is_time_only(p):  # precise fields: instant-timeline, tz moot
+            return py_time_shift(t, p, n)
         return _from_wall(py_time_shift(_to_wall(t, tz), p, n), tz)
     mm = re.fullmatch(r"P(\d+)M", p)
     if mm:
@@ -150,6 +185,9 @@ def py_time_ceil(t, p, tz=None):
     if t is None:
         return None
     if tz is not None:
+        if _is_time_only(p):  # precise: instant floor + fixed step
+            fl = py_time_floor(t, p, tz=tz)
+            return t if fl == t else py_time_shift(fl, p, 1)
         w = _to_wall(t, tz)
         fl = _cal_floor(w, CAL_PERIODS[p])
         if _from_wall(fl, tz) == t:
@@ -221,7 +259,12 @@ def gen_shim(rng: random.Random):
         return (f"TIME_FLOOR(t, '{p}')",
                 lambda r, p=p: py_time_floor(r["t"], p))
     if k == "floor_tz":
-        p = rng.choice(["P1D", "PT1H", "P1M", "P1Y"])
+        # incl. precise periods (PT1M/PT1H/PT15M/PT6H): offset-preserving
+        # / local-1970-anchored instant-timeline flooring — the DST
+        # repeated-hour rows (ROWS[2], ROWS[3]) exercise the divergence
+        # from a wall-clock round trip.
+        p = rng.choice(["P1D", "PT1H", "P1M", "P1Y", "PT1M", "PT15M",
+                        "PT6H", "P2D", "P1W"])
         tz = rng.choice(TZS)
         return (f"TIME_FLOOR(t, '{p}', NULL, '{tz}')",
                 lambda r, p=p, tz=tz: py_time_floor(r["t"], p, tz=tz))
@@ -237,9 +280,10 @@ def gen_shim(rng: random.Random):
         return (f"TIME_CEIL(t, '{p}')",
                 lambda r, p=p: py_time_ceil(r["t"], p))
     if k == "ceil_tz":
+        p = rng.choice(["P1D", "PT1H", "PT15M"])
         tz = rng.choice(TZS)
-        return (f"TIME_CEIL(t, 'P1D', NULL, '{tz}')",
-                lambda r, tz=tz: py_time_ceil(r["t"], "P1D", tz=tz))
+        return (f"TIME_CEIL(t, '{p}', NULL, '{tz}')",
+                lambda r, p=p, tz=tz: py_time_ceil(r["t"], p, tz=tz))
     if k == "shift":
         p = rng.choice(["P1D", "PT1H", "P1M", "P3M", "P1Y", "PT15M"])
         n = rng.choice([-3, -1, 1, 2, 5])
@@ -247,10 +291,11 @@ def gen_shim(rng: random.Random):
         return (f"TIME_SHIFT(t, '{pp}', {n})",
                 lambda r, p=pp, n=n: py_time_shift(r["t"], p, n))
     if k == "shift_tz":
+        p = rng.choice(["P1D", "PT1H", "PT15M"])
         n = rng.choice([-1, 1, 2])
         tz = rng.choice(TZS)
-        return (f"TIME_SHIFT(t, 'P1D', {n}, '{tz}')",
-                lambda r, n=n, tz=tz: py_time_shift(r["t"], "P1D", n, tz=tz))
+        return (f"TIME_SHIFT(t, '{p}', {n}, '{tz}')",
+                lambda r, p=p, n=n, tz=tz: py_time_shift(r["t"], p, n, tz=tz))
     if k == "extract":
         u = rng.choice(["EPOCH", "MILLIS", "SECOND", "MINUTE", "HOUR",
                         "DAY", "DOW", "DOY", "WEEK", "MONTH", "QUARTER",

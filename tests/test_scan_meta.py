@@ -2,6 +2,7 @@
 (Q4-Q9) + error envelope + cancel plumbing (SURVEY §2.10)."""
 
 import json
+from datetime import datetime
 
 from tests.conftest import assert_df_matches_duck
 
@@ -451,6 +452,45 @@ def test_time_function_tz_origin_and_lookup_default_args(engine):
     assert (r.p_pat.day, r.p_pat.hour) == (15, 13)
     assert (r.p_tz.hour, r.p_tz.minute) == (13, 47)  # EDT -> UTC
     assert r.hit == "A" and r.miss == "dflt" and r.miss_null is None
+
+
+def test_time_shims_precise_periods_offset_preserving(engine):
+    """ADVICE r07: the SQL shim's tz path for time-only (precise)
+    periods must match granularity.py's instant-timeline semantics —
+    offset-preserving truncation keeps BOTH occurrences of a DST
+    repeated hour distinct (the wall-clock round trip collapsed
+    2024-10-27T01:30Z@Berlin to 00:30Z), and TIME_CEIL/TIME_SHIFT step
+    by fixed millis instead of skipping the repeated-hour bucket."""
+    r = engine.sql("""
+        SELECT TIME_FLOOR(TIMESTAMP '2024-10-27 01:30:00', 'PT1M',
+                          NULL, 'Europe/Berlin') AS fl_min,
+               TIME_FLOOR(TIMESTAMP '2024-10-27 01:30:00', 'PT1H',
+                          NULL, 'Europe/Berlin') AS fl_hr,
+               TIME_CEIL(TIMESTAMP '2024-11-03 05:30:00', 'PT1H',
+                         NULL, 'America/New_York') AS ceil_rep,
+               TIME_SHIFT(TIMESTAMP '2024-11-03 05:00:00', 'PT1H', 1,
+                          'America/New_York') AS shift_rep,
+               TIME_FLOOR(TIMESTAMP '2024-03-15 13:47:21', 'PT15M',
+                          NULL, 'Asia/Kolkata') AS fl_1530,
+               TIME_SHIFT(TIMESTAMP '2024-11-03 05:00:00', 'P1D', 1,
+                          'America/New_York') AS shift_wall
+    """).collect()[0]
+    assert r.fl_min == datetime(2024, 10, 27, 1, 30)   # NOT 00:30
+    assert r.fl_hr == datetime(2024, 10, 27, 1, 0)
+    assert r.ceil_rep == datetime(2024, 11, 3, 6)      # NOT 07:00
+    assert r.shift_rep == datetime(2024, 11, 3, 6)
+    # +05:30 offset: local 19:17 floors to :15 -> 13:45Z
+    assert r.fl_1530 == datetime(2024, 3, 15, 13, 45)
+    # imprecise P1D keeps the wall-clock shift (25h across fall-back)
+    assert r.shift_wall == datetime(2024, 11, 4, 6)
+    # shim ≡ native granularity bucketing for the precise+tz cases
+    from coolplaydruid_spark.functions.granularity import parse_granularity
+    g = parse_granularity(
+        {"type": "period", "period": "PT1M", "timeZone": "Europe/Berlin"})
+    assert g.bucket_py(datetime(2024, 10, 27, 1, 30)) == r.fl_min
+    g15 = parse_granularity(
+        {"type": "period", "period": "PT15M", "timeZone": "Asia/Kolkata"})
+    assert g15.bucket_py(datetime(2024, 3, 15, 13, 47, 21)) == r.fl_1530
 
 
 def test_engine_explain_native_query(engine):

@@ -58,9 +58,17 @@ def run(sf_dir: str, name_filters: list[str] | None = None) -> int:
         if not queries:
             print(f"no queries match filters {name_filters!r}", file=sys.stderr)
             return 2
+    # Warm the JVM/session before timing (r6 artifact charged ~7s of
+    # warm-up to the first query, making per-query `sec` incomparable
+    # across entries).
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
     failures = 0
     results: dict[str, dict] = {}
     for name, fn in queries.items():
+        # Drop any frames a prior query persisted (spans.py cache=True):
+        # unlike bench.py, a full-gate run is 148 queries in one session
+        # and would otherwise accumulate resident RDDs for 20 minutes.
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
