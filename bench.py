@@ -1,6 +1,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. The LAST stdout line
+is ONE SHORT JSON line —
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+— and nothing else: the driver captures a bounded stdout tail, and the
+r6 artifact broke (`parsed: null`) when plan_metrics grew that line past
+the capture window. The deterministic evidence (per-query stage-metric
+record counts at sf0.1 AND the sf1 tail) goes to $PLANMETRICS_OUT
+(default PLANMETRICS.json at the repo root), committed per round as
+PLANMETRICS_r{N}.json.
 
 The headline set spans the engine's surface: Druid-native aggregation
 queries (timeseries/topN/groupBy), the SQL front-end with star joins,
@@ -180,6 +187,7 @@ def main() -> None:
     # rounds on this host), so the extra pass buys real stability for
     # ~30s of wall clock.
     sf1_timings: dict[str, float] = {}
+    sf1_plan_metrics: dict[str, dict] = {}
     sf1_dir = Path(__file__).resolve().parent / ".benchdata" / "sf1"
     if os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
         try:
@@ -204,11 +212,19 @@ def main() -> None:
             for name in SF1_TAIL:
                 fn = contract.QUERIES[name]
                 best = float("inf")
-                for _ in range(3):
+                for run_i in range(3):
                     spark.catalog.clearCache()
+                    before = _stage_totals(spark) if run_i == 0 else None
                     t0 = time.perf_counter()
                     fn(spark, str(sf1_dir)).collect()
                     best = min(best, time.perf_counter() - t0)
+                    if before is not None:
+                        after = _stage_totals(spark)
+                        if after is not None:
+                            sf1_plan_metrics[name] = {
+                                k: after[k] - before[k]
+                                for k in _METRIC_FIELDS
+                            }
                 sf1_timings[name] = round(best, 3)
         except Exception as e:  # noqa: BLE001 - sf1 is evidence, not the gate
             detail = str(e)[:200]
@@ -219,6 +235,26 @@ def main() -> None:
                 detail += " | stderr: " + stderr[-200:]
             sf1_timings = {"error": detail}
 
+    # Deterministic evidence → separate committed file, NOT the headline
+    # line (the driver's tail capture truncated the r6 combined line).
+    pm_out = os.environ.get(
+        "PLANMETRICS_OUT",
+        str(Path(__file__).resolve().parent / "PLANMETRICS.json"),
+    )
+    with open(pm_out, "w") as f:
+        json.dump(
+            {
+                "sf": sf,
+                "plan_metrics": plan_metrics,
+                "sf1_tail_sec": sf1_timings,
+                "sf1_plan_metrics": sf1_plan_metrics,
+            },
+            f,
+            indent=1,
+        )
+    print(f"wrote {pm_out}", file=sys.stderr)
+
+    # SHORT headline line, LAST on stdout — the driver parses this.
     print(
         json.dumps(
             {
@@ -227,8 +263,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "sf1_tail": sf1_timings,
-                "plan_metrics": plan_metrics,
             }
         )
     )
