@@ -52,12 +52,28 @@ def engine_for(spark: SparkSession, sf_dir: str) -> DruidEngine:
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
+# Python validators for the queries whose semantics are not
+# SQL-expressible (iterative k-means, order-dependent bin packing).
+# Each is (spark, sf_dir, rows) -> (ok, detail); tools/check_contract.py
+# runs them for rows-only queries and records `invariants_pass` in the
+# CONTRACT artifact, so those entries carry a real correctness verdict
+# instead of a bare row count.
+VALIDATORS: dict = {}
+
 
 def q(name: str, oracle: str | None = None):
     def wrap(fn):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+def validator(name: str):
+    def wrap(fn):
+        VALIDATORS[name] = fn
         return fn
 
     return wrap
@@ -3360,6 +3376,130 @@ def similarity_topk_ivf(spark, sf_dir):
     )
     return similarity.ivf_topk(
         emb.where(F.col("vec_id") >= 5), queries, k=10, n_clusters=8, n_probe=2
+    )
+
+
+@validator("pack_training_sequences")
+def _validate_packing(spark, sf_dir, rows):
+    """EXACT deterministic oracle (not just invariants): per-partition
+    FFD is a pure function of each partition's doc multiset, and the
+    output bins recover that multiset — `seq_id // 2^40` is the
+    partition namespace (min doc id of the partition). Replaying pure-
+    Python FFD over each namespace's docs must reproduce the bins
+    bit-for-bit; exact cover against the full input guarantees no doc
+    was dropped from / duplicated across namespaces."""
+    from coolplaydruid_spark.operators.packing import _SEQ_STRIDE
+
+    budget = 128
+    eng = engine_for(spark, sf_dir)
+    docs = (
+        text.token_count(eng.catalog.table("documents"))
+        .select("doc_id", "ws_tokens")
+        .collect()
+    )
+    tokens = {r["doc_id"]: r["ws_tokens"] for r in docs}
+    placed = [d for r in rows for d in r["doc_ids"]]
+    if sorted(placed) != sorted(tokens):
+        return False, "doc cover mismatch (missing/duplicated doc ids)"
+    for r in rows:
+        tot = sum(tokens[d] for d in r["doc_ids"])
+        if tot != r["total_tokens"] or r["n_docs"] != len(r["doc_ids"]):
+            return False, f"bin bookkeeping wrong at seq {r['seq_id']}"
+        if tot > budget and r["n_docs"] > 1:
+            return False, f"multi-doc bin over budget at seq {r['seq_id']}"
+    by_ns: dict[int, list] = {}
+    for r in rows:
+        by_ns.setdefault(r["seq_id"] // _SEQ_STRIDE, []).append(r)
+    for ns, bins_out in by_ns.items():
+        part = sorted(
+            ((d, tokens[d]) for r in bins_out for d in r["doc_ids"]),
+            key=lambda t: (-t[1], t[0]),
+        )
+        if ns != min(d for d, _ in part):
+            return False, f"namespace {ns} is not the partition's min doc id"
+        bins: list[list[int]] = []
+        space: list[int] = []
+        for doc, tok in part:
+            for i in range(len(bins)):
+                if space[i] >= tok:
+                    bins[i].append(doc)
+                    space[i] -= tok
+                    break
+            else:
+                bins.append([doc])
+                space.append(max(budget - tok, 0))
+        expect = sorted(tuple(sorted(b)) for b in bins)
+        got = sorted(tuple(sorted(r["doc_ids"])) for r in bins_out)
+        if expect != got:
+            return False, f"FFD replay mismatch in namespace {ns}"
+        ids = sorted(r["seq_id"] for r in bins_out)
+        if ids != [ns * _SEQ_STRIDE + i for i in range(len(bins_out))]:
+            return False, f"seq_id numbering wrong in namespace {ns}"
+    return True, (
+        f"FFD replay exact: {len(rows)} bins across {len(by_ns)} "
+        f"partitions, cover+budget+numbering verified"
+    )
+
+
+@validator("similarity_topk_ivf")
+def _validate_ivf(spark, sf_dir, rows):
+    """IVF verdict without a SQL oracle: every returned cosine is
+    recomputed exactly (numpy double, same 6-dp rounding), rank order is
+    verified to be (cosine desc, neighbor asc) — i.e. the result IS the
+    true top-k of its probed candidate superset — neighbors are
+    contained in the corpus, and recall@10 against the exact brute-force
+    top-10 must clear the floor for n_probe=2 of 8 cells."""
+    import numpy as np
+
+    eng = engine_for(spark, sf_dir)
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in eng.catalog.table("embeddings").collect()
+    }
+    corpus = {i: v for i, v in emb.items() if i >= 5}
+    qids = sorted(i for i in emb if i < 5)
+
+    def cos(a, b):
+        return round(
+            float(a @ b) / float(np.linalg.norm(a) * np.linalg.norm(b)), 6
+        )
+
+    if len(rows) != 10 * len(qids):
+        return False, f"expected {10 * len(qids)} rows, got {len(rows)}"
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    if sorted(by_q) != qids:
+        return False, f"query ids {sorted(by_q)} != {qids}"
+    recalls = []
+    for qid, rs in by_q.items():
+        for r in rs:
+            if r["neighbor_id"] not in corpus:
+                return False, f"neighbor {r['neighbor_id']} not in corpus"
+            exact = cos(emb[qid], corpus[r["neighbor_id"]])
+            if abs(exact - r["cosine"]) > 2e-6:
+                return False, (
+                    f"cosine mismatch q{qid} n{r['neighbor_id']}: "
+                    f"{r['cosine']} vs exact {exact}"
+                )
+        ordered = sorted(rs, key=lambda r: r["rank"])
+        keys = [(-r["cosine"], r["neighbor_id"]) for r in ordered]
+        if keys != sorted(keys) or [r["rank"] for r in ordered] != list(
+            range(1, len(rs) + 1)
+        ):
+            return False, f"rank order inconsistent for query {qid}"
+        exact_top = set(
+            sorted(corpus, key=lambda n: (-cos(emb[qid], corpus[n]), n))[:10]
+        )
+        recalls.append(
+            len({r["neighbor_id"] for r in rs} & exact_top) / 10.0
+        )
+    mean_recall = sum(recalls) / len(recalls)
+    if mean_recall < 0.3:
+        return False, f"recall@10 {mean_recall:.2f} < 0.3 floor"
+    return True, (
+        f"cosines exact, ranks = true top-k of probed cells, "
+        f"recall@10={mean_recall:.2f} (floor 0.3, n_probe=2/8)"
     )
 
 

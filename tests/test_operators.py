@@ -432,6 +432,33 @@ def test_pack_sequences_invariants(engine):
     assert sorted(b["seq_id"] for b in bins) == sorted(b["seq_id"] for b in again)
 
 
+def test_contract_validators_pass(spark):
+    """The Python validators behind the two non-SQL-oracled contract
+    entries (r7: exact FFD replay for packing; exact-cosine + rank +
+    recall verdict for IVF) accept the real outputs and reject
+    corruptions — so a CONTRACT artifact `invariants_pass: true` means
+    something."""
+    from coolplaydruid_spark import contract
+    from tests.conftest import SF_DIR
+
+    for name in ("pack_training_sequences", "similarity_topk_ivf"):
+        rows = contract.QUERIES[name](spark, SF_DIR).collect()
+        ok, detail = contract.VALIDATORS[name](spark, SF_DIR, rows)
+        assert ok, f"{name}: {detail}"
+
+    # corruption sensitivity: drop a row / perturb a cosine → reject
+    pack_rows = contract.QUERIES["pack_training_sequences"](
+        spark, SF_DIR).collect()
+    ok, _ = contract.VALIDATORS["pack_training_sequences"](
+        spark, SF_DIR, pack_rows[:-1])
+    assert not ok
+    ivf_rows = contract.QUERIES["similarity_topk_ivf"](spark, SF_DIR).collect()
+    bad = [r.asDict() for r in ivf_rows]
+    bad[0]["cosine"] = bad[0]["cosine"] + 0.01
+    ok, _ = contract.VALIDATORS["similarity_topk_ivf"](spark, SF_DIR, bad)
+    assert not ok
+
+
 def test_ngram_top_k_counts_every_occurrence(spark):
     from coolplaydruid_spark.operators import corpus
 

@@ -73,17 +73,35 @@ def run(sf_dir: str, name_filters: list[str] | None = None) -> int:
         try:
             df = fn(spark, sf_dir)
             spark_cols = sorted(df.columns)
+            raw_rows = df.collect()
             spark_rows = sorted(
-                (tuple(norm_cell(row[c]) for c in spark_cols) for row in df.collect()),
+                (tuple(norm_cell(row[c]) for c in spark_cols) for row in raw_rows),
                 key=lambda r: tuple(map(str, r)),
             )
             if name not in oracles:
-                print(f"  ~ {name}: rows-only ({len(spark_rows)} rows, "
-                      f"{time.time() - t0:.1f}s)")
+                # Non-SQL-expressible queries get a PYTHON validator (an
+                # exact replay oracle / recall bound) instead of a bare
+                # row count — contract.VALIDATORS.
+                from coolplaydruid_spark import contract as _contract
+
+                val = _contract.VALIDATORS.get(name)
+                inv_pass, detail = (None, None)
+                if val is not None:
+                    inv_pass, detail = val(spark, sf_dir, raw_rows)
+                    if not inv_pass:
+                        failures += 1
+                ok = inv_pass is not False
+                mark = "~" if inv_pass is None else ("✓" if inv_pass else "✗")
+                print(f"  {mark} {name}: "
+                      f"{'rows-only' if inv_pass is None else detail} "
+                      f"({len(spark_rows)} rows, {time.time() - t0:.1f}s)")
                 results[name] = {
-                    "rows_match": True, "schema_match": True,
+                    "rows_match": ok, "schema_match": ok,
                     "hash_match": None, "spark_rows": len(spark_rows),
-                    "oracle_rows": None, "err": None,
+                    "oracle_rows": None,
+                    "err": None if ok else f"VALIDATOR: {detail}",
+                    "invariants_pass": inv_pass,
+                    "validator_detail": detail,
                     "sec": round(time.time() - t0, 2),
                 }
                 continue
