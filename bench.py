@@ -241,17 +241,25 @@ def main() -> None:
         "PLANMETRICS_OUT",
         str(Path(__file__).resolve().parent / "PLANMETRICS.json"),
     )
+    payload = {
+        "sf": sf,
+        "plan_metrics": plan_metrics,
+        "sf1_tail_sec": sf1_timings,
+        "sf1_plan_metrics": sf1_plan_metrics,
+    }
+    # A skipped/failed sf1 pass must not clobber a complete evidence
+    # file: carry the previous run's sf1 sections forward, marked.
+    if not sf1_plan_metrics and Path(pm_out).exists():
+        try:
+            prev = json.load(open(pm_out))
+        except Exception:  # noqa: BLE001
+            prev = {}
+        if prev.get("sf1_plan_metrics"):
+            payload["sf1_tail_sec"] = prev["sf1_tail_sec"]
+            payload["sf1_plan_metrics"] = prev["sf1_plan_metrics"]
+            payload["sf1_carried_from_previous_run"] = True
     with open(pm_out, "w") as f:
-        json.dump(
-            {
-                "sf": sf,
-                "plan_metrics": plan_metrics,
-                "sf1_tail_sec": sf1_timings,
-                "sf1_plan_metrics": sf1_plan_metrics,
-            },
-            f,
-            indent=1,
-        )
+        json.dump(payload, f, indent=1)
     print(f"wrote {pm_out}", file=sys.stderr)
 
     # SHORT headline line, LAST on stdout — the driver parses this.

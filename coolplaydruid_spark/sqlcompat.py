@@ -216,7 +216,7 @@ _DEFS = [
                      DRUID_TIME_FLOOR2(convert_timezone('UTC', tz, t), p), p, 1)
               END)
           WHEN TIME_FLOOR(t, p, o, tz) = t THEN t
-          ELSE TIME_SHIFT(TIME_FLOOR(t, p, o, tz), p, 1) END""",
+          ELSE TIME_SHIFT(TIME_FLOOR(t, p, o, tz), p, 1, tz) END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION TIME_EXTRACT(
           t0 TIMESTAMP, u STRING, tz STRING DEFAULT NULL)
         RETURNS BIGINT RETURN CAST(CASE upper(u)

@@ -493,6 +493,26 @@ def test_time_shims_precise_periods_offset_preserving(engine):
     assert g15.bucket_py(datetime(2024, 3, 15, 13, 47, 21)) == r.fl_1530
 
 
+def test_time_ceil_origin_tz_wall_anchored(engine):
+    """Review-found r07: with origin+tz+P{n}D, TIME_FLOOR anchors at the
+    origin's LOCAL wall phase, so TIME_CEIL must step off it by a LOCAL
+    day too — a fixed +24h across the NY fall-back produced a non-
+    boundary result that preceded t."""
+    r = engine.sql("""
+        SELECT TIME_FLOOR(TIMESTAMP '2024-11-04 04:30:00', 'P1D',
+                          TIMESTAMP '2024-01-01 05:00:00',
+                          'America/New_York') AS f,
+               TIME_CEIL(TIMESTAMP '2024-11-04 04:30:00', 'P1D',
+                         TIMESTAMP '2024-01-01 05:00:00',
+                         'America/New_York') AS c
+    """).collect()[0]
+    # origin = local midnight EST; floor = local midnight Nov 3 (EDT,
+    # 04:00Z); the fall-back bucket is 25h, so ceil = next local
+    # midnight = 05:00Z (fixed +24h returned 04:00Z, before t)
+    assert r.f == datetime(2024, 11, 3, 4, 0)
+    assert r.c == datetime(2024, 11, 4, 5, 0)
+
+
 def test_engine_explain_native_query(engine):
     """engine.explain: the Catalyst plan for a native JSON query without
     executing it — the native counterpart of EXPLAIN PLAN FOR."""

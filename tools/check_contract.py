@@ -74,14 +74,12 @@ def run(sf_dir: str, name_filters: list[str] | None = None) -> int:
             df = fn(spark, sf_dir)
             spark_cols = sorted(df.columns)
             raw_rows = df.collect()
-            spark_rows = sorted(
-                (tuple(norm_cell(row[c]) for c in spark_cols) for row in raw_rows),
-                key=lambda r: tuple(map(str, r)),
-            )
             if name not in oracles:
                 # Non-SQL-expressible queries get a PYTHON validator (an
                 # exact replay oracle / recall bound) instead of a bare
-                # row count — contract.VALIDATORS.
+                # row count — contract.VALIDATORS. rows_match /
+                # schema_match stay True (nothing was compared); the
+                # validator verdict lives in invariants_pass / err.
                 from coolplaydruid_spark import contract as _contract
 
                 val = _contract.VALIDATORS.get(name)
@@ -90,21 +88,25 @@ def run(sf_dir: str, name_filters: list[str] | None = None) -> int:
                     inv_pass, detail = val(spark, sf_dir, raw_rows)
                     if not inv_pass:
                         failures += 1
-                ok = inv_pass is not False
                 mark = "~" if inv_pass is None else ("✓" if inv_pass else "✗")
                 print(f"  {mark} {name}: "
                       f"{'rows-only' if inv_pass is None else detail} "
-                      f"({len(spark_rows)} rows, {time.time() - t0:.1f}s)")
+                      f"({len(raw_rows)} rows, {time.time() - t0:.1f}s)")
                 results[name] = {
-                    "rows_match": ok, "schema_match": ok,
-                    "hash_match": None, "spark_rows": len(spark_rows),
+                    "rows_match": True, "schema_match": True,
+                    "hash_match": None, "spark_rows": len(raw_rows),
                     "oracle_rows": None,
-                    "err": None if ok else f"VALIDATOR: {detail}",
+                    "err": None if inv_pass is not False
+                    else f"VALIDATOR: {detail}",
                     "invariants_pass": inv_pass,
                     "validator_detail": detail,
                     "sec": round(time.time() - t0, 2),
                 }
                 continue
+            spark_rows = sorted(
+                (tuple(norm_cell(row[c]) for c in spark_cols) for row in raw_rows),
+                key=lambda r: tuple(map(str, r)),
+            )
             res = con.execute(oracles[name])
             duck_cols_raw = [d[0] for d in res.description]
             duck_idx = sorted(range(len(duck_cols_raw)), key=lambda i: duck_cols_raw[i])
