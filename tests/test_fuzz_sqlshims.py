@@ -124,7 +124,19 @@ def py_time_floor(t, p, tz=None, origin=None):
     if t is None:
         return None
     if origin is not None:
-        ms = FIXED_SECS[p]
+        if tz is not None and re.fullmatch(r"P\d+[DW]", p):
+            # day/week periods with origin+tz anchor at the ORIGIN'S
+            # local wall phase (granularity.py wallduration)
+            s = FIXED_SECS.get(p) or {"P1D": 86400}[p]
+            w = int((_to_wall(t, tz) - dt.datetime(1970, 1, 1))
+                    .total_seconds())
+            ow = int((_to_wall(origin, tz) - dt.datetime(1970, 1, 1))
+                     .total_seconds())
+            return _from_wall(
+                dt.datetime(1970, 1, 1)
+                + dt.timedelta(seconds=ow + ((w - ow) // s) * s), tz)
+        ms = FIXED_SECS.get(p) or {"PT1S": 1, "PT1M": 60, "PT1H": 3600,
+                                   "P1D": 86400}[p]
         e, o = _epoch(t), _epoch(origin)
         return _from_epoch(o + ((e - o) // ms) * ms)
     if tz is not None:
@@ -181,9 +193,12 @@ def py_time_shift(t, p, n, tz=None):
     return _from_epoch(_epoch(t) + n * secs)
 
 
-def py_time_ceil(t, p, tz=None):
+def py_time_ceil(t, p, tz=None, origin=None):
     if t is None:
         return None
+    if origin is not None:
+        fl = py_time_floor(t, p, tz=tz, origin=origin)
+        return t if fl == t else py_time_shift(fl, p, 1, tz=tz)
     if tz is not None:
         if _is_time_only(p):  # precise: instant floor + fixed step
             fl = py_time_floor(t, p, tz=tz)
@@ -246,7 +261,8 @@ def py_ipv4_match(addr, subnet):
 
 def gen_shim(rng: random.Random):
     k = rng.choice([
-        "floor", "floor_tz", "floor_origin", "ceil", "ceil_tz", "shift",
+        "floor", "floor_tz", "floor_origin", "floor_origin_tz",
+        "ceil", "ceil_tz", "ceil_origin_tz", "shift",
         "shift_tz", "extract", "extract_tz", "millis_rt", "format",
         "truncate", "strpos", "textcat", "bitwise", "bitshift",
         "safe_divide", "b64", "ipv4_parse", "ipv4_stringify",
@@ -274,6 +290,31 @@ def gen_shim(rng: random.Random):
         return (
             f"TIME_FLOOR(t, '{p}', TIMESTAMP '{o}')",
             lambda r, p=p, o=o: py_time_floor(r["t"], p, origin=o),
+        )
+    if k == "floor_origin_tz":
+        # r07 review-found corner: origin+tz day/week periods anchor at
+        # the origin's LOCAL wall phase; time-only stay instant-anchored
+        p = rng.choice(["P1D", "P2D", "P1W", "PT15M", "PT6H"])
+        o = dt.datetime(2024, 1, 1, rng.randint(0, 5), 0, 0)
+        tz = rng.choice(TZS)
+        return (
+            f"TIME_FLOOR(t, '{p}', TIMESTAMP '{o}', '{tz}')",
+            lambda r, p=p, o=o, tz=tz: py_time_floor(
+                r["t"], p, tz=tz, origin=o),
+        )
+    if k == "ceil_origin_tz":
+        p = rng.choice(["P1D", "P2D", "PT15M"])
+        o = dt.datetime(2024, 1, 1, rng.randint(0, 5), 0, 0)
+        tz = rng.choice(TZS + [None])
+        if tz is None:
+            return (
+                f"TIME_CEIL(t, '{p}', TIMESTAMP '{o}')",
+                lambda r, p=p, o=o: py_time_ceil(r["t"], p, origin=o),
+            )
+        return (
+            f"TIME_CEIL(t, '{p}', TIMESTAMP '{o}', '{tz}')",
+            lambda r, p=p, o=o, tz=tz: py_time_ceil(
+                r["t"], p, tz=tz, origin=o),
         )
     if k == "ceil":
         p = rng.choice(["P1D", "PT1H", "PT1M", "P1M"])
