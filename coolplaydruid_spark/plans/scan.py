@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from coolplaydruid_spark.catalog import RAW_TIME_NS, TIME_COLUMN
+from coolplaydruid_spark.functions.extraction import safe_col
 from coolplaydruid_spark.plans.common import filtered_frame
 
 
@@ -29,7 +30,11 @@ def _projection(df: DataFrame, query: dict) -> DataFrame:
         keep = [c for c in cols if c in df.columns]
         if TIME_COLUMN in df.columns and TIME_COLUMN not in keep:
             keep = [TIME_COLUMN] + keep
-        return df.select(*keep)
+        # safe_col, not bare strings: join-dataSource columns carry the
+        # rightPrefix in the NAME (default "r." -> "r.v"), which an
+        # unquoted select would parse as a struct-field path
+        # (fuzz-found r07: scan columns over a join failed to resolve).
+        return df.select(*[safe_col(c) for c in keep])
     internal = [RAW_TIME_NS] + [c for c in df.columns if c.startswith("__lkp_")]
     return df.drop(*internal)
 
@@ -64,5 +69,5 @@ def plan_select(engine, query: dict) -> DataFrame:
     offset = int(paging.get("offset", 0))
     descending = bool(query.get("descending"))
     time_col = F.col(TIME_COLUMN).desc() if descending else F.col(TIME_COLUMN).asc()
-    tiebreak = [F.col(c) for c in df.columns if c != TIME_COLUMN]
+    tiebreak = [safe_col(c) for c in df.columns if c != TIME_COLUMN]
     return df.orderBy(time_col, *tiebreak).offset(offset).limit(threshold)

@@ -146,7 +146,8 @@ def gen_join(rng: random.Random):
           "rightPrefix": prefix, "condition": cond, "joinType": jt}
     how = "JOIN" if jt == "INNER" else "LEFT JOIN"
 
-    if rng.random() < 0.25:
+    shape = rng.random()
+    if shape < 0.18:
         # timeseries count over the join (no dimension)
         q = {
             "queryType": "timeseries", "dataSource": ds,
@@ -162,6 +163,29 @@ def gen_join(rng: random.Random):
                f"FROM events e {how} {right_sql} r ON {cond_sql} "
                f"WHERE {IV_SQL}")
         cols = ["n", "sv"]
+    elif shape < 0.33:
+        # daily timeseries over the join (bucketed aggregation)
+        q = {
+            "queryType": "timeseries", "dataSource": ds,
+            "granularity": "day", "intervals": IV,
+            "aggregations": [{"type": "count", "name": "n"}],
+            "context": {"skipEmptyBuckets": True},
+        }
+        sql = (f"SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, "
+               f"count(*) AS n "
+               f"FROM events e {how} {right_sql} r ON {cond_sql} "
+               f"WHERE {IV_SQL} GROUP BY 1")
+        cols = ["ts_bucket", "n"]
+    elif shape < 0.45:
+        # scan over the join: raw joined rows, projected
+        q = {
+            "queryType": "scan", "dataSource": ds,
+            "intervals": IV, "columns": ["event_id", dim],
+        }
+        sql = (f"SELECT e.event_id AS event_id, {dim_sql} AS d "
+               f"FROM events e {how} {right_sql} r ON {cond_sql} "
+               f"WHERE {IV_SQL}")
+        cols = ["event_id", dim]
     else:
         q = {
             "queryType": "groupBy", "dataSource": ds,
