@@ -58,10 +58,19 @@ def run(sf_dir: str, name_filters: list[str] | None = None) -> int:
         if not queries:
             print(f"no queries match filters {name_filters!r}", file=sys.stderr)
             return 2
-    # Warm the JVM/session before timing (r6 artifact charged ~7s of
-    # warm-up to the first query, making per-query `sec` incomparable
-    # across entries).
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm the JVM *and* the engine path before timing (r6/r7 artifacts
+    # charged several seconds of first-use setup — UDF registration,
+    # catalog init, zero-fill planner — to the first query, making its
+    # `sec` incomparable with bench.py). One untimed engine query at the
+    # smallest SF pays that cost up front.
+    # Warming at the *target* sf_dir also pays the first-touch cost of
+    # that path (file listing, page cache) so the first timed entry is
+    # comparable with the rest.
+    try:
+        entry_mod.queries()["timeseries_day"](spark, sf_dir).collect()
+    except Exception:
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.catalog.clearCache()
     failures = 0
     results: dict[str, dict] = {}
     for name, fn in queries.items():
