@@ -178,6 +178,35 @@ def band_hashes(sig: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES,
     ).select(id_col, "b.band", "b.bh")
 
 
+def _cap_band_buckets(banded: DataFrame, max_band_bucket: int | None) -> DataFrame:
+    """Drop LSH buckets holding more than ``max_band_bucket`` documents
+    BEFORE the candidate join — the band-bucket analogue of
+    ngram_jaccard_pairs' ``max_shingle_freq`` stop-shingle cap.
+
+    A (band, band-hash) bucket of d documents emits O(d²) candidate
+    pairs, so one pathological bucket (mass-duplicated boilerplate, or
+    an adversarial corpus engineered to collide) degenerates the
+    blocked self-join toward all-pairs. Capping bounds the join at
+    bands × cap² pairs per bucket regardless of corpus shape. Docs in a
+    dropped bucket can still pair through their other bands (near-dups
+    collide in several bands with high probability); the one shape that
+    loses ALL its bands is exact duplicates — which the pipeline's
+    exact/digest dedup stage catches upstream for O(n) instead.
+
+    The hot-bucket set is tiny by construction (≤ total band rows /
+    cap), so the anti-join broadcasts it and the banded table never
+    reshuffles for the cap."""
+    if max_band_bucket is None:
+        return banded
+    hot = (
+        banded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("__bucket_n"))
+        .where(F.col("__bucket_n") > int(max_band_bucket))
+        .select("band", "bh")
+    )
+    return banded.join(F.broadcast(hot), on=["band", "bh"], how="left_anti")
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     k: int = 3,
@@ -187,6 +216,7 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     cache: bool = False,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs with exact Jaccard verification.
 
@@ -197,8 +227,12 @@ def minhash_lsh_dedup(
 
     Scale: the self-join is keyed on (band_index, band_hash) — only
     same-bucket docs meet, and bucket sizes are bounded by collision
-    probability, not corpus size. The exact-verify join touches only
-    candidate pairs' shingle sets.
+    probability, not corpus size — *statistically*. A corpus with
+    mass-duplicated boilerplate can still blow one bucket quadratic;
+    ``max_band_bucket`` hard-bounds that by dropping buckets larger
+    than the cap before the join (see _cap_band_buckets for the recall
+    trade). The exact-verify join touches only candidate pairs'
+    shingle sets.
     """
     sh = shingles(df, k=k, text_col=text_col, id_col=id_col, as_hash=True)
     if cache:
@@ -213,6 +247,7 @@ def minhash_lsh_dedup(
         sh = sh.persist()
     sig = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col, hashed=True)
     banded = band_hashes(sig, num_hashes=num_hashes, bands=bands, id_col=id_col)
+    banded = _cap_band_buckets(banded, max_band_bucket)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -241,6 +276,7 @@ def minhash_lsh_dedup_incremental(
     id_col: str = "doc_id",
     cache: bool = False,
     corpus_shingles: DataFrame | None = None,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs between a NEW document batch and an EXISTING
     corpus — the daily-ingest shape of fuzzy dedup: an incoming batch is
@@ -283,6 +319,11 @@ def minhash_lsh_dedup_incremental(
     banded_corpus = band_hashes(
         sig_corpus, num_hashes=num_hashes, bands=bands, id_col=id_col
     )
+    # Cap only the corpus side: the new batch is bounded by ingest, the
+    # corpus is not — a corpus bucket of c docs costs c × batch-hits
+    # pairs, and dropping the corpus rows of a hot bucket zeroes the
+    # bucket's join output entirely.
+    banded_corpus = _cap_band_buckets(banded_corpus, max_band_bucket)
     candidates = (
         banded_corpus.alias("l")
         .join(

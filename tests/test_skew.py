@@ -117,3 +117,88 @@ def test_groupby_high_cardinality_with_hot_group(skew_engine):
     assert len(hot) == 50 and all(r["n"] == N_HOT / 50 for r in hot)
     assert len(rows) == 50 + 4 * 20
     _assert_partial_agg_below_exchange(_plan(df))
+
+
+def test_minhash_band_bucket_cap_bounds_hot_bucket(spark):
+    """A mass-duplicated corpus (three identical-text cohorts of ~67
+    docs) makes every LSH band bucket corpus-hot — the degenerate shape
+    where the banded self-join would emit O(cohort²) pairs per band.
+    max_band_bucket drops those buckets before the join, hard-bounding
+    the candidate set; the identical docs are exactly what the upstream
+    exact-dedup stage owns."""
+    from pyspark.sql import functions as F
+
+    from coolplaydruid_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    docs = spark.createDataFrame(
+        [(i, base + f"tail{i % 3}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    sh = dedup.shingles(docs, k=3, as_hash=True)
+    sig = dedup.minhash_signatures(sh, hashed=True)
+    banded = dedup.band_hashes(sig)
+    hottest = (
+        banded.groupBy("band", "bh").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert hottest > 50, "fixture failed to produce a hot bucket"
+    capped = dedup._cap_band_buckets(banded, 50)
+    capped_max = (
+        capped.groupBy("band", "bh").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert capped_max is None or capped_max <= 50
+    # End to end: the capped run emits no quadratic candidate blow-up
+    # (every bucket was hot), the uncapped run pairs each cohort fully.
+    uncapped_pairs = dedup.minhash_lsh_dedup(docs, threshold=0.5).count()
+    assert uncapped_pairs > 3 * (50 * 49) // 2
+    assert dedup.minhash_lsh_dedup(docs, threshold=0.5,
+                                   max_band_bucket=50).count() == 0
+
+
+def test_minhash_band_bucket_cap_no_op_on_healthy_corpus(spark):
+    """On a heterogeneous corpus no bucket reaches the cap, so the
+    capped result is IDENTICAL to the uncapped one — the cap is a
+    pathology guard, not an approximation on healthy data."""
+    from coolplaydruid_spark.operators import dedup
+
+    rows = [
+        (i, f"document {i} discusses topic {i * 7 % 13} in depth and "
+            f"mentions subject {i * 3 % 11} alongside item {i % 5}")
+        for i in range(60)
+    ]
+    # a few engineered near-dup pairs so the result set is non-empty
+    rows += [(100 + i, rows[i][1] + " with a small suffix") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = {(r["doc_a"], r["doc_b"], r["jaccard"])
+             for r in dedup.minhash_lsh_dedup(docs, threshold=0.3).collect()}
+    capped = {(r["doc_a"], r["doc_b"], r["jaccard"])
+              for r in dedup.minhash_lsh_dedup(
+                  docs, threshold=0.3, max_band_bucket=20).collect()}
+    assert plain, "fixture produced no near-dup pairs"
+    assert capped == plain
+
+
+def test_incremental_minhash_cap_drops_hot_corpus_bucket(spark):
+    """Incremental form: only the CORPUS side is capped (the new batch
+    is ingest-bounded). A hot corpus bucket stops contributing pairs;
+    healthy corpus docs still pair with the batch."""
+    from coolplaydruid_spark.operators import dedup
+
+    boiler = "identical boilerplate text repeated across the corpus " * 4
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(80)]
+        + [(200, "a unique corpus document about differential testing rigs")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(500, boiler),
+         (501, "a unique corpus document about differential testing rigs too")],
+        "doc_id long, text string",
+    )
+    uncapped = dedup.minhash_lsh_dedup_incremental(
+        new, corpus_df=corpus, threshold=0.3).collect()
+    assert sum(1 for r in uncapped if r["doc_b"] == 500) == 80
+    capped = dedup.minhash_lsh_dedup_incremental(
+        new, corpus_df=corpus, threshold=0.3, max_band_bucket=40).collect()
+    assert sum(1 for r in capped if r["doc_b"] == 500) == 0
+    assert any(r["doc_a"] == 200 and r["doc_b"] == 501 for r in capped)
