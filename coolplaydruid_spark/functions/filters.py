@@ -162,10 +162,17 @@ def _multivalue_leaf(spec: dict, ftype: str) -> Column:
     is equivalent to a null scalar dimension (Druid 0.12)."""
     arr = _raw_dim(spec)
     ex = spec.get("extractionFn")
+    # null ≡ "" holds per ELEMENT too: an array containing a null value
+    # matches exactly when "" would (found by the MV×extraction fuzzer —
+    # array_contains/arrays_overlap skip null elements and yield null,
+    # not a match, for ['a', NULL] vs '').
+    has_emptyish = F.coalesce(
+        F.exists(arr, lambda x: x.isNull() | (x == "")), F.lit(False)
+    )
     if ftype == "selector" and ex is None:
         value = spec.get("value")
         if value is None or value == "":
-            return arr.isNull() | (F.size(arr) == 0) | F.array_contains(arr, "")
+            return arr.isNull() | (F.size(arr) == 0) | has_emptyish
         return F.coalesce(F.array_contains(arr, F.lit(value)), F.lit(False))
     if ftype == "in" and ex is None:
         values = spec["values"]
@@ -176,7 +183,7 @@ def _multivalue_leaf(spec: dict, ftype: str) -> Column:
             else F.lit(False)
         )
         if len(non_null) != len(values):
-            pred = pred | arr.isNull() | (F.size(arr) == 0) | F.array_contains(arr, "")
+            pred = pred | arr.isNull() | (F.size(arr) == 0) | has_emptyish
         return F.coalesce(pred, F.lit(False))
     # null ≡ "" applies to arrays too: a null/empty array is one null
     # value, and an extraction yielding null for an element behaves as
@@ -187,7 +194,11 @@ def _multivalue_leaf(spec: dict, ftype: str) -> Column:
     def per_element(x):
         ext = apply_extraction(x, ex)
         p = F.coalesce(_leaf_pred(ext, spec, ftype), F.lit(False))
-        if me and ex is not None:
+        if me:
+            # null extracted value ≡ "" — and with no extractionFn this
+            # is the raw element: a null ELEMENT matches when "" would
+            # (the ex-is-not-None guard here was wrong; MV×extraction
+            # fuzzer find).
             p = p | ext.isNull()
         return p
 
