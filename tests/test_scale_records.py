@@ -1,0 +1,125 @@
+"""Encode SCALE.md's sf1 scaling argument as assertions (r7 verdict
+#5): the claim "blocked operators stay sub-quadratic, map-only stays
+~input-linear, the star joins' broadcast→shuffle transition at sf1 is
+the correct plan" was prose; this test reads the standing
+PLANMETRICS.json artifact (bench.py emits deterministic per-query
+input/shuffle record counts at sf0.1 plus an sf1 tail) and asserts the
+ratio CLASS of every sf1-tail query.
+
+Classes (every sf1-tail query MUST be classified — adding a query to
+bench.py's SF1_TAIL without classifying it here fails loudly):
+
+- LINEAR: shuffle records grow ~with input (digest/doc-keyed exchanges:
+  exact dedup, map-only text ops whose one exchange is result
+  delivery).
+- BLOCKED: band/bucket-blocked self-joins. Growth may exceed linear
+  (a denser corpus has more REAL band collisions) but must stay far
+  below the quadratic class — the 100 TB argument is that blocking,
+  not corpus size, bounds the join.
+- CONSTANT: result-bounded exchanges (top-k similarity ships k rows
+  per query regardless of corpus size; the corpus never shuffles).
+- PLAN_TRANSITION: star joins whose small side outgrows the broadcast
+  threshold at sf1 — AQE correctly switches to a shuffle join, so
+  shuffle records jump from ~result-size to ~input-size. The invariant
+  that survives the transition: the exchange carries at most O(input),
+  never O(input²) — record ratios must be read against the plan, not
+  scalar-gated (SCALE.md "sf1 scaling evidence").
+
+Runs only when the artifact carries an sf1 section (bench.py --sf1 or
+a driver round); otherwise skips — correctness gates don't produce it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ARTIFACT = os.environ.get(
+    "PLANMETRICS_PATH", os.path.join(ROOT, "PLANMETRICS.json"))
+
+LINEAR = {"dedup_exact", "text_quality", "text_lang_id"}
+# max allowed shuffle-growth / input-growth factor per blocked operator:
+# r6→r7 observed 1.4–2.0× (real collisions in a denser corpus); 5× is
+# far below the quadratic class (which would be ~input-ratio×, i.e. 10×
+# here) while still failing on a pathological blow-up.
+BLOCKED = {"dedup_minhash_lsh": 5.0}
+CONSTANT = {"similarity_topk_brute"}
+PLAN_TRANSITION = {"sql_join_top_customers", "sql_join_region_revenue"}
+
+
+def _load():
+    if not os.path.exists(ARTIFACT):
+        pytest.skip(f"no {ARTIFACT}")
+    d = json.load(open(ARTIFACT))
+    base, sf1 = d.get("plan_metrics") or {}, d.get("sf1_plan_metrics") or {}
+    if not sf1:
+        pytest.skip("artifact has no sf1 section (run bench.py with the "
+                    "sf1 tail enabled)")
+    return base, sf1
+
+
+def test_every_sf1_query_is_classified():
+    _, sf1 = _load()
+    classified = LINEAR | set(BLOCKED) | CONSTANT | PLAN_TRANSITION
+    unclassified = set(sf1) - classified
+    assert not unclassified, (
+        f"sf1-tail queries without a scaling class: {sorted(unclassified)} "
+        "— add each to LINEAR/BLOCKED/CONSTANT/PLAN_TRANSITION in "
+        "tests/test_scale_records.py with a rationale")
+
+
+def _ratios(base, sf1, name):
+    a, b = base.get(name), sf1.get(name)
+    if a is None or b is None:
+        pytest.skip(f"{name} missing from one of the artifact sections")
+    in_ratio = b["input_records"] / max(a["input_records"], 1)
+    sh_ratio = (b["shuffle_write_records"]
+                / max(a["shuffle_write_records"], 1))
+    return in_ratio, sh_ratio, a, b
+
+
+@pytest.mark.parametrize("name", sorted(LINEAR))
+def test_linear_operators_scale_with_input(name):
+    base, sf1 = _load()
+    in_ratio, sh_ratio, _, _ = _ratios(base, sf1, name)
+    assert 5 <= in_ratio <= 15, (name, in_ratio)
+    # shuffle growth within 1.5× of input growth either way
+    assert sh_ratio <= in_ratio * 1.5, (
+        f"{name}: shuffle grew {sh_ratio:.1f}× on {in_ratio:.1f}× input "
+        "— a linear-class operator regressed")
+
+
+@pytest.mark.parametrize("name", sorted(BLOCKED))
+def test_blocked_joins_stay_subquadratic(name):
+    base, sf1 = _load()
+    in_ratio, sh_ratio, _, _ = _ratios(base, sf1, name)
+    cap = BLOCKED[name]
+    assert sh_ratio <= in_ratio * cap, (
+        f"{name}: shuffle grew {sh_ratio:.1f}× on {in_ratio:.1f}× input "
+        f"(cap {cap}× input growth) — blocking is no longer bounding "
+        "the join")
+
+
+@pytest.mark.parametrize("name", sorted(CONSTANT))
+def test_result_bounded_exchanges_stay_flat(name):
+    base, sf1 = _load()
+    _, sh_ratio, a, b = _ratios(base, sf1, name)
+    assert sh_ratio <= 1.5 and b["shuffle_write_records"] <= 10_000, (
+        f"{name}: exchange records {a['shuffle_write_records']} → "
+        f"{b['shuffle_write_records']} — the corpus is shuffling")
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_TRANSITION))
+def test_plan_transition_joins_bounded_by_input(name):
+    base, sf1 = _load()
+    _, _, _, b = _ratios(base, sf1, name)
+    # Post-transition the fact side crosses the exchange ~once; allow
+    # 2× for multi-stage shuffles (join + agg), reject anything near
+    # input². The sf0.1 side is intentionally unconstrained — broadcast
+    # plans ship only result rows there.
+    assert b["shuffle_write_records"] <= 2 * b["input_records"], (
+        f"{name}: sf1 shuffle {b['shuffle_write_records']} exceeds 2× "
+        f"input {b['input_records']} — more than a plan transition")
