@@ -159,3 +159,133 @@ def test_fuzz_theta_setops(engine, duck):
             msg.append(f"--- #{idx} ---\n{json.dumps(q, indent=1)}\n"
                        f"--- oracle ---\n{sql}\n {err[:1500]}")
         raise AssertionError("\n".join(msg))
+
+
+# ---- approx mode (context.useApproxTheta) under the same fuzzer ------
+# The HLL plan supports set-op trees whose INTERSECT/NOT operands are
+# union-representable (fieldAccess or UNION subtrees); estimates come
+# from sketch unions + inclusion-exclusion. Oracle = the EXACT engine
+# result (itself DuckDB-verified above): approx must land within the
+# sketch error band of exact for every bucket and every estimate.
+
+def _gen_operand(rng: random.Random, leaves):
+    """fieldAccess leaf or a UNION of leaves — the union-representable
+    operand shapes the approx plan accepts."""
+    if rng.random() < 0.5 or len(leaves) < 2:
+        nm, _ = rng.choice(leaves)
+        return {"type": "fieldAccess", "fieldName": nm}
+    subs = rng.sample(leaves, rng.randint(2, min(3, len(leaves))))
+    return {"type": "thetaSketchSetOp", "func": "UNION",
+            "fields": [{"type": "fieldAccess", "fieldName": nm}
+                       for nm, _ in subs]}
+
+
+def gen_theta_approx(rng: random.Random):
+    k = rng.randint(2, 3)
+    chosen = rng.sample(PREDS, k)
+    aggs, leaves = [], []
+    for i, (filt, _) in enumerate(chosen):
+        nm = f"t{i}"
+        aggs.append({
+            "type": "filtered", "name": nm, "filter": filt,
+            "aggregator": {"type": "thetaSketch", "name": nm,
+                           "fieldName": "user_id"},
+        })
+        leaves.append((nm, None))
+    func = rng.choice(["UNION", "INTERSECT", "NOT"])
+    n_ops = 2 if func == "NOT" else rng.randint(2, 3)
+    tree = {"type": "thetaSketchSetOp", "func": func,
+            "fields": [_gen_operand(rng, leaves) for _ in range(n_ops)]}
+    post = [{"type": "thetaSketchEstimate", "name": "est", "field": tree}]
+    for nm, _ in leaves:
+        post.append({"type": "thetaSketchEstimate", "name": f"n_{nm}",
+                     "field": {"type": "fieldAccess", "fieldName": nm}})
+    q = {
+        "queryType": "timeseries",
+        "dataSource": "events",
+        "granularity": "day" if rng.random() < 0.5 else "all",
+        "aggregations": aggs,
+        "postAggregations": post,
+        "intervals": IV,
+        "context": {"skipEmptyBuckets": True},
+    }
+    ests = ["est"] + [f"n_{nm}" for nm, _ in leaves]
+    return q, ests
+
+
+def test_fuzz_theta_approx_mode(engine):
+    rng = random.Random(SEED + 53)
+    failures = []
+    checked_plan = False
+    for idx in range(max(20, N_SPECS // 2)):
+        q, ests = gen_theta_approx(rng)
+        try:
+            exact = {r[0]: r.asDict()
+                     for r in engine.plan(json.loads(json.dumps(q)))
+                     .collect()}
+            qa = json.loads(json.dumps(q))
+            qa["context"]["useApproxTheta"] = True
+            adf = engine.plan(qa)
+            if not checked_plan:
+                plan = adf._jdf.queryExecution().executedPlan().toString()
+                assert "hll_sketch_agg" in plan.lower(), plan
+                checked_plan = True
+            approx = {r[0]: r.asDict() for r in adf.collect()}
+            assert set(exact) == set(approx), "bucket sets differ"
+            for b, e in exact.items():
+                a = approx[b]
+                # upper bound on any union magnitude in this bucket =
+                # sum of exact leaf estimates; lgK=12 3σ ≈ 5%, with
+                # inclusion-exclusion summing ≤7 correlated union
+                # terms — 15% of that bound + 3 absolute holds with
+                # wide margin unless the sketch algebra is wrong
+                # (which errs at O(U))
+                u_bound = sum(e[k] for k in ests if k != "est")
+                tol = max(3.0, 0.15 * max(u_bound, 1))
+                for k in ests:
+                    assert abs(a[k] - e[k]) <= tol, (b, k, e[k], a[k], tol)
+        except AssertionError as err:
+            failures.append((idx, q, str(err)))
+        except Exception as err:  # noqa: BLE001
+            failures.append((idx, q, f"{type(err).__name__}: {err}"))
+    if failures:
+        msg = [f"{len(failures)} approx-theta specs failed "
+               f"(seed={SEED + 53}); first 3:"]
+        for idx, q, err in failures[:3]:
+            msg.append(f"--- #{idx} ---\n{json.dumps(q, indent=1)}\n"
+                       f" {err[:1500]}")
+        raise AssertionError("\n".join(msg))
+
+
+def test_fuzz_theta_approx_rejects_nested_intersections(engine):
+    """Trees whose INTERSECT/NOT operands are not union-representable
+    must fail loudly in approx mode (documented exact-mode boundary) —
+    for every draw, not just the one fixed case in test_theta.py."""
+    import pytest as _pytest
+
+    rng = random.Random(SEED + 54)
+    for _ in range(10):
+        inner = {"type": "thetaSketchSetOp",
+                 "func": rng.choice(["INTERSECT", "NOT"]),
+                 "fields": [{"type": "fieldAccess", "fieldName": "t0"},
+                            {"type": "fieldAccess", "fieldName": "t1"}]}
+        outer = {"type": "thetaSketchSetOp",
+                 "func": rng.choice(["INTERSECT", "NOT"]),
+                 "fields": [inner,
+                            {"type": "fieldAccess", "fieldName": "t1"}]}
+        q = {
+            "queryType": "timeseries", "dataSource": "events",
+            "granularity": "all", "intervals": IV,
+            "context": {"useApproxTheta": True},
+            "aggregations": [
+                {"type": "filtered", "name": nm, "filter": filt,
+                 "aggregator": {"type": "thetaSketch", "name": nm,
+                                "fieldName": "user_id"}}
+                for nm, (filt, _) in zip(["t0", "t1"], PREDS[:2])
+            ],
+            "postAggregations": [
+                {"type": "thetaSketchEstimate", "name": "x",
+                 "field": outer}],
+        }
+        with _pytest.raises(ValueError, match="exact mode"):
+            engine.plan(q).collect()
