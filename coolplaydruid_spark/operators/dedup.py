@@ -178,6 +178,32 @@ def band_hashes(sig: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES,
     ).select(id_col, "b.band", "b.bh")
 
 
+def _drop_hot_keys(df: DataFrame, keys: list[str], cap: int | None,
+                   persist: bool = False) -> DataFrame:
+    """Drop rows whose ``keys`` group holds more than ``cap`` rows —
+    the shared hot-key guard behind both stop-shingles
+    (ngram_jaccard_pairs) and LSH band-bucket caps.
+
+    The hot-key set is tiny by construction (≤ total rows / cap), so
+    the anti-join broadcasts it and ``df`` never reshuffles for the
+    cap. ``persist=True`` materializes ``df`` once so the frequency
+    count and the anti-join share one computation instead of
+    re-running the upstream lineage (worth it when that lineage is the
+    expensive part, as with minhash banding; the persist is left to
+    Spark's LRU, same trade as the dedup ``cache`` flags)."""
+    if cap is None:
+        return df
+    if persist:
+        df = df.persist()
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__hot_n"))
+        .where(F.col("__hot_n") > int(cap))
+        .select(*keys)
+    )
+    return df.join(F.broadcast(hot), on=keys, how="left_anti")
+
+
 def _cap_band_buckets(banded: DataFrame, max_band_bucket: int | None) -> DataFrame:
     """Drop LSH buckets holding more than ``max_band_bucket`` documents
     BEFORE the candidate join — the band-bucket analogue of
@@ -193,18 +219,12 @@ def _cap_band_buckets(banded: DataFrame, max_band_bucket: int | None) -> DataFra
     loses ALL its bands is exact duplicates — which the pipeline's
     exact/digest dedup stage catches upstream for O(n) instead.
 
-    The hot-bucket set is tiny by construction (≤ total band rows /
-    cap), so the anti-join broadcasts it and the banded table never
-    reshuffles for the cap."""
-    if max_band_bucket is None:
-        return banded
-    hot = (
-        banded.groupBy("band", "bh")
-        .agg(F.count(F.lit(1)).alias("__bucket_n"))
-        .where(F.col("__bucket_n") > int(max_band_bucket))
-        .select("band", "bh")
-    )
-    return banded.join(F.broadcast(hot), on=["band", "bh"], how="left_anti")
+    The banded table (one id+band+hash row per doc per band) is
+    persisted so the bucket count and the anti-join don't re-run the
+    shingle→signature lineage twice — it is ~bands×|docs| rows,
+    negligible next to the shingle set."""
+    return _drop_hot_keys(banded, ["band", "bh"], max_band_bucket,
+                          persist=True)
 
 
 def minhash_lsh_dedup(
@@ -369,14 +389,7 @@ def ngram_jaccard_pairs(
     join keys through the co-shingle self-join, the heaviest shuffle
     here); counts are string-identical up to md5 collisions."""
     sh = shingles(df, k=k, text_col=text_col, id_col=id_col, as_hash=True)
-    if max_shingle_freq is not None:
-        stops = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") > int(max_shingle_freq))
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(stops), on="shingle", how="left_anti")
+    sh = _drop_hot_keys(sh, ["shingle"], max_shingle_freq)
     a, b = sh.alias("a"), sh.alias("b")
     co = (
         a.join(

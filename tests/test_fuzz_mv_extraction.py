@@ -248,9 +248,9 @@ def mvx(spark, engine, duck):
             df=engine.catalog.table("documents").withColumn("tags", tags),
             as_view=False,
         )
-    try:
-        duck.execute(
-            "CREATE VIEW docs_mvx AS SELECT * EXCLUDE (base), CASE "
+    duck.execute(
+            "CREATE OR REPLACE VIEW docs_mvx AS "
+            "SELECT * EXCLUDE (base), CASE "
             "WHEN doc_id % 11 = 0 THEN NULL "
             "WHEN doc_id % 11 = 1 THEN CAST([] AS VARCHAR[]) "
             "WHEN doc_id % 11 = 2 THEN "
@@ -258,9 +258,7 @@ def mvx(spark, engine, duck):
             "WHEN doc_id % 11 = 3 THEN list_concat(base[1:2], ['']) "
             "ELSE base[1:5] END AS tags "
             "FROM (SELECT *, string_split(text, ' ') AS base FROM documents)"
-        )
-    except Exception:
-        pass
+    )
     return engine
 
 

@@ -167,4 +167,5 @@ def test_meta_renames_and_explain(engine):
     rows = engine.sql(
         "EXPLAIN PLAN FOR SELECT count(*) AS n FROM events"
     ).collect()
-    assert rows and "plan" in rows[0][0].lower() or len(rows) > 0
+    assert rows, "EXPLAIN PLAN FOR returned no rows"
+    assert "plan" in rows[0][0].lower(), rows[0][0]

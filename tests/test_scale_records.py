@@ -40,7 +40,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ARTIFACT = os.environ.get(
     "PLANMETRICS_PATH", os.path.join(ROOT, "PLANMETRICS.json"))
 
-LINEAR = {"dedup_exact", "text_quality", "text_lang_id"}
+LINEAR = {"dedup_exact", "text_quality"}
 # max allowed shuffle-growth / input-growth factor per blocked operator:
 # r6→r7 observed 1.4–2.0× (real collisions in a denser corpus); 5× is
 # far below the quadratic class (which would be ~input-ratio×, i.e. 10×
@@ -73,8 +73,13 @@ def test_every_sf1_query_is_classified():
 
 def _ratios(base, sf1, name):
     a, b = base.get(name), sf1.get(name)
-    if a is None or b is None:
-        pytest.skip(f"{name} missing from one of the artifact sections")
+    # a CLASSIFIED query missing from the artifact is a loud failure,
+    # not a skip — otherwise dropping a query from bench.py's tail
+    # silently removes its scaling assertion from the gate
+    assert a is not None and b is not None, (
+        f"{name} is classified here but missing from the artifact "
+        f"(base: {a is not None}, sf1: {b is not None}) — keep "
+        "tests/test_scale_records.py and bench.py's query lists in sync")
     in_ratio = b["input_records"] / max(a["input_records"], 1)
     sh_ratio = (b["shuffle_write_records"]
                 / max(a["shuffle_write_records"], 1))

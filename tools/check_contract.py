@@ -61,11 +61,12 @@ def run(sf_dir: str, name_filters: list[str] | None = None) -> int:
     # Warm the JVM *and* the engine path before timing (r6/r7 artifacts
     # charged several seconds of first-use setup — UDF registration,
     # catalog init, zero-fill planner — to the first query, making its
-    # `sec` incomparable with bench.py). One untimed engine query at the
-    # smallest SF pays that cost up front.
-    # Warming at the *target* sf_dir also pays the first-touch cost of
-    # that path (file listing, page cache) so the first timed entry is
-    # comparable with the rest.
+    # `sec` incomparable with bench.py). One untimed engine query at
+    # the TARGET sf_dir pays that cost plus the events table's
+    # first-touch (file listing, page cache) up front. Queries over
+    # other tables still pay their own first-touch on first timed use —
+    # small at sf0.01, and de-noising it fully would mean pre-reading
+    # every table.
     try:
         entry_mod.queries()["timeseries_day"](spark, sf_dir).collect()
     except Exception:
