@@ -299,6 +299,66 @@ def test_fuzz_mv_extraction(mvx, duck):
         raise AssertionError("\n".join(msg))
 
 
+def test_fuzz_mv_extraction_groupby_dimension(mvx, duck):
+    """The orthogonal surface: an extraction DIMENSION over an MV
+    column in groupBy (explode → per-element extraction → group),
+    combined with an independent MV×extraction filter. Druid semantics:
+    the filter selects ROWS; every element of a matching row (a
+    null/empty array being one null element) becomes a group keyed by
+    its extracted value. '' and null extracted values group separately
+    (the engine's established contract, same as the driver oracles)."""
+    rng = random.Random(SEED + 32)
+    failures = []
+    n = max(30, N_SPECS // 3)
+    for idx in range(n):
+        ext, ext_sql = gen_extraction(rng)
+        filt, fsql = gen_mv_extraction_filter(rng)
+        dimspec = {"type": "extraction", "dimension": "tags",
+                   "outputName": "tag"}
+        if ext is not None:
+            dimspec["extractionFn"] = ext
+        else:
+            dimspec["type"] = "default"
+        spec = {
+            "queryType": "groupBy",
+            "dataSource": "docs_mvx",
+            "granularity": "all",
+            "filter": filt,
+            "dimensions": [dimspec],
+            "aggregations": [
+                {"type": "count", "name": "rows"},
+                {"type": "longSum", "name": "chars", "fieldName": "n_chars"},
+            ],
+            "context": {"skipEmptyBuckets": True},
+        }
+        sql = (
+            "WITH m AS (SELECT * FROM docs_mvx WHERE " + fsql + "), "
+            "x AS (SELECT unnest(" + ELEMS + ") AS el, n_chars FROM m) "
+            "SELECT " + ext_sql("el") + " AS tag, "
+            "CAST(count(*) AS BIGINT) AS rows, "
+            "CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars "
+            "FROM x GROUP BY 1"
+        )
+        try:
+            df = mvx.plan(spec).select("tag", "rows", "chars")
+            assert_df_matches_duck(df, duck, sql)
+        except AssertionError as e:
+            failures.append((idx, dimspec, filt, sql, str(e)))
+        except Exception as e:
+            failures.append((idx, dimspec, filt, sql,
+                             f"{type(e).__name__}: {e}"))
+    if failures:
+        msg = [f"{len(failures)}/{n} MV extraction-dimension specs "
+               f"failed (seed={SEED + 32}); first 3:"]
+        for idx, dimspec, filt, sql, err in failures[:3]:
+            msg.append(
+                f"--- dim #{idx} ---\n{json.dumps(dimspec, indent=1)}\n"
+                f"--- filter ---\n{json.dumps(filt, indent=1)}\n"
+                f"--- oracle ---\n{sql}\n--- error ---\n{err[:2000]}"
+            )
+        raise AssertionError("\n".join(msg))
+
+
 # regressions found by this fuzzer, pinned as explicit (filter, oracle
 # predicate) pairs — see test_pinned_mv_extraction
 PINNED: list[tuple[dict, str]] = [
