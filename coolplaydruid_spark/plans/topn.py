@@ -102,9 +102,21 @@ def plan_topn(engine, query: dict) -> DataFrame:
         stop, ordering, inv = ps
         if ordering == "numeric":
             c, s = F.col(dim_name).try_cast("double"), F.lit(float(stop))
+            out = out.where(c < s if inv else c > s)
+        elif ordering == "strlen":
+            c = F.col(dim_name).cast("string")
+            sv = str(stop)
+            after = (F.length(c) > len(sv)) | (
+                (F.length(c) == len(sv)) & (c > F.lit(sv)))
+            before = (F.length(c) < len(sv)) | (
+                (F.length(c) == len(sv)) & (c < F.lit(sv)))
+            out = out.where(before if inv else after)
         else:
-            c, s = F.col(dim_name), F.lit(str(stop))
-        out = out.where(c < s if inv else c > s)
+            # lexicographic: STRING comparison even for numeric dims —
+            # a bare long-vs-string comparison would coerce numeric and
+            # break the paging order (paging fuzzer find, r8)
+            c, s = F.col(dim_name).cast("string"), F.lit(str(stop))
+            out = out.where(c < s if inv else c > s)
     order = _metric_order(metric, dim_name, inverted=False)
     if gran.kind == "all":
         # Single bucket: the bucket column is a constant, so a
@@ -143,6 +155,22 @@ def _metric_order(metric, dim_name: str, inverted: bool):
         col = F.col(dim_name)
         if ordering == "numeric":
             col = col.cast("double")
+        elif ordering == "lexicographic":
+            # Druid dimension values are strings: lexicographic means
+            # BYTE-WISE order even for numeric-typed columns ('10' <
+            # '2') — found by the paging fuzzer walking user_id.
+            col = col.cast("string")
+        elif ordering == "strlen":
+            # Druid's strlen StringComparator: shorter first, ties
+            # lexicographic (same tuple as functions/filters._bound).
+            s = col.cast("string")
+            cols = [F.length(s), s]
+            return [c.desc() if inverted else c.asc() for c in cols]
+        else:
+            raise ValueError(
+                f"unsupported dimension ordering {ordering!r} for topN "
+                "(lexicographic/numeric/strlen)"
+            )
         return [col.desc() if inverted else col.asc()]
     raise ValueError(f"unknown topN metric spec {metric!r}")
 
