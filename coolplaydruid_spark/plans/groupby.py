@@ -189,11 +189,27 @@ def apply_limit_spec(df: DataFrame, spec: dict | None, dim_names: list[str]) -> 
         if isinstance(c, str):
             c = {"dimension": c}
         col = F.col(c["dimension"])
-        if c.get("dimensionOrder") == "numeric":
+        dim_order = c.get("dimensionOrder")
+        desc = c.get("direction") == "descending"
+        if dim_order == "numeric":
             col = col.cast("double")
-        elif c.get("dimensionOrder") == "lexicographic":
+        elif dim_order == "lexicographic":
             col = col.cast("string")
-        order_cols.append(col.desc() if c.get("direction") == "descending" else col.asc())
+        elif dim_order == "strlen":
+            # shorter first, lexicographic tiebreak (Druid's strlen
+            # StringComparator — same tuple as topN/search/bound)
+            s = col.cast("string")
+            order_cols.extend(
+                c2.desc() if desc else c2.asc()
+                for c2 in (F.length(s), s)
+            )
+            continue
+        elif dim_order is not None:
+            raise ValueError(
+                f"unsupported limitSpec dimensionOrder {dim_order!r} "
+                "(lexicographic/numeric/strlen)"
+            )
+        order_cols.append(col.desc() if desc else col.asc())
     if order_cols:
         df = df.orderBy(*order_cols)
     limit = spec.get("limit")

@@ -135,3 +135,51 @@ def test_fuzz_topn_previousstop_walk(engine, duck):
         assert walked == expect, (
             f"dim={dim} threshold={threshold} filter={fsql}\n"
             f"walked={walked}\noracle={expect}")
+
+
+def test_fuzz_limitspec_dimension_order(engine, duck):
+    """groupBy limitSpec dimensionOrder semantics over BOTH column
+    types: explicit 'lexicographic' must byte-compare numeric dims
+    ('10' < '2'), 'numeric' must number-compare, 'strlen' must sort
+    shorter-first with lexicographic ties — ordered comparison against
+    DuckDB applying the same comparator, same bug class as the topN
+    lexicographic find."""
+    rng = random.Random(SEED + 63)
+    for _ in range(max(10, N_SPECS)):
+        dim, dorder = rng.choice([
+            ("user_id", "lexicographic"), ("user_id", "numeric"),
+            ("user_id", "strlen"), ("event_type", "lexicographic"),
+            ("event_type", "strlen"),
+        ])
+        descending = rng.random() < 0.5
+        d = "DESC" if descending else "ASC"
+        limit = rng.randint(3, 8)
+        q = {
+            "queryType": "groupBy", "dataSource": "events",
+            "granularity": "all", "dimensions": [dim],
+            "aggregations": [{"type": "count", "name": "n"}],
+            "intervals": IV,
+            "limitSpec": {
+                "type": "default", "limit": limit,
+                "columns": [{"dimension": dim, "dimensionOrder": dorder,
+                             "direction": "descending" if descending
+                             else "ascending"}],
+            },
+        }
+        got = [(str(r[dim]), r["n"])
+               for r in engine.plan(q).select(dim, "n").collect()]
+        if dorder == "lexicographic":
+            keys = f"CAST({dim} AS VARCHAR) {d}"
+        elif dorder == "numeric":
+            keys = f"CAST({dim} AS DOUBLE) {d}"
+        else:
+            keys = (f"length(CAST({dim} AS VARCHAR)) {d}, "
+                    f"CAST({dim} AS VARCHAR) {d}")
+        expect = [(str(a), b) for a, b in duck.execute(
+            f"SELECT {dim}, CAST(count(*) AS BIGINT) "
+            f"FROM events WHERE {IV_SQL} GROUP BY 1 "
+            f"ORDER BY {keys} LIMIT {limit}"
+        ).fetchall()]
+        assert got == expect, (
+            f"dim={dim} order={dorder} {d} limit={limit}\n"
+            f"got={got}\nexpect={expect}")
