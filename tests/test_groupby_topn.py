@@ -287,3 +287,60 @@ def test_topn_previous_stop_numeric_and_inverted(spark, engine):
     }).collect()]
     # descending lexicographic after '20': values strictly below it
     assert got_inv == ["10"]
+
+
+def test_topn_strlen_ordering_and_paging(engine):
+    """strlen dimension ordering (shorter first, lexicographic ties)
+    with previousStop paging, incl. the inverted wrapper — r8 addition
+    alongside the lexicographic byte-wise fix. Fixture lengths:
+    view(4) click(5) error(5) signup(6) purchase(8)."""
+    base = {
+        "queryType": "topN", "dataSource": "events",
+        "granularity": "all", "dimension": "event_type", "threshold": 2,
+        "aggregations": [{"type": "count", "name": "n"}],
+        "intervals": INTERVAL,
+    }
+    q1 = dict(base, metric={"type": "dimension", "ordering": "strlen"})
+    p1 = [r["event_type"] for r in engine.plan(q1).collect()]
+    assert p1 == ["view", "click"]
+    q2 = dict(base, metric={"type": "dimension", "ordering": "strlen",
+                            "previousStop": p1[-1]})
+    p2 = [r["event_type"] for r in engine.plan(q2).collect()]
+    assert p2 == ["error", "signup"]
+    q3 = dict(base, metric={
+        "type": "inverted",
+        "metric": {"type": "dimension", "ordering": "strlen",
+                   "previousStop": "signup"}})
+    p3 = [r["event_type"] for r in engine.plan(q3).collect()]
+    assert p3 == ["error", "click"]
+
+
+def test_topn_lexicographic_numeric_dim_byte_order(engine):
+    """Lexicographic ordering over a NUMERIC dimension compares the
+    STRING form ('10' < '2') — the paging-fuzzer find pinned."""
+    q = {
+        "queryType": "topN", "dataSource": "events",
+        "granularity": "all", "dimension": "user_id", "threshold": 4,
+        "metric": {"type": "dimension", "ordering": "lexicographic"},
+        "aggregations": [{"type": "count", "name": "n"}],
+        "intervals": INTERVAL,
+    }
+    vals = [str(r["user_id"]) for r in engine.plan(q).collect()]
+    assert vals == sorted(vals), vals
+    assert vals == ["0", "1", "10", "11"], vals
+
+
+def test_limitspec_unknown_dimension_order_rejected(engine):
+    import pytest
+
+    q = {
+        "queryType": "groupBy", "dataSource": "events",
+        "granularity": "all", "dimensions": ["event_type"],
+        "aggregations": [{"type": "count", "name": "n"}],
+        "intervals": INTERVAL,
+        "limitSpec": {"type": "default", "limit": 3,
+                      "columns": [{"dimension": "event_type",
+                                   "dimensionOrder": "alphanumeric"}]},
+    }
+    with pytest.raises(ValueError, match="dimensionOrder"):
+        engine.plan(q)
