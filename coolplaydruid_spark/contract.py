@@ -2272,6 +2272,73 @@ def topn_lexicographic_page2(spark, sf_dir):
 
 
 @q(
+    "topn_strlen_page2",
+    f"""
+    WITH agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE {EVENTS_WHERE}
+      GROUP BY 1
+    )
+    SELECT event_type, n FROM agg
+    WHERE length(event_type) > length('click')
+       OR (length(event_type) = length('click') AND event_type > 'click')
+    ORDER BY length(event_type), event_type LIMIT 2
+    """,
+)
+def topn_strlen_page2(spark, sf_dir):
+    """TopN strlen ordering (Druid's strlen StringComparator: shorter
+    first, lexicographic ties) with previousStop paging — resume after
+    'click' in strlen order (r8 addition, plans/topn.py)."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "topN",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimension": "event_type",
+            "metric": {"type": "dimension", "ordering": "strlen",
+                       "previousStop": "click"},
+            "threshold": 2,
+            "aggregations": [{"type": "count", "name": "n"}],
+            "intervals": EVENTS_INTERVAL,
+        }
+    )
+    return df.drop("ts_bucket")
+
+
+@q(
+    "topn_lexicographic_numeric_dim",
+    f"""
+    WITH agg AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE {EVENTS_WHERE}
+      GROUP BY 1
+    )
+    SELECT user_id, n FROM agg
+    ORDER BY CAST(user_id AS VARCHAR) ASC LIMIT 4
+    """,
+)
+def topn_lexicographic_numeric_dim(spark, sf_dir):
+    """Lexicographic topN over a NUMERIC dimension compares the STRING
+    form — '10' sorts before '2' (Druid dimension values are strings;
+    paging-fuzzer find, fixed r8 in plans/topn.py)."""
+    eng = engine_for(spark, sf_dir)
+    df = eng.plan(
+        {
+            "queryType": "topN",
+            "dataSource": "events",
+            "granularity": "all",
+            "dimension": "user_id",
+            "metric": {"type": "dimension", "ordering": "lexicographic"},
+            "threshold": 4,
+            "aggregations": [{"type": "count", "name": "n"}],
+            "intervals": EVENTS_INTERVAL,
+        }
+    )
+    return df.drop("ts_bucket")
+
+
+@q(
     "timeseries_two_intervals",
     """
     WITH spine AS (
@@ -2781,17 +2848,30 @@ def _duck_band_selects(num_hashes: int, bands: int, src: str = "sig") -> str:
     )
 
 
-def _duck_minhash_lsh(threshold: float, num_hashes: int = 12, bands: int = 4) -> str:
+def _duck_minhash_lsh(threshold: float, num_hashes: int = 12, bands: int = 4,
+                      max_band_bucket: int | None = None) -> str:
     mh = _duck_minhash_exprs(num_hashes)
     band_selects = _duck_band_selects(num_hashes, bands)
+    if max_band_bucket is None:
+        capped = ""
+        band_src = "banded"
+    else:
+        # mirror of operators/dedup._drop_hot_keys: buckets holding more
+        # than the cap are excluded from candidate generation entirely
+        capped = f"""
+    , hot AS (SELECT band, bh FROM banded GROUP BY 1, 2
+              HAVING count(*) > {int(max_band_bucket)})
+    , bandc AS (SELECT b.* FROM banded b WHERE NOT EXISTS (
+        SELECT 1 FROM hot h WHERE h.band = b.band AND h.bh = b.bh))"""
+        band_src = "bandc"
     return (
         DUCK_SHINGLES
         + f"""
     , sig AS (SELECT doc_id, {mh} FROM shf GROUP BY doc_id)
-    , banded AS ({band_selects})
+    , banded AS ({band_selects}){capped}
     , cand AS (
       SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-      FROM banded l JOIN banded r
+      FROM {band_src} l JOIN {band_src} r
         ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
     ), co AS (
       SELECT doc_a, doc_b, count(*) AS n_common
@@ -2812,6 +2892,19 @@ def dedup_minhash_lsh(spark, sf_dir):
     eng = engine_for(spark, sf_dir)
     return dedup.minhash_lsh_dedup(eng.catalog.table("documents"), threshold=0.5,
                                    cache=True)
+
+
+@q("dedup_minhash_capped", _duck_minhash_lsh(0.5, max_band_bucket=2))
+def dedup_minhash_capped(spark, sf_dir):
+    """minhash_lsh_dedup with the r8 max_band_bucket hot-bucket cap: LSH
+    buckets holding more than 2 docs are dropped before the candidate
+    join (bounding a pathological corpus at bands × cap² pairs per
+    bucket). cap=2 genuinely prunes at sf0.01 (three 3-doc buckets →
+    23 pairs vs 25 uncapped), so the oracle verifies the exclusion
+    semantics, not just the plumbing."""
+    eng = engine_for(spark, sf_dir)
+    return dedup.minhash_lsh_dedup(eng.catalog.table("documents"), threshold=0.5,
+                                   cache=True, max_band_bucket=2)
 
 
 @q(
