@@ -318,7 +318,10 @@ def minhash_lsh_dedup_incremental(
     once at accept time (it is a pure function of the text) and only
     the new side computed per batch: pass it as ``corpus_shingles``
     ((id, shingle-hash) rows as produced by shingles(as_hash=True)) and
-    ``corpus_df`` is not consulted at all."""
+    ``corpus_df`` is not consulted at all. ``max_band_bucket`` drops
+    over-cap CORPUS-side LSH buckets before the join (see
+    _cap_band_buckets) — the batch side is ingest-bounded and stays
+    uncapped."""
     sh_new = shingles(new_df, k=k, text_col=text_col, id_col=id_col, as_hash=True)
     if corpus_shingles is not None:
         sh_corpus = corpus_shingles
