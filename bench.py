@@ -36,6 +36,9 @@ SF1_TAIL = [
     "sql_join_region_revenue",
     "dedup_exact",
     "dedup_minhash_lsh",
+    # the r8 hot-bucket cap: record evidence that capping bounds the
+    # banded join's shuffle at 10× data (compare vs dedup_minhash_lsh)
+    "dedup_minhash_capped",
     "text_quality",
     "similarity_topk_brute",
 ]
