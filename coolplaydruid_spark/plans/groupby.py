@@ -204,10 +204,14 @@ def apply_limit_spec(df: DataFrame, spec: dict | None, dim_names: list[str]) -> 
                 for c2 in (F.length(s), s)
             )
             continue
+        elif dim_order == "alphanumeric":
+            from coolplaydruid_spark.functions.ordering import alphanumeric_key
+
+            col = alphanumeric_key(col)
         elif dim_order is not None:
             raise ValueError(
                 f"unsupported limitSpec dimensionOrder {dim_order!r} "
-                "(lexicographic/numeric/strlen)"
+                "(lexicographic/numeric/strlen/alphanumeric)"
             )
         order_cols.append(col.desc() if desc else col.asc())
     if order_cols:

@@ -63,6 +63,10 @@ def plan_search(engine, query: dict) -> DataFrame:
         value_order = [F.col("value").asc()]
     elif sort == "strlen":
         value_order = [F.length("value").asc(), F.col("value").asc()]
+    elif sort == "alphanumeric":
+        from coolplaydruid_spark.functions.ordering import alphanumeric_key
+
+        value_order = [alphanumeric_key(F.col("value")).asc()]
     else:
         raise ValueError(f"unknown search sort type {sort!r}")
     out = out.orderBy(F.col("dimension").asc(), *value_order)

@@ -111,6 +111,15 @@ def plan_topn(engine, query: dict) -> DataFrame:
             before = (F.length(c) < len(sv)) | (
                 (F.length(c) == len(sv)) & (c < F.lit(sv)))
             out = out.where(before if inv else after)
+        elif ordering == "alphanumeric":
+            from coolplaydruid_spark.functions.ordering import (
+                alphanumeric_key,
+                alphanumeric_key_py,
+            )
+
+            c = alphanumeric_key(F.col(dim_name))
+            s = F.lit(alphanumeric_key_py(str(stop)))
+            out = out.where(c < s if inv else c > s)
         else:
             # lexicographic: STRING comparison even for numeric dims —
             # a bare long-vs-string comparison would coerce numeric and
@@ -166,10 +175,14 @@ def _metric_order(metric, dim_name: str, inverted: bool):
             s = col.cast("string")
             cols = [F.length(s), s]
             return [c.desc() if inverted else c.asc() for c in cols]
+        elif ordering == "alphanumeric":
+            from coolplaydruid_spark.functions.ordering import alphanumeric_key
+
+            col = alphanumeric_key(col)
         else:
             raise ValueError(
                 f"unsupported dimension ordering {ordering!r} for topN "
-                "(lexicographic/numeric/strlen)"
+                "(lexicographic/numeric/strlen/alphanumeric)"
             )
         return [col.desc() if inverted else col.asc()]
     raise ValueError(f"unknown topN metric spec {metric!r}")

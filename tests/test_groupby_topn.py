@@ -340,7 +340,7 @@ def test_limitspec_unknown_dimension_order_rejected(engine):
         "intervals": INTERVAL,
         "limitSpec": {"type": "default", "limit": 3,
                       "columns": [{"dimension": "event_type",
-                                   "dimensionOrder": "alphanumeric"}]},
+                                   "dimensionOrder": "version"}]},
     }
     with pytest.raises(ValueError, match="dimensionOrder"):
         engine.plan(q)
