@@ -271,13 +271,27 @@ def _matches_empty(spec: dict, ftype: str) -> bool:
     needed."""
     try:
         if ftype == "bound":
-            if spec.get("ordering", "lexicographic") == "numeric":
+            ordering = spec.get("ordering", "lexicographic")
+            if ordering == "numeric":
                 return False  # "" does not parse as a number
+            if ordering == "alphanumeric":
+                # "" keys to "" — compare in key space, like _bound
+                from coolplaydruid_spark.functions.ordering import (
+                    alphanumeric_key_py as _k,
+                )
+
+                def _norm(v):
+                    return _k(str(v))
+            else:
+                def _norm(v):
+                    return str(v)
             ok = True
             lo, hi = spec.get("lower"), spec.get("upper")
             if lo is not None:
+                lo = _norm(lo)
                 ok = ok and (("" > lo) if spec.get("lowerStrict") else ("" >= lo))
             if hi is not None:
+                hi = _norm(hi)
                 ok = ok and (("" < hi) if spec.get("upperStrict") else ("" <= hi))
             return ok
         if ftype == "like":
@@ -316,6 +330,18 @@ def _bound(dim: Column, spec: dict) -> Column:
     if ordering == "numeric":
         dim = dim.cast("double")
         conv = float
+    elif ordering == "alphanumeric":
+        # compare order-preserving keys on both sides (the bound
+        # literal normalizes driver-side) — functions/ordering.py
+        from coolplaydruid_spark.functions.ordering import (
+            alphanumeric_key,
+            alphanumeric_key_py,
+        )
+
+        dim = alphanumeric_key(dim)
+
+        def conv(v):
+            return alphanumeric_key_py(str(v))
     elif ordering == "lexicographic":
         dim = dim.cast("string")
         conv = str

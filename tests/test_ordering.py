@@ -143,3 +143,25 @@ try:
                 assert c == k, (a, b, c, k)
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_bound_filter_alphanumeric(alnum_engine):
+    """Bound filter with the alphanumeric comparator: lower='file2'
+    strict admits file10 (numeric chunk 10 > 2) but not file1/file2 —
+    a lexicographic bound would wrongly exclude file10."""
+    q = {
+        "queryType": "groupBy", "dataSource": "alnum",
+        "granularity": "all", "dimensions": ["name"],
+        "aggregations": [{"type": "count", "name": "n"}],
+        "intervals": IV,
+        "filter": {"type": "bound", "dimension": "name",
+                   "lower": "file2", "lowerStrict": True,
+                   "ordering": "alphanumeric"},
+    }
+    got = sorted(r["name"] for r in alnum_engine.plan(q).collect())
+    assert got == ["file10", "seq10", "seq2", "seq9"], got
+    # sanity: the lexicographic spelling of the same bound excludes
+    # file10 ('file10' < 'file2' byte-wise)
+    q["filter"]["ordering"] = "lexicographic"
+    got2 = sorted(r["name"] for r in alnum_engine.plan(q).collect())
+    assert got2 == ["seq10", "seq2", "seq9"], got2
