@@ -36,8 +36,12 @@ def surfaces() -> dict[str, dict]:
         # PINNED_EXPRS lists (counted as opening parens/braces at the
         # list's nesting level — approximate but stable)
         pins = 0
+        # annotation matcher must span NESTED brackets
+        # (list[tuple[dict, str]]) — anything up to the '=' works; the
+        # old `\[[^\]]*\]` failed on them, reporting 0 for every
+        # surface since r6 (fixed r8)
         for pm in re.finditer(
-            r"^PINNED\w*(?::\s*\w+(?:\[[^\]]*\])?)?\s*=\s*\[(.*?)^\]",
+            r"^PINNED\w*(?::[^=\n]*)?=\s*\[(.*?)^\]",
             src, re.S | re.M,
         ):
             body = pm.group(1)
