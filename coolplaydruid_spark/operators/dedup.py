@@ -179,20 +179,31 @@ def band_hashes(sig: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES,
 
 
 def _drop_hot_keys(df: DataFrame, keys: list[str], cap: int | None,
-                   persist: bool = False) -> DataFrame:
+                   persist: bool = False,
+                   repartition: bool = False) -> DataFrame:
     """Drop rows whose ``keys`` group holds more than ``cap`` rows —
     the shared hot-key guard behind both stop-shingles
     (ngram_jaccard_pairs) and LSH band-bucket caps.
 
-    The hot-key set is tiny by construction (≤ total rows / cap), so
-    the anti-join broadcasts it and ``df`` never reshuffles for the
-    cap. ``persist=True`` materializes ``df`` once so the frequency
-    count and the anti-join share one computation instead of
-    re-running the upstream lineage (worth it when that lineage is the
-    expensive part, as with minhash banding; the persist is left to
-    Spark's LRU, same trade as the dedup ``cache`` flags)."""
+    The hot-key set is small by construction (≤ total rows / cap), so
+    the anti-join broadcasts it. ``persist=True`` materializes ``df``
+    once so the frequency count and the anti-join share one
+    computation instead of re-running the upstream lineage (worth it
+    when that lineage is the expensive part, as with minhash banding;
+    the persist is left to Spark's LRU, same trade as the dedup
+    ``cache`` flags).
+
+    ``repartition=True`` hash-partitions ``df`` by ``keys`` FIRST, so
+    every downstream key-aligned operation — the frequency groupBy
+    here, and the caller's key-equi self-join — runs exchange-free on
+    that one partitioning (the broadcast anti-join preserves it).
+    Without it, the anti-join output has no runtime size stats, the
+    self-join can't plan as a broadcast, and the banded table crosses
+    the wire once per consumer (measured 6× at sf1 before this)."""
     if cap is None:
         return df
+    if repartition:
+        df = df.repartition(*[F.col(k) for k in keys])
     if persist:
         df = df.persist()
     hot = (
@@ -220,11 +231,12 @@ def _cap_band_buckets(banded: DataFrame, max_band_bucket: int | None) -> DataFra
     exact/digest dedup stage catches upstream for O(n) instead.
 
     The banded table (one id+band+hash row per doc per band) is
-    persisted so the bucket count and the anti-join don't re-run the
-    shingle→signature lineage twice — it is ~bands×|docs| rows,
-    negligible next to the shingle set."""
+    hash-partitioned on (band, bh) and persisted: ~bands×|docs| rows —
+    negligible next to the shingle set — cross the wire ONCE, and the
+    bucket count, the anti-join, and the caller's banded self-join all
+    run on that partitioning without further exchanges."""
     return _drop_hot_keys(banded, ["band", "bh"], max_band_bucket,
-                          persist=True)
+                          persist=True, repartition=True)
 
 
 def minhash_lsh_dedup(
