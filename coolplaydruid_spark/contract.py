@@ -24,7 +24,9 @@ from coolplaydruid_spark.operators import (
     dedup,
     embeddings,
     graph,
+    importance,
     multimodal,
+    retrieval,
     sampling,
     sessions,
     similarity,
@@ -4360,6 +4362,103 @@ def text_char_entropy(spark, sf_dir):
     Shannon bits/char over a fixed alphabet, map-only expressions."""
     eng = engine_for(spark, sf_dir)
     return text.char_entropy(eng.catalog.table("documents"))
+
+
+def _duck_bm25(terms: list[str], top_k: int, k1: float, b: float) -> str:
+    """BM25 oracle with the exact floating-point op order of
+    operators/retrieval.bm25_topk (term scores summed left to right;
+    rounded before ordering so the top-k tie-break is deterministic)."""
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter({DUCK_TOKS}, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(terms))
+    )
+    term_scores = " + ".join(
+        f"ln(1.0 + ((N - df{i}) + 0.5) / (df{i} + 0.5)) * tf{i} * {k1 + 1.0} "
+        f"/ (tf{i} + {k1} * ({1.0 - b} + ({b} * dl) / avgdl))"
+        for i in range(len(terms))
+    )
+    matched = " + ".join(f"tf{i}" for i in range(len(terms)))
+    return f"""
+    WITH base AS (
+      SELECT doc_id, CAST(len({DUCK_TOKS}) AS DOUBLE) AS dl,
+             {tf_cols}
+      FROM documents
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS N, avg(dl) AS avgdl, {df_cols}
+      FROM base
+    )
+    SELECT doc_id, round({term_scores}, 6) AS bm25
+    FROM base CROSS JOIN stats
+    WHERE {matched} > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {top_k}
+    """
+
+
+@q("text_bm25_top20", _duck_bm25(["spark", "join", "filter"], 20, 1.2, 0.75))
+def text_bm25_top20(spark, sf_dir):
+    """BM25 keyword retrieval (Lucene-default scoring): top-20 documents
+    for a 3-term query. Corpus statistics reduce to ONE broadcast row
+    (partial agg); scoring is map-only; only the k heads cross the wire
+    (TakeOrderedAndProject)."""
+    eng = engine_for(spark, sf_dir)
+    return retrieval.bm25_topk(
+        eng.catalog.table("documents"), "spark join filter", top_k=20
+    )
+
+
+_DUCK_BUCKET = "CAST(('0x' || substring(md5(tok), 1, 6)) AS BIGINT) % 512"
+
+
+@q(
+    "sampling_dsir_weights",
+    f"""
+    WITH tgt_b AS (
+      SELECT {_DUCK_BUCKET} AS bucket
+      FROM (SELECT unnest({DUCK_TOKS}) AS tok FROM documents
+            WHERE lang = 'en')
+    ), tgt_c AS (SELECT bucket, count(*) AS c FROM tgt_b GROUP BY 1),
+    tgt_t AS (SELECT CAST(count(*) AS DOUBLE) AS T FROM tgt_b),
+    raw_b AS (
+      SELECT {_DUCK_BUCKET} AS bucket
+      FROM (SELECT unnest({DUCK_TOKS}) AS tok FROM documents)
+    ), raw_c AS (SELECT bucket, count(*) AS c FROM raw_b GROUP BY 1),
+    raw_t AS (SELECT CAST(count(*) AS DOUBLE) AS T FROM raw_b),
+    spine AS (SELECT range AS bucket FROM range(512)),
+    ratio AS (
+      SELECT spine.bucket,
+             ln(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE) / (tt.T + 512))
+           - ln(CAST(coalesce(rc.c, 0) + 1 AS DOUBLE) / (rt.T + 512)) AS lr
+      FROM spine
+      LEFT JOIN tgt_c tc ON spine.bucket = tc.bucket
+      LEFT JOIN raw_c rc ON spine.bucket = rc.bucket
+      CROSS JOIN tgt_t tt CROSS JOIN raw_t rt
+    ), doc_b AS (
+      SELECT doc_id, {_DUCK_BUCKET} AS bucket
+      FROM (SELECT doc_id, unnest({DUCK_TOKS}) AS tok FROM documents)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(lr), 6) AS logratio_sum,
+           round(avg(lr), 6) AS logratio_avg
+    FROM doc_b JOIN ratio ON doc_b.bucket = ratio.bucket
+    GROUP BY doc_id
+    """,
+)
+def sampling_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): score the whole pool
+    toward the English-document target distribution via 512 hashed
+    unigram buckets with add-1 smoothing. Both distribution passes
+    aggregate on ≤512 keys (map-side combine); the log-ratio table is a
+    512-row broadcast; the doc-keyed sum is the only data shuffle."""
+    eng = engine_for(spark, sf_dir)
+    docs = eng.catalog.table("documents")
+    return importance.dsir_weights(
+        docs, docs.where(F.col("lang") == "en"), num_buckets=512
+    )
 
 
 @q(

@@ -1,0 +1,137 @@
+"""BM25 retrieval (operators/retrieval.py) and DSIR importance weights
+(operators/importance.py): fixture-oracle parity via the contract SQL,
+semantic sanity on hand-built corpora, and plan-shape guards (one-row
+broadcast stats / bounded-broadcast ratio table)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from coolplaydruid_spark import contract
+from coolplaydruid_spark.operators import importance, retrieval
+from tests.conftest import assert_df_matches_duck
+
+
+# ---------------------------------------------------------------------------
+# oracle parity on the fixture corpus (same SQL the driver gate runs)
+# ---------------------------------------------------------------------------
+
+def test_bm25_matches_contract_oracle(spark, duck):
+    from tests.conftest import SF_DIR
+
+    df = contract.QUERIES["text_bm25_top20"](spark, SF_DIR)
+    assert_df_matches_duck(df, duck, contract.ORACLES["text_bm25_top20"])
+
+
+def test_dsir_matches_contract_oracle(spark, duck):
+    from tests.conftest import SF_DIR
+
+    df = contract.QUERIES["sampling_dsir_weights"](spark, SF_DIR)
+    assert_df_matches_duck(df, duck, contract.ORACLES["sampling_dsir_weights"])
+
+
+# ---------------------------------------------------------------------------
+# BM25 semantics on a hand-built corpus
+# ---------------------------------------------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_ranks_tf_and_rarity(spark):
+    docs = _docs(spark, [
+        (1, "cat cat cat dog"),        # high tf for both terms
+        (2, "cat mouse mouse mouse"),  # one term, once
+        (3, "mouse mouse mouse"),      # no match -> excluded
+        (4, None),                     # null text -> excluded
+        (5, "dog"),                    # rare term only, short doc
+    ])
+    got = retrieval.bm25_topk(docs, "cat dog", top_k=10).collect()
+    ids = [r.doc_id for r in got]
+    assert set(ids) == {1, 2, 5}
+    # doc 1 matches both terms with high tf -> best
+    assert ids[0] == 1
+    # scores strictly ordered, ties impossible here
+    scores = [r.bm25 for r in got]
+    assert scores == sorted(scores, reverse=True)
+    # 'dog' (df=2) is rarer than 'cat' (df=2)? both df=2 here; doc 5 is
+    # shorter than doc 2 (dl 1 vs 4), so its single-term score is higher
+    assert ids[1] == 5
+
+
+def test_bm25_unmatched_query_term_is_harmless(spark):
+    docs = _docs(spark, [(1, "cat"), (2, "dog")])
+    got = retrieval.bm25_topk(docs, "cat zzz_not_present", top_k=10).collect()
+    assert [r.doc_id for r in got] == [1]
+    assert got[0].bm25 > 0
+
+
+def test_bm25_term_dedup_and_case(spark):
+    docs = _docs(spark, [(1, "cat CAT Cat"), (2, "dog")])
+    a = retrieval.bm25_topk(docs, "CAT cat", top_k=5).collect()
+    b = retrieval.bm25_topk(docs, "cat", top_k=5).collect()
+    assert [(r.doc_id, r.bm25) for r in a] == [(r.doc_id, r.bm25) for r in b]
+
+
+def test_bm25_empty_query_raises(spark):
+    docs = _docs(spark, [(1, "cat")])
+    with pytest.raises(ValueError):
+        retrieval.bm25_topk(docs, "   ")
+
+
+def test_bm25_tie_break_by_id(spark):
+    # identical documents -> identical scores -> id order decides the cut
+    docs = _docs(spark, [(i, "cat dog") for i in range(10)])
+    got = retrieval.bm25_topk(docs, "cat", top_k=3).collect()
+    assert [r.doc_id for r in got] == [0, 1, 2]
+
+
+def test_bm25_plan_shape(spark):
+    docs = _docs(spark, [(1, "cat"), (2, "dog")])
+    plan = retrieval.bm25_topk(docs, "cat", top_k=5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # stats join must be broadcast (one row), top-k must be a bounded
+    # heap, and the per-doc tf must not explode tokens
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan  # no explode anywhere
+
+
+# ---------------------------------------------------------------------------
+# DSIR semantics on a hand-built corpus
+# ---------------------------------------------------------------------------
+
+def test_dsir_prefers_target_like_docs(spark):
+    target = _docs(spark, [
+        (100, "alpha beta gamma alpha beta"),
+        (101, "alpha beta beta gamma"),
+    ]).select("text")
+    raw = _docs(spark, [
+        (1, "alpha beta gamma"),        # on-target vocabulary
+        (2, "delta epsilon zeta"),      # off-target vocabulary
+        (3, "alpha delta"),             # mixed
+        (4, ""),                        # zero tokens -> excluded
+    ])
+    got = {r.doc_id: r for r in importance.dsir_weights(
+        raw, target, num_buckets=64).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].logratio_avg > got[3].logratio_avg > got[2].logratio_avg
+    # on-target tokens are MORE likely under the target model
+    assert got[1].logratio_sum > 0
+    assert got[2].logratio_sum < 0
+    assert got[1].n_tokens == 3 and got[3].n_tokens == 2
+
+
+def test_dsir_bucket_validation(spark):
+    docs = _docs(spark, [(1, "cat")])
+    with pytest.raises(ValueError):
+        importance.dsir_weights(docs, docs, num_buckets=0)
+
+
+def test_dsir_plan_shape(spark):
+    docs = _docs(spark, [(1, "alpha beta"), (2, "gamma delta")])
+    plan = importance.dsir_weights(docs, docs, num_buckets=32)._jdf \
+        .queryExecution().executedPlan().toString()
+    # the ratio table join must be broadcast — the corpus-sized token
+    # stream never reshuffles for it (the doc-keyed agg is the only
+    # data-scaled exchange)
+    assert "BroadcastExchange" in plan
