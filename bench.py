@@ -170,7 +170,7 @@ def main() -> None:
         for name in BENCH_QUERIES:
             fn = contract.QUERIES[name]
             spark.catalog.clearCache()
-            before = _stage_totals(spark) if pass_i == 0 else None
+            before = _stage_totals(spark)
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).collect()
             timings[name] = min(timings[name], time.perf_counter() - t0)
@@ -178,9 +178,19 @@ def main() -> None:
             if before is not None:
                 after = _stage_totals(spark)
                 if after is not None:
-                    plan_metrics[name] = {
-                        k: after[k] - before[k] for k in _METRIC_FIELDS
-                    }
+                    delta = {k: after[k] - before[k] for k in _METRIC_FIELDS}
+                    # keep the MINIMUM-shuffle pass, same rule as the
+                    # sf1 tail below: AQE join flips and persist-
+                    # eviction recompute make single-pass deltas
+                    # plan-variant, and these base records are the
+                    # DENOMINATOR of test_scale_records' ratio gate —
+                    # a one-pass outlier there would let a real sf1
+                    # regression slip under the cap
+                    cur = plan_metrics.get(name)
+                    if (cur is None
+                            or delta["shuffle_write_records"]
+                            < cur["shuffle_write_records"]):
+                        plan_metrics[name] = delta
     timings = {name: round(t, 3) for name, t in timings.items()}
     total = round(sum(timings.values()), 3)
 

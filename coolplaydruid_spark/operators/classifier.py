@@ -41,7 +41,9 @@ INLINE_WEIGHT_CAP = 4096
 def token_bucket(token: Column, n_buckets: int) -> Column:
     """Deterministic bucket in [0, n_buckets) from the first 8 md5 hex
     chars — DuckDB: CAST(('0x' || substring(md5(t),1,8)) AS BIGINT) % B."""
-    return F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long") % n_buckets
+    from coolplaydruid_spark.operators.util import md5_bucket
+
+    return md5_bucket(token, n_buckets, hex_chars=8)
 
 
 def hashed_linear_score(

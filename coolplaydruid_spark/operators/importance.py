@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from coolplaydruid_spark.operators.text import tokens
+from coolplaydruid_spark.operators.util import md5_bucket
 
 DEFAULT_NUM_BUCKETS = 512
 
@@ -44,10 +45,7 @@ DEFAULT_NUM_BUCKETS = 512
 def _token_buckets(df: DataFrame, num_buckets: int, text_col: str,
                    keep: list[str] | None = None) -> DataFrame:
     """Explode whitespace tokens and hash each into [0, num_buckets)."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("__tok")), 1, 6), 16, 10).cast("long")
-        % F.lit(int(num_buckets))
-    ).alias("bucket")
+    bucket = md5_bucket(F.col("__tok"), num_buckets).alias("bucket")
     return df.select(
         *[F.col(c) for c in (keep or [])],
         F.explode(tokens(F.col(text_col))).alias("__tok"),

@@ -56,6 +56,19 @@ def spread(df: DataFrame, by: str | None = None,
     return df.repartition(target)
 
 
+def md5_bucket(col, n_buckets: int, hex_chars: int = 6):
+    """Deterministic bucket in [0, n_buckets) from the first
+    ``hex_chars`` md5 hex digits — the repo-wide cross-engine hashing
+    idiom. DuckDB mirror:
+    ``CAST(('0x' || substring(md5(x), 1, H)) AS BIGINT) % B``.
+    Callers: classifier.token_bucket (8 hex), importance._token_buckets
+    (6 hex); sampling.hash_bucket is the no-modulo 6-hex variant."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("long")
+        % int(n_buckets)
+    )
+
+
 import re as _re
 
 # Logical operators whose physical plan ALWAYS carries an Exchange (or a

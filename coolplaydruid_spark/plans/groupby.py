@@ -207,7 +207,14 @@ def apply_limit_spec(df: DataFrame, spec: dict | None, dim_names: list[str]) -> 
         elif dim_order == "alphanumeric":
             from coolplaydruid_spark.functions.ordering import alphanumeric_key
 
-            col = alphanumeric_key(col)
+            # raw byte order breaks the key's numeric-value ties
+            # ('007' ≡ '7') so row order is deterministic
+            s = col.cast("string")
+            order_cols.extend(
+                c2.desc() if desc else c2.asc()
+                for c2 in (alphanumeric_key(col), s)
+            )
+            continue
         elif dim_order is not None:
             raise ValueError(
                 f"unsupported limitSpec dimensionOrder {dim_order!r} "

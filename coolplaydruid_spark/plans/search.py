@@ -66,7 +66,10 @@ def plan_search(engine, query: dict) -> DataFrame:
     elif sort == "alphanumeric":
         from coolplaydruid_spark.functions.ordering import alphanumeric_key
 
-        value_order = [alphanumeric_key(F.col("value")).asc()]
+        # raw byte order breaks the key's numeric-value ties ('007' ≡
+        # '7') so result order is deterministic
+        value_order = [alphanumeric_key(F.col("value")).asc(),
+                       F.col("value").asc()]
     else:
         raise ValueError(f"unknown search sort type {sort!r}")
     out = out.orderBy(F.col("dimension").asc(), *value_order)

@@ -117,9 +117,16 @@ def plan_topn(engine, query: dict) -> DataFrame:
                 alphanumeric_key_py,
             )
 
+            # composite (key, raw) comparison matching _metric_order's
+            # tie-broken ordering — a bare key comparison would skip
+            # values whose key TIES the stop's ('007' stop must not
+            # swallow '7')
             c = alphanumeric_key(F.col(dim_name))
             s = F.lit(alphanumeric_key_py(str(stop)))
-            out = out.where(c < s if inv else c > s)
+            raw, rawlit = F.col(dim_name).cast("string"), F.lit(str(stop))
+            after = (c > s) | ((c == s) & (raw > rawlit))
+            before = (c < s) | ((c == s) & (raw < rawlit))
+            out = out.where(before if inv else after)
         else:
             # lexicographic: STRING comparison even for numeric dims —
             # a bare long-vs-string comparison would coerce numeric and
@@ -178,7 +185,11 @@ def _metric_order(metric, dim_name: str, inverted: bool):
         elif ordering == "alphanumeric":
             from coolplaydruid_spark.functions.ordering import alphanumeric_key
 
-            col = alphanumeric_key(col)
+            # the key ties on DISTINCT raw values ('007' ≡ '7' by
+            # numeric-chunk value) — raw byte order breaks the tie so
+            # page boundaries are deterministic
+            cols = [alphanumeric_key(col), col.cast("string")]
+            return [c.desc() if inverted else c.asc() for c in cols]
         else:
             raise ValueError(
                 f"unsupported dimension ordering {ordering!r} for topN "

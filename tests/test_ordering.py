@@ -24,7 +24,20 @@ VALUES = [
     "2", "10", "007", "7", "abc", "", "A1", "1a2b", "1a10b", "x99y100",
     "x99y9", "!bang", "z", "0", "00", "9seq", "10seq", "seq9", "seq10",
     "a0", "a!",  # hypothesis find: chunk-boundary vs byte-order (r8)
+    # review finds (r8): Unicode digits ('²'.isdigit() is True in Python
+    # but the chunk split is ASCII-only — must stay a text chunk on BOTH
+    # twins) and digit runs past the old 20-char pad cap (the
+    # length-prefixed encoding compares them exactly)
+    "1²", "x²3", "٣x",
+    "99999999999999999999", "123456789012345678901",
+    "123456789012345678909", "100000000000000000000",
 ]
+
+
+def _is_ascii_digits(c: str) -> bool:
+    # NOT str.isdigit(): the chunk regex splits on ASCII [0-9] only, so
+    # a '²' chunk is text even though '²'.isdigit() (int('²') raises)
+    return c[0] in "0123456789"
 
 
 def _alnum_cmp(a: str, b: str) -> int:
@@ -33,7 +46,7 @@ def _alnum_cmp(a: str, b: str) -> int:
     for x, y in zip(ca, cb):
         if x == y:
             continue
-        if x.isdigit() and y.isdigit():
+        if _is_ascii_digits(x) and _is_ascii_digits(y):
             if int(x) != int(y):
                 return -1 if int(x) < int(y) else 1
             continue  # leading-zero tie on value → next chunk decides
@@ -143,6 +156,46 @@ try:
                 assert c == k, (a, b, c, k)
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_topn_alphanumeric_previousstop_key_ties(spark):
+    """Review find (r8): distinct values whose keys TIE ('007' ≡ '7' by
+    numeric chunk value) must all survive a previousStop walk — the stop
+    predicate compares (key, raw byte order), matching the tie-broken
+    sort, not the key alone."""
+    from datetime import datetime
+
+    from coolplaydruid_spark.catalog import Catalog
+    from coolplaydruid_spark.engine import DruidEngine
+
+    names = ["007", "7", "070", "70", "a"]
+    rows = [(i, datetime(2024, 1, 1), names[i % len(names)], float(i))
+            for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, name string, value double")
+    catalog = Catalog(spark)
+    catalog.register("alnumtie", df=df, time_column="ts", as_view=False)
+    eng = DruidEngine(spark, catalog)
+
+    walked, prev = [], None
+    for _page in range(10):
+        metric = {"type": "dimension", "ordering": "alphanumeric"}
+        if prev is not None:
+            metric["previousStop"] = prev
+        q = {
+            "queryType": "topN", "dataSource": "alnumtie",
+            "granularity": "all", "dimension": "name", "threshold": 2,
+            "aggregations": [{"type": "count", "name": "n"}],
+            "intervals": IV, "metric": metric,
+        }
+        rows_out = eng.plan(q).collect()
+        if not rows_out:
+            break
+        walked.extend(r["name"] for r in rows_out)
+        prev = rows_out[-1]["name"]
+        if len(rows_out) < 2:
+            break
+    assert walked == ["007", "7", "070", "70", "a"], walked
 
 
 def test_bound_filter_alphanumeric(alnum_engine):

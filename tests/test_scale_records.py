@@ -63,7 +63,7 @@ def _load():
     if not sf1:
         pytest.skip("artifact has no sf1 section (run bench.py with the "
                     "sf1 tail enabled)")
-    return base, sf1
+    return base, sf1, bool(d.get("sf1_carried_from_previous_run"))
 
 
 def test_every_sf1_query_is_classified():
@@ -78,20 +78,27 @@ def test_every_sf1_query_is_classified():
         f"unclassified sf1-tail queries: {sorted(tail - classified)}; "
         f"classified-but-dropped: {sorted(classified - tail)} — keep "
         "tests/test_scale_records.py and bench.py SF1_TAIL in sync")
-    _, sf1 = _load()
+    _, sf1, _ = _load()
     assert set(sf1) <= tail, (
         f"artifact sf1 section has queries outside SF1_TAIL: "
         f"{sorted(set(sf1) - tail)}")
 
 
-def _ratios(base, sf1, name):
+def _ratios(base, sf1, name, carried):
     a, b = base.get(name), sf1.get(name)
     if a is None or b is None:
-        # Classification sync with bench.py is enforced above, so a
-        # missing artifact entry here means the query was ADDED to the
-        # tail and bench hasn't re-run yet — pending, not dropped.
-        pytest.skip(f"{name} not in the current artifact (pending a "
-                    "bench run with the sf1 tail)")
+        # A classified query may legitimately be absent only when the
+        # artifact's sf1 sections were CARRIED FORWARD from a previous
+        # run (bench.py marks that) — the query was added to the tail
+        # and the carried sections predate it. A FRESH artifact missing
+        # a classified query means bench dropped it silently: fail.
+        if carried:
+            pytest.skip(f"{name} not in the carried-forward sf1 "
+                        "sections (pending a successful sf1 bench run)")
+        raise AssertionError(
+            f"{name} is classified and in SF1_TAIL but missing from a "
+            f"FRESH artifact (base={a is not None}, sf1={b is not None})"
+            " — bench.py dropped it without marking carry-forward")
     in_ratio = b["input_records"] / max(a["input_records"], 1)
     sh_ratio = (b["shuffle_write_records"]
                 / max(a["shuffle_write_records"], 1))
@@ -100,8 +107,8 @@ def _ratios(base, sf1, name):
 
 @pytest.mark.parametrize("name", sorted(LINEAR))
 def test_linear_operators_scale_with_input(name):
-    base, sf1 = _load()
-    in_ratio, sh_ratio, _, _ = _ratios(base, sf1, name)
+    base, sf1, carried = _load()
+    in_ratio, sh_ratio, _, _ = _ratios(base, sf1, name, carried)
     assert 5 <= in_ratio <= 15, (name, in_ratio)
     # shuffle growth within 1.5× of input growth either way
     assert sh_ratio <= in_ratio * 1.5, (
@@ -111,8 +118,8 @@ def test_linear_operators_scale_with_input(name):
 
 @pytest.mark.parametrize("name", sorted(BLOCKED))
 def test_blocked_joins_stay_subquadratic(name):
-    base, sf1 = _load()
-    in_ratio, sh_ratio, _, _ = _ratios(base, sf1, name)
+    base, sf1, carried = _load()
+    in_ratio, sh_ratio, _, _ = _ratios(base, sf1, name, carried)
     cap = BLOCKED[name]
     assert sh_ratio <= in_ratio * cap, (
         f"{name}: shuffle grew {sh_ratio:.1f}× on {in_ratio:.1f}× input "
@@ -122,8 +129,8 @@ def test_blocked_joins_stay_subquadratic(name):
 
 @pytest.mark.parametrize("name", sorted(CONSTANT))
 def test_result_bounded_exchanges_stay_flat(name):
-    base, sf1 = _load()
-    _, sh_ratio, a, b = _ratios(base, sf1, name)
+    base, sf1, carried = _load()
+    _, sh_ratio, a, b = _ratios(base, sf1, name, carried)
     assert sh_ratio <= 1.5 and b["shuffle_write_records"] <= 10_000, (
         f"{name}: exchange records {a['shuffle_write_records']} → "
         f"{b['shuffle_write_records']} — the corpus is shuffling")
@@ -131,8 +138,8 @@ def test_result_bounded_exchanges_stay_flat(name):
 
 @pytest.mark.parametrize("name", sorted(PLAN_TRANSITION))
 def test_plan_transition_joins_bounded_by_input(name):
-    base, sf1 = _load()
-    _, _, _, b = _ratios(base, sf1, name)
+    base, sf1, carried = _load()
+    _, _, _, b = _ratios(base, sf1, name, carried)
     # Post-transition the fact side crosses the exchange ~once; allow
     # 2× for multi-stage shuffles (join + agg), reject anything near
     # input². The sf0.1 side is intentionally unconstrained — broadcast

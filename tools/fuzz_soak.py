@@ -41,7 +41,7 @@ def surfaces() -> dict[str, dict]:
         # old `\[[^\]]*\]` failed on them, reporting 0 for every
         # surface since r6 (fixed r8)
         for pm in re.finditer(
-            r"^PINNED\w*(?::[^=\n]*)?=\s*\[(.*?)^\]",
+            r"^PINNED\w*(?::[^=\n]*)?\s*=\s*\[(.*?)^\]",
             src, re.S | re.M,
         ):
             body = pm.group(1)
