@@ -142,7 +142,9 @@ try:
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    @given(st.lists(st.text(alphabet="ab09z17!", max_size=12),
+    # '²' keeps the Unicode-digit twin divergence (r8 review find)
+    # under continuous property fuzz
+    @given(st.lists(st.text(alphabet="ab09z17!²", max_size=12),
                     min_size=2, max_size=8))
     @settings(max_examples=200, deadline=None)
     def test_property_key_order_equals_cmp_order(values):
