@@ -3935,6 +3935,42 @@ def corpus_mixture_report(spark, sf_dir):
     return corpus.mixture_report(eng.catalog.table("documents"))
 
 
+@q(
+    "corpus_tfidf_sources",
+    f"""
+    WITH toks AS (
+      SELECT source AS grp, unnest({DUCK_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT grp, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS dfq FROM tf GROUP BY 1
+    ), g AS (
+      SELECT CAST(count(DISTINCT grp) AS DOUBLE) AS G FROM tf
+    ), scored AS (
+      SELECT grp, term, tf,
+             round(CAST(tf AS DOUBLE) * ln(G / dfq), 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY grp
+               ORDER BY round(CAST(tf AS DOUBLE) * ln(G / dfq), 6) DESC,
+                        term ASC
+             ) AS rn
+      FROM tf JOIN dfreq USING (term) CROSS JOIN g
+    )
+    SELECT grp AS source, term, tf, tfidf FROM scored WHERE rn <= 5
+    """,
+)
+def corpus_tfidf_sources(spark, sf_dir):
+    """Per-source distinctive terms by tf-idf (each source = one
+    aggregate document). The corpus crosses the wire once as (source,
+    term) partial counts; everything after runs at vocabulary×sources
+    scale with a top-k window."""
+    eng = engine_for(spark, sf_dir)
+    return corpus.tfidf_top_terms(
+        eng.catalog.table("documents"), group_col="source", k=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # JavaScript-source compatibility (functions/jsexpr.py — transpiled, JVM-side)
 # ---------------------------------------------------------------------------

@@ -138,3 +138,62 @@ def mixture_report(
             F.col("total_tokens") / F.sum("total_tokens").over(w), 6
         ).alias("token_share"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group distinctive terms by tf-idf, treating each GROUP
+    (source / domain / language) as one aggregate document — the
+    domain-signature primitive behind "what is this crawl slice about"
+    reports and per-source boilerplate discovery.
+
+    tf(g, t) = occurrences of t in group g; idf(t) = ln(G / df(t)) with
+    G the group count and df(t) the number of groups containing t;
+    score = tf·idf, rounded to 6 decimals BEFORE ranking so the per-group
+    top-k cut is deterministic (ties then break on the term). Terms in
+    every group score exactly 0 (ln 1) — maximally non-distinctive.
+
+    100 TB shape: the corpus crosses the wire ONCE — the token stream
+    collapses map-side into (group, term) partial counts before the one
+    data-scaled shuffle. Everything after runs at vocabulary×groups
+    scale: df(t) re-aggregates the tf table, the group count is a
+    one-row broadcast, and the top-k window partitions that small table
+    by group."""
+    toks = df.select(
+        F.col(group_col).alias("__grp"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("__grp", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    # tf is (group, term)-distinct, so df(t) is a row count per term
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    n_groups = tf.agg(
+        F.countDistinct("__grp").cast("double").alias("__G")
+    )
+    score = F.round(
+        F.col("tf").cast("double") * F.log(F.col("__G") / F.col("__df")), 6
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__grp").orderBy(
+        score.desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_groups))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(k))
+        .select(
+            F.col("__grp").alias(group_col),
+            F.col("term"),
+            F.col("tf"),
+            score.alias("tfidf"),
+        )
+    )

@@ -121,6 +121,38 @@ def test_dsir_prefers_target_like_docs(spark):
     assert got[1].n_tokens == 3 and got[3].n_tokens == 2
 
 
+def test_tfidf_top_terms_semantics(spark, duck):
+    from coolplaydruid_spark.operators import corpus
+
+    rows = [
+        (1, "alpha alpha shared", "s1"),
+        (2, "alpha shared shared", "s1"),
+        (3, "beta shared", "s2"),
+        (4, "beta beta gamma shared", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    got = corpus.tfidf_top_terms(docs, group_col="src", k=2).collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r.src, []).append((r.term, r.tf, r.tfidf))
+    # 'alpha' (3x, only in s1) is s1's signature; 'shared' (everywhere)
+    # scores exactly 0 and never outranks a distinctive term
+    assert by_grp["s1"][0][0] == "alpha"
+    assert by_grp["s2"][0][0] == "beta"
+    import math
+    assert by_grp["s1"][0][2] == round(3 * math.log(2), 6)
+    for grp in by_grp.values():
+        assert all(t[2] >= 0 for t in grp)
+        assert len(grp) == 2
+
+
+def test_tfidf_matches_contract_oracle(spark, duck):
+    from tests.conftest import SF_DIR
+
+    df = contract.QUERIES["corpus_tfidf_sources"](spark, SF_DIR)
+    assert_df_matches_duck(df, duck, contract.ORACLES["corpus_tfidf_sources"])
+
+
 def test_dsir_bucket_validation(spark):
     docs = _docs(spark, [(1, "cat")])
     with pytest.raises(ValueError):
