@@ -1,0 +1,157 @@
+"""Differential fuzzer for the round-8 pipeline operators: BM25
+retrieval (operators/retrieval.py), DSIR importance weights
+(operators/importance.py), and per-group tf-idf
+(operators/corpus.tfidf_top_terms).
+
+A seeded generator draws random parameterizations — query term sets
+(present + absent vocabulary), k1/b BM25 constants, top-k cuts, DSIR
+bucket counts and target predicates (including EMPTY targets, which
+must degrade to the smoothing floor identically on both engines), and
+tf-idf group columns — and derives the DuckDB oracle from the SAME
+draw (the BM25 oracle builder is shared with contract.py, so the fuzz
+surface and the driver gate can never drift apart). Scores round to 6
+decimals before any ordering cut on both sides, so top-k boundaries
+are engine-deterministic.
+
+Reproduce: FUZZ_SEED=<seed> FUZZ_N=<n> pytest <this file>.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+from conftest import assert_df_matches_duck
+
+from coolplaydruid_spark import contract
+from coolplaydruid_spark.contract import DUCK_TOKS, _duck_bm25
+from coolplaydruid_spark.operators import corpus, importance, retrieval
+
+N_SPECS = int(os.environ.get("FUZZ_N", "60"))
+SEED = int(os.environ.get("FUZZ_SEED", "20260814"))
+
+# fixture-corpus vocabulary + guaranteed-absent terms (df = 0 exercises
+# the always-positive idf branch and the no-match filter)
+VOCAB = ["key", "agg", "row", "scan", "slow", "fast", "table", "value",
+         "part", "hash", "merge", "batch", "window", "spark", "order",
+         "data", "column", "join", "small", "line", "customer", "query",
+         "filter", "group", "the", "a",
+         "zzzabsent", "qqqmissing"]
+
+
+def _docs(spark, sf_dir):
+    return contract.engine_for(spark, sf_dir).catalog.table("documents")
+
+
+def test_fuzz_bm25(spark, duck):
+    from conftest import SF_DIR
+
+    rng = random.Random(SEED + 81)
+    for _ in range(max(10, N_SPECS // 3)):
+        terms = rng.sample(VOCAB, rng.randint(1, 4))
+        k1 = rng.choice([0.9, 1.2, 1.5, 2.0])
+        b = rng.choice([0.0, 0.4, 0.75, 1.0])
+        top_k = rng.randint(3, 30)
+        got = retrieval.bm25_topk(
+            _docs(spark, SF_DIR), terms, top_k=top_k, k1=k1, b=b)
+        assert_df_matches_duck(
+            got, duck, _duck_bm25(terms, top_k, k1, b))
+
+
+def _duck_dsir(tgt_where: str, buckets: int) -> str:
+    bucket = (f"CAST(('0x' || substring(md5(tok), 1, 6)) AS BIGINT) "
+              f"% {buckets}")
+    return f"""
+    WITH tgt_b AS (
+      SELECT {bucket} AS bucket
+      FROM (SELECT unnest({DUCK_TOKS}) AS tok FROM documents
+            WHERE {tgt_where})
+    ), tgt_c AS (SELECT bucket, count(*) AS c FROM tgt_b GROUP BY 1),
+    tgt_t AS (SELECT CAST(count(*) AS DOUBLE) AS T FROM tgt_b),
+    raw_b AS (
+      SELECT {bucket} AS bucket
+      FROM (SELECT unnest({DUCK_TOKS}) AS tok FROM documents)
+    ), raw_c AS (SELECT bucket, count(*) AS c FROM raw_b GROUP BY 1),
+    raw_t AS (SELECT CAST(count(*) AS DOUBLE) AS T FROM raw_b),
+    spine AS (SELECT range AS bucket FROM range({buckets})),
+    ratio AS (
+      SELECT spine.bucket,
+             ln(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE) / (tt.T + {buckets}))
+           - ln(CAST(coalesce(rc.c, 0) + 1 AS DOUBLE) / (rt.T + {buckets}))
+             AS lr
+      FROM spine
+      LEFT JOIN tgt_c tc ON spine.bucket = tc.bucket
+      LEFT JOIN raw_c rc ON spine.bucket = rc.bucket
+      CROSS JOIN tgt_t tt CROSS JOIN raw_t rt
+    ), doc_b AS (
+      SELECT doc_id, {bucket} AS bucket
+      FROM (SELECT doc_id, unnest({DUCK_TOKS}) AS tok FROM documents)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(lr), 6) AS logratio_sum,
+           round(avg(lr), 6) AS logratio_avg
+    FROM doc_b JOIN ratio ON doc_b.bucket = ratio.bucket
+    GROUP BY doc_id
+    """
+
+
+def test_fuzz_dsir(spark, duck):
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+
+    rng = random.Random(SEED + 82)
+    targets = [
+        ("lang = 'en'", F.col("lang") == "en"),
+        ("lang = 'de'", F.col("lang") == "de"),
+        ("lang IN ('fr', 'es')", F.col("lang").isin("fr", "es")),
+        ("source = 'src1'", F.col("source") == "src1"),
+        # empty target: the model degrades to the uniform smoothing
+        # floor — both engines must agree
+        ("lang = 'zzz_nolang'", F.col("lang") == "zzz_nolang"),
+        ("n_chars > 300", F.col("n_chars") > 300),
+    ]
+    for _ in range(max(6, N_SPECS // 5)):
+        tgt_sql, tgt_col = rng.choice(targets)
+        buckets = rng.choice([32, 64, 128, 512])
+        docs = _docs(spark, SF_DIR)
+        got = importance.dsir_weights(
+            docs, docs.where(tgt_col), num_buckets=buckets)
+        assert_df_matches_duck(got, duck, _duck_dsir(tgt_sql, buckets))
+
+
+def _duck_tfidf(group: str, k: int) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT {group} AS grp, unnest({DUCK_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT grp, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS dfq FROM tf GROUP BY 1
+    ), g AS (
+      SELECT CAST(count(DISTINCT grp) AS DOUBLE) AS G FROM tf
+    ), scored AS (
+      SELECT grp, term, tf,
+             round(CAST(tf AS DOUBLE) * ln(G / dfq), 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY grp
+               ORDER BY round(CAST(tf AS DOUBLE) * ln(G / dfq), 6) DESC,
+                        term ASC
+             ) AS rn
+      FROM tf JOIN dfreq USING (term) CROSS JOIN g
+    )
+    SELECT grp AS {group}, term, tf, tfidf FROM scored WHERE rn <= {k}
+    """
+
+
+def test_fuzz_tfidf(spark, duck):
+    from conftest import SF_DIR
+
+    rng = random.Random(SEED + 83)
+    for _ in range(max(6, N_SPECS // 6)):
+        group = rng.choice(["source", "lang"])
+        k = rng.randint(2, 8)
+        got = corpus.tfidf_top_terms(
+            _docs(spark, SF_DIR), group_col=group, k=k)
+        assert_df_matches_duck(got, duck, _duck_tfidf(group, k))
