@@ -4447,6 +4447,133 @@ def text_bm25_top20(spark, sf_dir):
     )
 
 
+_BM25_BATCH_QUERIES = [
+    (1, "spark join"),
+    (2, "filter value table"),
+    (3, "customer query zzzabsent"),
+]
+
+
+def _duck_bm25_batch(queries: list[tuple[int, str]], top_k: int,
+                     k1: float = 1.2, b: float = 0.75) -> str:
+    """Batch-BM25 oracle with the exact FP op order of
+    retrieval.bm25_batch_topk — parameterized so the fuzz surface and
+    the contract entry share one builder (same rule as _duck_bm25)."""
+    values = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, text_ in queries
+        for term in dict.fromkeys(text_.lower().split())
+    )
+    return f"""
+    WITH qt(qid, term) AS (VALUES {values}),
+    uq AS (SELECT DISTINCT term FROM qt),
+    nd AS (
+      SELECT CAST(count(*) AS DOUBLE) AS N,
+             avg(CAST(len({DUCK_TOKS}) AS DOUBLE)) AS avgdl
+      FROM documents
+    ),
+    dt AS (
+      SELECT doc_id, term,
+             CAST(count(*) AS DOUBLE) AS tf,
+             CAST(any_value(dl) AS DOUBLE) AS dl
+      FROM (
+        SELECT doc_id, len({DUCK_TOKS}) AS dl,
+               unnest({DUCK_TOKS}) AS term
+        FROM documents
+      ) x JOIN uq USING (term)
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS dfq FROM dt GROUP BY 1
+    ),
+    scored AS (
+      SELECT qid, doc_id,
+             round(sum(
+               ln(1.0 + ((N - dfq) + 0.5) / (dfq + 0.5)) * tf * {k1 + 1.0}
+               / (tf + {k1} * ({1.0 - b} + ({b} * dl) / avgdl))
+             ), 6) AS bm25
+      FROM dt JOIN dfreq USING (term) JOIN qt USING (term) CROSS JOIN nd
+      GROUP BY qid, doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY bm25 DESC, doc_id
+      ) AS rn FROM scored
+    )
+    SELECT CAST(qid AS BIGINT) AS query_id, doc_id, bm25
+    FROM ranked WHERE rn <= {top_k}
+    """
+
+
+@q("text_bm25_batch", _duck_bm25_batch(_BM25_BATCH_QUERIES, 5))
+def text_bm25_batch(spark, sf_dir):
+    """Batch BM25: top-5 documents for each of 3 queries in ONE plan —
+    query terms broadcast into the exploded-token stream so only
+    matching tokens shuffle; corpus stats are a one-row broadcast; the
+    per-query cut is a window over matched candidates only."""
+    eng = engine_for(spark, sf_dir)
+    queries = spark.createDataFrame(
+        _BM25_BATCH_QUERIES, "query_id long, query string"
+    )
+    return retrieval.bm25_batch_topk(
+        eng.catalog.table("documents"), queries, top_k=5
+    )
+
+
+@q(
+    "text_bigram_nll",
+    f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
+    pairs AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)),
+                         i -> array_to_string(list_slice(t, i, i + 1), ' '))
+                    ELSE CAST([] AS VARCHAR[]) END) AS pair,
+             unnest(CASE WHEN len(t) >= 2 THEN list_slice(t, 2, len(t))
+                    ELSE CAST([] AS VARCHAR[]) END) AS tok
+      FROM toks
+    ),
+    pc AS (SELECT pair, count(*) AS cbi FROM pairs GROUP BY 1),
+    prevc AS (
+      SELECT split_part(pair, ' ', 1) AS prev, count(*) AS cprev
+      FROM pairs GROUP BY 1
+    ),
+    pmodel AS (
+      SELECT pair, CAST(cbi AS DOUBLE) / CAST(cprev AS DOUBLE) AS pbi
+      FROM pc JOIN prevc ON split_part(pc.pair, ' ', 1) = prevc.prev
+      ORDER BY cbi DESC, pair ASC LIMIT 300
+    ),
+    uc AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS T FROM uc),
+    vocab AS (SELECT tok, c FROM uc ORDER BY c DESC, tok ASC LIMIT 100)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(-log2(
+             0.7 * coalesce(pbi, 0.0)
+             + (1.0 - 0.7) * (coalesce(v.c, 1) * 1.0 / T)
+           )), 6) AS nll_per_pair
+    FROM pairs
+    LEFT JOIN pmodel USING (pair)
+    LEFT JOIN vocab v USING (tok)
+    CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_nll(spark, sf_dir):
+    """Interpolated bigram LM quality proxy (0.7·p_bi + 0.3·p_uni,
+    top-300 bigrams / top-100 unigrams): word-ORDER typicality on top
+    of unigram NLL. Both models are parameter-bounded broadcasts; the
+    per-document aggregation is the only data-scaled shuffle."""
+    eng = engine_for(spark, sf_dir)
+    return text.bigram_logprob_score(
+        eng.catalog.table("documents"), vocab_size=100, bigram_size=300,
+        lam=0.7,
+    )
+
+
 _DUCK_BUCKET = "CAST(('0x' || substring(md5(tok), 1, 6)) AS BIGINT) % 512"
 
 

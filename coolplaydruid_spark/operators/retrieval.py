@@ -103,3 +103,98 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(int(top_k))
     )
+
+
+def bm25_batch_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+) -> DataFrame:
+    """Top-``top_k`` documents per query for a whole BATCH of queries —
+    the production retrieval shape (mining topical subsets for many
+    topics, building retrieval-augmented eval sets) where per-query
+    column folds (bm25_topk) stop scaling past a handful of terms.
+
+    Same scoring formula as bm25_topk; the score accumulates over a
+    (query, term) JOIN instead of per-term columns, term by term in the
+    aggregation, so term count is unbounded. Returns (query_id, id,
+    bm25) ordered (query_id, score DESC, id) — scores round to 6
+    decimals before ranking, ties break on the document id, so the
+    per-query cut is engine-deterministic.
+
+    100 TB shape: the query-term set is broadcast everywhere it meets
+    data. One corpus pass computes document lengths + matched-term tf
+    via an exploded-token inner join against the broadcast terms — only
+    MATCHING tokens survive the explode into the (doc, term) partial
+    aggregation, so the one data-scaled shuffle carries the match
+    stream, not the corpus token stream. Document frequencies re-derive
+    from that (doc, term)-distinct table (term-keyed, vocabulary-
+    bounded); N and avgdl are a one-row broadcast from a second
+    map-only pass; the final per-(query, doc) window runs over matched
+    candidates only.
+    """
+    terms = (
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.explode(
+                F.array_distinct(tokens(F.col(query_text_col)))
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    uniq_terms = terms.select("term").distinct()
+
+    # corpus stats: N + avgdl (one row), map-only partial agg
+    nd = docs.select(F.size(tokens(F.col(text_col))).alias("__dl")).agg(
+        F.count(F.lit(1)).cast("double").alias("__N"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    # (doc, term) tf over ONLY the queried terms: the broadcast inner
+    # join discards non-matching tokens before the shuffle
+    doc_terms = (
+        spread(docs, by=id_col)
+        .select(
+            F.col(id_col),
+            F.size(tokens(F.col(text_col))).alias("__dl"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .join(F.broadcast(uniq_terms), on="term")
+        .groupBy(id_col, "term")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__tf"),
+            F.first("__dl").alias("__dl"),
+        )
+    )
+    # df(t): matched (doc, term) rows are distinct by construction
+    dfreq = doc_terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    idf = F.log(1.0 + (F.col("__N") - F.col("__df") + 0.5) / (F.col("__df") + 0.5))
+    term_score = (
+        idf * F.col("__tf") * (k1 + 1.0)
+        / (F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        doc_terms.join(F.broadcast(dfreq), on="term")
+        .join(F.broadcast(terms), on="term")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("__qid", id_col)
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(top_k))
+        .select(
+            F.col("__qid").alias(query_id_col), F.col(id_col), F.col("bm25")
+        )
+        .orderBy(query_id_col, F.col("bm25").desc(), F.col(id_col))
+    )

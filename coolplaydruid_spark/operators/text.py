@@ -453,3 +453,98 @@ def length_histogram(df: DataFrame, text_col: str = "text",
             F.sum("__n").cast("long").alias("total_tokens"),
         )
     )
+
+
+def bigram_logprob_score(df: DataFrame, vocab_size: int = 100,
+                         bigram_size: int = 300, lam: float = 0.7,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Interpolated bigram LM quality proxy — the next step up from
+    unigram_logprob_score toward the CCNet KenLM ranking: per document,
+    the mean -log2 of λ·p(tokᵢ | tokᵢ₋₁) + (1−λ)·p(tokᵢ) under the
+    corpus's own capped bigram/unigram models. Documents whose word
+    ORDER is corpus-typical score low; shuffled or templated text with
+    plausible unigrams but improbable transitions scores high — a
+    signal unigram NLL is blind to. Returns (id, n_pairs,
+    nll_per_pair) for documents with ≥ 2 tokens.
+
+    Model (the exact formula is the operator contract, mirrored by the
+    oracle): p_bi(pair) = c(pair) / c(first-token-of-pair over pair
+    STARTS), kept for the top-``bigram_size`` pairs by (count DESC,
+    pair ASC); absent pairs contribute 0 to the interpolation.
+    p_uni(t) = c(t)/T over the top-``vocab_size`` tokens, count-1 OOV
+    floor (identical to unigram_logprob_score). λ·0 + (1−λ)·p_uni > 0
+    always, so the log is defined.
+
+    Scale: both model estimates aggregate token/pair streams with
+    map-side combine; the retained models are bounded by the V and B
+    PARAMETERS and broadcast; the per-document aggregation is the only
+    data-scaled shuffle. The pair stream is rebuilt for the scoring
+    pass (two scans end-to-end, like unigram_logprob_score's counts +
+    probe split)."""
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    t = F.col("__t")
+    n = F.size(t)
+    pair_structs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.concat(
+                    F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+                ).alias("pair"),
+                F.element_at(t, i + 1).alias("tok"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pair:string,tok:string>>"))
+    pairs = base.select(
+        F.col(id_col), F.explode(pair_structs).alias("__p")
+    ).select(F.col(id_col), F.col("__p.pair").alias("pair"),
+             F.col("__p.tok").alias("tok"))
+
+    # bigram model: conditional p(pair) = c(pair) / c(prev as pair START)
+    pc = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("__cbi"))
+    prevc = (
+        pairs.select(F.substring_index("pair", " ", 1).alias("__prev"))
+        .groupBy("__prev")
+        .agg(F.count(F.lit(1)).alias("__cprev"))
+    )
+    pmodel = F.broadcast(
+        pc.join(
+            prevc,
+            F.substring_index(F.col("pair"), " ", 1) == F.col("__prev"),
+        )
+        .select(
+            "pair",
+            (F.col("__cbi").cast("double") / F.col("__cprev").cast("double")
+             ).alias("__pbi"),
+            "__cbi",
+        )
+        .orderBy(F.col("__cbi").desc(), F.col("pair").asc())
+        .limit(int(bigram_size))
+        .drop("__cbi")
+    )
+
+    # unigram model: identical recipe to unigram_logprob_score
+    uni = base.select(F.explode(t).alias("tok"))
+    ucounts = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = ucounts.agg(F.sum("__c").cast("double").alias("__T"))
+    vocab = F.broadcast(
+        ucounts.orderBy(F.col("__c").desc(), F.col("tok").asc()).limit(
+            int(vocab_size)
+        )
+    )
+
+    p_uni = F.coalesce(F.col("__c"), F.lit(1)).cast("double") / F.col("__T")
+    p = lam * F.coalesce(F.col("__pbi"), F.lit(0.0)) + (1.0 - lam) * p_uni
+    return (
+        pairs.join(pmodel, on="pair", how="left")
+        .join(vocab, on="tok", how="left")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg(-F.log2(p)), 6).alias("nll_per_pair"),
+        )
+    )

@@ -24,8 +24,12 @@ import random
 from conftest import assert_df_matches_duck
 
 from coolplaydruid_spark import contract
-from coolplaydruid_spark.contract import DUCK_TOKS, _duck_bm25
-from coolplaydruid_spark.operators import corpus, importance, retrieval
+from coolplaydruid_spark.contract import (
+    DUCK_TOKS,
+    _duck_bm25,
+    _duck_bm25_batch,
+)
+from coolplaydruid_spark.operators import corpus, importance, retrieval, text
 
 N_SPECS = int(os.environ.get("FUZZ_N", "60"))
 SEED = int(os.environ.get("FUZZ_SEED", "20260814"))
@@ -56,6 +60,84 @@ def test_fuzz_bm25(spark, duck):
             _docs(spark, SF_DIR), terms, top_k=top_k, k1=k1, b=b)
         assert_df_matches_duck(
             got, duck, _duck_bm25(terms, top_k, k1, b))
+
+
+def test_fuzz_bm25_batch(spark, duck):
+    """Batch BM25 shares the single-query formula but takes the term-
+    join plan — the fuzzer draws random query BATCHES so both plans
+    stay pinned to one oracle builder."""
+    from conftest import SF_DIR
+
+    rng = random.Random(SEED + 84)
+    for _ in range(max(5, N_SPECS // 8)):
+        n_q = rng.randint(1, 3)
+        queries = [
+            (qid, " ".join(rng.sample(VOCAB, rng.randint(1, 4))))
+            for qid in range(1, n_q + 1)
+        ]
+        k1 = rng.choice([0.9, 1.2, 2.0])
+        b = rng.choice([0.0, 0.4, 0.75])
+        top_k = rng.randint(2, 12)
+        qdf = spark.createDataFrame(queries, "query_id long, query string")
+        got = retrieval.bm25_batch_topk(
+            _docs(spark, SF_DIR), qdf, top_k=top_k, k1=k1, b=b)
+        assert_df_matches_duck(
+            got, duck, _duck_bm25_batch(queries, top_k, k1=k1, b=b))
+
+
+def _duck_bigram(vocab: int, bigrams: int, lam: float) -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
+    pairs AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)),
+                         i -> array_to_string(list_slice(t, i, i + 1), ' '))
+                    ELSE CAST([] AS VARCHAR[]) END) AS pair,
+             unnest(CASE WHEN len(t) >= 2 THEN list_slice(t, 2, len(t))
+                    ELSE CAST([] AS VARCHAR[]) END) AS tok
+      FROM toks
+    ),
+    pc AS (SELECT pair, count(*) AS cbi FROM pairs GROUP BY 1),
+    prevc AS (
+      SELECT split_part(pair, ' ', 1) AS prev, count(*) AS cprev
+      FROM pairs GROUP BY 1
+    ),
+    pmodel AS (
+      SELECT pair, CAST(cbi AS DOUBLE) / CAST(cprev AS DOUBLE) AS pbi
+      FROM pc JOIN prevc ON split_part(pc.pair, ' ', 1) = prevc.prev
+      ORDER BY cbi DESC, pair ASC LIMIT {bigrams}
+    ),
+    uc AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS T FROM uc),
+    vocab AS (SELECT tok, c FROM uc ORDER BY c DESC, tok ASC LIMIT {vocab})
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(-log2(
+             {lam} * coalesce(pbi, 0.0)
+             + (1.0 - {lam}) * (coalesce(v.c, 1) * 1.0 / T)
+           )), 6) AS nll_per_pair
+    FROM pairs
+    LEFT JOIN pmodel USING (pair)
+    LEFT JOIN vocab v USING (tok)
+    CROSS JOIN tot
+    GROUP BY doc_id
+    """
+
+
+def test_fuzz_bigram_nll(spark, duck):
+    from conftest import SF_DIR
+
+    rng = random.Random(SEED + 85)
+    for _ in range(max(4, N_SPECS // 10)):
+        v = rng.choice([20, 50, 100, 200])
+        bsz = rng.choice([50, 100, 300])
+        lam = rng.choice([0.3, 0.5, 0.7, 0.9])
+        got = text.bigram_logprob_score(
+            _docs(spark, SF_DIR), vocab_size=v, bigram_size=bsz, lam=lam)
+        assert_df_matches_duck(got, duck, _duck_bigram(v, bsz, lam))
 
 
 def _duck_dsir(tgt_where: str, buckets: int) -> str:

@@ -121,6 +121,44 @@ def test_dsir_prefers_target_like_docs(spark):
     assert got[1].n_tokens == 3 and got[3].n_tokens == 2
 
 
+def test_bm25_batch_equals_single_query(spark):
+    """Metamorphic identity: for any one query, the batch operator's
+    per-query slice must equal bm25_topk exactly (same formula, two
+    different plans — column folds vs term join)."""
+    docs = _docs(spark, [
+        (1, "cat cat dog bird"),
+        (2, "cat mouse"),
+        (3, "dog dog dog"),
+        (4, "bird cat dog"),
+        (5, "fish"),
+    ])
+    queries = spark.createDataFrame(
+        [(10, "cat dog"), (11, "bird fish zzz")],
+        "query_id long, query string")
+    batch = retrieval.bm25_batch_topk(docs, queries, top_k=4).collect()
+    for qid, qtext in [(10, "cat dog"), (11, "bird fish zzz")]:
+        single = [(r.doc_id, r.bm25)
+                  for r in retrieval.bm25_topk(docs, qtext, top_k=4).collect()]
+        got = [(r.doc_id, r.bm25) for r in batch if r.query_id == qid]
+        assert got == single, (qid, got, single)
+
+
+def test_bigram_nll_penalizes_atypical_order(spark):
+    from coolplaydruid_spark.operators import text as text_ops
+
+    rows = [(i, "the cat sat here") for i in range(10)]
+    rows += [(100, "the cat sat"),    # corpus-typical transitions
+             (101, "sat cat the"),    # same unigrams, unseen pairs
+             (102, "the")]            # < 2 tokens -> excluded
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text_ops.bigram_logprob_score(
+        docs, vocab_size=50, bigram_size=50).collect()}
+    assert 102 not in got
+    assert got[100].n_pairs == 2 and got[101].n_pairs == 2
+    # identical unigram multiset, so the gap is pure word-order signal
+    assert got[100].nll_per_pair < got[101].nll_per_pair
+
+
 def test_tfidf_top_terms_semantics(spark, duck):
     from coolplaydruid_spark.operators import corpus
 
