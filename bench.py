@@ -117,6 +117,30 @@ def _stage_totals(spark):
     return prev
 
 
+def _carry_sf1_evidence(payload: dict, prev: dict, tail: list) -> dict:
+    """A skipped, failed, or PARTIAL sf1 pass must not clobber a
+    previous complete evidence file: unless this run produced plan
+    metrics for every tail query, carry the previous artifact's sf1
+    sections forward (marked `sf1_carried_from_previous_run`), stashing
+    whatever this run did measure under `sf1_partial_attempt` so the
+    failure is debuggable. A query-3 crash used to leave a 2-entry
+    section in place, destroying the prior complete one and turning the
+    scale gate red with lost evidence (r8 review find)."""
+    if all(q in (payload.get("sf1_plan_metrics") or {}) for q in tail):
+        return payload
+    if prev.get("sf1_plan_metrics"):
+        partial = {
+            "sf1_tail_sec": payload.get("sf1_tail_sec"),
+            "sf1_plan_metrics": payload.get("sf1_plan_metrics"),
+        }
+        if partial["sf1_tail_sec"] or partial["sf1_plan_metrics"]:
+            payload["sf1_partial_attempt"] = partial
+        payload["sf1_tail_sec"] = prev["sf1_tail_sec"]
+        payload["sf1_plan_metrics"] = prev["sf1_plan_metrics"]
+        payload["sf1_carried_from_previous_run"] = True
+    return payload
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
@@ -257,7 +281,8 @@ def main() -> None:
                 if isinstance(stderr, bytes):
                     stderr = stderr.decode(errors="replace")
                 detail += " | stderr: " + stderr[-200:]
-            sf1_timings = {"error": detail}
+            # keep any timings already measured; mark the failure
+            sf1_timings["error"] = detail
 
     # Deterministic evidence → separate committed file, NOT the headline
     # line (the driver's tail capture truncated the r6 combined line).
@@ -271,17 +296,11 @@ def main() -> None:
         "sf1_tail_sec": sf1_timings,
         "sf1_plan_metrics": sf1_plan_metrics,
     }
-    # A skipped/failed sf1 pass must not clobber a complete evidence
-    # file: carry the previous run's sf1 sections forward, marked.
-    if not sf1_plan_metrics and Path(pm_out).exists():
-        try:
-            prev = json.load(open(pm_out))
-        except Exception:  # noqa: BLE001
-            prev = {}
-        if prev.get("sf1_plan_metrics"):
-            payload["sf1_tail_sec"] = prev["sf1_tail_sec"]
-            payload["sf1_plan_metrics"] = prev["sf1_plan_metrics"]
-            payload["sf1_carried_from_previous_run"] = True
+    try:
+        prev = json.load(open(pm_out)) if Path(pm_out).exists() else {}
+    except Exception:  # noqa: BLE001
+        prev = {}
+    _carry_sf1_evidence(payload, prev, SF1_TAIL)
     with open(pm_out, "w") as f:
         json.dump(payload, f, indent=1)
     print(f"wrote {pm_out}", file=sys.stderr)

@@ -4458,12 +4458,25 @@ def _duck_bm25_batch(queries: list[tuple[int, str]], top_k: int,
                      k1: float = 1.2, b: float = 0.75) -> str:
     """Batch-BM25 oracle with the exact FP op order of
     retrieval.bm25_batch_topk — parameterized so the fuzz surface and
-    the contract entry share one builder (same rule as _duck_bm25)."""
+    the contract entry share one builder (same rule as _duck_bm25).
+    Query tokenization mirrors operators/text.tokens() exactly —
+    lowercase + ASCII-only \\s+ split (Java regex \\s is ASCII; bare
+    Python str.split() would also split non-ASCII whitespace and
+    diverge) — and terms are SQL-escaped."""
+    import re as _re
+
     values = ", ".join(
-        f"({qid}, '{term}')"
+        "({}, '{}')".format(qid, term.replace("'", "''"))
         for qid, text_ in queries
-        for term in dict.fromkeys(text_.lower().split())
+        for term in dict.fromkeys(
+            t for t in _re.split(r"\s+", (text_ or "").lower().strip(),
+                                 flags=_re.ASCII)
+            if t
+        )
     )
+    if not values:
+        raise ValueError(
+            "batch BM25 oracle needs at least one non-empty query term")
     return f"""
     WITH qt(qid, term) AS (VALUES {values}),
     uq AS (SELECT DISTINCT term FROM qt),

@@ -482,6 +482,13 @@ def bigram_logprob_score(df: DataFrame, vocab_size: int = 100,
     data-scaled shuffle. The pair stream is rebuilt for the scoring
     pass (two scans end-to-end, like unigram_logprob_score's counts +
     probe split)."""
+    # λ = 1 would zero out the unigram floor: an out-of-model pair gives
+    # p = 0, where Spark's log2 returns NULL (avg silently skips) but
+    # SQL engines yield -inf — two different wrong answers. Reject it.
+    if not 0.0 <= lam < 1.0:
+        raise ValueError(f"lam must be in [0, 1), got {lam}")
+    if vocab_size <= 0 or bigram_size <= 0:
+        raise ValueError("vocab_size and bigram_size must be positive")
     toks = tokens(F.col(text_col))
     base = df.select(F.col(id_col), toks.alias("__t"))
     t = F.col("__t")

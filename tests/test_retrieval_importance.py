@@ -205,3 +205,32 @@ def test_dsir_plan_shape(spark):
     # stream never reshuffles for it (the doc-keyed agg is the only
     # data-scaled exchange)
     assert "BroadcastExchange" in plan
+
+
+def test_bm25_batch_oracle_builder_hardening():
+    """r8 review finds: terms must be SQL-escaped, tokenization must be
+    ASCII-whitespace (mirroring tokens()), and an all-empty query set
+    must raise instead of emitting `VALUES )`."""
+    import pytest as _pytest
+
+    from coolplaydruid_spark.contract import _duck_bm25_batch
+
+    sql = _duck_bm25_batch([(1, "o'brien estate")], 5)
+    assert "'o''brien'" in sql
+    # NBSP is NOT a separator for tokens() (Java ASCII \s) — the oracle
+    # must keep it inside one term
+    sql2 = _duck_bm25_batch([(1, "cat dog")], 5)
+    assert "'cat dog'" in sql2 and "'cat'," not in sql2
+    with _pytest.raises(ValueError):
+        _duck_bm25_batch([(1, "   "), (2, "")], 5)
+
+
+def test_bigram_lam_validation(spark):
+    from coolplaydruid_spark.operators import text as text_ops
+
+    docs = _docs(spark, [(1, "a b")])
+    for bad in (1.0, -0.1, 2.0):
+        with pytest.raises(ValueError):
+            text_ops.bigram_logprob_score(docs, lam=bad)
+    with pytest.raises(ValueError):
+        text_ops.bigram_logprob_score(docs, vocab_size=0)

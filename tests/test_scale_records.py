@@ -147,3 +147,33 @@ def test_plan_transition_joins_bounded_by_input(name):
     assert b["shuffle_write_records"] <= 2 * b["input_records"], (
         f"{name}: sf1 shuffle {b['shuffle_write_records']} exceeds 2× "
         f"input {b['input_records']} — more than a plan transition")
+
+
+def test_carry_sf1_evidence_on_partial_run():
+    """r8 review find: a query-3 crash used to leave a 2-entry sf1
+    section in place, clobbering the prior complete evidence and
+    turning this gate red — partial runs must carry the previous
+    sections forward, marked, with the partial attempt stashed."""
+    import bench
+
+    tail = ["q1", "q2", "q3"]
+    prev = {"sf1_tail_sec": {"q1": 1.0, "q2": 2.0, "q3": 3.0},
+            "sf1_plan_metrics": {q: {"input_records": 1} for q in tail}}
+    # partial current run (crashed after q1)
+    payload = {"sf1_tail_sec": {"q1": 0.9, "error": "boom"},
+               "sf1_plan_metrics": {"q1": {"input_records": 2}}}
+    out = bench._carry_sf1_evidence(payload, prev, tail)
+    assert out["sf1_carried_from_previous_run"] is True
+    assert out["sf1_plan_metrics"] == prev["sf1_plan_metrics"]
+    assert out["sf1_partial_attempt"]["sf1_tail_sec"]["error"] == "boom"
+    # complete current run passes through untouched
+    complete = {"sf1_tail_sec": {q: 1.0 for q in tail},
+                "sf1_plan_metrics": {q: {"input_records": 2} for q in tail}}
+    out2 = bench._carry_sf1_evidence(dict(complete), prev, tail)
+    assert "sf1_carried_from_previous_run" not in out2
+    assert out2["sf1_plan_metrics"] == complete["sf1_plan_metrics"]
+    # partial with NO previous evidence: left as-is (the gate then
+    # fails loudly, by design)
+    out3 = bench._carry_sf1_evidence(
+        {"sf1_tail_sec": {}, "sf1_plan_metrics": {"q1": {}}}, {}, tail)
+    assert "sf1_carried_from_previous_run" not in out3
