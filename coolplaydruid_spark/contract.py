@@ -4367,21 +4367,24 @@ def _duck_char_entropy() -> str:
     """
 
 
-@q(
-    "text_unigram_nll",
-    f"""
+def _duck_unigram_nll(vocab_size: int) -> str:
+    """Unigram-NLL oracle (shared by text_unigram_nll and
+    text_perplexity_buckets): mirrors text.unigram_logprob_score."""
+    return f"""
     WITH toks AS (
       SELECT doc_id, unnest({DUCK_TOKS}) AS tok FROM documents
     ), counts AS (
       SELECT tok, count(*) AS c FROM toks GROUP BY 1
     ), tot AS (SELECT CAST(sum(c) AS DOUBLE) AS T FROM counts),
-    vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok ASC LIMIT 100)
+    vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok ASC LIMIT {vocab_size})
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
            round(avg(-log2(coalesce(v.c, 1) * 1.0 / T)), 6) AS nll_per_token
     FROM toks LEFT JOIN vocab v USING (tok) CROSS JOIN tot
     GROUP BY doc_id
-    """,
-)
+    """
+
+
+@q("text_unigram_nll", _duck_unigram_nll(100))
 def text_unigram_nll(spark, sf_dir):
     """CCNet-style unigram LM quality proxy: mean -log2 p(token) under
     the corpus's own top-100 unigram model, count-1 smoothing for OOV.
@@ -4400,10 +4403,11 @@ def text_char_entropy(spark, sf_dir):
     return text.char_entropy(eng.catalog.table("documents"))
 
 
-def _duck_bm25(terms: list[str], top_k: int, k1: float, b: float) -> str:
-    """BM25 oracle with the exact floating-point op order of
-    operators/retrieval.bm25_topk (term scores summed left to right;
-    rounded before ordering so the top-k tie-break is deterministic)."""
+def _bm25_pieces(terms: list[str], k1: float, b: float) -> tuple[str, str, str, str]:
+    """The four SQL fragments of the BM25 oracle (tf columns, df
+    columns, left-to-right term-score sum, matched predicate) — shared
+    by _duck_bm25 and _duck_hybrid_rrf so both spell the identical
+    floating-point op order of operators/retrieval.bm25_topk."""
     tf_cols = ",\n             ".join(
         f"CAST(len(list_filter({DUCK_TOKS}, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
         for i, t in enumerate(terms)
@@ -4418,6 +4422,14 @@ def _duck_bm25(terms: list[str], top_k: int, k1: float, b: float) -> str:
         for i in range(len(terms))
     )
     matched = " + ".join(f"tf{i}" for i in range(len(terms)))
+    return tf_cols, df_cols, term_scores, matched
+
+
+def _duck_bm25(terms: list[str], top_k: int, k1: float, b: float) -> str:
+    """BM25 oracle with the exact floating-point op order of
+    operators/retrieval.bm25_topk (term scores summed left to right;
+    rounded before ordering so the top-k tie-break is deterministic)."""
+    tf_cols, df_cols, term_scores, matched = _bm25_pieces(terms, k1, b)
     return f"""
     WITH base AS (
       SELECT doc_id, CAST(len({DUCK_TOKS}) AS DOUBLE) AS dl,
@@ -5733,3 +5745,250 @@ def text_classifier_score(spark, sf_dir):
     for c in ("margin", "prob"):
         df = df.withColumn(c, F.round(F.col(c) + F.lit(1e-9), 4))
     return df
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions (second wave): Gopher repetition/quality rules, the
+# oracled IVF assignment pass, hybrid RRF retrieval, CCNet perplexity
+# bucketing. Oracle builders are parameterized so the pipeline-op fuzzer
+# can draw random parameters through the same SQL.
+# ---------------------------------------------------------------------------
+
+
+def _duck_dup_ngram(ns: tuple[int, ...]) -> str:
+    """Duplicated-n-gram char-fraction oracle: mirrors
+    text.dup_ngram_stats relationally (unnest + GROUP BY per n) — the
+    Spark side is a shuffle-free fold, the oracle is the set-based
+    restatement of the same character accounting."""
+    ctes, selects, joins = [], [], []
+    for n in ns:
+        grams = (
+            f"list_transform(range(1, len(t) - {n - 2}), "
+            f"i -> array_to_string(list_slice(t, i, i + {n - 1}), ' '))"
+        )
+        ctes.append(f"""
+    g{n} AS (SELECT doc_id, unnest(CASE WHEN len(t) >= {n} THEN {grams}
+             ELSE CAST([] AS VARCHAR[]) END) AS gm FROM toks),
+    c{n} AS (SELECT doc_id, gm, count(*) AS c FROM g{n} GROUP BY 1, 2),
+    s{n} AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_{n}grams,
+             round(CAST(sum(CASE WHEN c >= 2 THEN c * len(gm) ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(c * len(gm)) AS DOUBLE), 6) AS dup_{n}gram_char_frac
+             FROM c{n} GROUP BY 1)""")
+        selects.append(
+            f"coalesce(s{n}.n_{n}grams, 0) AS n_{n}grams, "
+            f"coalesce(s{n}.dup_{n}gram_char_frac, 0.0) AS dup_{n}gram_char_frac"
+        )
+        joins.append(f"LEFT JOIN s{n} ON d.doc_id = s{n}.doc_id")
+    return f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKS} AS t FROM documents),
+    {','.join(ctes)}
+    SELECT d.doc_id, {', '.join(selects)}
+    FROM documents d {' '.join(joins)}
+    """
+
+
+@q("text_dup_ngram_stats", _duck_dup_ngram((2, 3)))
+def text_dup_ngram_stats(spark, sf_dir):
+    """Gopher's duplicated-n-gram repetition signal (Rae et al. 2021
+    §A1.1): per document, the fraction of n-gram characters belonging
+    to n-grams occurring ≥ 2 times, for n = 2 and 3. Spark side is
+    map-only — run-length accounting over the SORTED per-document gram
+    array, no explode, zero shuffles."""
+    eng = engine_for(spark, sf_dir)
+    return text.dup_ngram_stats(eng.catalog.table("documents"), ns=(2, 3))
+
+
+def _duck_gopher(
+    min_words: int, max_words: int, min_mean: float, max_mean: float,
+    max_symbol: float, min_alpha: float, min_stop: int,
+) -> str:
+    """Gopher rule-filter oracle: same rounded signals, same fixed-order
+    fail-reason list as text.gopher_quality_filter."""
+    stoplist = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS["en"])
+    fails = f"""list_filter([
+      CASE WHEN n_words < {min_words} THEN 'too_few_words' END,
+      CASE WHEN n_words > {max_words} THEN 'too_many_words' END,
+      CASE WHEN mean_word_len < {min_mean} OR mean_word_len > {max_mean} THEN 'mean_word_len' END,
+      CASE WHEN symbol_word_ratio > {max_symbol} THEN 'symbol_ratio' END,
+      CASE WHEN alpha_word_frac < {min_alpha} THEN 'alpha_frac' END,
+      CASE WHEN stop_hits < {min_stop} THEN 'stopwords' END
+    ], x -> x IS NOT NULL)"""
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {DUCK_TOKS} AS t, coalesce(text, '') AS txt FROM documents
+    ), m AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+        CASE WHEN len(t) > 0 THEN round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t), 6) ELSE 0.0 END AS mean_word_len,
+        CASE WHEN len(t) > 0 THEN round(CAST(len(regexp_extract_all(txt, '[#…]')) AS DOUBLE) / len(t), 6) ELSE 0.0 END AS symbol_word_ratio,
+        CASE WHEN len(t) > 0 THEN round(CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(t), 6) ELSE 0.0 END AS alpha_word_frac,
+        CAST(len(list_intersect(list_distinct(t), [{stoplist}])) AS BIGINT) AS stop_hits
+      FROM base
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, alpha_word_frac,
+           stop_hits,
+           coalesce(array_to_string({fails}, ','), '') AS fail_reasons,
+           len({fails}) = 0 AS passes
+    FROM m
+    """
+
+
+# Thresholds tuned so the fixture corpus splits into a meaningful
+# pass/fail mix (12 distinct fail-reason combinations at sf0.001; the
+# published Gopher defaults fail every fixture doc on the same single
+# rule, which would prove nothing).
+_GOPHER_PARAMS = dict(min_words=40, max_words=80, min_mean=3.0, max_mean=4.6,
+                      max_symbol=0.1, min_alpha=0.8, min_stop=1)
+
+
+@q("text_gopher_filter", _duck_gopher(**_GOPHER_PARAMS))
+def text_gopher_filter(spark, sf_dir):
+    """Gopher rule-based quality filter (Rae et al. 2021 §A1.1): named
+    pass/fail heuristics with an explicit fail-reason trail per
+    document. Map-only — one projection over the scan."""
+    eng = engine_for(spark, sf_dir)
+    p = _GOPHER_PARAMS
+    return text.gopher_quality_filter(
+        eng.catalog.table("documents"),
+        min_words=p["min_words"], max_words=p["max_words"],
+        min_mean_word_len=p["min_mean"], max_mean_word_len=p["max_mean"],
+        max_symbol_word_ratio=p["max_symbol"],
+        min_alpha_word_frac=p["min_alpha"], min_stop_hits=p["min_stop"],
+    )
+
+
+def _duck_nearest_centroid(n_centroids: int) -> str:
+    """Nearest-centroid assignment oracle: centroids are the first
+    ``n_centroids`` vectors by id (deterministic, SQL-expressible);
+    every other vector goes to its argmax-cosine centroid, ties on the
+    rounded cosine toward the lowest centroid id."""
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {n_centroids}),
+    pts AS (SELECT vec_id, v FROM e WHERE vec_id >= {n_centroids}),
+    scored AS (
+      SELECT vec_id, centroid_id,
+             round(list_dot_product(v, cv) /
+                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6)
+               AS cosine
+      FROM pts CROSS JOIN cent
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cosine DESC, centroid_id) AS rn
+      FROM scored
+    )
+    SELECT vec_id, centroid_id, cosine FROM r WHERE rn = 1
+    """
+
+
+@q("embedding_nearest_centroid", _duck_nearest_centroid(8))
+def embedding_nearest_centroid(spark, sf_dir):
+    """The IVF/k-means ASSIGNMENT pass as a standalone exactly-oracled
+    operator (similarity.nearest_centroid): centroids broadcast,
+    scoring map-only, argmax via max_by partial aggregation — no
+    window, one id-keyed shuffle. Complements similarity_topk_ivf,
+    whose iterative training half is Python-validated: this pins the
+    relational half to an exact SQL oracle. Centroids here are the
+    first 8 corpus vectors by id so the oracle can name them."""
+    eng = engine_for(spark, sf_dir)
+    emb = eng.catalog.table("embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return similarity.nearest_centroid(emb.where(F.col("vec_id") >= 8), cent)
+
+
+def _duck_hybrid_rrf(
+    terms: list[str], query_id: int, top_k: int, pool: int, rrf_k: int,
+    k1: float = 1.2, b: float = 0.75,
+) -> str:
+    """Hybrid BM25+cosine RRF oracle: the BM25 leg reuses _bm25_pieces
+    (identical FP op order to retrieval.bm25_topk), the cosine leg the
+    embedding-oracle recipe; both rank top-``pool``, fuse as
+    1/(rrf_k+rank) sums, round 6, cut at ``top_k``."""
+    tf_cols, df_cols, term_scores, matched = _bm25_pieces(terms, k1, b)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, CAST(len({DUCK_TOKS}) AS DOUBLE) AS dl,
+             {tf_cols}
+      FROM documents WHERE doc_id <> {query_id}
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS N, avg(dl) AS avgdl, {df_cols}
+      FROM base
+    ), bm_pool AS (
+      SELECT doc_id, round({term_scores}, 6) AS bm25
+      FROM base CROSS JOIN stats
+      WHERE {matched} > 0
+      ORDER BY bm25 DESC, doc_id LIMIT {pool}
+    ), bm AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS bm25_rank
+      FROM bm_pool
+    ), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT v AS q FROM e WHERE vec_id = {query_id}),
+    scored AS (
+      SELECT vec_id AS doc_id,
+             round(list_dot_product(v, q) /
+                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q))), 6)
+               AS cosine
+      FROM e CROSS JOIN qv WHERE vec_id <> {query_id}
+    ), cosr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT) AS cosine_rank
+      FROM scored ORDER BY cosine DESC, doc_id LIMIT {pool}
+    ), fused AS (
+      SELECT coalesce(bm.doc_id, cosr.doc_id) AS doc_id,
+             round(coalesce(1.0 / ({rrf_k} + bm25_rank), 0.0)
+                   + coalesce(1.0 / ({rrf_k} + cosine_rank), 0.0), 6) AS rrf_score,
+             bm25_rank, cosine_rank
+      FROM bm FULL OUTER JOIN cosr ON bm.doc_id = cosr.doc_id
+    )
+    SELECT doc_id, rrf_score, bm25_rank, cosine_rank
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {top_k}
+    """
+
+
+@q("retrieval_hybrid_rrf",
+   _duck_hybrid_rrf(["spark", "join", "filter"], query_id=0, top_k=15,
+                    pool=50, rrf_k=60))
+def retrieval_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+dense retrieval fused by reciprocal rank
+    (Cormack et al. 2009) — the production RAG shape: BM25 and cosine
+    each rank a top-50 pool, rrf = Σ 1/(60+rank), top-15 cut. Both
+    legs are the already-scale-shaped operators; the fusion join
+    touches 2×pool rows (operators/retrieval.hybrid_rrf_topk)."""
+    eng = engine_for(spark, sf_dir)
+    return retrieval.hybrid_rrf_topk(
+        eng.catalog.table("documents"), eng.catalog.table("embeddings"),
+        "spark join filter", query_id=0, top_k=15, pool=50, rrf_k=60,
+    )
+
+
+def _duck_perplexity_buckets(vocab_size: int) -> str:
+    """CCNet bucket oracle over the shared unigram-NLL CTE: thresholds
+    via quantile_cont (bit-identical to Spark's percentile(), verified
+    at both test scale factors), head/middle/tail split at 1/3, 2/3."""
+    return f"""
+    WITH nll AS ({_duck_unigram_nll(vocab_size)}),
+    th AS (SELECT quantile_cont(nll_per_token, [1.0/3, 2.0/3]) AS p FROM nll)
+    SELECT CASE WHEN nll_per_token <= p[1] THEN 'head'
+                WHEN nll_per_token <= p[2] THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(nll_per_token) AS min_nll,
+           max(nll_per_token) AS max_nll,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM nll CROSS JOIN th
+    GROUP BY 1
+    """
+
+
+@q("text_perplexity_buckets", _duck_perplexity_buckets(100))
+def text_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): the
+    corpus split into head/middle/tail at the 1/3 and 2/3 quantiles of
+    the unigram-NLL quality proxy — the standard quality-aware mixture
+    input. One single-row threshold aggregate broadcast into a
+    map-only CASE on top of unigram_logprob_score's shape
+    (operators/text.perplexity_buckets)."""
+    eng = engine_for(spark, sf_dir)
+    return text.perplexity_buckets(eng.catalog.table("documents"), vocab_size=100)

@@ -24,7 +24,7 @@ and column-pruned to the text + id columns.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from coolplaydruid_spark.operators.text import tokens
@@ -197,4 +197,70 @@ def bm25_batch_topk(
             F.col("__qid").alias(query_id_col), F.col(id_col), F.col("bm25")
         )
         .orderBy(query_id_col, F.col("bm25").desc(), F.col(id_col))
+    )
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_text: str | list[str],
+    query_id: int,
+    top_k: int = 10,
+    pool: int = 50,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+dense retrieval with reciprocal-rank fusion
+    (Cormack et al. 2009) — the production RAG shape: BM25 ranks the
+    corpus by ``query_text``, cosine ranks it by the query embedding
+    (the ``embeddings`` row with id ``query_id``; the document/embedding
+    tables share ids), and the two rankings fuse as
+
+        rrf(d) = Σ_rankings 1/(rrf_k + rank(d))
+
+    over each ranking's top-``pool`` candidates, a document missing
+    from a ranking contributing 0. The query's own document is
+    excluded from both sides. Returns the top-``top_k`` by
+    (rrf_score DESC, id) as (id, rrf_score, bm25_rank, cosine_rank)
+    with NULL for a side that did not retrieve the document. Ranks are
+    integers, so every rrf term is the same IEEE double in any engine;
+    the fused score rounds to 6 decimals before the cut.
+
+    100 TB shape: both legs are the already-scale-shaped operators
+    (bm25_topk: one-row broadcast stats + TakeOrderedAndProject;
+    brute_force_topk: broadcast query, corpus never shuffles); the
+    fusion join touches only 2×pool rows."""
+    from coolplaydruid_spark.operators.similarity import brute_force_topk
+
+    bm = bm25_topk(
+        docs.where(F.col(id_col) != query_id), query_text, top_k=pool,
+        text_col=text_col, id_col=id_col,
+    )
+    w_bm = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+    bm_ranked = bm.select(
+        F.col(id_col), F.row_number().over(w_bm).alias("bm25_rank")
+    )
+    cos = brute_force_topk(
+        embeddings.where(F.col(emb_id_col) != query_id),
+        embeddings.where(F.col(emb_id_col) == query_id).select(
+            F.col(emb_id_col).alias("query_id"), F.col(vec_col)
+        ),
+        k=pool, vec_col=vec_col, id_col=emb_id_col,
+    ).select(F.col("neighbor_id").alias(id_col), F.col("rank").alias("cosine_rank"))
+
+    fused = bm_ranked.join(cos, on=id_col, how="full_outer")
+    term = lambda rank: F.coalesce(  # noqa: E731
+        1.0 / (F.lit(float(rrf_k)) + F.col(rank)), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            F.col(id_col),
+            F.round(term("bm25_rank") + term("cosine_rank"), 6).alias("rrf_score"),
+            F.col("bm25_rank").cast("int").alias("bm25_rank"),
+            F.col("cosine_rank").cast("int").alias("cosine_rank"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+        .limit(int(top_k))
     )

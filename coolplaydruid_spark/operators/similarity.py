@@ -272,3 +272,59 @@ def lsh_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+def nearest_centroid(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid by cosine —
+    the IVF/k-means ASSIGNMENT pass as a standalone, exactly-oracled
+    operator (ivf_topk's iterative training is Python-validated; this
+    isolates the half of IVF that IS relational so SQL can check it).
+    ``centroids`` is any small (id, vector) frame — trained centroids,
+    or a deterministic subset of the corpus for testing.
+
+    Returns (id, centroid_id, cosine): one row per corpus vector, the
+    argmax-cosine centroid, ties broken toward the lowest centroid id
+    on the ROUNDED cosine (6 decimals) so the assignment is
+    engine-exact.
+
+    100 TB shape: centroids broadcast (they are model-sized by
+    definition); scoring is map-only against the broadcast; the argmax
+    is a max_by aggregation keyed on the vector id, so partial
+    aggregation reduces each partition to one candidate per vector
+    before the only shuffle (id-keyed, corpus-linear). No window, no
+    sort."""
+    c = centroids.select(
+        F.col(centroid_id_col).alias("__cid"),
+        _dvec(F.col(vec_col)).alias("__cvec"),
+        _norm(_dvec(F.col(vec_col))).alias("__cn"),
+    )
+    pts = corpus.select(
+        F.col(id_col),
+        _dvec(F.col(vec_col)).alias("__pvec"),
+        _norm(_dvec(F.col(vec_col))).alias("__pn"),
+    )
+    scored = pts.join(F.broadcast(c)).select(
+        F.col(id_col),
+        F.col("__cid"),
+        F.round(
+            _cosine(F.col("__pvec"), F.col("__cvec"), F.col("__pn"), F.col("__cn")), 6
+        ).alias("cosine"),
+    )
+    # argmax by (cosine DESC, centroid id ASC): max_by over a struct whose
+    # lexicographic order encodes exactly that tie-break.
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(F.col("__cid").alias("cid"), F.col("cosine").alias("cos")),
+            F.struct(F.col("cosine").alias("c"), (-F.col("__cid")).alias("nid")),
+        ).alias("__best")
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("__best.cid").alias(centroid_id_col),
+        F.col("__best.cos").alias("cosine"),
+    )

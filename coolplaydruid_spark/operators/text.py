@@ -555,3 +555,256 @@ def bigram_logprob_score(df: DataFrame, vocab_size: int = 100,
             F.round(F.avg(-F.log2(p)), 6).alias("nll_per_pair"),
         )
     )
+
+def ngrams(t: Column, n: int) -> Column:
+    """Word n-grams of a token array as space-joined strings (empty array
+    when the document has fewer than ``n`` tokens). Pure array transform —
+    no explode, stays inside the row."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if n == 1:
+        return t
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _dup_char_fold(sorted_grams: Column) -> Column:
+    """(dup_chars, total_chars) over a SORTED gram array, as one fold:
+    total = Σ length(g) over every occurrence; dup = the same sum
+    restricted to grams whose run length (= occurrence count, since the
+    array is sorted) is ≥ 2. Runs are flushed when the element changes
+    and once more at the end. Tokens are non-empty, so the '' sentinel
+    for ``prev`` can never collide with a real gram."""
+    zero = F.lit(0).cast("long")
+    stepped = F.aggregate(
+        sorted_grams,
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"),
+            zero.alias("total"), zero.alias("dup"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            ).alias("run"),
+            (acc["total"] + F.length(x)).alias("total"),
+            (
+                acc["dup"]
+                + F.when(
+                    (x != acc["prev"]) & (acc["run"] >= 2),
+                    acc["run"] * F.length(acc["prev"]),
+                ).otherwise(zero)
+            ).alias("dup"),
+        ),
+        lambda acc: F.struct(
+            (
+                acc["dup"]
+                + F.when(
+                    acc["run"] >= 2, acc["run"] * F.length(acc["prev"])
+                ).otherwise(zero)
+            ).alias("dup"),
+            acc["total"].alias("total"),
+        ),
+    )
+    return stepped
+
+
+def dup_ngram_stats(
+    df: DataFrame,
+    ns: tuple[int, ...] = (2, 3),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher's duplicated-n-gram repetition signal (Rae et al. 2021,
+    §A1.1), per document and per n in ``ns``: the fraction of n-gram
+    CHARACTERS that belong to n-grams occurring more than once in the
+    document. Complements repetition_signals (which reports only the
+    single most frequent token/bigram): a document stitched from many
+    different repeated phrases has a low top-n-gram share but a high
+    duplicated-n-gram fraction.
+
+    Character accounting rule (the operator contract, mirrored by the
+    oracle): each n-gram occurrence contributes length(gram) characters
+    — the space-joined string length — to the denominator, and to the
+    numerator iff that gram occurs ≥ 2 times in the document. Both sums
+    are exact integers, so the ratio is engine-identical; fractions are
+    rounded to 6 decimals; documents with fewer than n tokens report 0.
+
+    100 TB shape: map-only — duplicate counting is a single fold over
+    the SORTED per-document gram array (run-length accounting), so
+    there is no explode, no groupBy, and no shuffle; the cost is the
+    corpus scan."""
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    cols = [F.col(id_col)]
+    for n in ns:
+        grams = ngrams(F.col("__t"), n)
+        st = _dup_char_fold(F.array_sort(grams))
+        cols.append(F.size(grams).cast("long").alias(f"n_{n}grams"))
+        cols.append(
+            F.when(
+                st["total"] > 0,
+                F.round(st["dup"].cast("double") / st["total"], 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"dup_{n}gram_char_frac")
+        )
+    return base.select(*cols)
+
+
+# Gopher rule thresholds (Rae et al. 2021, §A1.1) — the defaults are the
+# published ones; every threshold is a keyword parameter.
+GOPHER_RULES = (
+    "too_few_words", "too_many_words", "mean_word_len",
+    "symbol_ratio", "alpha_frac", "stopwords",
+)
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021, §A1.1): the
+    named pass/fail heuristics a pretraining cleanup applies after
+    dedup, with an explicit reason trail per document:
+
+     - word count within [min_words, max_words]
+     - mean word length within [min_mean_word_len, max_mean_word_len]
+     - symbol-to-word ratio (# and … occurrences / words) ≤ max
+     - fraction of words containing an ASCII letter ≥ min_alpha_word_frac
+     - at least min_stop_hits DISTINCT English stopwords present
+
+    (The paper's line-shaped rules — bullet/ellipsis line fractions —
+    need newline structure the document model here doesn't carry; they
+    belong to a display-text variant.)
+
+    Returns (id, n_words, mean_word_len, symbol_word_ratio,
+    alpha_word_frac, stop_hits, fail_reasons, passes) where
+    fail_reasons is a comma-joined, fixed-order subset of GOPHER_RULES
+    and passes = (fail_reasons = ''). Ratios round to 6 decimals and
+    the THRESHOLD comparisons use the rounded values, so pass/fail is
+    engine-exact. Map-only: one projection over the scan, no shuffle."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    safe = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))  # noqa: E731
+    mean_len = F.round(
+        safe(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+            .cast("double"),
+            n,
+        ),
+        6,
+    )
+    n_symbols = F.size(F.regexp_extract_all(text, F.lit("[#…]"), 0))
+    symbol_ratio = F.round(safe(n_symbols.cast("double"), n), 6)
+    alpha_frac = F.round(
+        safe(
+            F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double"), n
+        ),
+        6,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]]),
+        )
+    )
+    fails = [
+        F.when(n < min_words, F.lit("too_few_words")),
+        F.when(n > max_words, F.lit("too_many_words")),
+        F.when(
+            (mean_len < min_mean_word_len) | (mean_len > max_mean_word_len),
+            F.lit("mean_word_len"),
+        ),
+        F.when(symbol_ratio > max_symbol_word_ratio, F.lit("symbol_ratio")),
+        F.when(alpha_frac < min_alpha_word_frac, F.lit("alpha_frac")),
+        F.when(stop_hits < min_stop_hits, F.lit("stopwords")),
+    ]
+    reasons = F.concat_ws(",", *fails)
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        reasons.alias("fail_reasons"),
+        (reasons == "").alias("passes"),
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    vocab_size: int | None = 100,
+    qs: tuple[float, ...] = (1.0 / 3, 2.0 / 3),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    approx: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank the
+    corpus by the unigram-NLL quality proxy (unigram_logprob_score) and
+    split it at the ``qs`` quantiles into len(qs)+1 labelled buckets —
+    head = most corpus-typical, tail = most atypical — the standard
+    input for quality-aware mixture weighting (sample more head, less
+    tail). Returns one row per bucket: (bucket, n_docs, min_nll,
+    max_nll, total_tokens).
+
+    Bucket rule (the operator contract): doc → labels[i] for the first
+    quantile threshold with nll ≤ q_i, else the last label. Thresholds
+    are EXACT interpolated percentiles over the rounded-to-6 NLLs —
+    Spark's percentile() and DuckDB's quantile_cont() produce
+    bit-identical doubles on identical inputs (verified at both test
+    scale factors), so the cut is engine-exact. min/max are over
+    rounded values; n_docs/total_tokens are integers.
+
+    Scale: everything is unigram_logprob_score's shape plus ONE
+    single-row threshold aggregate that is then broadcast into a
+    map-only CASE. Exact percentile() buffers the per-doc NLL column
+    on the final reducer — one double per document, fine into the
+    billions of docs; past that set ``approx=True``
+    (percentile_approx, bounded sketch memory, no SQL oracle)."""
+    if len(labels) != len(qs) + 1:
+        raise ValueError(
+            f"need len(qs)+1 labels, got {len(labels)} labels for {len(qs)} quantiles"
+        )
+    nll = unigram_logprob_score(
+        df, vocab_size=vocab_size, text_col=text_col, id_col=id_col
+    )
+    v = F.col("nll_per_token")
+    pct = (
+        F.percentile_approx(v, F.lit(list(qs)), F.lit(10_000))
+        if approx
+        else F.percentile(v, F.lit(list(qs)))
+    )
+    th = nll.agg(pct.alias("__p"))
+    bucket = F.lit(labels[-1])
+    for i in range(len(qs) - 1, -1, -1):
+        bucket = F.when(v <= F.element_at(F.col("__p"), i + 1), F.lit(labels[i])).otherwise(bucket)
+    return (
+        nll.crossJoin(F.broadcast(th))
+        .select(bucket.alias("bucket"), v.alias("__nll"), F.col("n_tokens"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("__nll").alias("min_nll"),
+            F.max("__nll").alias("max_nll"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )

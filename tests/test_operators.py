@@ -851,3 +851,170 @@ def test_random_projection_wrong_dim_raises(spark):
     )
     with _pytest.raises(Exception, match="expected 8-dim"):
         emb.random_projection(df, in_dim=8, out_dim=2).collect()
+
+
+# ---------------------------------------------------------------------------
+# Round-8 wave-2 operators: dup-ngram stats, Gopher filter, nearest
+# centroid, hybrid RRF, perplexity buckets.
+# ---------------------------------------------------------------------------
+
+
+def test_ngrams_helper(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a bb ccc dddd")], "doc_id long, text string")
+    row = df.select(
+        text.ngrams(text.tokens(F.col("text")), 1).alias("g1"),
+        text.ngrams(text.tokens(F.col("text")), 3).alias("g3"),
+        text.ngrams(text.tokens(F.col("text")), 5).alias("g5"),
+    ).collect()[0]
+    assert row["g1"] == ["a", "bb", "ccc", "dddd"]
+    assert row["g3"] == ["a bb ccc", "bb ccc dddd"]
+    assert row["g5"] == []  # fewer than n tokens
+    with pytest.raises(ValueError):
+        text.ngrams(F.col("text"), 0)
+
+
+def test_dup_ngram_stats_edge_cases(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # every bigram AND trigram duplicated
+            (2, "x y z x y"),        # "x y" ×2 of 4 bigrams; trigrams unique
+            (3, "solo"),             # no grams at all
+            (4, ""),                 # empty
+            (5, None),               # null == empty
+            (6, "aaaa b c aaaa b"),  # length-weighted: 12 of 21 bigram chars
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_2grams"], r["dup_2gram_char_frac"],
+            r["n_3grams"], r["dup_3gram_char_frac"],
+        )
+        for r in text.dup_ngram_stats(docs).collect()
+    }
+    assert got[1] == (3, 1.0, 2, 1.0)
+    # doc 2 bigrams: "x y"×2 (3 chars each), "y z", "z x" → 6/12
+    assert got[2] == (4, 0.5, 3, 0.0)
+    assert got[3] == (0, 0.0, 0, 0.0)
+    assert got[4] == (0, 0.0, 0, 0.0)
+    assert got[5] == (0, 0.0, 0, 0.0)
+    # doc 6 bigrams: "aaaa b"×2 (6 chars), "b c" (3), "c aaaa" (6) → 12/21
+    assert got[6] == (4, round(12 / 21, 6), 3, 0.0)
+
+
+def test_dup_ngram_stats_map_only(engine):
+    """Run-length accounting over sorted gram arrays — one projection,
+    no Exchange anywhere in the plan (the 100 TB cost is the scan)."""
+    df = text.dup_ngram_stats(engine.catalog.table("documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_gopher_filter_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat with a dog and a fish"),  # passes
+            (2, "short text"),                                    # too few words
+            (3, "no stop word token list here people talk lots"), # no stopwords
+            (4, "# # # the # # and # # # of # #"),                # symbols
+            (5, "1 2 3 4 5 6 7 8 the and"),                       # alpha frac
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["fail_reasons"], r["passes"])
+        for r in text.gopher_quality_filter(
+            docs, min_words=5, max_words=50, min_mean_word_len=1.0,
+            max_mean_word_len=10.0, min_stop_hits=2,
+        ).collect()
+    }
+    assert got[1] == ("", True)
+    assert got[2] == ("too_few_words,stopwords", False)
+    assert got[3] == ("stopwords", False)
+    assert got[4][0] == "symbol_ratio,alpha_frac"  # mostly-'#' tokens fail both
+    assert got[5][0] == "alpha_frac"
+    # reason order is fixed regardless of which rule is "worse"
+    assert got[2][0].startswith("too_few_words")
+
+
+def test_gopher_filter_map_only(engine):
+    df = text.gopher_quality_filter(engine.catalog.table("documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_nearest_centroid_assignment_and_ties(spark):
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    pts = spark.createDataFrame(
+        [
+            (10, [1.0, 0.1]),   # → centroid 0
+            (11, [0.1, 1.0]),   # → centroid 1
+            (12, [1.0, 1.0]),   # equal cosine to both → lowest id wins
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["centroid_id"], r["cosine"])
+        for r in similarity.nearest_centroid(pts, cent).collect()
+    }
+    assert got[10][0] == 0 and got[11][0] == 1
+    assert got[12] == (0, 0.707107)  # tie on rounded cosine → centroid 0
+    assert got[10][1] == got[11][1]  # symmetric cosines
+
+
+def test_nearest_centroid_plan_no_window(engine):
+    """argmax is max_by partial aggregation, not a window sort; the
+    centroid side is broadcast."""
+    emb = engine.catalog.table("embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    df = similarity.nearest_centroid(emb.where(F.col("vec_id") >= 8), cent)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_hybrid_rrf_fusion_math(engine):
+    from coolplaydruid_spark.operators import retrieval
+
+    rows = retrieval.hybrid_rrf_topk(
+        engine.catalog.table("documents"), engine.catalog.table("embeddings"),
+        "spark join filter", query_id=0, top_k=15, pool=50, rrf_k=60,
+    ).collect()
+    assert len(rows) == 15
+    assert all(r["doc_id"] != 0 for r in rows)  # query doc excluded
+    for r in rows:
+        terms = [
+            1.0 / (60 + rank)
+            for rank in (r["bm25_rank"], r["cosine_rank"])
+            if rank is not None
+        ]
+        assert terms, "a fused row must come from at least one ranking"
+        assert r["rrf_score"] == round(sum(terms), 6)
+        for rank in (r["bm25_rank"], r["cosine_rank"]):
+            assert rank is None or 1 <= rank <= 50
+    # fused-by-both rows outrank single-ranking rows of the same depths
+    both = [r for r in rows if r["bm25_rank"] and r["cosine_rank"]]
+    assert both, "pool=50 over 500 docs must produce overlap"
+
+
+def test_perplexity_buckets_partition_corpus(engine):
+    import pytest
+
+    docs = engine.catalog.table("documents")
+    rows = text.perplexity_buckets(docs, vocab_size=100).collect()
+    by = {r["bucket"]: r for r in rows}
+    assert set(by) == {"head", "middle", "tail"}
+    scored = docs.where(F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0)
+    assert sum(r["n_docs"] for r in rows) == scored.count()
+    # quantile split: bucket NLL ranges are ordered and non-overlapping
+    assert by["head"]["max_nll"] <= by["middle"]["min_nll"]
+    assert by["middle"]["max_nll"] <= by["tail"]["min_nll"]
+    with pytest.raises(ValueError):
+        text.perplexity_buckets(docs, qs=(0.5,), labels=("a", "b", "c"))
