@@ -207,6 +207,8 @@ def hybrid_rrf_topk(
     top_k: int = 10,
     pool: int = 50,
     rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
     emb_id_col: str = "vec_id",
@@ -236,7 +238,7 @@ def hybrid_rrf_topk(
 
     bm = bm25_topk(
         docs.where(F.col(id_col) != query_id), query_text, top_k=pool,
-        text_col=text_col, id_col=id_col,
+        k1=k1, b=b, text_col=text_col, id_col=id_col,
     )
     w_bm = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
     bm_ranked = bm.select(

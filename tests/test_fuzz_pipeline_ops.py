@@ -237,3 +237,112 @@ def test_fuzz_tfidf(spark, duck):
         got = corpus.tfidf_top_terms(
             _docs(spark, SF_DIR), group_col=group, k=k)
         assert_df_matches_duck(got, duck, _duck_tfidf(group, k))
+
+
+def test_fuzz_dup_ngram(spark, duck):
+    """dup_ngram_stats at random n-gram orders (the Spark fold and the
+    relational oracle share contract._duck_dup_ngram)."""
+    from coolplaydruid_spark.contract import _duck_dup_ngram
+
+    from conftest import SF_DIR
+
+    rng = random.Random(SEED + 86)
+    for _ in range(max(5, N_SPECS // 8)):
+        ns = tuple(sorted(rng.sample([1, 2, 3, 4, 5], rng.randint(1, 3))))
+        got = text.dup_ngram_stats(_docs(spark, SF_DIR), ns=ns)
+        assert_df_matches_duck(got, duck, _duck_dup_ngram(ns))
+
+
+def test_fuzz_gopher_filter(spark, duck):
+    """Gopher rule filter at random thresholds — pass/fail boundaries
+    move across the corpus, the fixed-order fail-reason strings must
+    match exactly."""
+    from coolplaydruid_spark.contract import _duck_gopher
+
+    from conftest import SF_DIR
+
+    rng = random.Random(SEED + 87)
+    for _ in range(max(6, N_SPECS // 6)):
+        p = dict(
+            min_words=rng.randint(0, 70),
+            max_words=rng.randint(55, 120),
+            min_mean=rng.choice([0.0, 3.0, 4.2, 4.5]),
+            max_mean=rng.choice([4.4, 4.6, 5.0, 10.0]),
+            max_symbol=rng.choice([0.0, 0.1]),
+            min_alpha=rng.choice([0.0, 0.5, 0.8, 1.0]),
+            min_stop=rng.randint(0, 3),
+        )
+        got = text.gopher_quality_filter(
+            _docs(spark, SF_DIR),
+            min_words=p["min_words"], max_words=p["max_words"],
+            min_mean_word_len=p["min_mean"], max_mean_word_len=p["max_mean"],
+            max_symbol_word_ratio=p["max_symbol"],
+            min_alpha_word_frac=p["min_alpha"], min_stop_hits=p["min_stop"],
+        )
+        assert_df_matches_duck(got, duck, _duck_gopher(**p))
+
+
+def test_fuzz_nearest_centroid(spark, duck):
+    """IVF assignment pass at random centroid counts (centroids = the
+    first n corpus vectors, so the oracle can name them)."""
+    from pyspark.sql import functions as F
+
+    from coolplaydruid_spark.contract import _duck_nearest_centroid, engine_for
+    from coolplaydruid_spark.operators import similarity
+
+    from conftest import SF_DIR
+
+    rng = random.Random(SEED + 88)
+    emb = engine_for(spark, SF_DIR).catalog.table("embeddings")
+    for _ in range(max(4, N_SPECS // 10)):
+        n = rng.randint(2, 32)
+        cent = emb.where(F.col("vec_id") < n).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        got = similarity.nearest_centroid(emb.where(F.col("vec_id") >= n), cent)
+        assert_df_matches_duck(got, duck, _duck_nearest_centroid(n))
+
+
+def test_fuzz_hybrid_rrf(spark, duck):
+    """RRF fusion at random term sets, query ids, pool depths, rrf_k
+    constants, and BM25 parameters — both legs and the fused cut pinned
+    to contract._duck_hybrid_rrf."""
+    from coolplaydruid_spark.contract import _duck_hybrid_rrf, engine_for
+
+    from conftest import SF_DIR
+
+    rng = random.Random(SEED + 89)
+    eng = engine_for(spark, SF_DIR)
+    for _ in range(max(4, N_SPECS // 10)):
+        terms = rng.sample(VOCAB, rng.randint(1, 3))
+        qid = rng.randint(0, 20)
+        pool = rng.randint(10, 80)
+        rrf_k = rng.choice([10, 60, 100])
+        top_k = rng.randint(5, 25)
+        k1 = rng.choice([0.9, 1.2, 2.0])
+        b = rng.choice([0.0, 0.75])
+        got = retrieval.hybrid_rrf_topk(
+            eng.catalog.table("documents"), eng.catalog.table("embeddings"),
+            terms, query_id=qid, top_k=top_k, pool=pool, rrf_k=rrf_k,
+            k1=k1, b=b,
+        )
+        assert_df_matches_duck(
+            got, duck,
+            _duck_hybrid_rrf(terms, query_id=qid, top_k=top_k, pool=pool,
+                             rrf_k=rrf_k, k1=k1, b=b),
+        )
+
+
+def test_fuzz_perplexity_buckets(spark, duck):
+    """CCNet bucketing at random vocabulary caps — the exact-percentile
+    thresholds must stay bit-identical between engines for every model
+    size."""
+    from coolplaydruid_spark.contract import _duck_perplexity_buckets
+
+    from conftest import SF_DIR
+
+    rng = random.Random(SEED + 90)
+    for _ in range(max(3, N_SPECS // 15)):
+        v = rng.choice([20, 50, 100, 200, 400])
+        got = text.perplexity_buckets(_docs(spark, SF_DIR), vocab_size=v)
+        assert_df_matches_duck(got, duck, _duck_perplexity_buckets(v))
