@@ -5992,3 +5992,88 @@ def text_perplexity_buckets(spark, sf_dir):
     (operators/text.perplexity_buckets)."""
     eng = engine_for(spark, sf_dir)
     return text.perplexity_buckets(eng.catalog.table("documents"), vocab_size=100)
+
+
+def _duck_quality_mixture(rates: dict[str, float], vocab_size: int) -> str:
+    """Quality-mixture oracle: the perplexity-bucket CTE plus the same
+    md5 gate arithmetic as the sampling oracles, rate chosen per
+    bucket."""
+    rate_case = "CASE bucket " + " ".join(
+        f"WHEN '{k}' THEN {int(v * _SAMPLE_DENOM)}"
+        for k, v in sorted(rates.items())
+    ) + " ELSE 0 END"
+    return f"""
+    WITH nll AS ({_duck_unigram_nll(vocab_size)}),
+    th AS (SELECT quantile_cont(nll_per_token, [1.0/3, 2.0/3]) AS p FROM nll),
+    labeled AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN nll_per_token <= p[1] THEN 'head'
+                  WHEN nll_per_token <= p[2] THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM nll CROSS JOIN th
+    )
+    SELECT doc_id, bucket, n_tokens FROM labeled
+    WHERE {_DUCK_BUCKET_ID} < {rate_case}
+    """
+
+
+_QUALITY_MIX_RATES = {"head": 1.0, "middle": 0.5, "tail": 0.1}
+
+
+@q("sampling_quality_mixture", _duck_quality_mixture(_QUALITY_MIX_RATES, 100))
+def sampling_quality_mixture(spark, sf_dir):
+    """The CCNet quality-weighted thinning recipe end-to-end: label
+    every document head/middle/tail by perplexity tercile, then keep
+    each bucket at its own deterministic md5 rate (1.0/0.5/0.1). The
+    composition proof for perplexity_bucket_labels × hash gating
+    (operators/sampling.quality_mixture)."""
+    eng = engine_for(spark, sf_dir)
+    return sampling.quality_mixture(
+        eng.catalog.table("documents"), rates=dict(_QUALITY_MIX_RATES),
+        vocab_size=100,
+    )
+
+
+def _duck_pmi(k: int, min_count: int) -> str:
+    """PMI collocation oracle: identical log2 expression grouping to
+    corpus.pmi_top_pairs."""
+    return f"""
+    WITH toks AS (SELECT {DUCK_TOKS} AS t FROM documents),
+    pairs AS (
+      SELECT unnest(CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)),
+                  i -> array_to_string(list_slice(t, i, i + 1), ' '))
+             ELSE CAST([] AS VARCHAR[]) END) AS pair
+      FROM toks
+    ),
+    pc AS (SELECT pair, CAST(count(*) AS BIGINT) AS n_pair FROM pairs GROUP BY 1),
+    ptot AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS P FROM pc),
+    uc AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1
+    ),
+    utot AS (SELECT CAST(sum(c) AS DOUBLE) AS T FROM uc)
+    SELECT pair, n_pair,
+           round(log2((CAST(n_pair AS DOUBLE) / P)
+                      / ((CAST(c1.c AS DOUBLE) / T) * (CAST(c2.c AS DOUBLE) / T))), 6)
+             AS pmi
+    FROM pc
+    JOIN uc c1 ON split_part(pair, ' ', 1) = c1.tok
+    JOIN uc c2 ON split_part(pair, ' ', -1) = c2.tok
+    CROSS JOIN ptot CROSS JOIN utot
+    WHERE n_pair >= {min_count}
+    ORDER BY pmi DESC, pair ASC
+    LIMIT {k}
+    """
+
+
+@q("corpus_pmi_top_pairs", _duck_pmi(40, 5))
+def corpus_pmi_top_pairs(spark, sf_dir):
+    """Top-40 adjacent word pairs by pointwise mutual information with
+    a min-count-5 floor (Church & Hanks 1990 collocations — the
+    tokenizer-merge / boilerplate-phrase mining statistic). Two
+    map-side-combined count aggregations; everything downstream is
+    vocabulary-bounded with broadcast unigram joins
+    (operators/corpus.pmi_top_pairs)."""
+    eng = engine_for(spark, sf_dir)
+    return corpus.pmi_top_pairs(eng.catalog.table("documents"), k=40, min_count=5)

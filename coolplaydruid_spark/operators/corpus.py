@@ -197,3 +197,69 @@ def tfidf_top_terms(
             score.alias("tfidf"),
         )
     )
+
+
+def pmi_top_pairs(
+    df: DataFrame, k: int = 50, min_count: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Top-k adjacent word pairs by pointwise mutual information — the
+    classic collocation/phrase-mining statistic (Church & Hanks 1990)
+    behind tokenizer-merge candidates and boilerplate-phrase detection:
+
+        pmi(w1 w2) = log2( (c(pair)/P) / ((c(w1)/T) · (c(w2)/T)) )
+
+    with P = total adjacent pairs and T = total tokens in the corpus.
+    Pairs below ``min_count`` are dropped (PMI of rare pairs is noise —
+    and the floor also bounds the candidate set). Returns
+    (pair, n_pair, pmi) by (pmi DESC, pair ASC), pmi rounded to 6
+    decimals before the cut so the ordering is engine-exact.
+
+    100 TB shape: pair and token counts are the two token-scaled
+    aggregations, both with map-side combine (executors emit their
+    distinct grams once); everything after operates on the
+    vocabulary-bounded count tables — the unigram side joins in twice
+    as a broadcast, and only the k heads cross the wire
+    (TakeOrderedAndProject)."""
+    tok_df = spread(df).select(tokens(F.col(text_col)).alias("__toks"))
+    t = F.col("__toks")
+    pair_arr = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(
+                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    pairs = tok_df.select(F.explode(pair_arr).alias("pair"))
+    pc = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    ptot = pc.agg(F.sum("n_pair").cast("double").alias("__P"))
+    uc = (
+        tok_df.select(F.explode(t).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    utot = uc.agg(F.sum("__c").cast("double").alias("__T"))
+
+    w1 = F.substring_index(F.col("pair"), " ", 1)
+    w2 = F.substring_index(F.col("pair"), " ", -1)
+    c1 = uc.select(F.col("tok").alias("__w1"), F.col("__c").alias("__c1"))
+    c2 = uc.select(F.col("tok").alias("__w2"), F.col("__c").alias("__c2"))
+    pmi = F.log2(
+        (F.col("n_pair").cast("double") / F.col("__P"))
+        / (
+            (F.col("__c1").cast("double") / F.col("__T"))
+            * (F.col("__c2").cast("double") / F.col("__T"))
+        )
+    )
+    return (
+        pc.where(F.col("n_pair") >= int(min_count))
+        .join(F.broadcast(c1), w1 == F.col("__w1"))
+        .join(F.broadcast(c2), w2 == F.col("__w2"))
+        .crossJoin(F.broadcast(ptot))
+        .crossJoin(F.broadcast(utot))
+        .select("pair", "n_pair", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("pair").asc())
+        .limit(int(k))
+    )

@@ -168,3 +168,48 @@ def sample_to_mixture(df: DataFrame, category_col: str,
         .where(hash_bucket(F.col(id_col), salt) < F.col("__gate"))
         .drop("__gate")
     )
+
+
+def quality_mixture(
+    df: DataFrame,
+    rates: dict[str, float] | None = None,
+    vocab_size: int | None = 100,
+    salt: str = "",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-weighted corpus thinning — the CCNet recipe end-to-end:
+    label every document head/middle/tail by perplexity tercile
+    (text.perplexity_bucket_labels), then keep each bucket at its own
+    deterministic hash rate (default: all of head, half of middle, a
+    tenth of tail). The standard 'sample more of the good stuff' pass
+    between cleaning and tokenization.
+
+    Returns the KEPT documents as (id, bucket, n_tokens). The gate is
+    the same md5 arithmetic as hash_sample, so kept sets are
+    deterministic, engine-mirrorable, nested across rates, and stable
+    as the corpus grows.
+
+    Scale: the labelling pass is perplexity_bucket_labels' shape
+    (bounded-vocab broadcast + one threshold row); the gate is map-only
+    on top of it. Nothing here shuffles beyond the NLL scoring
+    itself."""
+    from coolplaydruid_spark.operators.text import perplexity_bucket_labels
+
+    if rates is None:
+        rates = {"head": 1.0, "middle": 0.5, "tail": 0.1}
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {v}")
+    labeled = perplexity_bucket_labels(
+        df, vocab_size=vocab_size, text_col=text_col, id_col=id_col
+    )
+    unknown = set(rates) - {"head", "middle", "tail"}
+    if unknown:
+        raise ValueError(f"unknown bucket labels in rates: {sorted(unknown)}")
+    rate = F.lit(0)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col("bucket") == F.lit(k), F.lit(int(v * _DENOM))).otherwise(rate)
+    return labeled.where(hash_bucket(F.col(id_col), salt) < rate).select(
+        F.col(id_col), F.col("bucket"), F.col("n_tokens")
+    )

@@ -780,6 +780,35 @@ def perplexity_buckets(
     on the final reducer — one double per document, fine into the
     billions of docs; past that set ``approx=True``
     (percentile_approx, bounded sketch memory, no SQL oracle)."""
+    labeled = perplexity_bucket_labels(
+        df, vocab_size=vocab_size, qs=qs, labels=labels, approx=approx,
+        text_col=text_col, id_col=id_col,
+    )
+    return (
+        labeled.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("nll_per_token").alias("min_nll"),
+            F.max("nll_per_token").alias("max_nll"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+def perplexity_bucket_labels(
+    df: DataFrame,
+    vocab_size: int | None = 100,
+    qs: tuple[float, ...] = (1.0 / 3, 2.0 / 3),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    approx: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document form of perplexity_buckets: (id, n_tokens,
+    nll_per_token, bucket) — the composable labelling pass that
+    quality-aware downstream steps (mixture sampling, per-bucket caps)
+    join against. Same bucket rule, thresholds, and scale shape as
+    perplexity_buckets (which is this plus a bucket-keyed rollup)."""
     if len(labels) != len(qs) + 1:
         raise ValueError(
             f"need len(qs)+1 labels, got {len(labels)} labels for {len(qs)} quantiles"
@@ -797,14 +826,6 @@ def perplexity_buckets(
     bucket = F.lit(labels[-1])
     for i in range(len(qs) - 1, -1, -1):
         bucket = F.when(v <= F.element_at(F.col("__p"), i + 1), F.lit(labels[i])).otherwise(bucket)
-    return (
-        nll.crossJoin(F.broadcast(th))
-        .select(bucket.alias("bucket"), v.alias("__nll"), F.col("n_tokens"))
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.min("__nll").alias("min_nll"),
-            F.max("__nll").alias("max_nll"),
-            F.sum("n_tokens").cast("long").alias("total_tokens"),
-        )
+    return nll.crossJoin(F.broadcast(th)).select(
+        F.col(id_col), F.col("n_tokens"), v, bucket.alias("bucket")
     )

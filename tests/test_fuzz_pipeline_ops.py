@@ -346,3 +346,38 @@ def test_fuzz_perplexity_buckets(spark, duck):
         v = rng.choice([20, 50, 100, 200, 400])
         got = text.perplexity_buckets(_docs(spark, SF_DIR), vocab_size=v)
         assert_df_matches_duck(got, duck, _duck_perplexity_buckets(v))
+
+
+def test_fuzz_quality_mixture(spark, duck):
+    """Quality-weighted thinning at random per-bucket rates and model
+    sizes — the bucket labelling AND the md5 gate must agree."""
+    from coolplaydruid_spark.contract import _duck_quality_mixture
+    from coolplaydruid_spark.operators import sampling
+
+    from conftest import SF_DIR
+
+    rng = random.Random(SEED + 91)
+    for _ in range(max(3, N_SPECS // 15)):
+        rates = {
+            "head": rng.choice([1.0, 0.9, 0.5]),
+            "middle": rng.choice([0.5, 0.25, 0.0]),
+            "tail": rng.choice([0.1, 0.01, 0.0]),
+        }
+        v = rng.choice([50, 100, 200])
+        got = sampling.quality_mixture(
+            _docs(spark, SF_DIR), rates=rates, vocab_size=v)
+        assert_df_matches_duck(got, duck, _duck_quality_mixture(rates, v))
+
+
+def test_fuzz_pmi(spark, duck):
+    """PMI collocations at random k / min-count floors."""
+    from coolplaydruid_spark.contract import _duck_pmi
+
+    from conftest import SF_DIR
+
+    rng = random.Random(SEED + 92)
+    for _ in range(max(3, N_SPECS // 15)):
+        k = rng.randint(5, 60)
+        m = rng.randint(1, 10)
+        got = corpus.pmi_top_pairs(_docs(spark, SF_DIR), k=k, min_count=m)
+        assert_df_matches_duck(got, duck, _duck_pmi(k, m))

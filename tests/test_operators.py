@@ -1018,3 +1018,50 @@ def test_perplexity_buckets_partition_corpus(engine):
     assert by["middle"]["max_nll"] <= by["tail"]["min_nll"]
     with pytest.raises(ValueError):
         text.perplexity_buckets(docs, qs=(0.5,), labels=("a", "b", "c"))
+
+
+def test_quality_mixture_composition(engine):
+    import pytest
+
+    from coolplaydruid_spark.operators import sampling
+
+    docs = engine.catalog.table("documents")
+    full = {"head": 1.0, "middle": 1.0, "tail": 1.0}
+    kept_all = sampling.quality_mixture(docs, rates=full)
+    labels = text.perplexity_bucket_labels(docs)
+    # rate-1.0 everywhere keeps exactly the labelled corpus
+    assert kept_all.count() == labels.count()
+    # nested property: the 10% gate is a subset of the 50% gate
+    lo = sampling.quality_mixture(docs, rates={"head": 0.1, "middle": 0.0, "tail": 0.0})
+    hi = sampling.quality_mixture(docs, rates={"head": 0.5, "middle": 0.0, "tail": 0.0})
+    lo_ids = {r["doc_id"] for r in lo.collect()}
+    hi_ids = {r["doc_id"] for r in hi.collect()}
+    assert lo_ids <= hi_ids
+    # head-only gates never emit other buckets
+    assert {r["bucket"] for r in hi.collect()} <= {"head"}
+    with pytest.raises(ValueError):
+        sampling.quality_mixture(docs, rates={"head": 1.5})
+    with pytest.raises(ValueError):
+        sampling.quality_mixture(docs, rates={"bogus": 0.5})
+
+
+def test_pmi_top_pairs_collocation(spark):
+    from coolplaydruid_spark.operators import corpus
+
+    # "aa bb" always adjacent (perfect collocation); "cc"/"dd" appear
+    # often but never adjacent to each other's partner.
+    docs = spark.createDataFrame(
+        [(i, "aa bb cc " + ("dd " * 3).strip()) for i in range(10)],
+        "doc_id long, text string",
+    )
+    rows = corpus.pmi_top_pairs(docs, k=10, min_count=2).collect()
+    by = {r["pair"]: r for r in rows}
+    assert "aa bb" in by
+    # P(aa bb) = P(aa) = P(bb): pmi = log2(P_tot/ (c/T)^2 * ...) > pmi of
+    # the frequent-but-independent "dd dd" transition
+    assert by["aa bb"]["pmi"] > by["dd dd"]["pmi"]
+    # min_count floor: every returned pair occurs at least twice
+    assert all(r["n_pair"] >= 2 for r in rows)
+    # ordering: pmi non-increasing
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
