@@ -45,27 +45,15 @@ def ngram_top_k(
     tokens contribute nothing. This is the corpus-statistics primitive
     behind BPE-merge candidate mining and boilerplate detection."""
     # Materialize the token array as a named column FIRST: inside the
-    # transform() lambda below, a bare tokens(text) expression would be
+    # gram-building transform(), a bare tokens(text) expression would be
     # re-evaluated (regex split and all) for every element of the
     # sequence — O(tokens^2) per document. A column reference binds the
     # array once per row (same rule as dedup.shingles).
+    from coolplaydruid_spark.operators.text import ngrams
+
     tok_df = spread(df).select(tokens(F.col(text_col)).alias("__toks"))
-    t = F.col("__toks")
-
-    def gram(i):
-        parts = []
-        for j in range(n):
-            if j:
-                parts.append(F.lit(" "))
-            parts.append(F.element_at(t, i + j))
-        return F.concat(*parts)
-
-    grams = F.when(
-        F.size(t) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)), gram),
-    ).otherwise(F.array().cast("array<string>"))
     return (
-        tok_df.select(F.explode(grams).alias("ngram"))
+        tok_df.select(F.explode(ngrams(F.col("__toks"), n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("ngram"))
@@ -216,23 +204,16 @@ def pmi_top_pairs(
 
     100 TB shape: pair and token counts are the two token-scaled
     aggregations, both with map-side combine (executors emit their
-    distinct grams once); everything after operates on the
-    vocabulary-bounded count tables — the unigram side joins in twice
-    as a broadcast, and only the k heads cross the wire
+    distinct grams once); everything after operates on the count
+    tables. The unigram joins are plain token-keyed shuffle joins — a
+    web-scale distinct-token table is NOT broadcastable (only the
+    single-row P/T totals are); only the k heads cross the wire
     (TakeOrderedAndProject)."""
+    from coolplaydruid_spark.operators.text import ngrams
+
     tok_df = spread(df).select(tokens(F.col(text_col)).alias("__toks"))
     t = F.col("__toks")
-    pair_arr = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat(
-                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-    pairs = tok_df.select(F.explode(pair_arr).alias("pair"))
+    pairs = tok_df.select(F.explode(ngrams(t, 2)).alias("pair"))
     pc = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
     ptot = pc.agg(F.sum("n_pair").cast("double").alias("__P"))
     uc = (
@@ -255,8 +236,8 @@ def pmi_top_pairs(
     )
     return (
         pc.where(F.col("n_pair") >= int(min_count))
-        .join(F.broadcast(c1), w1 == F.col("__w1"))
-        .join(F.broadcast(c2), w2 == F.col("__w2"))
+        .join(c1, w1 == F.col("__w1"))
+        .join(c2, w2 == F.col("__w2"))
         .crossJoin(F.broadcast(ptot))
         .crossJoin(F.broadcast(utot))
         .select("pair", "n_pair", F.round(pmi, 6).alias("pmi"))

@@ -201,12 +201,18 @@ def quality_mixture(
     for k, v in rates.items():
         if not 0.0 <= v <= 1.0:
             raise ValueError(f"rate for {k!r} must be in [0, 1], got {v}")
+    # Every bucket needs an EXPLICIT rate — a missing key silently
+    # dropping a third of the corpus is exactly the kind of quiet data
+    # loss a thinning pass must not allow.
+    expected = {"head", "middle", "tail"}
+    if set(rates) != expected:
+        raise ValueError(
+            f"rates must name exactly {sorted(expected)}; "
+            f"got {sorted(rates)}"
+        )
     labeled = perplexity_bucket_labels(
         df, vocab_size=vocab_size, text_col=text_col, id_col=id_col
     )
-    unknown = set(rates) - {"head", "middle", "tail"}
-    if unknown:
-        raise ValueError(f"unknown bucket labels in rates: {sorted(unknown)}")
     rate = F.lit(0)
     for k, v in sorted(rates.items()):
         rate = F.when(F.col("bucket") == F.lit(k), F.lit(int(v * _DENOM))).otherwise(rate)

@@ -563,7 +563,9 @@ def ngrams(t: Column, n: int) -> Column:
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if n == 1:
-        return t
+        # normalize NULL arrays too — every path of this function (and
+        # its oracles) returns an empty array, never NULL
+        return F.coalesce(t, F.array().cast("array<string>"))
     return F.when(
         F.size(t) >= n,
         F.transform(

@@ -873,6 +873,11 @@ def test_ngrams_helper(spark):
     assert row["g5"] == []  # fewer than n tokens
     with pytest.raises(ValueError):
         text.ngrams(F.col("text"), 0)
+    # review pin: a NULL raw array normalizes to [] on the n=1 path too
+    null_arr = spark.createDataFrame(
+        [(1, None)], "doc_id long, arr array<string>"
+    )
+    assert null_arr.select(text.ngrams(F.col("arr"), 1).alias("g")).collect()[0]["g"] == []
 
 
 def test_dup_ngram_stats_edge_cases(spark):
@@ -1040,9 +1045,12 @@ def test_quality_mixture_composition(engine):
     # head-only gates never emit other buckets
     assert {r["bucket"] for r in hi.collect()} <= {"head"}
     with pytest.raises(ValueError):
-        sampling.quality_mixture(docs, rates={"head": 1.5})
+        sampling.quality_mixture(docs, rates={"head": 1.5, "middle": 0, "tail": 0})
     with pytest.raises(ValueError):
         sampling.quality_mixture(docs, rates={"bogus": 0.5})
+    # review pin: a MISSING bucket key must raise, not silently drop it
+    with pytest.raises(ValueError):
+        sampling.quality_mixture(docs, rates={"head": 1.0})
 
 
 def test_pmi_top_pairs_collocation(spark):
