@@ -757,6 +757,7 @@ def perplexity_buckets(
     qs: tuple[float, ...] = (1.0 / 3, 2.0 / 3),
     labels: tuple[str, ...] = ("head", "middle", "tail"),
     approx: bool = False,
+    cache: bool = True,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -784,7 +785,7 @@ def perplexity_buckets(
     (percentile_approx, bounded sketch memory, no SQL oracle)."""
     labeled = perplexity_bucket_labels(
         df, vocab_size=vocab_size, qs=qs, labels=labels, approx=approx,
-        text_col=text_col, id_col=id_col,
+        cache=cache, text_col=text_col, id_col=id_col,
     )
     return (
         labeled.groupBy("bucket")
@@ -803,6 +804,7 @@ def perplexity_bucket_labels(
     qs: tuple[float, ...] = (1.0 / 3, 2.0 / 3),
     labels: tuple[str, ...] = ("head", "middle", "tail"),
     approx: bool = False,
+    cache: bool = True,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -810,7 +812,14 @@ def perplexity_bucket_labels(
     nll_per_token, bucket) — the composable labelling pass that
     quality-aware downstream steps (mixture sampling, per-bucket caps)
     join against. Same bucket rule, thresholds, and scale shape as
-    perplexity_buckets (which is this plus a bucket-keyed rollup)."""
+    perplexity_buckets (which is this plus a bucket-keyed rollup).
+
+    The per-doc NLL frame feeds BOTH the threshold aggregate and the
+    label projection; ``cache`` (default on) persists it — one
+    double+long per document — so the whole unigram-scoring subtree
+    (two corpus scans, a token-keyed shuffle) runs once instead of
+    twice. Set cache=False only when even the per-doc frame must not
+    be materialized."""
     if len(labels) != len(qs) + 1:
         raise ValueError(
             f"need len(qs)+1 labels, got {len(labels)} labels for {len(qs)} quantiles"
@@ -818,6 +827,8 @@ def perplexity_bucket_labels(
     nll = unigram_logprob_score(
         df, vocab_size=vocab_size, text_col=text_col, id_col=id_col
     )
+    if cache:
+        nll = nll.persist()
     v = F.col("nll_per_token")
     pct = (
         F.percentile_approx(v, F.lit(list(qs)), F.lit(10_000))
