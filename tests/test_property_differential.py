@@ -651,3 +651,98 @@ def test_span_stats_match_python_reference(spark, docs, window, within):
             df, window=window, within_doc=within).collect()
     }
     assert got == _py_span_stats(rows, window, within_doc=within), (docs, window, within)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c#…théé 12 ", min_size=0, max_size=40),
+        min_size=1, max_size=6,
+    ),
+    n=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=25, deadline=None)
+def test_dup_ngram_stats_matches_python_reference(spark, texts, n):
+    """The sorted-array run-length fold == a pure-Python character
+    accounting over the same ASCII-whitespace tokenization (arbitrary
+    texts: unicode letters, repeats, empty, whitespace runs)."""
+    import re as _re
+
+    from coolplaydruid_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r[f"n_{n}grams"], r[f"dup_{n}gram_char_frac"])
+        for r in text_ops.dup_ngram_stats(df, ns=(n,)).collect()
+    }
+    for i, t in enumerate(texts):
+        # Spark tokenization: Java \s+ is ASCII; empties filtered
+        toks = [x for x in _re.split(r"\s+", t.lower(), flags=_re.ASCII) if x]
+        grams = (
+            [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+            if len(toks) >= n else []
+        )
+        counts: dict[str, int] = {}
+        for g in grams:
+            counts[g] = counts.get(g, 0) + 1
+        total = sum(c * len(g) for g, c in counts.items())
+        dup = sum(c * len(g) for g, c in counts.items() if c >= 2)
+        frac = round(dup / total, 6) if total else 0.0
+        assert got[i] == (len(grams), frac), (t, n, got[i], (len(grams), frac))
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="the and with xx# …0 ", min_size=0, max_size=50),
+        min_size=1, max_size=6,
+    ),
+    min_words=st.integers(min_value=0, max_value=8),
+    min_stop=st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=25, deadline=None)
+def test_gopher_filter_matches_python_reference(spark, texts, min_words, min_stop):
+    """Gopher rules over arbitrary texts == a pure-Python evaluation of
+    the same rounded signals and fixed-order fail reasons."""
+    import re as _re
+
+    from coolplaydruid_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    params = dict(min_words=min_words, max_words=12, min_mean_word_len=1.5,
+                  max_mean_word_len=4.0, max_symbol_word_ratio=0.1,
+                  min_alpha_word_frac=0.5, min_stop_hits=min_stop)
+    got = {
+        r["doc_id"]: (r["n_words"], r["mean_word_len"], r["symbol_word_ratio"],
+                      r["alpha_word_frac"], r["stop_hits"], r["fail_reasons"],
+                      r["passes"])
+        for r in text_ops.gopher_quality_filter(df, **params).collect()
+    }
+    stopset = set(text_ops.LANG_STOPWORDS["en"])
+    for i, t in enumerate(texts):
+        toks = [x for x in _re.split(r"\s+", t.lower(), flags=_re.ASCII) if x]
+        nw = len(toks)
+        mean = round(sum(len(x) for x in toks) / nw, 6) if nw else 0.0
+        sym = round(sum(t.count(ch) for ch in "#…") / nw, 6) if nw else 0.0
+        alpha = (
+            round(sum(1 for x in toks if _re.search(r"[a-z]", x)) / nw, 6)
+            if nw else 0.0
+        )
+        stop = len(set(toks) & stopset)
+        fails = []
+        if nw < min_words:
+            fails.append("too_few_words")
+        if nw > 12:
+            fails.append("too_many_words")
+        if mean < 1.5 or mean > 4.0:
+            fails.append("mean_word_len")
+        if sym > 0.1:
+            fails.append("symbol_ratio")
+        if alpha < 0.5:
+            fails.append("alpha_frac")
+        if stop < min_stop:
+            fails.append("stopwords")
+        expect = (nw, mean, sym, alpha, stop, ",".join(fails), not fails)
+        assert got[i] == expect, (t, got[i], expect)

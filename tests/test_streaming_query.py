@@ -374,3 +374,48 @@ def test_kafka_stream_against_real_broker(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "tbl"))
     assert got.count() == len(rows)
     assert {r["event_type"] for r in got.collect()} == {"click", "view", "purchase"}
+
+
+def test_map_only_quality_ops_run_in_streaming(spark, tmp_path):
+    """The map-only pipeline signals (Gopher rules, dup-n-gram
+    fractions) are pure projections, so the SAME operator code runs
+    unchanged inside a Structured Streaming query — the cleaning half
+    of a realtime ingest pipeline. Stream results must equal the batch
+    run over the same rows."""
+    import json as _json
+
+    from coolplaydruid_spark.operators import text as text_ops
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    rows = [
+        {"doc_id": i, "text": f"the quick value {'dup dup ' * (i % 3)}row {i}"}
+        for i in range(20)
+    ]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema).format("json").load(str(src))
+    )
+
+    def transform(df):
+        g = text_ops.gopher_quality_filter(df, min_words=4, min_stop_hits=1)
+        d = text_ops.dup_ngram_stats(df, ns=(2,))
+        return g.join(d, on="doc_id")
+
+    out = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName("quality_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(120)
+
+    batch_df = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], schema
+    )
+    expected = {tuple(r) for r in transform(batch_df).collect()}
+    got = {tuple(r) for r in spark.sql("SELECT * FROM quality_stream").collect()}
+    assert got == expected and len(got) == 20
