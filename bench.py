@@ -41,6 +41,11 @@ SF1_TAIL = [
     "dedup_minhash_capped",
     "text_quality",
     "similarity_topk_brute",
+    # r8 wave 2: the quality/mixture/retrieval additions whose cost is
+    # data-dominated — record evidence for their scaling classes
+    "text_perplexity_buckets",
+    "corpus_pmi_top_pairs",
+    "retrieval_hybrid_rrf",
 ]
 
 BENCH_QUERIES = [
@@ -217,6 +222,29 @@ def main() -> None:
                         plan_metrics[name] = delta
     timings = {name: round(t, 3) for name, t in timings.items()}
     total = round(sum(timings.values()), 3)
+
+    # sf0.1 base records for sf1-tail queries OUTSIDE the headline set:
+    # test_scale_records needs a base denominator for every classified
+    # tail query, but the headline wall total must stay comparable
+    # round-over-round — so these run un-timed, min-shuffle-of-3, into
+    # plan_metrics only.
+    for name in SF1_TAIL:
+        if name in BENCH_QUERIES:
+            continue
+        fn = contract.QUERIES[name]
+        for _ in range(3):
+            spark.catalog.clearCache()
+            before = _stage_totals(spark)
+            fn(spark, sf_dir).collect()
+            if before is not None:
+                after = _stage_totals(spark)
+                if after is not None:
+                    delta = {k: after[k] - before[k] for k in _METRIC_FIELDS}
+                    cur = plan_metrics.get(name)
+                    if (cur is None
+                            or delta["shuffle_write_records"]
+                            < cur["shuffle_write_records"]):
+                        plan_metrics[name] = delta
 
     # sf1 tail: standing scaling evidence (SCALE.md "sf1 scaling
     # evidence"). Synthesized once into .benchdata/sf1 and reused across

@@ -40,7 +40,19 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ARTIFACT = os.environ.get(
     "PLANMETRICS_PATH", os.path.join(ROOT, "PLANMETRICS.json"))
 
-LINEAR = {"dedup_exact", "text_quality"}
+LINEAR = {
+    "dedup_exact", "text_quality",
+    # r8 wave 2. perplexity: token-keyed counts + doc-keyed NLL agg,
+    # both ~input. pmi: gram-keyed counts — observed SUB-linear (2.35×
+    # shuffle on 10× input: the distinct-gram vocabulary saturates).
+    # hybrid_rrf: the only data-scaled exchange is util.spread()'s
+    # parallelism-floor repartition inside the BM25 leg (observed 8.6×
+    # on 10× input) — linear by definition, and a no-op on a real
+    # cluster where the scan already has enough partitions; the
+    # algorithmic exchanges (stats row, 2×pool fusion) are constant.
+    "text_perplexity_buckets", "corpus_pmi_top_pairs",
+    "retrieval_hybrid_rrf",
+}
 # max allowed shuffle-growth / input-growth factor per blocked operator:
 # r6→r7 observed 1.4–2.0× (real collisions in a denser corpus); 5× is
 # far below the quadratic class (which would be ~input-ratio×, i.e. 10×
