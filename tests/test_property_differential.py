@@ -746,3 +746,51 @@ def test_gopher_filter_matches_python_reference(spark, texts, min_words, min_sto
             fails.append("stopwords")
         expect = (nw, mean, sym, alpha, stop, ",".join(fails), not fails)
         assert got[i] == expect, (t, got[i], expect)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab bb c é# ", min_size=0, max_size=30),
+        min_size=1, max_size=8,
+    ),
+    min_count=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=20, deadline=None)
+def test_pmi_matches_python_reference(spark, texts, min_count):
+    """PMI collocations over arbitrary texts == a pure-Python
+    reference: exact pair counts and membership, PMI within FP
+    tolerance, ordering consistent with the recomputed scores."""
+    import math
+    import re as _re
+
+    from coolplaydruid_spark.operators import corpus as corpus_ops
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = corpus_ops.pmi_top_pairs(df, k=1000, min_count=min_count).collect()
+
+    pair_counts: dict[str, int] = {}
+    tok_counts: dict[str, int] = {}
+    for t in texts:
+        toks = [x for x in _re.split(r"\s+", t.lower(), flags=_re.ASCII) if x]
+        for x in toks:
+            tok_counts[x] = tok_counts.get(x, 0) + 1
+        for j in range(len(toks) - 1):
+            g = toks[j] + " " + toks[j + 1]
+            pair_counts[g] = pair_counts.get(g, 0) + 1
+    P = sum(pair_counts.values())
+    T = sum(tok_counts.values())
+    expect = {g: c for g, c in pair_counts.items() if c >= min_count}
+    assert {r["pair"] for r in rows} == set(expect)
+    for r in rows:
+        g = r["pair"]
+        assert r["n_pair"] == expect[g]
+        w1, w2 = g.split(" ")
+        ref = math.log2(
+            (expect[g] / P) / ((tok_counts[w1] / T) * (tok_counts[w2] / T))
+        )
+        assert abs(r["pmi"] - round(ref, 6)) < 2e-6, (g, r["pmi"], ref)
+    # returned order is (pmi DESC, pair ASC)
+    keys = [(-r["pmi"], r["pair"]) for r in rows]
+    assert keys == sorted(keys)
