@@ -4367,12 +4367,15 @@ def _duck_char_entropy() -> str:
     """
 
 
-def _duck_unigram_nll(vocab_size: int) -> str:
-    """Unigram-NLL oracle (shared by text_unigram_nll and
-    text_perplexity_buckets): mirrors text.unigram_logprob_score."""
+def _duck_unigram_nll(vocab_size: int, src: str = "documents") -> str:
+    """Unigram-NLL oracle (shared by text_unigram_nll,
+    text_perplexity_buckets, and the composed pipeline entries):
+    mirrors text.unigram_logprob_score over ``src`` — the model trains
+    on whatever corpus the operator is given, so a filtered pipeline
+    stage passes its OWN survivor set here."""
     return f"""
     WITH toks AS (
-      SELECT doc_id, unnest({DUCK_TOKS}) AS tok FROM documents
+      SELECT doc_id, unnest({DUCK_TOKS}) AS tok FROM {src}
     ), counts AS (
       SELECT tok, count(*) AS c FROM toks GROUP BY 1
     ), tot AS (SELECT CAST(sum(c) AS DOUBLE) AS T FROM counts),
@@ -6077,3 +6080,125 @@ def corpus_pmi_top_pairs(spark, sf_dir):
     (operators/corpus.pmi_top_pairs)."""
     eng = engine_for(spark, sf_dir)
     return corpus.pmi_top_pairs(eng.catalog.table("documents"), k=40, min_count=5)
+
+
+@q(
+    "corpus_quality_report",
+    f"""
+    WITH gph AS ({_duck_gopher(**_GOPHER_PARAMS)}),
+    nll AS ({_duck_unigram_nll(100)}),
+    joined AS (
+      SELECT d.source, gph.passes, nll.n_tokens, nll.nll_per_token
+      FROM documents d
+      JOIN gph ON d.doc_id = gph.doc_id
+      JOIN nll ON d.doc_id = nll.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           round(sum(CASE WHEN passes THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS pass_rate,
+           round(avg(nll_per_token), 6) AS mean_nll,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM joined
+    GROUP BY source
+    """,
+)
+def corpus_quality_report(spark, sf_dir):
+    """Per-source corpus observability — the dashboard every pipeline
+    runs after a filter change: document counts, Gopher pass rates, and
+    mean unigram NLL per source. Composes the map-only rule filter with
+    the NLL scorer; the report aggregation is keyed on source
+    cardinality (tiny), with map-side combine."""
+    eng = engine_for(spark, sf_dir)
+    docs = eng.catalog.table("documents")
+    p = _GOPHER_PARAMS
+    g = text.gopher_quality_filter(
+        docs,
+        min_words=p["min_words"], max_words=p["max_words"],
+        min_mean_word_len=p["min_mean"], max_mean_word_len=p["max_mean"],
+        max_symbol_word_ratio=p["max_symbol"],
+        min_alpha_word_frac=p["min_alpha"], min_stop_hits=p["min_stop"],
+    ).select("doc_id", "passes")
+    nll = text.unigram_logprob_score(docs, vocab_size=100)
+    return (
+        docs.select("doc_id", "source")
+        .join(g, on="doc_id")
+        .join(nll, on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("passes").cast("long")).cast("long").alias("n_pass"),
+            F.round(
+                F.sum(F.col("passes").cast("long"))
+                / F.count(F.lit(1)).cast("double"), 6
+            ).alias("pass_rate"),
+            F.round(F.avg("nll_per_token"), 6).alias("mean_nll"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+@q(
+    "pipeline_quality_corpus",
+    f"""
+    WITH gph AS ({_duck_gopher(**_GOPHER_PARAMS)}),
+    dupg AS ({_duck_dup_ngram((2,))}),
+    keepdocs AS (
+      SELECT d.* FROM documents d
+      JOIN gph ON d.doc_id = gph.doc_id
+      JOIN dupg ON d.doc_id = dupg.doc_id
+      WHERE gph.passes AND dupg.dup_2gram_char_frac <= 0.6
+    ),
+    nll AS ({_duck_unigram_nll(100, 'keepdocs')}),
+    th AS (SELECT quantile_cont(nll_per_token, [1.0/3, 2.0/3]) AS p FROM nll),
+    labeled AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN nll_per_token <= p[1] THEN 'head'
+                  WHEN nll_per_token <= p[2] THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM nll CROSS JOIN th
+    ),
+    kept AS (
+      SELECT bucket, n_tokens FROM labeled
+      WHERE {_DUCK_BUCKET_ID} < CASE bucket
+        WHEN 'head' THEN {int(1.0 * _SAMPLE_DENOM)}
+        WHEN 'middle' THEN {int(0.5 * _SAMPLE_DENOM)}
+        WHEN 'tail' THEN {int(0.1 * _SAMPLE_DENOM)} ELSE 0 END
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM kept GROUP BY bucket
+    """,
+)
+def pipeline_quality_corpus(spark, sf_dir):
+    """The wave-2 cleaning recipe end-to-end, composed from the
+    operator library: Gopher rule filter → duplicated-bigram cut
+    (≤ 0.6 of bigram chars in duplicates) → CCNet perplexity terciles
+    TRAINED ON THE SURVIVORS → per-bucket deterministic thinning
+    (1.0/0.5/0.1) → per-bucket corpus stats. The filters are map-only;
+    the NLL model retrains on the filtered set exactly as a staged
+    pipeline would; the md5 gates keep the output reproducible."""
+    eng = engine_for(spark, sf_dir)
+    docs = eng.catalog.table("documents")
+    p = _GOPHER_PARAMS
+    g = text.gopher_quality_filter(
+        docs,
+        min_words=p["min_words"], max_words=p["max_words"],
+        min_mean_word_len=p["min_mean"], max_mean_word_len=p["max_mean"],
+        max_symbol_word_ratio=p["max_symbol"],
+        min_alpha_word_frac=p["min_alpha"], min_stop_hits=p["min_stop"],
+    ).where("passes").select("doc_id")
+    d2 = (
+        text.dup_ngram_stats(docs, ns=(2,))
+        .where(F.col("dup_2gram_char_frac") <= 0.6)
+        .select("doc_id")
+    )
+    keep = docs.join(g, on="doc_id").join(d2, on="doc_id")
+    mix = sampling.quality_mixture(
+        keep, rates={"head": 1.0, "middle": 0.5, "tail": 0.1}, vocab_size=100
+    )
+    return mix.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )

@@ -1073,3 +1073,21 @@ def test_pmi_top_pairs_collocation(spark):
     # ordering: pmi non-increasing
     pmis = [r["pmi"] for r in rows]
     assert pmis == sorted(pmis, reverse=True)
+
+
+def test_pipeline_quality_corpus_filters_bite(spark):
+    """The composed v2 pipeline must actually filter: survivors < corpus,
+    all three buckets present, head kept whole relative to its gate."""
+    from coolplaydruid_spark import contract
+
+    from tests.conftest import SF_DIR
+
+    rows = contract.QUERIES["pipeline_quality_corpus"](spark, SF_DIR).collect()
+    by = {r["bucket"]: r for r in rows}
+    assert set(by) == {"head", "middle", "tail"}
+    total_kept = sum(r["n_docs"] for r in rows)
+    n_docs = contract.engine_for(spark, SF_DIR).catalog.table("documents").count()
+    assert 0 < total_kept < n_docs
+    # thinning rates order the bucket survival (head gate 1.0 keeps all
+    # of its tercile; the terciles are near-equal thirds of survivors)
+    assert by["head"]["n_docs"] >= by["middle"]["n_docs"] >= by["tail"]["n_docs"]
