@@ -122,6 +122,21 @@ def _stage_totals(spark):
     return prev
 
 
+def _keep_min_shuffle(store: dict, name: str, before, after) -> None:
+    """Record this run's stage-metric delta for ``name``, keeping the
+    MINIMUM-shuffle run across passes: AQE join flips and persist-
+    eviction recompute make single-pass deltas plan-variant, and these
+    records are test_scale_records' ratio-gate numerators AND
+    denominators — all three recording sites (headline, sf0.1 tail
+    base, sf1 tail) must apply the identical rule or the ratios skew."""
+    if before is None or after is None:
+        return
+    delta = {k: after[k] - before[k] for k in _METRIC_FIELDS}
+    cur = store.get(name)
+    if cur is None or delta["shuffle_write_records"] < cur["shuffle_write_records"]:
+        store[name] = delta
+
+
 def _carry_sf1_evidence(payload: dict, prev: dict, tail: list) -> dict:
     """A skipped, failed, or PARTIAL sf1 pass must not clobber a
     previous complete evidence file: unless this run produced plan
@@ -205,21 +220,7 @@ def main() -> None:
             timings[name] = min(timings[name], time.perf_counter() - t0)
             assert rows is not None
             if before is not None:
-                after = _stage_totals(spark)
-                if after is not None:
-                    delta = {k: after[k] - before[k] for k in _METRIC_FIELDS}
-                    # keep the MINIMUM-shuffle pass, same rule as the
-                    # sf1 tail below: AQE join flips and persist-
-                    # eviction recompute make single-pass deltas
-                    # plan-variant, and these base records are the
-                    # DENOMINATOR of test_scale_records' ratio gate —
-                    # a one-pass outlier there would let a real sf1
-                    # regression slip under the cap
-                    cur = plan_metrics.get(name)
-                    if (cur is None
-                            or delta["shuffle_write_records"]
-                            < cur["shuffle_write_records"]):
-                        plan_metrics[name] = delta
+                _keep_min_shuffle(plan_metrics, name, before, _stage_totals(spark))
     timings = {name: round(t, 3) for name, t in timings.items()}
     total = round(sum(timings.values()), 3)
 
@@ -237,14 +238,7 @@ def main() -> None:
             before = _stage_totals(spark)
             fn(spark, sf_dir).collect()
             if before is not None:
-                after = _stage_totals(spark)
-                if after is not None:
-                    delta = {k: after[k] - before[k] for k in _METRIC_FIELDS}
-                    cur = plan_metrics.get(name)
-                    if (cur is None
-                            or delta["shuffle_write_records"]
-                            < cur["shuffle_write_records"]):
-                        plan_metrics[name] = delta
+                _keep_min_shuffle(plan_metrics, name, before, _stage_totals(spark))
 
     # sf1 tail: standing scaling evidence (SCALE.md "sf1 scaling
     # evidence"). Synthesized once into .benchdata/sf1 and reused across
@@ -275,32 +269,30 @@ def main() -> None:
                     check=True, capture_output=True, timeout=1200,
                 )
                 tmp_dir.rename(sf1_dir)
+            # The banded-join queries are the variance-prone ones: their
+            # operator-internal persist can evict under sf1 memory
+            # pressure and the recompute re-counts shingle-scale stages
+            # (measured 84k vs 3.0M shuffle records for the SAME query —
+            # a 3-run min missed the steady-state variant in 1 of 3
+            # bench invocations this round). Five runs drop the odds of
+            # an all-evicted min to noise for ~15s of wall clock.
+            extra_runs = {"dedup_minhash_lsh", "dedup_minhash_capped"}
             for name in SF1_TAIL:
                 fn = contract.QUERIES[name]
                 best = float("inf")
-                for run_i in range(3):
+                for run_i in range(5 if name in extra_runs else 3):
                     spark.catalog.clearCache()
                     before = _stage_totals(spark)
                     t0 = time.perf_counter()
                     fn(spark, str(sf1_dir)).collect()
                     best = min(best, time.perf_counter() - t0)
                     if before is not None:
-                        after = _stage_totals(spark)
-                        if after is not None:
-                            delta = {k: after[k] - before[k]
-                                     for k in _METRIC_FIELDS}
-                            # keep the MINIMUM-shuffle run: sf1 record
-                            # deltas are plan-variant run to run (AQE
-                            # join-strategy flips + persist-eviction
-                            # recompute re-counts stages — measured 84k
-                            # / 124k / 3.0M for the same minhash query),
-                            # so run 0 alone is noise; the min is the
-                            # intended steady-state plan
-                            cur = sf1_plan_metrics.get(name)
-                            if (cur is None
-                                    or delta["shuffle_write_records"]
-                                    < cur["shuffle_write_records"]):
-                                sf1_plan_metrics[name] = delta
+                        # sf1 record deltas measured 84k / 124k / 3.0M
+                        # for the same minhash query across runs — run 0
+                        # alone is noise; the min is the intended
+                        # steady-state plan
+                        _keep_min_shuffle(
+                            sf1_plan_metrics, name, before, _stage_totals(spark))
                 sf1_timings[name] = round(best, 3)
         except Exception as e:  # noqa: BLE001 - sf1 is evidence, not the gate
             detail = str(e)[:200]

@@ -5843,20 +5843,29 @@ _GOPHER_PARAMS = dict(min_words=40, max_words=80, min_mean=3.0, max_mean=4.6,
                       max_symbol=0.1, min_alpha=0.8, min_stop=1)
 
 
+def _spark_gopher(docs):
+    """gopher_quality_filter at _GOPHER_PARAMS — the single place the
+    oracle-builder parameter names map onto the operator's keyword
+    names (three contract entries share these thresholds with their
+    _duck_gopher oracles; a rename applied in one copy but not another
+    would silently desynchronize them)."""
+    p = _GOPHER_PARAMS
+    return text.gopher_quality_filter(
+        docs,
+        min_words=p["min_words"], max_words=p["max_words"],
+        min_mean_word_len=p["min_mean"], max_mean_word_len=p["max_mean"],
+        max_symbol_word_ratio=p["max_symbol"],
+        min_alpha_word_frac=p["min_alpha"], min_stop_hits=p["min_stop"],
+    )
+
+
 @q("text_gopher_filter", _duck_gopher(**_GOPHER_PARAMS))
 def text_gopher_filter(spark, sf_dir):
     """Gopher rule-based quality filter (Rae et al. 2021 §A1.1): named
     pass/fail heuristics with an explicit fail-reason trail per
     document. Map-only — one projection over the scan."""
     eng = engine_for(spark, sf_dir)
-    p = _GOPHER_PARAMS
-    return text.gopher_quality_filter(
-        eng.catalog.table("documents"),
-        min_words=p["min_words"], max_words=p["max_words"],
-        min_mean_word_len=p["min_mean"], max_mean_word_len=p["max_mean"],
-        max_symbol_word_ratio=p["max_symbol"],
-        min_alpha_word_frac=p["min_alpha"], min_stop_hits=p["min_stop"],
-    )
+    return _spark_gopher(eng.catalog.table("documents"))
 
 
 def _duck_nearest_centroid(n_centroids: int) -> str:
@@ -5990,8 +5999,8 @@ def text_perplexity_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): the
     corpus split into head/middle/tail at the 1/3 and 2/3 quantiles of
     the unigram-NLL quality proxy — the standard quality-aware mixture
-    input. One single-row threshold aggregate broadcast into a
-    map-only CASE on top of unigram_logprob_score's shape
+    input. One eager single-row threshold job folded into a map-only
+    CASE as literals on top of unigram_logprob_score's shape
     (operators/text.perplexity_buckets)."""
     eng = engine_for(spark, sf_dir)
     return text.perplexity_buckets(eng.catalog.table("documents"), vocab_size=100)
@@ -6112,14 +6121,7 @@ def corpus_quality_report(spark, sf_dir):
     cardinality (tiny), with map-side combine."""
     eng = engine_for(spark, sf_dir)
     docs = eng.catalog.table("documents")
-    p = _GOPHER_PARAMS
-    g = text.gopher_quality_filter(
-        docs,
-        min_words=p["min_words"], max_words=p["max_words"],
-        min_mean_word_len=p["min_mean"], max_mean_word_len=p["max_mean"],
-        max_symbol_word_ratio=p["max_symbol"],
-        min_alpha_word_frac=p["min_alpha"], min_stop_hits=p["min_stop"],
-    ).select("doc_id", "passes")
+    g = _spark_gopher(docs).select("doc_id", "passes")
     nll = text.unigram_logprob_score(docs, vocab_size=100)
     return (
         docs.select("doc_id", "source")
@@ -6181,14 +6183,7 @@ def pipeline_quality_corpus(spark, sf_dir):
     pipeline would; the md5 gates keep the output reproducible."""
     eng = engine_for(spark, sf_dir)
     docs = eng.catalog.table("documents")
-    p = _GOPHER_PARAMS
-    g = text.gopher_quality_filter(
-        docs,
-        min_words=p["min_words"], max_words=p["max_words"],
-        min_mean_word_len=p["min_mean"], max_mean_word_len=p["max_mean"],
-        max_symbol_word_ratio=p["max_symbol"],
-        min_alpha_word_frac=p["min_alpha"], min_stop_hits=p["min_stop"],
-    ).where("passes").select("doc_id")
+    g = _spark_gopher(docs).where("passes").select("doc_id")
     d2 = (
         text.dup_ngram_stats(docs, ns=(2,))
         .where(F.col("dup_2gram_char_frac") <= 0.6)

@@ -757,7 +757,6 @@ def perplexity_buckets(
     qs: tuple[float, ...] = (1.0 / 3, 2.0 / 3),
     labels: tuple[str, ...] = ("head", "middle", "tail"),
     approx: bool = False,
-    cache: bool = True,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -778,14 +777,14 @@ def perplexity_buckets(
     rounded values; n_docs/total_tokens are integers.
 
     Scale: everything is unigram_logprob_score's shape plus ONE
-    single-row threshold aggregate that is then broadcast into a
-    map-only CASE. Exact percentile() buffers the per-doc NLL column
+    eager single-row threshold job whose result folds into a map-only
+    CASE as literals. Exact percentile() buffers the per-doc NLL column
     on the final reducer — one double per document, fine into the
     billions of docs; past that set ``approx=True``
     (percentile_approx, bounded sketch memory, no SQL oracle)."""
     labeled = perplexity_bucket_labels(
         df, vocab_size=vocab_size, qs=qs, labels=labels, approx=approx,
-        cache=cache, text_col=text_col, id_col=id_col,
+        text_col=text_col, id_col=id_col,
     )
     return (
         labeled.groupBy("bucket")
@@ -804,7 +803,6 @@ def perplexity_bucket_labels(
     qs: tuple[float, ...] = (1.0 / 3, 2.0 / 3),
     labels: tuple[str, ...] = ("head", "middle", "tail"),
     approx: bool = False,
-    cache: bool = True,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -814,12 +812,14 @@ def perplexity_bucket_labels(
     join against. Same bucket rule, thresholds, and scale shape as
     perplexity_buckets (which is this plus a bucket-keyed rollup).
 
-    The per-doc NLL frame feeds BOTH the threshold aggregate and the
-    label projection; ``cache`` (default on) persists it — one
-    double+long per document — so the whole unigram-scoring subtree
-    (two corpus scans, a token-keyed shuffle) runs once instead of
-    twice. Set cache=False only when even the per-doc frame must not
-    be materialized."""
+    The quantile thresholds are computed EAGERLY (one Spark job at
+    call time; same build-the-model-on-the-driver precedent as
+    ivf_topk's centroids) and folded into the label projection as
+    literals. That keeps the operator leak-free — an internal
+    .persist() would pin an InMemoryRelation for the session lifetime
+    with no caller handle to unpersist — while each action still
+    computes the NLL subtree exactly once (threshold job once, the
+    downstream action once)."""
     if len(labels) != len(qs) + 1:
         raise ValueError(
             f"need len(qs)+1 labels, got {len(labels)} labels for {len(qs)} quantiles"
@@ -827,18 +827,18 @@ def perplexity_bucket_labels(
     nll = unigram_logprob_score(
         df, vocab_size=vocab_size, text_col=text_col, id_col=id_col
     )
-    if cache:
-        nll = nll.persist()
     v = F.col("nll_per_token")
     pct = (
         F.percentile_approx(v, F.lit(list(qs)), F.lit(10_000))
         if approx
         else F.percentile(v, F.lit(list(qs)))
     )
-    th = nll.agg(pct.alias("__p"))
+    th = nll.agg(pct.alias("__p")).collect()[0]["__p"]
     bucket = F.lit(labels[-1])
-    for i in range(len(qs) - 1, -1, -1):
-        bucket = F.when(v <= F.element_at(F.col("__p"), i + 1), F.lit(labels[i])).otherwise(bucket)
-    return nll.crossJoin(F.broadcast(th)).select(
+    if th is not None and all(t is not None for t in th):
+        for i in range(len(qs) - 1, -1, -1):
+            bucket = F.when(v <= F.lit(float(th[i])), F.lit(labels[i])).otherwise(bucket)
+    # else: empty corpus — no rows to label, the CASE never evaluates
+    return nll.select(
         F.col(id_col), F.col("n_tokens"), v, bucket.alias("bucket")
     )

@@ -411,7 +411,7 @@ def test_map_only_quality_ops_run_in_streaming(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    out.awaitTermination(120)
+    assert out.awaitTermination(120), "streaming batch did not finish in 120s"
 
     batch_df = spark.createDataFrame(
         [(r["doc_id"], r["text"]) for r in rows], schema
