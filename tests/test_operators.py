@@ -1091,3 +1091,25 @@ def test_pipeline_quality_corpus_filters_bite(spark):
     # thinning rates order the bucket survival (head gate 1.0 keeps all
     # of its tercile; the terciles are near-equal thirds of survivors)
     assert by["head"]["n_docs"] >= by["middle"]["n_docs"] >= by["tail"]["n_docs"]
+
+
+def test_wave2_ops_on_empty_corpus(spark):
+    """A staged pipeline can hand any of these an EMPTY survivor set
+    (every doc filtered upstream) — each must return an empty frame
+    with its normal schema, not raise. perplexity thresholds come back
+    NULL on an empty corpus; the label CASE never evaluates."""
+    from coolplaydruid_spark.operators import corpus as corpus_ops
+    from coolplaydruid_spark.operators import retrieval, sampling, similarity
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+
+    assert text.dup_ngram_stats(docs).count() == 0
+    assert text.gopher_quality_filter(docs).count() == 0
+    assert text.perplexity_bucket_labels(docs).count() == 0
+    assert text.perplexity_buckets(docs).count() == 0
+    assert sampling.quality_mixture(docs).count() == 0
+    assert corpus_ops.pmi_top_pairs(docs).count() == 0
+    assert similarity.nearest_centroid(emb, emb.withColumnRenamed(
+        "vec_id", "centroid_id")).count() == 0
+    assert retrieval.hybrid_rrf_topk(docs, emb, "spark join", query_id=0).count() == 0
