@@ -6141,18 +6141,29 @@ def corpus_quality_report(spark, sf_dir):
     )
 
 
-@q(
-    "pipeline_quality_corpus",
-    f"""
-    WITH gph AS ({_duck_gopher(**_GOPHER_PARAMS)}),
+_PIPELINE_RATES = {"head": 1.0, "middle": 0.5, "tail": 0.1}
+
+
+def _duck_quality_pipeline(
+    gopher_params: dict, dup_cut: float, rates: dict, vocab_size: int
+) -> str:
+    """End-to-end oracle for the composed v2 cleaning pipeline,
+    parameterized so the fuzzer can draw every stage's knobs through
+    the same SQL the contract entry uses."""
+    rate_case = "CASE bucket " + " ".join(
+        f"WHEN '{k}' THEN {int(v * _SAMPLE_DENOM)}"
+        for k, v in sorted(rates.items())
+    ) + " ELSE 0 END"
+    return f"""
+    WITH gph AS ({_duck_gopher(**gopher_params)}),
     dupg AS ({_duck_dup_ngram((2,))}),
     keepdocs AS (
       SELECT d.* FROM documents d
       JOIN gph ON d.doc_id = gph.doc_id
       JOIN dupg ON d.doc_id = dupg.doc_id
-      WHERE gph.passes AND dupg.dup_2gram_char_frac <= 0.6
+      WHERE gph.passes AND dupg.dup_2gram_char_frac <= {dup_cut}
     ),
-    nll AS ({_duck_unigram_nll(100, 'keepdocs')}),
+    nll AS ({_duck_unigram_nll(vocab_size, 'keepdocs')}),
     th AS (SELECT quantile_cont(nll_per_token, [1.0/3, 2.0/3]) AS p FROM nll),
     labeled AS (
       SELECT doc_id, n_tokens,
@@ -6163,15 +6174,45 @@ def corpus_quality_report(spark, sf_dir):
     ),
     kept AS (
       SELECT bucket, n_tokens FROM labeled
-      WHERE {_DUCK_BUCKET_ID} < CASE bucket
-        WHEN 'head' THEN {int(1.0 * _SAMPLE_DENOM)}
-        WHEN 'middle' THEN {int(0.5 * _SAMPLE_DENOM)}
-        WHEN 'tail' THEN {int(0.1 * _SAMPLE_DENOM)} ELSE 0 END
+      WHERE {_DUCK_BUCKET_ID} < {rate_case}
     )
     SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM kept GROUP BY bucket
-    """,
+    """
+
+
+def _spark_quality_pipeline(docs, gopher_params: dict, dup_cut: float,
+                            rates: dict, vocab_size: int):
+    """Spark side of the composed pipeline (shared by the contract
+    entry and the fuzzer — both must assemble the stages identically):
+    Gopher rules → duplicated-bigram cut → quality_mixture (terciles
+    retrained on the survivors + md5 thinning) → per-bucket stats."""
+    p = gopher_params
+    g = text.gopher_quality_filter(
+        docs,
+        min_words=p["min_words"], max_words=p["max_words"],
+        min_mean_word_len=p["min_mean"], max_mean_word_len=p["max_mean"],
+        max_symbol_word_ratio=p["max_symbol"],
+        min_alpha_word_frac=p["min_alpha"], min_stop_hits=p["min_stop"],
+    ).where("passes").select("doc_id")
+    d2 = (
+        text.dup_ngram_stats(docs, ns=(2,))
+        .where(F.col("dup_2gram_char_frac") <= dup_cut)
+        .select("doc_id")
+    )
+    keep = docs.join(g, on="doc_id").join(d2, on="doc_id")
+    mix = sampling.quality_mixture(keep, rates=dict(rates),
+                                   vocab_size=vocab_size)
+    return mix.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@q(
+    "pipeline_quality_corpus",
+    _duck_quality_pipeline(_GOPHER_PARAMS, 0.6, _PIPELINE_RATES, 100),
 )
 def pipeline_quality_corpus(spark, sf_dir):
     """The wave-2 cleaning recipe end-to-end, composed from the
@@ -6182,18 +6223,7 @@ def pipeline_quality_corpus(spark, sf_dir):
     the NLL model retrains on the filtered set exactly as a staged
     pipeline would; the md5 gates keep the output reproducible."""
     eng = engine_for(spark, sf_dir)
-    docs = eng.catalog.table("documents")
-    g = _spark_gopher(docs).where("passes").select("doc_id")
-    d2 = (
-        text.dup_ngram_stats(docs, ns=(2,))
-        .where(F.col("dup_2gram_char_frac") <= 0.6)
-        .select("doc_id")
-    )
-    keep = docs.join(g, on="doc_id").join(d2, on="doc_id")
-    mix = sampling.quality_mixture(
-        keep, rates={"head": 1.0, "middle": 0.5, "tail": 0.1}, vocab_size=100
-    )
-    return mix.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    return _spark_quality_pipeline(
+        eng.catalog.table("documents"), _GOPHER_PARAMS, 0.6,
+        _PIPELINE_RATES, 100,
     )

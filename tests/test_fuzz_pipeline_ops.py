@@ -381,3 +381,39 @@ def test_fuzz_pmi(spark, duck):
         m = rng.randint(1, 10)
         got = corpus.pmi_top_pairs(_docs(spark, SF_DIR), k=k, min_count=m)
         assert_df_matches_duck(got, duck, _duck_pmi(k, m))
+
+
+def test_fuzz_quality_pipeline_end_to_end(spark, duck):
+    """The COMPOSED v2 cleaning pipeline at random stage knobs (Gopher
+    thresholds x dup-bigram cut x per-bucket rates x vocabulary) —
+    the stages are individually fuzzed, this pins their composition
+    (survivor-set handoff, NLL retrained on the filtered corpus)
+    against one end-to-end oracle shared with the contract entry."""
+    from coolplaydruid_spark.contract import (
+        _duck_quality_pipeline,
+        _spark_quality_pipeline,
+    )
+
+    from conftest import SF_DIR
+
+    rng = random.Random(SEED + 93)
+    for _ in range(max(3, N_SPECS // 20)):
+        gp = dict(
+            min_words=rng.randint(0, 60),
+            max_words=rng.randint(60, 120),
+            min_mean=rng.choice([0.0, 3.0, 4.4]),
+            max_mean=rng.choice([4.5, 5.0, 10.0]),
+            max_symbol=0.1,
+            min_alpha=rng.choice([0.0, 0.8]),
+            min_stop=rng.randint(0, 2),
+        )
+        dup_cut = rng.choice([0.3, 0.5, 0.7, 1.0])
+        rates = {
+            "head": rng.choice([1.0, 0.8]),
+            "middle": rng.choice([0.5, 0.2]),
+            "tail": rng.choice([0.1, 0.0]),
+        }
+        v = rng.choice([50, 100, 200])
+        got = _spark_quality_pipeline(_docs(spark, SF_DIR), gp, dup_cut, rates, v)
+        assert_df_matches_duck(
+            got, duck, _duck_quality_pipeline(gp, dup_cut, rates, v))
