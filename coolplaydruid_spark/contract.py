@@ -5843,13 +5843,13 @@ _GOPHER_PARAMS = dict(min_words=40, max_words=80, min_mean=3.0, max_mean=4.6,
                       max_symbol=0.1, min_alpha=0.8, min_stop=1)
 
 
-def _spark_gopher(docs):
-    """gopher_quality_filter at _GOPHER_PARAMS — the single place the
-    oracle-builder parameter names map onto the operator's keyword
-    names (three contract entries share these thresholds with their
-    _duck_gopher oracles; a rename applied in one copy but not another
-    would silently desynchronize them)."""
-    p = _GOPHER_PARAMS
+def _spark_gopher(docs, params: dict | None = None):
+    """gopher_quality_filter at ``params`` (default _GOPHER_PARAMS) —
+    the SINGLE place the oracle-builder parameter names map onto the
+    operator's keyword names (every entry and fuzzer that pairs with a
+    _duck_gopher oracle must come through here; a rename applied to a
+    second copy of this mapping would silently desynchronize them)."""
+    p = params if params is not None else _GOPHER_PARAMS
     return text.gopher_quality_filter(
         docs,
         min_words=p["min_words"], max_words=p["max_words"],
@@ -6006,16 +6006,19 @@ def text_perplexity_buckets(spark, sf_dir):
     return text.perplexity_buckets(eng.catalog.table("documents"), vocab_size=100)
 
 
-def _duck_quality_mixture(rates: dict[str, float], vocab_size: int) -> str:
+def _duck_quality_mixture(rates: dict[str, float], vocab_size: int,
+                          src: str = "documents") -> str:
     """Quality-mixture oracle: the perplexity-bucket CTE plus the same
     md5 gate arithmetic as the sampling oracles, rate chosen per
-    bucket."""
+    bucket. ``src`` is the corpus the NLL model trains on — the
+    composed pipeline oracle passes its survivor CTE, same rule as
+    _duck_unigram_nll."""
     rate_case = "CASE bucket " + " ".join(
         f"WHEN '{k}' THEN {int(v * _SAMPLE_DENOM)}"
         for k, v in sorted(rates.items())
     ) + " ELSE 0 END"
     return f"""
-    WITH nll AS ({_duck_unigram_nll(vocab_size)}),
+    WITH nll AS ({_duck_unigram_nll(vocab_size, src)}),
     th AS (SELECT quantile_cont(nll_per_token, [1.0/3, 2.0/3]) AS p FROM nll),
     labeled AS (
       SELECT doc_id, n_tokens,
@@ -6141,19 +6144,14 @@ def corpus_quality_report(spark, sf_dir):
     )
 
 
-_PIPELINE_RATES = {"head": 1.0, "middle": 0.5, "tail": 0.1}
-
-
 def _duck_quality_pipeline(
     gopher_params: dict, dup_cut: float, rates: dict, vocab_size: int
 ) -> str:
     """End-to-end oracle for the composed v2 cleaning pipeline,
     parameterized so the fuzzer can draw every stage's knobs through
-    the same SQL the contract entry uses."""
-    rate_case = "CASE bucket " + " ".join(
-        f"WHEN '{k}' THEN {int(v * _SAMPLE_DENOM)}"
-        for k, v in sorted(rates.items())
-    ) + " ELSE 0 END"
+    the same SQL the contract entry uses. The tercile/gate block IS
+    _duck_quality_mixture over the survivor CTE — one copy of the
+    mixture SQL serves both entries."""
     return f"""
     WITH gph AS ({_duck_gopher(**gopher_params)}),
     dupg AS ({_duck_dup_ngram((2,))}),
@@ -6163,19 +6161,7 @@ def _duck_quality_pipeline(
       JOIN dupg ON d.doc_id = dupg.doc_id
       WHERE gph.passes AND dupg.dup_2gram_char_frac <= {dup_cut}
     ),
-    nll AS ({_duck_unigram_nll(vocab_size, 'keepdocs')}),
-    th AS (SELECT quantile_cont(nll_per_token, [1.0/3, 2.0/3]) AS p FROM nll),
-    labeled AS (
-      SELECT doc_id, n_tokens,
-             CASE WHEN nll_per_token <= p[1] THEN 'head'
-                  WHEN nll_per_token <= p[2] THEN 'middle'
-                  ELSE 'tail' END AS bucket
-      FROM nll CROSS JOIN th
-    ),
-    kept AS (
-      SELECT bucket, n_tokens FROM labeled
-      WHERE {_DUCK_BUCKET_ID} < {rate_case}
-    )
+    kept AS ({_duck_quality_mixture(rates, vocab_size, 'keepdocs')})
     SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM kept GROUP BY bucket
@@ -6188,14 +6174,7 @@ def _spark_quality_pipeline(docs, gopher_params: dict, dup_cut: float,
     entry and the fuzzer — both must assemble the stages identically):
     Gopher rules → duplicated-bigram cut → quality_mixture (terciles
     retrained on the survivors + md5 thinning) → per-bucket stats."""
-    p = gopher_params
-    g = text.gopher_quality_filter(
-        docs,
-        min_words=p["min_words"], max_words=p["max_words"],
-        min_mean_word_len=p["min_mean"], max_mean_word_len=p["max_mean"],
-        max_symbol_word_ratio=p["max_symbol"],
-        min_alpha_word_frac=p["min_alpha"], min_stop_hits=p["min_stop"],
-    ).where("passes").select("doc_id")
+    g = _spark_gopher(docs, gopher_params).where("passes").select("doc_id")
     d2 = (
         text.dup_ngram_stats(docs, ns=(2,))
         .where(F.col("dup_2gram_char_frac") <= dup_cut)
@@ -6212,7 +6191,7 @@ def _spark_quality_pipeline(docs, gopher_params: dict, dup_cut: float,
 
 @q(
     "pipeline_quality_corpus",
-    _duck_quality_pipeline(_GOPHER_PARAMS, 0.6, _PIPELINE_RATES, 100),
+    _duck_quality_pipeline(_GOPHER_PARAMS, 0.6, _QUALITY_MIX_RATES, 100),
 )
 def pipeline_quality_corpus(spark, sf_dir):
     """The wave-2 cleaning recipe end-to-end, composed from the
@@ -6225,5 +6204,5 @@ def pipeline_quality_corpus(spark, sf_dir):
     eng = engine_for(spark, sf_dir)
     return _spark_quality_pipeline(
         eng.catalog.table("documents"), _GOPHER_PARAMS, 0.6,
-        _PIPELINE_RATES, 100,
+        _QUALITY_MIX_RATES, 100,
     )
