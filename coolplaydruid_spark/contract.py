@@ -6206,3 +6206,51 @@ def pipeline_quality_corpus(spark, sf_dir):
         eng.catalog.table("documents"), _GOPHER_PARAMS, 0.6,
         _QUALITY_MIX_RATES, 100,
     )
+
+
+def _duck_overlap_matrix(group: str, k: int) -> str:
+    """Cross-group shingle-overlap oracle: same shingle rule as
+    dedup.shingles (short docs contribute their whole token sequence;
+    empty shingles dropped), distinct per group, pairwise shared
+    counts + Jaccard."""
+    grams = (
+        f"list_transform(range(1, len(t) - {k - 2}), "
+        f"i -> array_to_string(list_slice(t, i, i + {k - 1}), ' '))"
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {group} AS grp, {DUCK_TOKS} AS t FROM documents),
+    sh0 AS (
+      SELECT grp, CASE WHEN len(t) >= {k} THEN {grams}
+             ELSE [array_to_string(t, ' ')] END AS arr
+      FROM toks
+    ),
+    gsh AS (SELECT DISTINCT grp, unnest(arr) AS shingle FROM sh0),
+    gshf AS (SELECT grp, shingle FROM gsh WHERE shingle <> ''),
+    sizes AS (SELECT grp, count(*) AS n FROM gshf GROUP BY 1),
+    shared AS (
+      SELECT a.grp AS group_a, b.grp AS group_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM gshf a JOIN gshf b ON a.shingle = b.shingle AND a.grp < b.grp
+      GROUP BY 1, 2
+    )
+    SELECT group_a, group_b, n_shared,
+           round(CAST(n_shared AS DOUBLE)
+                 / CAST(sa.n + sb.n - n_shared AS DOUBLE), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON shared.group_a = sa.grp
+    JOIN sizes sb ON shared.group_b = sb.grp
+    """
+
+
+@q("corpus_overlap_matrix", _duck_overlap_matrix("source", 3))
+def corpus_overlap_matrix(spark, sf_dir):
+    """Cross-subcorpus duplication matrix (shingle-set Jaccard per
+    source pair) — the statistic that prioritizes dedup between crawl
+    snapshots. The corpus reduces to DISTINCT (group, shingle) rows;
+    the shingle self-join is bounded per key by the group count, so
+    the pair stream is vocabulary-scaled, never corpus-scaled
+    (operators/corpus.source_overlap_matrix)."""
+    eng = engine_for(spark, sf_dir)
+    return corpus.source_overlap_matrix(
+        eng.catalog.table("documents"), group_col="source", k=3
+    )

@@ -244,3 +244,64 @@ def pmi_top_pairs(
         .orderBy(F.col("pmi").desc(), F.col("pair").asc())
         .limit(int(k))
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-subcorpus duplication matrix — which sources/dumps/shards
+    overlap, the statistic that PRIORITIZES dedup work between crawl
+    snapshots (a pair with high shingle Jaccard dedups first; a
+    near-zero pair can skip the cross-join entirely). For every
+    unordered pair of groups: the count of shared distinct k-word
+    shingles and the shingle-set Jaccard:
+
+        jaccard(a, b) = |S_a ∩ S_b| / (|S_a| + |S_b| − |S_a ∩ S_b|)
+
+    Returns (group_a, group_b, n_shared, jaccard) for pairs with ≥ 1
+    shared shingle, group_a < group_b. Short documents contribute
+    their whole token sequence as one shingle (dedup.shingles' rule).
+
+    100 TB shape: the corpus reduces to DISTINCT (group, shingle)
+    rows — one shingle-keyed aggregation with map-side combine,
+    vocabulary × groups, not corpus-scaled. The shingle self-join is
+    bounded per shingle by the GROUP count (≤ #groups rows per key
+    after the distinct), so the pair stream is ≤ vocab · groups²/2 —
+    no stop-shingle cap needed, unlike document-level candidate
+    joins."""
+    from coolplaydruid_spark.operators.dedup import shingles
+
+    sh = shingles(df, k=k, text_col=text_col, id_col=id_col)
+    grp_sh = (
+        sh.join(df.select(F.col(id_col), F.col(group_col).alias("__grp")),
+                on=id_col)
+        .select("__grp", "shingle")
+        .distinct()
+    )
+    sizes = grp_sh.groupBy("__grp").agg(F.count(F.lit(1)).alias("__n"))
+    a = grp_sh.select(F.col("__grp").alias("group_a"), "shingle")
+    b = grp_sh.select(F.col("__grp").alias("group_b"), "shingle")
+    shared = (
+        a.join(b, on="shingle")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    na = sizes.select(F.col("__grp").alias("group_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("__grp").alias("group_b"), F.col("__n").alias("__nb"))
+    return (
+        shared.join(F.broadcast(na), on="group_a")
+        .join(F.broadcast(nb), on="group_b")
+        .select(
+            "group_a", "group_b", "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -417,3 +417,19 @@ def test_fuzz_quality_pipeline_end_to_end(spark, duck):
         got = _spark_quality_pipeline(_docs(spark, SF_DIR), gp, dup_cut, rates, v)
         assert_df_matches_duck(
             got, duck, _duck_quality_pipeline(gp, dup_cut, rates, v))
+
+
+def test_fuzz_overlap_matrix(spark, duck):
+    """Cross-group overlap matrix at random group columns and shingle
+    widths."""
+    from coolplaydruid_spark.contract import _duck_overlap_matrix
+
+    from conftest import SF_DIR
+
+    rng = random.Random(SEED + 94)
+    for _ in range(max(3, N_SPECS // 20)):
+        group = rng.choice(["source", "lang"])
+        k = rng.randint(2, 4)
+        got = corpus.source_overlap_matrix(
+            _docs(spark, SF_DIR), group_col=group, k=k)
+        assert_df_matches_duck(got, duck, _duck_overlap_matrix(group, k))

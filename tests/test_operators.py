@@ -1113,3 +1113,24 @@ def test_wave2_ops_on_empty_corpus(spark):
     assert similarity.nearest_centroid(emb, emb.withColumnRenamed(
         "vec_id", "centroid_id")).count() == 0
     assert retrieval.hybrid_rrf_topk(docs, emb, "spark join", query_id=0).count() == 0
+
+
+def test_source_overlap_matrix_synthetic(spark):
+    from coolplaydruid_spark.operators import corpus as corpus_ops
+
+    # s1/s2 share exactly the shingle "a b c" (plus distinct ones);
+    # s3 shares nothing with anyone.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x1 y1", "s1"),
+            (2, "a b c x2 y2", "s2"),
+            (3, "q r s t u", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = corpus_ops.source_overlap_matrix(docs, group_col="source").collect()
+    assert len(rows) == 1  # only the s1/s2 pair overlaps
+    r = rows[0]
+    assert (r["group_a"], r["group_b"], r["n_shared"]) == ("s1", "s2", 1)
+    # |S1| = |S2| = 3 shingles each, 1 shared -> 1/5
+    assert r["jaccard"] == 0.2
