@@ -22,7 +22,10 @@ import time
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
-DEFAULT_SEEDS = [20260814, 1, 7, 99, 12345]
+# Rotated per round (r8 verdict #7: fixed seed lists re-prove the same
+# draws round after round). 20260814 stays as the one stable seed for
+# regression comparability; the rest are fresh draws this round.
+DEFAULT_SEEDS = [20260814, 909, 2718, 31415, 60309]
 
 
 def surfaces() -> dict[str, dict]:
