@@ -178,6 +178,39 @@ def band_hashes(sig: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES,
     ).select(id_col, "b.band", "b.bh")
 
 
+# Operator-internal persists (the banded-table cache behind the
+# band-bucket cap) pinned with NO caller-visible handle used to
+# accumulate unboundedly across a session running many dedup batches,
+# relying solely on LRU eviction (r8 advice — the same leak
+# perplexity_bucket_labels was restructured to avoid). A bounded FIFO:
+# each new pin evicts the oldest beyond _PIN_MAX — unpersisting a frame
+# another in-flight query still references only costs recompute, never
+# correctness. release_caches() drops everything eagerly (batch loops,
+# tests).
+_PINNED: list[DataFrame] = []
+_PIN_MAX = 4
+
+
+def _pin_cache(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PINNED.append(df)
+    while len(_PINNED) > _PIN_MAX:
+        try:
+            _PINNED.pop(0).unpersist()
+        except Exception:  # noqa: BLE001 - a dead session must not break the next pin
+            pass
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every operator-internal pinned cache now."""
+    while _PINNED:
+        try:
+            _PINNED.pop().unpersist()
+        except Exception:  # noqa: BLE001
+            pass
+
+
 def _drop_hot_keys(df: DataFrame, keys: list[str], cap: int | None,
                    persist: bool = False,
                    repartition: bool = False) -> DataFrame:
@@ -190,8 +223,8 @@ def _drop_hot_keys(df: DataFrame, keys: list[str], cap: int | None,
     once so the frequency count and the anti-join share one
     computation instead of re-running the upstream lineage (worth it
     when that lineage is the expensive part, as with minhash banding;
-    the persist is left to Spark's LRU, same trade as the dedup
-    ``cache`` flags).
+    the pin is bounded by the _pin_cache FIFO and releasable via
+    release_caches()).
 
     ``repartition=True`` hash-partitions ``df`` by ``keys`` FIRST, so
     every downstream key-aligned operation — the frequency groupBy
@@ -205,7 +238,7 @@ def _drop_hot_keys(df: DataFrame, keys: list[str], cap: int | None,
     if repartition:
         df = df.repartition(*[F.col(k) for k in keys])
     if persist:
-        df = df.persist()
+        df = _pin_cache(df)
     hot = (
         df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__hot_n"))

@@ -315,12 +315,15 @@ def nearest_centroid(
             _cosine(F.col("__pvec"), F.col("__cvec"), F.col("__pn"), F.col("__cn")), 6
         ).alias("cosine"),
     )
-    # argmax by (cosine DESC, centroid id ASC): max_by over a struct whose
-    # lexicographic order encodes exactly that tie-break.
+    # argmax by (cosine DESC, centroid id ASC): min_by over a
+    # (−cosine, cid) struct — negating the (always numeric) cosine
+    # instead of the id keeps the tie-break type-safe for STRING
+    # centroid ids, where a negated id would silently turn NULL and
+    # make the tie nondeterministic (r8 advice).
     best = scored.groupBy(id_col).agg(
-        F.max_by(
+        F.min_by(
             F.struct(F.col("__cid").alias("cid"), F.col("cosine").alias("cos")),
-            F.struct(F.col("cosine").alias("c"), (-F.col("__cid")).alias("nid")),
+            F.struct((-F.col("cosine")).alias("negc"), F.col("__cid").alias("cid")),
         ).alias("__best")
     )
     return best.select(

@@ -118,9 +118,8 @@ def plan_topn(engine, query: dict) -> DataFrame:
             )
 
             # composite (key, raw) comparison matching _metric_order's
-            # tie-broken ordering — a bare key comparison would skip
-            # values whose key TIES the stop's ('007' stop must not
-            # swallow '7')
+            # tie-broken ordering (the upstream-exact key is injective
+            # on NUL-free values, so the raw leg is belt-and-braces)
             c = alphanumeric_key(F.col(dim_name))
             s = F.lit(alphanumeric_key_py(str(stop)))
             raw, rawlit = F.col(dim_name).cast("string"), F.lit(str(stop))
@@ -185,9 +184,9 @@ def _metric_order(metric, dim_name: str, inverted: bool):
         elif ordering == "alphanumeric":
             from coolplaydruid_spark.functions.ordering import alphanumeric_key
 
-            # the key ties on DISTINCT raw values ('007' ≡ '7' by
-            # numeric-chunk value) — raw byte order breaks the tie so
-            # page boundaries are deterministic
+            # raw byte order as a deterministic tiebreak (unreachable
+            # for NUL-free values — the upstream-exact key encodes the
+            # zero-count, so distinct values get distinct keys)
             cols = [alphanumeric_key(col), col.cast("string")]
             return [c.desc() if inverted else c.asc() for c in cols]
         else:

@@ -972,6 +972,25 @@ def test_nearest_centroid_assignment_and_ties(spark):
     assert got[10][1] == got[11][1]  # symmetric cosines
 
 
+def test_nearest_centroid_string_ids_tie_deterministic(spark):
+    """r8 advice: a STRING centroid id must keep the lowest-id tie-break
+    (the old negated-id ordering silently NULLed on strings)."""
+    cent = spark.createDataFrame(
+        [("b", [1.0, 0.0]), ("a", [0.0, 1.0]), ("c", [0.0, 1.0])],
+        "centroid_id string, embedding array<double>",
+    )
+    pts = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [0.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.nearest_centroid(pts, cent).collect()
+    }
+    assert got[1] == "a"  # three-way cosine tie → lexicographically least
+    assert got[2] == "a"  # 'a'/'c' exact tie → 'a'
+
+
 def test_nearest_centroid_plan_no_window(engine):
     """argmax is max_by partial aggregation, not a window sort; the
     centroid side is broadcast."""

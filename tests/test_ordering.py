@@ -1,71 +1,127 @@
 """Druid alphanumeric StringComparator (functions/ordering.py): the
-order-preserving padded key must reproduce the real chunk-by-chunk
-comparator — verified against an INDEPENDENT Python implementation of
-the comparator itself (digit chunks by numeric value with leading-zero
-ties, other chunks byte-wise), then end-to-end through topN /
-limitSpec / search."""
+order-preserving key must reproduce upstream Druid 0.12
+StringComparators.ALPHANUMERIC (the java-alphanum walk) — verified
+against an INDEPENDENT direct transcription of that algorithm (digit
+runs before text runs, leading-ASCII-zero stripping with a more-zeroes-
+first tiebreak resolved immediately, the extended Unicode digit ranges),
+then end-to-end through topN / limitSpec / search / bound filters."""
 
 from __future__ import annotations
 
 import functools
-import re
 
 import pytest
 
 from coolplaydruid_spark.functions.ordering import (
+    _DIGIT_SET,
     alphanumeric_key,
     alphanumeric_key_py,
 )
-
-_CHUNKS = re.compile(r"[0-9]+|[^0-9]+")
 
 VALUES = [
     "file2", "file10", "file1", "file100", "a007", "a7", "a07b", "a7a",
     "2", "10", "007", "7", "abc", "", "A1", "1a2b", "1a10b", "x99y100",
     "x99y9", "!bang", "z", "0", "00", "9seq", "10seq", "seq9", "seq10",
-    "a0", "a!",  # hypothesis find: chunk-boundary vs byte-order (r8)
-    # review finds (r8): Unicode digits ('²'.isdigit() is True in Python
-    # but the chunk split is ASCII-only — must stay a text chunk on BOTH
-    # twins) and digit runs past the old 20-char pad cap (the
-    # length-prefixed encoding compares them exactly)
-    "1²", "x²3", "٣x",
+    "a0", "a!",  # digit-run-before-text at a chunk boundary
+    # ADVICE r8 cases: digit chunk before ANY non-digit chunk; the
+    # immediate more-zeroes-first tiebreak; Unicode digit ranges
+    "5", "!", "-5", "a007z", "a7b",
+    "٣x", "٠٥", "５４", "५२", "۴", "٠", "0٠", "٥", "1²", "x²3",
+    # digit runs past the 4-char length cap boundary are exact
     "99999999999999999999", "123456789012345678901",
     "123456789012345678909", "100000000000000000000",
 ]
 
 
-def _is_ascii_digits(c: str) -> bool:
-    # NOT str.isdigit(): the chunk regex splits on ASCII [0-9] only, so
-    # a '²' chunk is text even though '²'.isdigit() (int('²') raises)
-    return c[0] in "0123456789"
+def _is_digit(ch: str) -> bool:
+    return ch in _DIGIT_SET
 
 
-def _alnum_cmp(a: str, b: str) -> int:
-    """Reference chunk comparator (public Druid 0.12 semantics)."""
-    ca, cb = _CHUNKS.findall(a), _CHUNKS.findall(b)
-    for x, y in zip(ca, cb):
-        if x == y:
-            continue
-        if _is_ascii_digits(x) and _is_ascii_digits(y):
-            if int(x) != int(y):
-                return -1 if int(x) < int(y) else 1
-            continue  # leading-zero tie on value → next chunk decides
-        return -1 if x < y else 1
-    return (len(ca) > len(cb)) - (len(ca) < len(cb))
+def _cmp_numbers(s0: str, s1: str, pos: list) -> int:
+    """Verbatim transcription of Druid 0.12 StringComparators
+    compareNumbers: strip/count leading ASCII zeroes, then the first
+    run to exhaust is smaller; equal-length runs compare by the first
+    differing char code; fully equal values resolve by zeroes1−zeroes0
+    (more leading zeroes first)."""
+    delta = 0
+    zeroes0 = zeroes1 = 0
+    while pos[0] < len(s0) and s0[pos[0]] == "0":
+        zeroes0 += 1
+        pos[0] += 1
+    while pos[1] < len(s1) and s1[pos[1]] == "0":
+        zeroes1 += 1
+        pos[1] += 1
+    while True:
+        end0 = pos[0] >= len(s0) or not _is_digit(s0[pos[0]])
+        end1 = pos[1] >= len(s1) or not _is_digit(s1[pos[1]])
+        if end0:
+            return (delta if delta != 0 else zeroes1 - zeroes0) if end1 else -1
+        if end1:
+            return 1
+        if delta == 0:
+            delta = ord(s0[pos[0]]) - ord(s1[pos[1]])
+        pos[0] += 1
+        pos[1] += 1
+
+
+def _cmp_nonnumeric(s0: str, s1: str, pos: list) -> int:
+    start0 = pos[0]
+    while pos[0] < len(s0) and not _is_digit(s0[pos[0]]):
+        pos[0] += 1
+    start1 = pos[1]
+    while pos[1] < len(s1) and not _is_digit(s1[pos[1]]):
+        pos[1] += 1
+    a, b = s0[start0:pos[0]], s1[start1:pos[1]]
+    return (a > b) - (a < b)
+
+
+def _alnum_cmp(str0: str, str1: str) -> int:
+    """Independent reference: Druid 0.12's AlphanumericComparator.compare
+    transcribed run-for-run (NOT derived from the key encoding)."""
+    if len(str0) == 0:
+        return 0 if len(str1) == 0 else -1
+    if len(str1) == 0:
+        return 1
+    pos = [0, 0]
+    while pos[0] < len(str0) and pos[1] < len(str1):
+        ch0, ch1 = str0[pos[0]], str1[pos[1]]
+        if _is_digit(ch0):
+            result = _cmp_numbers(str0, str1, pos) if _is_digit(ch1) else -1
+        else:
+            result = 1 if _is_digit(ch1) else _cmp_nonnumeric(str0, str1, pos)
+        if result != 0:
+            return result
+    return (len(str0) > len(str1)) - (len(str0) < len(str1))
+
+
+def test_advice_pinned_cases():
+    """The upstream semantics the r8 byte-order key diverged on."""
+    assert _alnum_cmp("5", "!") < 0          # digit run before text run
+    assert _alnum_cmp("5", "-5") < 0         # '5' before '-5'
+    assert _alnum_cmp("a007z", "a7b") < 0    # more zeroes first, immediately
+    assert _alnum_cmp("a0", "a!") < 0
+    assert _alnum_cmp("٣x", "z") < 0         # Arabic-Indic digit is a digit
+    assert _alnum_cmp("٥", "５４") < 0        # fullwidth run of 2 > 1 digit
+    assert _alnum_cmp("0٠", "٠") < 0         # ASCII zero strips, '٠' doesn't
+    for a, b, want in [("5", "!", -1), ("-5", "5", 1), ("a007z", "a7b", -1)]:
+        ka, kb = alphanumeric_key_py(a), alphanumeric_key_py(b)
+        assert ((ka > kb) - (ka < kb)) == want, (a, b, ka, kb)
 
 
 def test_key_reproduces_chunk_comparator():
     by_cmp = sorted(VALUES, key=functools.cmp_to_key(_alnum_cmp))
-    by_key = sorted(VALUES, key=lambda v: (alphanumeric_key_py(v), ))
-    # keys may tie where the comparator ties ('007' vs '7' before a
-    # common suffix) — compare the induced ORDER of key values
-    assert [alphanumeric_key_py(v) for v in by_key] == sorted(
-        alphanumeric_key_py(v) for v in VALUES)
     for i in range(len(by_cmp) - 1):
         assert _alnum_cmp(by_cmp[i], by_cmp[i + 1]) <= 0
         assert (alphanumeric_key_py(by_cmp[i])
                 <= alphanumeric_key_py(by_cmp[i + 1])), (
             by_cmp[i], by_cmp[i + 1])
+    # every PAIR agrees in sign, not just the sorted order
+    for a in VALUES:
+        for b in VALUES:
+            c = _alnum_cmp(a, b)
+            c = (c > 0) - (c < 0)
+            ka, kb = alphanumeric_key_py(a), alphanumeric_key_py(b)
+            assert c == (ka > kb) - (ka < kb), (a, b, c)
 
 
 def test_spark_key_matches_python_key(spark):
@@ -142,17 +198,19 @@ try:
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    # '²' keeps the Unicode-digit twin divergence (r8 review find)
-    # under continuous property fuzz
-    @given(st.lists(st.text(alphabet="ab09z17!²", max_size=12),
+    # '²' (a Python-isdigit char OUTSIDE Druid's ranges — must stay
+    # text), '٣'/'５' (inside the ranges — must be digits), plus zeroes
+    # and separators to stress the stripping/tiebreak paths
+    @given(st.lists(st.text(alphabet="ab09z17!²٣٠５-", max_size=12),
                     min_size=2, max_size=8))
     @settings(max_examples=200, deadline=None)
     def test_property_key_order_equals_cmp_order(values):
-        """For ANY pair, the padded key compares exactly like the chunk
+        """For ANY pair, the key compares exactly like the upstream
         comparator (signs match; ties only where the comparator ties)."""
         for a in values:
             for b in values:
                 c = _alnum_cmp(a, b)
+                c = (c > 0) - (c < 0)
                 ka, kb = alphanumeric_key_py(a), alphanumeric_key_py(b)
                 k = (ka > kb) - (ka < kb)
                 assert c == k, (a, b, c, k)
@@ -160,11 +218,10 @@ except ImportError:  # pragma: no cover
     pass
 
 
-def test_topn_alphanumeric_previousstop_key_ties(spark):
-    """Review find (r8): distinct values whose keys TIE ('007' ≡ '7' by
-    numeric chunk value) must all survive a previousStop walk — the stop
-    predicate compares (key, raw byte order), matching the tie-broken
-    sort, not the key alone."""
+def test_topn_alphanumeric_previousstop_walk_zero_variants(spark):
+    """Distinct values that tie on numeric VALUE ('007' ≡ '7') are now
+    ordered by the upstream more-zeroes-first rule, immediately — the
+    previousStop walk must visit them in exactly that order."""
     from datetime import datetime
 
     from coolplaydruid_spark.catalog import Catalog
@@ -178,6 +235,12 @@ def test_topn_alphanumeric_previousstop_key_ties(spark):
     catalog = Catalog(spark)
     catalog.register("alnumtie", df=df, time_column="ts", as_view=False)
     eng = DruidEngine(spark, catalog)
+
+    # '007' < '7': equal value, more zeroes first. '7' < '070': the
+    # trailing zero is significant ('070' strips to "70", a 2-digit
+    # run). '070' < '70': equal sig, the leading zero wins.
+    expected = sorted(names, key=functools.cmp_to_key(_alnum_cmp))
+    assert expected == ["007", "7", "070", "70", "a"]
 
     walked, prev = [], None
     for _page in range(10):
@@ -197,7 +260,7 @@ def test_topn_alphanumeric_previousstop_key_ties(spark):
         prev = rows_out[-1]["name"]
         if len(rows_out) < 2:
             break
-    assert walked == ["007", "7", "070", "70", "a"], walked
+    assert walked == expected, walked
 
 
 def test_bound_filter_alphanumeric(alnum_engine):

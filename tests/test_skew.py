@@ -202,3 +202,23 @@ def test_incremental_minhash_cap_drops_hot_corpus_bucket(spark):
         new, corpus_df=corpus, threshold=0.3, max_band_bucket=40).collect()
     assert sum(1 for r in capped if r["doc_b"] == 500) == 0
     assert any(r["doc_a"] == 200 and r["doc_b"] == 501 for r in capped)
+
+
+def test_band_cache_pin_is_bounded(spark):
+    """r8 advice: the band-table persist behind max_band_bucket used to
+    pin a cache per call with no release path — many capped dedup
+    batches in one session accumulated pinned InMemoryRelations. The
+    FIFO keeps at most _PIN_MAX pins; release_caches() drops them all."""
+    from coolplaydruid_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body {i} with shared phrasing") for i in range(20)],
+        "doc_id long, text string",
+    )
+    dedup.release_caches()
+    for _ in range(dedup._PIN_MAX + 3):
+        dedup.minhash_lsh_dedup(docs, threshold=0.9,
+                                max_band_bucket=5).count()
+    assert len(dedup._PINNED) <= dedup._PIN_MAX
+    dedup.release_caches()
+    assert not dedup._PINNED
