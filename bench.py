@@ -46,6 +46,11 @@ SF1_TAIL = [
     "text_perplexity_buckets",
     "corpus_pmi_top_pairs",
     "retrieval_hybrid_rrf",
+    # r9: the overlap matrix pair (full + incremental) — the one
+    # join-bearing pipeline family whose scaling class was prose-only
+    # in r8 (verdict #2); measured 9.3-9.4x shuffle on 10x input
+    "corpus_overlap_matrix",
+    "corpus_overlap_incremental",
 ]
 
 BENCH_QUERIES = [

@@ -6254,3 +6254,61 @@ def corpus_overlap_matrix(spark, sf_dir):
     return corpus.source_overlap_matrix(
         eng.catalog.table("documents"), group_col="source", k=3
     )
+
+
+def _duck_overlap_incremental(group: str, k: int, batch_where: str) -> str:
+    """Batch × corpus overlap oracle: same shingle rule as
+    _duck_overlap_matrix, with the documents split by ``batch_where``
+    into the incoming batch (group_b side) and the standing corpus
+    (group_a side) — the oracle recomputes both distinct shingle sets
+    from the union table, the engine never re-pairs corpus × corpus."""
+    grams = (
+        f"list_transform(range(1, len(t) - {k - 2}), "
+        f"i -> array_to_string(list_slice(t, i, i + {k - 1}), ' '))"
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {group} AS grp, {DUCK_TOKS} AS t FROM documents),
+    sh0 AS (
+      SELECT doc_id, grp, CASE WHEN len(t) >= {k} THEN {grams}
+             ELSE [array_to_string(t, ' ')] END AS arr
+      FROM toks
+    ),
+    allsh AS (SELECT doc_id, grp, unnest(arr) AS shingle FROM sh0),
+    corpus_sh AS (SELECT DISTINCT grp, shingle FROM allsh
+                  WHERE NOT ({batch_where}) AND shingle <> ''),
+    batch_sh AS (SELECT DISTINCT grp, shingle FROM allsh
+                 WHERE ({batch_where}) AND shingle <> ''),
+    sizes_a AS (SELECT grp, count(*) AS n FROM corpus_sh GROUP BY 1),
+    sizes_b AS (SELECT grp, count(*) AS n FROM batch_sh GROUP BY 1),
+    shared AS (
+      SELECT a.grp AS group_a, b.grp AS group_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM corpus_sh a JOIN batch_sh b ON a.shingle = b.shingle
+      GROUP BY 1, 2
+    )
+    SELECT group_a, group_b, n_shared,
+           round(CAST(n_shared AS DOUBLE)
+                 / CAST(sa.n + sb.n - n_shared AS DOUBLE), 6) AS jaccard
+    FROM shared
+    JOIN sizes_a sa ON shared.group_a = sa.grp
+    JOIN sizes_b sb ON shared.group_b = sb.grp
+    """
+
+
+@q(
+    "corpus_overlap_incremental",
+    _duck_overlap_incremental("source", 3, "doc_id % 5 = 0"),
+)
+def corpus_overlap_incremental(spark, sf_dir):
+    """Daily-ingest overlap: an incoming batch (every 5th document)
+    against the standing corpus (the rest), per source pair — the
+    incremental form that prices each shard by the BATCH, never
+    re-joining corpus × corpus
+    (operators/corpus.source_overlap_incremental)."""
+    eng = engine_for(spark, sf_dir)
+    docs = eng.catalog.table("documents")
+    return corpus.source_overlap_incremental(
+        docs.where(F.col("doc_id") % 5 == 0),
+        corpus_df=docs.where(F.col("doc_id") % 5 != 0),
+        group_col="source", k=3,
+    )

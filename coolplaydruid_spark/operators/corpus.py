@@ -275,11 +275,13 @@ def source_overlap_matrix(
     joins."""
     from coolplaydruid_spark.operators.dedup import shingles
 
-    sh = shingles(df, k=k, text_col=text_col, id_col=id_col)
+    # group_col rides through the shingle projection (extra_cols), so
+    # no doc-keyed re-join of the shingle stream is needed — the one
+    # shuffle is the (group, shingle) distinct (r8 verdict #2).
+    sh = shingles(df, k=k, text_col=text_col, id_col=id_col,
+                  extra_cols=[group_col])
     grp_sh = (
-        sh.join(df.select(F.col(id_col), F.col(group_col).alias("__grp")),
-                on=id_col)
-        .select("__grp", "shingle")
+        sh.select(F.col(group_col).alias("__grp"), "shingle")
         .distinct()
     )
     sizes = grp_sh.groupBy("__grp").agg(F.count(F.lit(1)).alias("__n"))
@@ -293,6 +295,74 @@ def source_overlap_matrix(
     )
     na = sizes.select(F.col("__grp").alias("group_a"), F.col("__n").alias("__na"))
     nb = sizes.select(F.col("__grp").alias("group_b"), F.col("__n").alias("__nb"))
+    return (
+        shared.join(F.broadcast(na), on="group_a")
+        .join(F.broadcast(nb), on="group_b")
+        .select(
+            "group_a", "group_b", "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def source_overlap_incremental(
+    batch_df: DataFrame,
+    corpus_df: DataFrame | None = None,
+    group_col: str = "source",
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_group_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Batch × corpus overlap — the daily-ingest shape of the overlap
+    matrix (r8 verdict #4): which groups of an INCOMING shard overlap
+    which groups already in the corpus, WITHOUT re-joining corpus ×
+    corpus. Returns (group_a = corpus group, group_b = batch group,
+    n_shared, jaccard) for pairs sharing ≥ 1 distinct shingle, where
+    jaccard is between the corpus group's and the batch group's
+    distinct-shingle sets.
+
+    100 TB shape: both sides reduce to DISTINCT (group, shingle) rows
+    before they ever meet — the corpus side is vocabulary × groups, not
+    corpus-scaled, and in production it is materialized once at accept
+    time (pass it as ``corpus_group_shingles``: (group, shingle) rows
+    as produced by a prior reduction — then ``corpus_df`` is not
+    consulted and the per-batch cost is priced by the BATCH alone,
+    mirroring dedup.minhash_lsh_dedup_incremental's contract). The
+    shingle-keyed join is bounded per key by group counts on each side
+    (≤ corpus_groups × batch_groups rows per shingle), so no stop-cap
+    is needed."""
+    from coolplaydruid_spark.operators.dedup import shingles
+
+    if corpus_group_shingles is not None:
+        corpus_sh = corpus_group_shingles.select(
+            F.col(group_col).alias("group_a"), "shingle")
+    elif corpus_df is not None:
+        corpus_sh = (
+            shingles(corpus_df, k=k, text_col=text_col, id_col=id_col,
+                     extra_cols=[group_col])
+            .select(F.col(group_col).alias("group_a"), "shingle")
+            .distinct()
+        )
+    else:
+        raise ValueError("need corpus_df or corpus_group_shingles")
+    batch_sh = (
+        shingles(batch_df, k=k, text_col=text_col, id_col=id_col,
+                 extra_cols=[group_col])
+        .select(F.col(group_col).alias("group_b"), "shingle")
+        .distinct()
+    )
+    shared = (
+        corpus_sh.join(batch_sh, on="shingle")
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    na = corpus_sh.groupBy("group_a").agg(F.count(F.lit(1)).alias("__na"))
+    nb = batch_sh.groupBy("group_b").agg(F.count(F.lit(1)).alias("__nb"))
     return (
         shared.join(F.broadcast(na), on="group_a")
         .join(F.broadcast(nb), on="group_b")

@@ -91,7 +91,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(df: DataFrame, k: int = 3, text_col: str = "text",
-             id_col: str = "doc_id", as_hash: bool = False) -> DataFrame:
+             id_col: str = "doc_id", as_hash: bool = False,
+             extra_cols: list[str] | None = None) -> DataFrame:
     """(id, shingle) pairs: distinct k-gram word shingles of each document.
     Documents shorter than k tokens contribute their whole token sequence
     as a single shingle.
@@ -103,8 +104,16 @@ def shingles(df: DataFrame, k: int = 3, text_col: str = "text",
     ``as_hash=True`` replaces the shingle string with its 60-bit integer
     id (_shingle_hash) in the same projection — the dedup pipelines'
     internal representation (fixed 8-byte shuffle/join keys). The string
-    form stays the public surface (contamination reports, oracles)."""
-    tok_df = spread(df, by=id_col).select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    form stays the public surface (contamination reports, oracles).
+
+    ``extra_cols`` carries additional input columns (e.g. a group/source
+    column) through the projection, so consumers that need them avoid a
+    doc-keyed re-join against the input — at corpus scale that join is a
+    full extra shuffle of the shingle stream (r8 verdict: the overlap
+    matrix paid it)."""
+    extra = [F.col(c) for c in (extra_cols or [])]
+    tok_df = spread(df, by=id_col).select(
+        F.col(id_col), *extra, tokens(F.col(text_col)).alias("__toks"))
     t = F.col("__toks")
     n = F.size(t)
 
@@ -120,13 +129,14 @@ def shingles(df: DataFrame, k: int = 3, text_col: str = "text",
     shingle_arr = F.when(n >= k, kgrams).otherwise(F.array(F.concat_ws(" ", t)))
     out = (
         tok_df.select(
-            F.col(id_col), F.explode(F.array_distinct(shingle_arr)).alias("shingle")
+            F.col(id_col), *extra,
+            F.explode(F.array_distinct(shingle_arr)).alias("shingle"),
         )
         .where(F.col("shingle") != "")
     )
     if as_hash:
         out = out.select(
-            F.col(id_col), _shingle_hash(F.col("shingle")).alias("shingle")
+            F.col(id_col), *extra, _shingle_hash(F.col("shingle")).alias("shingle")
         )
     return out
 

@@ -240,7 +240,13 @@ def hybrid_rrf_topk(
         docs.where(F.col(id_col) != query_id), query_text, top_k=pool,
         k1=k1, b=b, text_col=text_col, id_col=id_col,
     )
-    w_bm = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+    # ranking runs over the pool-bounded BM25 head (≤ pool rows), so a
+    # single partition is correct — constant_partition keeps a partition
+    # spec so the global-window warning can't bury real ones
+    from coolplaydruid_spark.operators.util import constant_partition
+
+    w_bm = Window.partitionBy(constant_partition(id_col)).orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc())
     bm_ranked = bm.select(
         F.col(id_col), F.row_number().over(w_bm).alias("bm25_rank")
     )

@@ -56,6 +56,24 @@ def spread(df: DataFrame, by: str | None = None,
     return df.repartition(target)
 
 
+def constant_partition(col):
+    """A window partition expression that is 0 on every row but NOT
+    constant-foldable, for windows that legitimately run over an
+    already-BOUNDED row set (a top-k pool, a group-cardinality report).
+    Spark's `WindowExec: No Partition Defined` warning targets
+    accidental global windows over raw data; an empty partition spec on
+    a pool-bounded window floods logs with hundreds of false alarms per
+    run, burying real ones (r8 verdict #6). ``pmod(length(x), length(x))``
+    is 0 for any non-null, non-empty rendering of ``col`` (ids, scores)
+    and keeps a non-empty partition spec the optimizer won't eliminate.
+
+    ONLY for row sets already bounded upstream — on unbounded data this
+    still funnels everything into one partition, exactly the case the
+    warning exists for."""
+    rendered = F.length(F.concat(F.lit("#"), F.col(col).cast("string")))
+    return F.pmod(rendered, rendered)
+
+
 def md5_bucket(col, n_buckets: int, hex_chars: int = 6):
     """Deterministic bucket in [0, n_buckets) from the first
     ``hex_chars`` md5 hex digits — the repo-wide cross-engine hashing

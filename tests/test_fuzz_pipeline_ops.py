@@ -433,3 +433,41 @@ def test_fuzz_overlap_matrix(spark, duck):
         got = corpus.source_overlap_matrix(
             _docs(spark, SF_DIR), group_col=group, k=k)
         assert_df_matches_duck(got, duck, _duck_overlap_matrix(group, k))
+
+
+def test_fuzz_overlap_incremental(spark, duck):
+    """Batch × corpus overlap at random group columns, shingle widths
+    and batch splits (including the degenerate all-batch/all-corpus
+    splits, where one side's shingle set is empty and the result must
+    be empty on both engines). The pre-materialized corpus_group_shingles
+    path must agree with the corpus_df path on the same draw."""
+    from pyspark.sql import functions as F
+
+    from coolplaydruid_spark.contract import _duck_overlap_incremental
+    from coolplaydruid_spark.operators.dedup import shingles
+
+    from conftest import SF_DIR
+
+    rng = random.Random(SEED + 95)
+    for i in range(max(3, N_SPECS // 20)):
+        group = rng.choice(["source", "lang"])
+        k = rng.randint(2, 4)
+        mod = rng.choice([2, 3, 5, 7])
+        rem = rng.randrange(mod) if rng.random() < 0.8 else mod  # mod → empty batch
+        docs = _docs(spark, SF_DIR)
+        batch = docs.where(F.col("doc_id") % mod == rem)
+        rest = docs.where(F.col("doc_id") % mod != rem)
+        got = corpus.source_overlap_incremental(
+            batch, corpus_df=rest, group_col=group, k=k)
+        oracle = _duck_overlap_incremental(
+            group, k, f"doc_id % {mod} = {rem}")
+        assert_df_matches_duck(got, duck, oracle)
+        if i == 0:
+            # materialized corpus-shingle path ≡ corpus_df path
+            pre = (
+                shingles(rest, k=k, extra_cols=[group])
+                .select(group, "shingle").distinct()
+            )
+            got2 = corpus.source_overlap_incremental(
+                batch, corpus_group_shingles=pre, group_col=group, k=k)
+            assert_df_matches_duck(got2, duck, oracle)

@@ -52,6 +52,12 @@ LINEAR = {
     # algorithmic exchanges (stats row, 2×pool fusion) are constant.
     "text_perplexity_buckets", "corpus_pmi_top_pairs",
     "retrieval_hybrid_rrf",
+    # r9: overlap matrix (full + incremental). The dominant exchange is
+    # the (group, shingle) distinct's map-side shuffle of the shingle
+    # stream (~input-scaled; measured 9.3-9.4× on 10× input); the
+    # shingle-keyed pair join after the distinct is bounded per key by
+    # the GROUP count, so it can never go quadratic in the corpus.
+    "corpus_overlap_matrix", "corpus_overlap_incremental",
 }
 # max allowed shuffle-growth / input-growth factor per blocked operator:
 # r6→r7 observed 1.4–2.0× (real collisions in a denser corpus); 5× is
