@@ -3777,6 +3777,88 @@ def multimodal_resize_roundtrip(spark, sf_dir):
     return stats.withColumn("mean_px", F.round("mean_px", 4))
 
 
+def _duck_phash_cte() -> str:
+    """Shared oracle CTEs rebuilding the 64-bit dHash halves from char
+    codes for the 8×8 PNG fixture (_docs_as_media 'png'): pixel byte at
+    linear index j is the cycled text byte j % len; grayscale =
+    (b0+b1+b2)//3; the 9×8 sample grid indexes source pixel
+    (y, x*8//9); bit = gray(x) > gray(x+1), packed MSB-first into two
+    32-bit halves (rows 0-3 → hi, rows 4-7 → lo) — bit-identical to
+    multimodal.phash_signatures over the decoded pixels."""
+    px = (
+        "CASE WHEN length(t)=0 THEN 0 ELSE ascii(substring(t, "
+        "CAST(((y*8 + (x*8)//9)*3 + {c}) % length(t) AS INT) + 1, 1)) END"
+    )
+    gray = "((" + px.format(c=0) + ") + (" + px.format(c=1) + ") + (" \
+        + px.format(c=2) + ")) // 3"
+    return f"""
+    WITH m AS (SELECT doc_id AS media_id, coalesce(text, '') AS t FROM documents),
+    g AS (
+      SELECT media_id, y, x, {gray} AS gray
+      FROM (SELECT media_id, t, CAST(i // 9 AS INT) AS y,
+                   CAST(i % 9 AS INT) AS x
+            FROM (SELECT media_id, t, unnest(range(0, 72)) AS i FROM m))
+    ),
+    bits AS (
+      SELECT a.media_id, a.y, a.x,
+             CASE WHEN a.gray > b.gray THEN 1 ELSE 0 END AS bit
+      FROM g a JOIN g b ON a.media_id = b.media_id AND a.y = b.y
+                       AND b.x = a.x + 1
+      WHERE a.x < 8
+    ),
+    h AS (
+      SELECT media_id,
+             CAST(sum(CASE WHEN y < 4
+                  THEN bit * (CAST(1 AS BIGINT) << (31 - (y*8+x)))
+                  ELSE 0 END) AS BIGINT) AS phash_hi,
+             CAST(sum(CASE WHEN y >= 4
+                  THEN bit * (CAST(1 AS BIGINT) << (31 - ((y-4)*8+x)))
+                  ELSE 0 END) AS BIGINT) AS phash_lo
+      FROM bits GROUP BY media_id
+    )
+    """
+
+
+def _duck_phash_signatures() -> str:
+    return _duck_phash_cte() + \
+        "SELECT media_id, phash_hi, phash_lo FROM h"
+
+
+def _duck_phash_pairs(max_hamming: int) -> str:
+    """All-pairs Hamming oracle — exactly the blocked result for
+    max_hamming ≤ 7 (the 8-band pigeonhole guarantee the engine
+    enforces)."""
+    return _duck_phash_cte() + f"""
+    SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           CAST(bit_count(xor(a.phash_hi, b.phash_hi))
+              + bit_count(xor(a.phash_lo, b.phash_lo)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.phash_hi, b.phash_hi))
+        + bit_count(xor(a.phash_lo, b.phash_lo)) <= {int(max_hamming)}
+    """
+
+
+@q("multimodal_phash_signatures", _duck_phash_signatures())
+def multimodal_phash_signatures(spark, sf_dir):
+    """64-bit dHash halves over the REAL PNG decode: the oracle rebuilds
+    every gradient bit from char codes, so any defect in decode,
+    grayscale, 9×8 sampling, or bit packing flips an integer and fails
+    the value hash (operators/multimodal.phash_signatures)."""
+    eng = engine_for(spark, sf_dir)
+    return multimodal.phash_signatures(_docs_as_media(eng, "png"))
+
+
+@q("dedup_image_phash", _duck_phash_pairs(6))
+def dedup_image_phash(spark, sf_dir):
+    """Perceptual image near-dup pairs (dHash Hamming ≤ 6) with banded
+    blocking — the image-modality dedup the text side has had since r5;
+    the oracle computes ALL pairs, which the 8-band pigeonhole makes
+    identical to the blocked join at this threshold
+    (operators/multimodal.phash_neardup)."""
+    eng = engine_for(spark, sf_dir)
+    return multimodal.phash_neardup(_docs_as_media(eng, "png"), max_hamming=6)
+
+
 # ---------------------------------------------------------------------------
 # Corpus statistics & cleaning (operators/corpus.py)
 # ---------------------------------------------------------------------------

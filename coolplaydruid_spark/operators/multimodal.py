@@ -286,6 +286,124 @@ def audio_stats(df: DataFrame, media_col: str = "media",
     )
 
 
+# ---- perceptual-hash image near-dup --------------------------------------
+
+PHASH_BITS = 64
+_PHASH_W, _PHASH_H = 8, 8  # 8×8 gradient bits from a 9×8 sample grid
+_PHASH_BANDS = 8  # 8 bands × 8 bits: Hamming ≤ 7 ⇒ ≥ 1 whole band agrees
+
+
+def phash_signatures(df: DataFrame, media_col: str = "media",
+                     id_col: str = "media_id") -> DataFrame:
+    """64-bit dHash (difference hash) per image as TWO 32-bit integer
+    halves — the standard perceptual near-dup signature for image
+    corpora, over the REAL decode path (Pillow or the stdlib PNG codec).
+
+    Deterministic, engine-recomputable construction (every step is
+    integer math, so an oracle can rebuild the hash from known pixel
+    bytes): decode → integer grayscale (channel sum // channels) →
+    nearest-neighbor sample to a 9×8 grid (source index x*w//9, y*h//8,
+    the resize_images convention) → bit(x,y) = gray(x,y) > gray(x+1,y)
+    → row-major bits packed MSB-first into phash_hi (rows 0-3) and
+    phash_lo (rows 4-7), each in [0, 2^32).
+
+    Returns (media_id, phash_hi, phash_lo). Map-only Arrow-batched
+    mapInPandas — the decode is the cost; no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, his, los = [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[media_col]):
+                w, h, ch, px = decode_image(bytes(raw))
+                hi = lo = 0
+                for y in range(_PHASH_H):
+                    sy = y * h // _PHASH_H
+                    row = []
+                    for x in range(_PHASH_W + 1):
+                        sx = x * w // (_PHASH_W + 1)
+                        o = (sy * w + sx) * ch
+                        row.append(sum(px[o:o + ch]) // ch)
+                    for x in range(_PHASH_W):
+                        if row[x] > row[x + 1]:
+                            idx = y * _PHASH_W + x
+                            if idx < 32:
+                                hi |= 1 << (31 - idx)
+                            else:
+                                lo |= 1 << (63 - idx)
+                ids.append(mid)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {"media_id": ids, "phash_hi": his, "phash_lo": los})
+
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
+        batches, "media_id long, phash_hi long, phash_lo long")
+
+
+def phash_neardup(df: DataFrame, max_hamming: int = 6,
+                  media_col: str = "media", id_col: str = "media_id",
+                  signatures: DataFrame | None = None) -> DataFrame:
+    """Perceptual near-duplicate image pairs: (media_id_a, media_id_b,
+    hamming ≤ max_hamming), a < b, by 64-bit dHash Hamming distance —
+    the image-modality counterpart of dedup.simhash_dedup with the same
+    banded blocking: the hash splits into 8 bands of 8 bits; by
+    pigeonhole any pair within Hamming distance 7 agrees on ≥ 1 whole
+    band, so the self-join keys on (band_index, band_bits) and the
+    blocked result is EXACTLY the all-pairs result for
+    max_hamming ≤ 7 — never O(n²).
+
+    ``signatures`` accepts a pre-computed phash_signatures() frame (the
+    production shape: hashes materialize once at ingest; re-pairing
+    after a threshold change never re-decodes). The Hamming distance is
+    bit_count(xor) over the integer halves — whole-stage codegen, no
+    Python past the signature stage.
+
+    100 TB shape: the decode is map-only; the only data-scaled shuffle
+    keys on (band, bits) — 8 rows per image, uniform by hash
+    construction; candidate volume is bounded by real band collisions,
+    not corpus size."""
+    if not 0 <= max_hamming <= _PHASH_BANDS - 1:
+        raise ValueError(
+            f"max_hamming must be in [0, {_PHASH_BANDS - 1}] — above "
+            f"{_PHASH_BANDS - 1} the {_PHASH_BANDS}-band pigeonhole "
+            "blocking no longer guarantees exact recall")
+    sig = signatures if signatures is not None else phash_signatures(
+        df, media_col=media_col, id_col=id_col)
+    band_cols = []
+    for b in range(_PHASH_BANDS):
+        half = F.col("phash_hi") if b < 4 else F.col("phash_lo")
+        shift = ((3 - b) if b < 4 else (7 - b)) * 8
+        band_cols.append(F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(half, shift).bitwiseAND(F.lit(255)).alias("bits"),
+        ))
+    banded = sig.select(
+        F.col(id_col), "phash_hi", "phash_lo",
+        F.explode(F.array(*band_cols)).alias("b"),
+    ).select(id_col, "phash_hi", "phash_lo", "b.band", "b.bits")
+
+    l, r = banded.alias("l"), banded.alias("r")
+    hamming = (
+        F.bit_count(F.col("l.phash_hi").bitwiseXOR(F.col("r.phash_hi")))
+        + F.bit_count(F.col("l.phash_lo").bitwiseXOR(F.col("r.phash_lo")))
+    )
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bits") == F.col("r.bits"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("media_id_a"),
+            F.col(f"r.{id_col}").alias("media_id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= int(max_hamming))
+    )
+
+
 def resize_images(df: DataFrame, width: int, height: int,
                   media_col: str = "media", id_col: str = "media_id") -> DataFrame:
     """REAL image resize: decode (Pillow or stdlib PNG) → nearest-neighbor

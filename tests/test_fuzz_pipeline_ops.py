@@ -471,3 +471,31 @@ def test_fuzz_overlap_incremental(spark, duck):
             got2 = corpus.source_overlap_incremental(
                 batch, corpus_group_shingles=pre, group_col=group, k=k)
             assert_df_matches_duck(got2, duck, oracle)
+
+
+def test_fuzz_image_phash(spark, duck):
+    """Perceptual image dedup at random Hamming thresholds, sharing the
+    contract's oracle builder (all-pairs ≡ banded join for every
+    threshold the engine accepts, by the 8-band pigeonhole). Also pins
+    the pre-computed-signatures path against the decode path."""
+    from coolplaydruid_spark.contract import (
+        _docs_as_media,
+        _duck_phash_pairs,
+        engine_for,
+    )
+    from coolplaydruid_spark.operators import multimodal
+
+    from conftest import SF_DIR
+
+    rng = random.Random(SEED + 96)
+    eng = engine_for(spark, SF_DIR)
+    media = _docs_as_media(eng, "png")
+    sig = multimodal.phash_signatures(media)
+    for i in range(max(3, N_SPECS // 20)):
+        max_h = rng.randint(0, 7)
+        got = multimodal.phash_neardup(media, max_hamming=max_h)
+        assert_df_matches_duck(got, duck, _duck_phash_pairs(max_h))
+        if i == 0:
+            got2 = multimodal.phash_neardup(
+                media, max_hamming=max_h, signatures=sig)
+            assert_df_matches_duck(got2, duck, _duck_phash_pairs(max_h))

@@ -143,3 +143,71 @@ def test_image_stats_operator(spark):
     row = mm.image_stats(df).collect()[0]
     assert (row["width"], row["height"], row["channels"]) == (8, 8, 3)
     assert row["mean_px"] == pytest.approx(sum(px) / len(px))
+
+
+def _ref_dhash(px, w, h, ch):
+    """Independent dHash reference: literal spec transcription."""
+    hi = lo = 0
+    for y in range(8):
+        sy = y * h // 8
+        row = [sum(px[(sy * w + (x * w // 9)) * ch:
+                      (sy * w + (x * w // 9)) * ch + ch]) // ch
+               for x in range(9)]
+        for x in range(8):
+            if row[x] > row[x + 1]:
+                idx = y * 8 + x
+                if idx < 32:
+                    hi |= 1 << (31 - idx)
+                else:
+                    lo |= 1 << (63 - idx)
+    return hi, lo
+
+
+def test_phash_signature_known_values(spark):
+    """Hash a horizontal-gradient image (strictly decreasing rows → all
+    bits set EXCEPT each row's first: the 8→9 nearest-neighbor grid
+    samples source pixel 0 twice, so the x=0 comparison ties → 0x7F per
+    row byte), a flat image (no bit set), and a pseudo-random image
+    against the independent reference."""
+    grad = bytes(255 - x * 25 for y in range(8) for x in range(8) for _ in range(3))
+    flat = bytes(128 for _ in range(8 * 8 * 3))
+    rand = bytes((i * 37 + 11) % 256 for i in range(8 * 8 * 3))
+    rows = [(1, mm.png_encode(grad, 8, 8, 3)),
+            (2, mm.png_encode(flat, 8, 8, 3)),
+            (3, mm.png_encode(rand, 8, 8, 3))]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    got = {r["media_id"]: (r["phash_hi"], r["phash_lo"])
+           for r in mm.phash_signatures(df).collect()}
+    assert got[1] == (0x7F7F7F7F, 0x7F7F7F7F)
+    assert got[2] == (0, 0)
+    assert got[3] == _ref_dhash(rand, 8, 8, 3)
+
+
+def test_phash_neardup_blocking_and_threshold(spark):
+    """Identical images pair at hamming 0; a 1-bit perturbation pairs at
+    its exact hamming; unrelated images above the cap don't pair — and
+    max_hamming past the pigeonhole guarantee raises."""
+    base = bytes((i * 53 + 7) % 256 for i in range(8 * 8 * 3))
+    # flip one gradient comparison: bump a single sample far enough
+    tweaked = bytearray(base)
+    tweaked[0:3] = bytes([255, 255, 255])
+    other = bytes((i * 11 + 200) % 256 for i in range(8 * 8 * 3))
+    rows = [(1, mm.png_encode(base, 8, 8, 3)),
+            (2, mm.png_encode(base, 8, 8, 3)),
+            (3, mm.png_encode(bytes(tweaked), 8, 8, 3)),
+            (4, mm.png_encode(other, 8, 8, 3))]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    h1 = _ref_dhash(base, 8, 8, 3)
+    h3 = _ref_dhash(bytes(tweaked), 8, 8, 3)
+    d13 = bin(h1[0] ^ h3[0]).count("1") + bin(h1[1] ^ h3[1]).count("1")
+    assert 1 <= d13 <= 7  # the tweak flips a few bits, within banding reach
+    got = {(r["media_id_a"], r["media_id_b"]): r["hamming"]
+           for r in mm.phash_neardup(df, max_hamming=7).collect()}
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == d13 and got[(2, 3)] == d13
+    h4 = _ref_dhash(other, 8, 8, 3)
+    d14 = bin(h1[0] ^ h4[0]).count("1") + bin(h1[1] ^ h4[1]).count("1")
+    if d14 > 7:
+        assert (1, 4) not in got
+    with pytest.raises(ValueError, match="pigeonhole"):
+        mm.phash_neardup(df, max_hamming=8)
