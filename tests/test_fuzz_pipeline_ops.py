@@ -499,3 +499,110 @@ def test_fuzz_image_phash(spark, duck):
             got2 = multimodal.phash_neardup(
                 media, max_hamming=max_h, signatures=sig)
             assert_df_matches_duck(got2, duck, _duck_phash_pairs(max_h))
+
+
+def test_fuzz_quality_pipeline_stage_metamorphics(spark):
+    """Stage-boundary invariants of the composed pipeline (r8 verdict
+    #5) — engine-only metamorphics, one per boundary, at fuzzed knobs:
+
+    1. filter commutativity: gopher-first vs dup-cut-first join order
+       yields the identical bucket report (both are pure predicates on
+       the ORIGINAL documents);
+    2. neutral dup stage: dup_cut=1.0 ≡ the pipeline without the dup
+       stage (the duplicated-char fraction never exceeds 1);
+    3. retrain accounting: with all rates 1.0 the thinning gate is
+       open, so Σ n_docs over buckets == the survivor count — the
+       terciles partition exactly the filtered set they were retrained
+       on;
+    4. nested thinning: lowering one bucket's rate keeps a SUBSET of
+       that bucket's documents (the md5 gate is monotone in the rate),
+       and the other buckets' kept sets are untouched.
+    """
+    from pyspark.sql import functions as F
+
+    from coolplaydruid_spark.contract import (
+        _spark_gopher,
+        _spark_quality_pipeline,
+        engine_for,
+    )
+    from coolplaydruid_spark.operators import sampling
+
+    from conftest import SF_DIR
+
+    rng = random.Random(SEED + 97)
+    docs = _docs(spark, SF_DIR)
+    engine_for(spark, SF_DIR)  # session confs
+
+    def report(df):
+        return {r["bucket"]: (r["n_docs"], r["total_tokens"])
+                for r in df.collect()}
+
+    for _ in range(max(2, N_SPECS // 30)):
+        gp = dict(
+            min_words=rng.randint(0, 40),
+            max_words=rng.randint(60, 120),
+            min_mean=rng.choice([0.0, 3.0]),
+            max_mean=rng.choice([5.0, 10.0]),
+            max_symbol=0.1,
+            min_alpha=rng.choice([0.0, 0.8]),
+            min_stop=rng.randint(0, 2),
+        )
+        dup_cut = rng.choice([0.3, 0.5, 0.7])
+        rates = {"head": 1.0, "middle": rng.choice([0.5, 0.2]),
+                 "tail": rng.choice([0.1, 0.0])}
+        v = rng.choice([50, 100])
+
+        base = report(_spark_quality_pipeline(docs, gp, dup_cut, rates, v))
+
+        # 1. swap the filter joins
+        g = _spark_gopher(docs, gp).where("passes").select("doc_id")
+        d2 = (
+            text.dup_ngram_stats(docs, ns=(2,))
+            .where(F.col("dup_2gram_char_frac") <= dup_cut)
+            .select("doc_id")
+        )
+        keep_swapped = docs.join(d2, on="doc_id").join(g, on="doc_id")
+        mix = sampling.quality_mixture(keep_swapped, rates=dict(rates),
+                                       vocab_size=v)
+        swapped = report(mix.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        ))
+        assert swapped == base, (swapped, base)
+
+        # 2. dup_cut = 1.0 ≡ gopher-only
+        full_cut = report(_spark_quality_pipeline(docs, gp, 1.0, rates, v))
+        keep_g = docs.join(g, on="doc_id")
+        mix_g = sampling.quality_mixture(keep_g, rates=dict(rates),
+                                         vocab_size=v)
+        gopher_only = report(mix_g.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        ))
+        assert full_cut == gopher_only, (full_cut, gopher_only)
+
+        # 3. open gate accounts for every survivor
+        keep = docs.join(g, on="doc_id").join(d2, on="doc_id")
+        open_rates = {"head": 1.0, "middle": 1.0, "tail": 1.0}
+        opened = report(_spark_quality_pipeline(docs, gp, dup_cut,
+                                                open_rates, v))
+        n_survivors = keep.count()
+        assert sum(n for n, _ in opened.values()) == n_survivors, (
+            opened, n_survivors)
+
+        # 4. nested thinning on one bucket; other buckets untouched
+        full_ids = {
+            (r["bucket"], r["doc_id"])
+            for r in sampling.quality_mixture(
+                keep, rates=open_rates, vocab_size=v).collect()
+        }
+        half_rates = dict(open_rates, middle=0.5)
+        half_ids = {
+            (r["bucket"], r["doc_id"])
+            for r in sampling.quality_mixture(
+                keep, rates=half_rates, vocab_size=v).collect()
+        }
+        assert half_ids <= full_ids
+        for b in ("head", "tail"):
+            assert {i for bb, i in half_ids if bb == b} == \
+                   {i for bb, i in full_ids if bb == b}
