@@ -3859,6 +3859,74 @@ def dedup_image_phash(spark, sf_dir):
     return multimodal.phash_neardup(_docs_as_media(eng, "png"), max_hamming=6)
 
 
+def _duck_afp_cte() -> str:
+    """Shared oracle CTEs rebuilding the 32-bit audio fingerprint from
+    char codes for the WAV fixture (_docs_as_media 'wav': sample i is
+    text byte i − 128): |centered sample| sums per window i·33 // n,
+    bit = integer cross-multiplied mean comparison, packed MSB-first —
+    bit-identical to multimodal.audio_fingerprint over the decoded
+    frames. Windows of clips shorter than 33 samples stay (0, 0) via
+    the spine left-join, matching the engine's zero-filled arrays."""
+    return """
+    WITH m AS (SELECT doc_id AS media_id, coalesce(text, '') AS t FROM documents),
+    s AS (
+      SELECT media_id, CAST(i AS INT) AS i,
+             abs(ascii(substring(t, CAST(i AS INT) + 1, 1)) - 128) AS a,
+             length(t) AS n
+      FROM (SELECT media_id, t, unnest(range(0, length(t))) AS i FROM m)
+    ),
+    agg AS (SELECT media_id, (i*33)//n AS w, sum(a) AS e,
+                   CAST(count(*) AS BIGINT) AS l
+            FROM s GROUP BY 1, 2),
+    spine AS (SELECT media_id, range AS w FROM m, range(33)),
+    win AS (SELECT spine.media_id, spine.w,
+                   coalesce(e, 0) AS e, coalesce(l, 0) AS l
+            FROM spine LEFT JOIN agg
+              ON spine.media_id = agg.media_id AND spine.w = agg.w),
+    bits AS (
+      SELECT a.media_id, a.w,
+             CASE WHEN a.e * b.l > b.e * a.l THEN 1 ELSE 0 END AS bit
+      FROM win a JOIN win b ON a.media_id = b.media_id AND b.w = a.w + 1
+      WHERE a.w < 32
+    ),
+    h AS (
+      SELECT media_id,
+             CAST(sum(bit * (CAST(1 AS BIGINT) << (31 - CAST(w AS INT))))
+                  AS BIGINT) AS afp
+      FROM bits GROUP BY 1
+    )
+    """
+
+
+def _duck_afp_pairs(max_hamming: int) -> str:
+    return _duck_afp_cte() + f"""
+    SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= {int(max_hamming)}
+    """
+
+
+@q("multimodal_audio_fingerprint", _duck_afp_cte() +
+   "SELECT media_id, afp FROM h")
+def multimodal_audio_fingerprint(spark, sf_dir):
+    """32-bit energy-gradient audio fingerprint over the REAL WAV
+    decode — every window sum and cross-multiplied comparison is
+    integer math, so the oracle rebuilds the exact fingerprint from
+    char codes (operators/multimodal.audio_fingerprint)."""
+    eng = engine_for(spark, sf_dir)
+    return multimodal.audio_fingerprint(_docs_as_media(eng, "wav"))
+
+
+@q("dedup_audio_fingerprint", _duck_afp_pairs(3))
+def dedup_audio_fingerprint(spark, sf_dir):
+    """Audio near-dup pairs (fingerprint Hamming ≤ 3) with 4-band
+    pigeonhole blocking — blocked ≡ all-pairs at this threshold, which
+    is what the oracle computes (operators/multimodal.audio_neardup)."""
+    eng = engine_for(spark, sf_dir)
+    return multimodal.audio_neardup(_docs_as_media(eng, "wav"), max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # Corpus statistics & cleaning (operators/corpus.py)
 # ---------------------------------------------------------------------------

@@ -404,6 +404,109 @@ def phash_neardup(df: DataFrame, max_hamming: int = 6,
     )
 
 
+# ---- audio fingerprint near-dup ------------------------------------------
+
+AFP_BITS = 32
+_AFP_WINDOWS = 33  # 33 energy windows → 32 gradient bits
+_AFP_BANDS = 4     # 4 bands × 8 bits: Hamming ≤ 3 ⇒ ≥ 1 whole band agrees
+
+
+def audio_fingerprint(df: DataFrame, media_col: str = "media",
+                      id_col: str = "media_id") -> DataFrame:
+    """32-bit energy-gradient fingerprint per audio clip — the audio
+    counterpart of phash_signatures, over the REAL WAV decode: centered
+    samples split into 33 time windows (sample i → window i·33 // n),
+    bit w = mean |sample| of window w exceeds window w+1's, compared by
+    integer cross-multiplication (Σ|s|_w · len_{w+1} > Σ|s|_{w+1} ·
+    len_w) so the construction is exact in any engine — no float means,
+    no rounding. Bits pack MSB-first into one integer in [0, 2^32).
+    Empty windows (clips shorter than 33 samples) contribute zero
+    energy and zero length, making the comparison deterministic.
+
+    Returns (media_id, afp). Map-only Arrow-batched mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fps = [], []
+            for mid, raw in zip(pdf[id_col], pdf[media_col]):
+                with wave.open(io.BytesIO(bytes(raw)), "rb") as wv:
+                    sw = wv.getsampwidth()
+                    frames = wv.readframes(wv.getnframes())
+                if sw == 1:
+                    samples = [abs(b - 128) for b in frames]
+                elif sw == 2:
+                    samples = [
+                        abs(s) for s in
+                        struct.unpack(f"<{len(frames) // 2}h", frames)
+                    ]
+                else:
+                    raise NotImplementedError(f"WAV sample width {sw}")
+                n = len(samples)
+                e = [0] * _AFP_WINDOWS
+                l = [0] * _AFP_WINDOWS
+                for i, a in enumerate(samples):
+                    w = i * _AFP_WINDOWS // n
+                    e[w] += a
+                    l[w] += 1
+                fp = 0
+                for w in range(_AFP_WINDOWS - 1):
+                    if e[w] * l[w + 1] > e[w + 1] * l[w]:
+                        fp |= 1 << (31 - w)
+                ids.append(mid)
+                fps.append(fp)
+            yield pd.DataFrame({"media_id": ids, "afp": fps})
+
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
+        batches, "media_id long, afp long")
+
+
+def audio_neardup(df: DataFrame, max_hamming: int = 3,
+                  media_col: str = "media", id_col: str = "media_id",
+                  signatures: DataFrame | None = None) -> DataFrame:
+    """Audio near-duplicate pairs: (media_id_a, media_id_b, hamming ≤
+    max_hamming), a < b, by 32-bit fingerprint Hamming distance with
+    4-band pigeonhole blocking — for max_hamming ≤ 3 the blocked join
+    equals the all-pairs result exactly (same guarantee structure as
+    phash_neardup / dedup.simhash_dedup). ``signatures`` accepts a
+    pre-computed audio_fingerprint() frame so re-pairing never
+    re-decodes. Hamming runs JVM-side (bit_count ∘ xor)."""
+    if not 0 <= max_hamming <= _AFP_BANDS - 1:
+        raise ValueError(
+            f"max_hamming must be in [0, {_AFP_BANDS - 1}] — above "
+            f"{_AFP_BANDS - 1} the {_AFP_BANDS}-band pigeonhole "
+            "blocking no longer guarantees exact recall")
+    sig = signatures if signatures is not None else audio_fingerprint(
+        df, media_col=media_col, id_col=id_col)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("afp"), (3 - b) * 8)
+            .bitwiseAND(F.lit(255)).alias("bits"),
+        )
+        for b in range(_AFP_BANDS)
+    ]
+    banded = sig.select(
+        F.col(id_col), "afp", F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, "afp", "b.band", "b.bits")
+    l, r = banded.alias("l"), banded.alias("r")
+    hamming = F.bit_count(F.col("l.afp").bitwiseXOR(F.col("r.afp")))
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bits") == F.col("r.bits"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("media_id_a"),
+            F.col(f"r.{id_col}").alias("media_id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= int(max_hamming))
+    )
+
+
 def resize_images(df: DataFrame, width: int, height: int,
                   media_col: str = "media", id_col: str = "media_id") -> DataFrame:
     """REAL image resize: decode (Pillow or stdlib PNG) → nearest-neighbor

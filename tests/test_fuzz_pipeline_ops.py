@@ -606,3 +606,31 @@ def test_fuzz_quality_pipeline_stage_metamorphics(spark):
         for b in ("head", "tail"):
             assert {i for bb, i in half_ids if bb == b} == \
                    {i for bb, i in full_ids if bb == b}
+
+
+def test_fuzz_audio_fingerprint(spark, duck):
+    """Audio near-dup at random Hamming thresholds, sharing the
+    contract's oracle builder (all-pairs ≡ 4-band blocked join for
+    every accepted threshold); also pins the pre-computed-signatures
+    path against the decode path."""
+    from coolplaydruid_spark.contract import (
+        _docs_as_media,
+        _duck_afp_pairs,
+        engine_for,
+    )
+    from coolplaydruid_spark.operators import multimodal
+
+    from conftest import SF_DIR
+
+    rng = random.Random(SEED + 98)
+    eng = engine_for(spark, SF_DIR)
+    media = _docs_as_media(eng, "wav")
+    sig = multimodal.audio_fingerprint(media)
+    for i in range(max(3, N_SPECS // 20)):
+        max_h = rng.randint(0, 3)
+        got = multimodal.audio_neardup(media, max_hamming=max_h)
+        assert_df_matches_duck(got, duck, _duck_afp_pairs(max_h))
+        if i == 0:
+            got2 = multimodal.audio_neardup(
+                media, max_hamming=max_h, signatures=sig)
+            assert_df_matches_duck(got2, duck, _duck_afp_pairs(max_h))

@@ -211,3 +211,34 @@ def test_phash_neardup_blocking_and_threshold(spark):
         assert (1, 4) not in got
     with pytest.raises(ValueError, match="pigeonhole"):
         mm.phash_neardup(df, max_hamming=8)
+
+
+def test_audio_fingerprint_known_values(spark):
+    """A clip whose per-window mean energy strictly decreases sets all
+    32 bits; a constant clip sets none; an empty clip is 0; a 16-bit
+    clip follows the same window math on signed samples."""
+    # 33 windows x 4 samples, window w has every sample 233-7w:
+    # strictly decreasing window means -> all 32 bits
+    desc = bytes(128 + (233 - 7 * w) // 2 for w in range(33) for _ in range(4))
+    flat = bytes(200 for _ in range(66))
+    rows = [(1, mm.wav_encode(desc)),
+            (2, mm.wav_encode(flat)),
+            (3, mm.wav_encode(b""))]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    got = {r["media_id"]: r["afp"]
+           for r in mm.audio_fingerprint(df).collect()}
+    assert got[1] == 0xFFFFFFFF
+    assert got[2] == 0
+    assert got[3] == 0
+
+
+def test_audio_neardup_threshold_and_validation(spark):
+    base = bytes((i * 29 + 3) % 256 for i in range(200))
+    rows = [(1, mm.wav_encode(base)), (2, mm.wav_encode(base)),
+            (3, mm.wav_encode(bytes(reversed(base))))]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    got = {(r["media_id_a"], r["media_id_b"]): r["hamming"]
+           for r in mm.audio_neardup(df, max_hamming=3).collect()}
+    assert got[(1, 2)] == 0
+    with pytest.raises(ValueError, match="pigeonhole"):
+        mm.audio_neardup(df, max_hamming=4)
