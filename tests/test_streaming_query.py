@@ -419,3 +419,46 @@ def test_map_only_quality_ops_run_in_streaming(spark, tmp_path):
     expected = {tuple(r) for r in transform(batch_df).collect()}
     got = {tuple(r) for r in spark.sql("SELECT * FROM quality_stream").collect()}
     assert got == expected and len(got) == 20
+
+
+def test_map_only_media_fingerprints_run_in_streaming(spark, tmp_path):
+    """The media near-dup SIGNATURE stages (image dHash, audio
+    fingerprint) are map-only Arrow mapInPandas projections, so the
+    same operator code runs unchanged inside a Structured Streaming
+    query — the signature half of a realtime media-ingest pipeline
+    (pairing then runs against the materialized signature table, the
+    incremental shape). Stream results must equal the batch run."""
+    from coolplaydruid_spark.operators import multimodal as mm
+
+    rows = []
+    for i in range(12):
+        px = bytes((i * 31 + j * 7) % 256 for j in range(8 * 8 * 3))
+        rows.append((i, mm.png_encode(px, 8, 8, 3),
+                     mm.wav_encode(bytes((i * 13 + j) % 256
+                                         for j in range(50 + i)))))
+    schema = "media_id long, png binary, wav binary"
+    src = tmp_path / "media_src"
+    spark.createDataFrame(rows, schema).write.parquet(str(src))
+    stream = spark.readStream.schema(schema).format("parquet").load(str(src))
+
+    for name, col, op in [
+        ("phash_stream", "png", mm.phash_signatures),
+        ("afp_stream", "wav", mm.audio_fingerprint),
+    ]:
+        out = (
+            op(stream.select("media_id", F.col(col).alias("media")))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert out.awaitTermination(120), f"{name} did not finish in 120s"
+        batch = op(
+            spark.createDataFrame(rows, schema)
+            .select("media_id", F.col(col).alias("media"))
+        )
+        expected = {tuple(r) for r in batch.collect()}
+        got = {tuple(r) for r in
+               spark.sql(f"SELECT * FROM {name}").collect()}
+        assert got == expected and len(got) == 12, name
