@@ -51,6 +51,11 @@ SF1_TAIL = [
     # in r8 (verdict #2); measured 9.3-9.4x shuffle on 10x input
     "corpus_overlap_matrix",
     "corpus_overlap_incremental",
+    # r9: media near-dup — banded Hamming self-joins whose pair volume
+    # grows with REAL duplicate density (the sf1 synthesizer's ~10×
+    # text duplication squares dup-group sizes), bounded by banding
+    "dedup_image_phash",
+    "dedup_audio_fingerprint",
 ]
 
 BENCH_QUERIES = [

@@ -3665,10 +3665,16 @@ def _docs_as_media(eng, kind: str) -> DataFrame:
     the UTF-8 text bytes cycled (zeros when empty), or an 8-bit mono WAV
     whose samples are the text bytes. Both are pure functions of the text
     so DuckDB can recompute decoded-pixel/sample statistics from char
-    codes directly (fixture text is ASCII: 1 char = 1 byte)."""
+    codes directly (fixture text is ASCII: 1 char = 1 byte). Encodes
+    behind spread() so a few-file documents scan cannot serialize the
+    per-row Python work onto a couple of tasks."""
     import pandas as pd  # noqa: PLC0415
 
-    docs = eng.catalog.table("documents").select("doc_id", "text")
+    from coolplaydruid_spark.operators.util import spread
+
+    docs = spread(
+        eng.catalog.table("documents"), by="doc_id"
+    ).select("doc_id", "text")
 
     def to_media(it):
         for pdf in it:

@@ -68,6 +68,12 @@ BLOCKED = {
     # the capped variant must grow no faster than the uncapped one —
     # the cap only ever removes candidate-join work
     "dedup_minhash_capped": 5.0,
+    # r9 media near-dup: banded Hamming self-joins. Measured 1.3×/1.7×
+    # over input growth at sf1 — the excess over linear is REAL pair
+    # rows (the sf1 synthesizer duplicates texts ~10×, squaring
+    # dup-group sizes), exactly the growth banding bounds.
+    "dedup_image_phash": 5.0,
+    "dedup_audio_fingerprint": 5.0,
 }
 CONSTANT = {"similarity_topk_brute"}
 PLAN_TRANSITION = {"sql_join_top_customers", "sql_join_region_revenue"}
