@@ -566,6 +566,46 @@ def apply_dedup_filter(df: DataFrame, pairs: DataFrame,
     return df.join(drops, on=id_col, how="left_anti")
 
 
+# ---- banded Hamming pairing (shared tail) --------------------------------
+
+
+def banded_hamming_pairs(sig: DataFrame, band_cols: list, sig_cols: list[str],
+                         hamming, id_col: str, max_hamming: int,
+                         out_a: str = "doc_a", out_b: str = "doc_b") -> DataFrame:
+    """The one banded-Hamming self-join, shared by SimHash, image dHash
+    and audio fingerprints (r9 review: three verbatim copies diverge
+    silently): explode the per-signature band structs, equi-join on
+    (band_index, band_bits) with id< to order pairs, compute the
+    Hamming distance from the carried signature columns, dedup pairs
+    that collide in several bands, threshold.
+
+    ``band_cols``: struct(band, bits) Columns derived from ``sig``'s
+    signature columns. ``sig_cols``: signature column names carried
+    through the explode for ``hamming``, a (left_alias, right_alias) →
+    Column callable. Callers own the pigeonhole validation (bands ×
+    width differ per signature type)."""
+    banded = sig.select(
+        F.col(id_col), *[F.col(c) for c in sig_cols],
+        F.explode(F.array(*band_cols)).alias("b"),
+    ).select(id_col, *sig_cols, "b.band", "b.bits")
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bits") == F.col("r.bits"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias(out_a),
+            F.col(f"r.{id_col}").alias(out_b),
+            hamming("l", "r").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= int(max_hamming))
+    )
+
+
 # ---- SimHash ------------------------------------------------------------
 
 SIMHASH_BITS = 32
@@ -620,33 +660,19 @@ def simhash_dedup(
                  F.substring("simhash", b * width + 1, width).alias("bits"))
         for b in range(bands)
     ]
-    banded = sig.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_cols)).alias("b")
-    ).select(id_col, "simhash", "b.band", "b.bits")
 
-    l, r = banded.alias("l"), banded.alias("r")
-    hamming = sum(
-        F.when(
-            F.substring(F.col("l.simhash"), i + 1, 1)
-            != F.substring(F.col("r.simhash"), i + 1, 1),
-            1,
-        ).otherwise(0)
-        for i in range(SIMHASH_BITS)
-    )
-    return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bits") == F.col("r.bits"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    def hamming(l: str, r: str):
+        return sum(
+            F.when(
+                F.substring(F.col(f"{l}.simhash"), i + 1, 1)
+                != F.substring(F.col(f"{r}.simhash"), i + 1, 1),
+                1,
+            ).otherwise(0)
+            for i in range(SIMHASH_BITS)
         )
-        .select(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .distinct()
-        .where(F.col("hamming") <= max_hamming)
+
+    return banded_hamming_pairs(
+        sig, band_cols, ["simhash"], hamming, id_col, max_hamming
     )
 
 

@@ -368,6 +368,8 @@ def phash_neardup(df: DataFrame, max_hamming: int = 6,
     keys on (band, bits) — 8 rows per image, uniform by hash
     construction; candidate volume is bounded by real band collisions,
     not corpus size."""
+    from coolplaydruid_spark.operators.dedup import banded_hamming_pairs
+
     if not 0 <= max_hamming <= _PHASH_BANDS - 1:
         raise ValueError(
             f"max_hamming must be in [0, {_PHASH_BANDS - 1}] — above "
@@ -383,30 +385,16 @@ def phash_neardup(df: DataFrame, max_hamming: int = 6,
             F.lit(b).alias("band"),
             F.shiftright(half, shift).bitwiseAND(F.lit(255)).alias("bits"),
         ))
-    banded = sig.select(
-        F.col(id_col), "phash_hi", "phash_lo",
-        F.explode(F.array(*band_cols)).alias("b"),
-    ).select(id_col, "phash_hi", "phash_lo", "b.band", "b.bits")
 
-    l, r = banded.alias("l"), banded.alias("r")
-    hamming = (
-        F.bit_count(F.col("l.phash_hi").bitwiseXOR(F.col("r.phash_hi")))
-        + F.bit_count(F.col("l.phash_lo").bitwiseXOR(F.col("r.phash_lo")))
-    )
-    return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bits") == F.col("r.bits"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("media_id_a"),
-            F.col(f"r.{id_col}").alias("media_id_b"),
-            hamming.cast("int").alias("hamming"),
-        )
-        .distinct()
-        .where(F.col("hamming") <= int(max_hamming))
+    def hamming(l: str, r: str):
+        return (
+            F.bit_count(F.col(f"{l}.phash_hi").bitwiseXOR(F.col(f"{r}.phash_hi")))
+            + F.bit_count(F.col(f"{l}.phash_lo").bitwiseXOR(F.col(f"{r}.phash_lo")))
+        ).cast("int")
+
+    return banded_hamming_pairs(
+        sig, band_cols, ["phash_hi", "phash_lo"], hamming, id_col,
+        max_hamming, out_a="media_id_a", out_b="media_id_b",
     )
 
 
@@ -476,6 +464,8 @@ def audio_neardup(df: DataFrame, max_hamming: int = 3,
     phash_neardup / dedup.simhash_dedup). ``signatures`` accepts a
     pre-computed audio_fingerprint() frame so re-pairing never
     re-decodes. Hamming runs JVM-side (bit_count ∘ xor)."""
+    from coolplaydruid_spark.operators.dedup import banded_hamming_pairs
+
     if not 0 <= max_hamming <= _AFP_BANDS - 1:
         raise ValueError(
             f"max_hamming must be in [0, {_AFP_BANDS - 1}] — above "
@@ -491,25 +481,15 @@ def audio_neardup(df: DataFrame, max_hamming: int = 3,
         )
         for b in range(_AFP_BANDS)
     ]
-    banded = sig.select(
-        F.col(id_col), "afp", F.explode(F.array(*band_cols)).alias("b")
-    ).select(id_col, "afp", "b.band", "b.bits")
-    l, r = banded.alias("l"), banded.alias("r")
-    hamming = F.bit_count(F.col("l.afp").bitwiseXOR(F.col("r.afp")))
-    return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bits") == F.col("r.bits"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("media_id_a"),
-            F.col(f"r.{id_col}").alias("media_id_b"),
-            hamming.cast("int").alias("hamming"),
-        )
-        .distinct()
-        .where(F.col("hamming") <= int(max_hamming))
+
+    def hamming(l: str, r: str):
+        return F.bit_count(
+            F.col(f"{l}.afp").bitwiseXOR(F.col(f"{r}.afp"))
+        ).cast("int")
+
+    return banded_hamming_pairs(
+        sig, band_cols, ["afp"], hamming, id_col, max_hamming,
+        out_a="media_id_a", out_b="media_id_b",
     )
 
 

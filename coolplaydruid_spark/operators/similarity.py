@@ -319,11 +319,19 @@ def nearest_centroid(
     # (−cosine, cid) struct — negating the (always numeric) cosine
     # instead of the id keeps the tie-break type-safe for STRING
     # centroid ids, where a negated id would silently turn NULL and
-    # make the tie nondeterministic (r8 advice).
+    # make the tie nondeterministic (r8 advice). A NULL cosine (null
+    # vector element; zero-norm 0/0 with ANSI off) coalesces to +inf in
+    # the ordering leg so it sorts LAST under min — i.e. such a
+    # centroid is never picked while any real score exists, matching
+    # the old max_by behavior (r9 review find: bare NULL sorted FIRST
+    # under min_by and won every assignment).
     best = scored.groupBy(id_col).agg(
         F.min_by(
             F.struct(F.col("__cid").alias("cid"), F.col("cosine").alias("cos")),
-            F.struct((-F.col("cosine")).alias("negc"), F.col("__cid").alias("cid")),
+            F.struct(
+                F.coalesce(-F.col("cosine"), F.lit(float("inf"))).alias("negc"),
+                F.col("__cid").alias("cid"),
+            ),
         ).alias("__best")
     )
     return best.select(

@@ -71,7 +71,10 @@ def constant_partition(col):
     still funnels everything into one partition, exactly the case the
     warning exists for."""
     rendered = F.length(F.concat(F.lit("#"), F.col(col).cast("string")))
-    return F.pmod(rendered, rendered)
+    # coalesce: a NULL column renders NULL → pmod NULL, which would
+    # split NULL rows into a SECOND partition with its own rank
+    # sequence (r9 review find) — pin them to the same 0 partition
+    return F.coalesce(F.pmod(rendered, rendered), F.lit(0))
 
 
 def md5_bucket(col, n_buckets: int, hex_chars: int = 6):

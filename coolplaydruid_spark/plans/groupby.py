@@ -207,8 +207,8 @@ def apply_limit_spec(df: DataFrame, spec: dict | None, dim_names: list[str]) -> 
         elif dim_order == "alphanumeric":
             from coolplaydruid_spark.functions.ordering import alphanumeric_key
 
-            # raw byte order breaks the key's numeric-value ties
-            # ('007' ≡ '7') so row order is deterministic
+            # raw byte order as a deterministic tiebreak (unreachable
+            # for NUL-free values — the upstream-exact key is injective)
             s = col.cast("string")
             order_cols.extend(
                 c2.desc() if desc else c2.asc()

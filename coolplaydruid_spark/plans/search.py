@@ -66,8 +66,8 @@ def plan_search(engine, query: dict) -> DataFrame:
     elif sort == "alphanumeric":
         from coolplaydruid_spark.functions.ordering import alphanumeric_key
 
-        # raw byte order breaks the key's numeric-value ties ('007' ≡
-        # '7') so result order is deterministic
+        # raw byte order as a deterministic tiebreak (unreachable for
+        # NUL-free values — the upstream-exact key is injective)
         value_order = [alphanumeric_key(F.col("value")).asc(),
                        F.col("value").asc()]
     else:

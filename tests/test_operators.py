@@ -1153,3 +1153,21 @@ def test_source_overlap_matrix_synthetic(spark):
     assert (r["group_a"], r["group_b"], r["n_shared"]) == ("s1", "s2", 1)
     # |S1| = |S2| = 3 shingles each, 1 shared -> 1/5
     assert r["jaccard"] == 0.2
+
+
+def test_nearest_centroid_null_cosine_never_wins(spark):
+    """r9 review find: the min_by rewrite made a NULL cosine (null
+    vector element, or zero-norm 0/0 under non-ANSI) sort FIRST in the
+    ordering struct, so a degenerate centroid won EVERY assignment.
+    NULL must lose to any real score (old max_by behavior)."""
+    cent = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [None, 0.5]), (3, [0.0, 1.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    pts = spark.createDataFrame(
+        [(10, [1.0, 0.2]), (11, [0.2, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["centroid_id"]
+           for r in similarity.nearest_centroid(pts, cent).collect()}
+    assert got == {10: 1, 11: 3}

@@ -234,3 +234,22 @@ def test_bigram_lam_validation(spark):
             text_ops.bigram_logprob_score(docs, lam=bad)
     with pytest.raises(ValueError):
         text_ops.bigram_logprob_score(docs, vocab_size=0)
+
+
+def test_constant_partition_null_safe(spark):
+    """r9 review find: a NULL partition column rendered a NULL
+    partition value, splitting the 'single-partition' window in two
+    and double-assigning rank 1."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from coolplaydruid_spark.operators.util import constant_partition
+
+    df = spark.createDataFrame(
+        [(1, 9.0), (None, 8.0), (3, 7.0)], "doc_id long, bm25 double")
+    w = Window.partitionBy(constant_partition("doc_id")).orderBy(
+        F.col("bm25").desc())
+    ranks = [r["rn"] for r in
+             df.withColumn("rn", F.row_number().over(w))
+             .orderBy(F.col("bm25").desc()).collect()]
+    assert ranks == [1, 2, 3]
