@@ -652,8 +652,13 @@ def simhash_dedup(
     Blocking: the 32-bit signature splits into 4 bands of 8 bits; by
     pigeonhole any pair within Hamming distance 3 agrees on ≥1 whole band,
     so the self-join keys on (band_index, band_bits) — never O(n²)."""
-    sig = simhash_signatures(df, text_col=text_col, id_col=id_col)
     bands = 4
+    if not 0 <= max_hamming <= bands - 1:
+        raise ValueError(
+            f"max_hamming must be in [0, {bands - 1}] — above {bands - 1} "
+            f"the {bands}-band pigeonhole blocking no longer guarantees "
+            "exact recall (r9 review: siblings phash/audio already raise)")
+    sig = simhash_signatures(df, text_col=text_col, id_col=id_col)
     width = SIMHASH_BITS // bands
     band_cols = [
         F.struct(F.lit(b).alias("band"),

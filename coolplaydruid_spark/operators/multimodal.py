@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from coolplaydruid_spark.operators.dedup import banded_hamming_pairs
 from coolplaydruid_spark.operators.util import spread
 
 MEDIA_META_SCHEMA = (
@@ -340,10 +341,10 @@ def phash_signatures(df: DataFrame, media_col: str = "media",
                 his.append(hi)
                 los.append(lo)
             yield pd.DataFrame(
-                {"media_id": ids, "phash_hi": his, "phash_lo": los})
+                {id_col: ids, "phash_hi": his, "phash_lo": los})
 
     return spread(df, by=id_col).select(F.col(id_col), F.col(media_col)).mapInPandas(
-        batches, "media_id long, phash_hi long, phash_lo long")
+        batches, f"{id_col} long, phash_hi long, phash_lo long")
 
 
 def phash_neardup(df: DataFrame, max_hamming: int = 6,
@@ -368,8 +369,6 @@ def phash_neardup(df: DataFrame, max_hamming: int = 6,
     keys on (band, bits) — 8 rows per image, uniform by hash
     construction; candidate volume is bounded by real band collisions,
     not corpus size."""
-    from coolplaydruid_spark.operators.dedup import banded_hamming_pairs
-
     if not 0 <= max_hamming <= _PHASH_BANDS - 1:
         raise ValueError(
             f"max_hamming must be in [0, {_PHASH_BANDS - 1}] — above "
@@ -448,10 +447,10 @@ def audio_fingerprint(df: DataFrame, media_col: str = "media",
                         fp |= 1 << (31 - w)
                 ids.append(mid)
                 fps.append(fp)
-            yield pd.DataFrame({"media_id": ids, "afp": fps})
+            yield pd.DataFrame({id_col: ids, "afp": fps})
 
     return spread(df, by=id_col).select(F.col(id_col), F.col(media_col)).mapInPandas(
-        batches, "media_id long, afp long")
+        batches, f"{id_col} long, afp long")
 
 
 def audio_neardup(df: DataFrame, max_hamming: int = 3,
@@ -464,8 +463,6 @@ def audio_neardup(df: DataFrame, max_hamming: int = 3,
     phash_neardup / dedup.simhash_dedup). ``signatures`` accepts a
     pre-computed audio_fingerprint() frame so re-pairing never
     re-decodes. Hamming runs JVM-side (bit_count ∘ xor)."""
-    from coolplaydruid_spark.operators.dedup import banded_hamming_pairs
-
     if not 0 <= max_hamming <= _AFP_BANDS - 1:
         raise ValueError(
             f"max_hamming must be in [0, {_AFP_BANDS - 1}] — above "

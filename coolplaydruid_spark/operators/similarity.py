@@ -322,9 +322,11 @@ def nearest_centroid(
     # make the tie nondeterministic (r8 advice). A NULL cosine (null
     # vector element; zero-norm 0/0 with ANSI off) coalesces to +inf in
     # the ordering leg so it sorts LAST under min — i.e. such a
-    # centroid is never picked while any real score exists, matching
-    # the old max_by behavior (r9 review find: bare NULL sorted FIRST
-    # under min_by and won every assignment).
+    # centroid is never picked while any real score exists (r9 review
+    # find: bare NULL sorted FIRST under min_by and won every
+    # assignment). All-NULL corner: min_by returns the lowest-cid
+    # centroid with cosine NULL — matching the SQL oracle's NULLS LAST
+    # ordering (old max_by returned a NULL centroid id there).
     best = scored.groupBy(id_col).agg(
         F.min_by(
             F.struct(F.col("__cid").alias("cid"), F.col("cosine").alias("cos")),

@@ -248,10 +248,15 @@ def test_simhash_signatures_and_pairs(engine, duck):
     """
     assert_df_matches_duck(df, duck, sql)
 
-    pairs = dedup.simhash_dedup(engine.catalog.table("documents"), max_hamming=8)
+    pairs = dedup.simhash_dedup(engine.catalog.table("documents"), max_hamming=3)
     rows = pairs.collect()
     for r in rows:
-        assert 0 <= r["hamming"] <= 8
+        assert 0 <= r["hamming"] <= 3
+    # past the pigeonhole guarantee the banded join silently loses
+    # recall — raise instead (consistent with phash/audio near-dup)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_dedup(engine.catalog.table("documents"), max_hamming=8)
 
 
 def test_embedding_neardup(engine, duck):
