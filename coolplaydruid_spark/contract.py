@@ -3854,6 +3854,36 @@ def multimodal_phash_signatures(spark, sf_dir):
     return multimodal.phash_signatures(_docs_as_media(eng, "png"))
 
 
+def _duck_phash_pairs_incremental(max_hamming: int, mod: int, rem: int) -> str:
+    """Batch × corpus image pairs: corpus side (a) is media_id % mod !=
+    rem, batch side (b) the rest — all cross pairs within the Hamming
+    threshold, which the engine's banded cross join reproduces exactly."""
+    return _duck_phash_cte() + f"""
+    SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           CAST(bit_count(xor(a.phash_hi, b.phash_hi))
+              + bit_count(xor(a.phash_lo, b.phash_lo)) AS INT) AS hamming
+    FROM h a JOIN h b
+      ON a.media_id % {mod} != {rem} AND b.media_id % {mod} = {rem}
+    WHERE bit_count(xor(a.phash_hi, b.phash_hi))
+        + bit_count(xor(a.phash_lo, b.phash_lo)) <= {int(max_hamming)}
+    """
+
+
+@q("dedup_image_phash_incremental", _duck_phash_pairs_incremental(6, 5, 0))
+def dedup_image_phash_incremental(spark, sf_dir):
+    """Daily-ingest image dedup: an incoming media batch (every 5th
+    document's image) against the standing corpus, via pre-materialized
+    corpus signatures — the corpus is never re-paired or re-decoded
+    (operators/multimodal.phash_neardup_incremental)."""
+    eng = engine_for(spark, sf_dir)
+    media = _docs_as_media(eng, "png")
+    batch = media.where(F.col("media_id") % 5 == 0)
+    corpus_sig = multimodal.phash_signatures(
+        media.where(F.col("media_id") % 5 != 0))
+    return multimodal.phash_neardup_incremental(
+        batch, corpus_signatures=corpus_sig, max_hamming=6)
+
+
 @q("dedup_image_phash", _duck_phash_pairs(6))
 def dedup_image_phash(spark, sf_dir):
     """Perceptual image near-dup pairs (dHash Hamming ≤ 6) with banded
@@ -3922,6 +3952,30 @@ def multimodal_audio_fingerprint(spark, sf_dir):
     char codes (operators/multimodal.audio_fingerprint)."""
     eng = engine_for(spark, sf_dir)
     return multimodal.audio_fingerprint(_docs_as_media(eng, "wav"))
+
+
+def _duck_afp_pairs_incremental(max_hamming: int, mod: int, rem: int) -> str:
+    return _duck_afp_cte() + f"""
+    SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+    FROM h a JOIN h b
+      ON a.media_id % {mod} != {rem} AND b.media_id % {mod} = {rem}
+    WHERE bit_count(xor(a.afp, b.afp)) <= {int(max_hamming)}
+    """
+
+
+@q("dedup_audio_fingerprint_incremental", _duck_afp_pairs_incremental(3, 5, 0))
+def dedup_audio_fingerprint_incremental(spark, sf_dir):
+    """Daily-ingest audio dedup: incoming batch × standing corpus via
+    pre-materialized fingerprints
+    (operators/multimodal.audio_neardup_incremental)."""
+    eng = engine_for(spark, sf_dir)
+    media = _docs_as_media(eng, "wav")
+    batch = media.where(F.col("media_id") % 5 == 0)
+    corpus_sig = multimodal.audio_fingerprint(
+        media.where(F.col("media_id") % 5 != 0))
+    return multimodal.audio_neardup_incremental(
+        batch, corpus_signatures=corpus_sig, max_hamming=3)
 
 
 @q("dedup_audio_fingerprint", _duck_afp_pairs(3))

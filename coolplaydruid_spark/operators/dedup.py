@@ -571,7 +571,8 @@ def apply_dedup_filter(df: DataFrame, pairs: DataFrame,
 
 def banded_hamming_pairs(sig: DataFrame, band_cols: list, sig_cols: list[str],
                          hamming, id_col: str, max_hamming: int,
-                         out_a: str = "doc_a", out_b: str = "doc_b") -> DataFrame:
+                         out_a: str = "doc_a", out_b: str = "doc_b",
+                         sig_right: DataFrame | None = None) -> DataFrame:
     """The one banded-Hamming self-join, shared by SimHash, image dHash
     and audio fingerprints (r9 review: three verbatim copies diverge
     silently): explode the per-signature band structs, equi-join on
@@ -583,19 +584,30 @@ def banded_hamming_pairs(sig: DataFrame, band_cols: list, sig_cols: list[str],
     signature columns. ``sig_cols``: signature column names carried
     through the explode for ``hamming``, a (left_alias, right_alias) →
     Column callable. Callers own the pigeonhole validation (bands ×
-    width differ per signature type)."""
-    banded = sig.select(
-        F.col(id_col), *[F.col(c) for c in sig_cols],
-        F.explode(F.array(*band_cols)).alias("b"),
-    ).select(id_col, *sig_cols, "b.band", "b.bits")
-    l, r = banded.alias("l"), banded.alias("r")
+    width differ per signature type).
+
+    ``sig_right``: when given, pairs LEFT (corpus) × RIGHT (batch)
+    instead of self-pairing — the incremental daily-ingest shape. Ids
+    must be unique across the union (the standard corpus invariant);
+    the id< ordering constraint is dropped (sides are disjoint), so
+    out_a is always a left id and out_b a right id. The pigeonhole
+    guarantee is unchanged: both sides band identically, so any
+    cross pair within the threshold still collides in ≥ 1 band."""
+
+    def bandify(frame):
+        return frame.select(
+            F.col(id_col), *[F.col(c) for c in sig_cols],
+            F.explode(F.array(*band_cols)).alias("b"),
+        ).select(id_col, *sig_cols, "b.band", "b.bits")
+
+    l = bandify(sig).alias("l")
+    r = bandify(sig_right if sig_right is not None else sig).alias("r")
+    cond = (F.col("l.band") == F.col("r.band")) & (
+        F.col("l.bits") == F.col("r.bits"))
+    if sig_right is None:
+        cond = cond & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
     return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bits") == F.col("r.bits"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
+        l.join(r, cond)
         .select(
             F.col(f"l.{id_col}").alias(out_a),
             F.col(f"r.{id_col}").alias(out_b),

@@ -369,32 +369,81 @@ def phash_neardup(df: DataFrame, max_hamming: int = 6,
     keys on (band, bits) — 8 rows per image, uniform by hash
     construction; candidate volume is bounded by real band collisions,
     not corpus size."""
-    if not 0 <= max_hamming <= _PHASH_BANDS - 1:
-        raise ValueError(
-            f"max_hamming must be in [0, {_PHASH_BANDS - 1}] — above "
-            f"{_PHASH_BANDS - 1} the {_PHASH_BANDS}-band pigeonhole "
-            "blocking no longer guarantees exact recall")
+    _check_pigeonhole(max_hamming, _PHASH_BANDS)
     sig = signatures if signatures is not None else phash_signatures(
         df, media_col=media_col, id_col=id_col)
-    band_cols = []
+    return banded_hamming_pairs(
+        sig, _phash_band_cols(), ["phash_hi", "phash_lo"], _phash_hamming,
+        id_col, max_hamming, out_a="media_id_a", out_b="media_id_b",
+    )
+
+
+def phash_neardup_incremental(
+    batch_df: DataFrame | None = None,
+    corpus_df: DataFrame | None = None,
+    max_hamming: int = 6,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    corpus_signatures: DataFrame | None = None,
+    batch_signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Image near-dup pairs between an INCOMING media batch and the
+    EXISTING corpus — the daily-ingest shape (same contract as
+    dedup.minhash_lsh_dedup_incremental / corpus.source_overlap_
+    incremental): the corpus never re-pairs against itself, so a
+    T-byte archive admits a daily shard at a cost proportional to the
+    BATCH. Returns (media_id_a = corpus id, media_id_b = batch id,
+    hamming ≤ max_hamming); ids must be unique across the union.
+
+    In production the corpus signatures materialize once at accept
+    time — pass them as ``corpus_signatures`` (a phash_signatures()
+    frame) and ``corpus_df`` is not consulted (no corpus re-decode);
+    likewise ``batch_signatures``. The pigeonhole guarantee carries
+    over: both sides band identically, so the blocked cross join is
+    exactly the all-pairs batch × corpus result for max_hamming ≤ 7."""
+    _check_pigeonhole(max_hamming, _PHASH_BANDS)
+    corpus_sig = corpus_signatures if corpus_signatures is not None else (
+        phash_signatures(corpus_df, media_col=media_col, id_col=id_col)
+        if corpus_df is not None else None)
+    if corpus_sig is None:
+        raise ValueError("need corpus_df or corpus_signatures")
+    batch_sig = batch_signatures if batch_signatures is not None else (
+        phash_signatures(batch_df, media_col=media_col, id_col=id_col)
+        if batch_df is not None else None)
+    if batch_sig is None:
+        raise ValueError("need batch_df or batch_signatures")
+    return banded_hamming_pairs(
+        corpus_sig, _phash_band_cols(), ["phash_hi", "phash_lo"],
+        _phash_hamming, id_col, max_hamming,
+        out_a="media_id_a", out_b="media_id_b", sig_right=batch_sig,
+    )
+
+
+def _check_pigeonhole(max_hamming: int, bands: int) -> None:
+    if not 0 <= max_hamming <= bands - 1:
+        raise ValueError(
+            f"max_hamming must be in [0, {bands - 1}] — above "
+            f"{bands - 1} the {bands}-band pigeonhole blocking no "
+            "longer guarantees exact recall")
+
+
+def _phash_band_cols() -> list:
+    out = []
     for b in range(_PHASH_BANDS):
         half = F.col("phash_hi") if b < 4 else F.col("phash_lo")
         shift = ((3 - b) if b < 4 else (7 - b)) * 8
-        band_cols.append(F.struct(
+        out.append(F.struct(
             F.lit(b).alias("band"),
             F.shiftright(half, shift).bitwiseAND(F.lit(255)).alias("bits"),
         ))
+    return out
 
-    def hamming(l: str, r: str):
-        return (
-            F.bit_count(F.col(f"{l}.phash_hi").bitwiseXOR(F.col(f"{r}.phash_hi")))
-            + F.bit_count(F.col(f"{l}.phash_lo").bitwiseXOR(F.col(f"{r}.phash_lo")))
-        ).cast("int")
 
-    return banded_hamming_pairs(
-        sig, band_cols, ["phash_hi", "phash_lo"], hamming, id_col,
-        max_hamming, out_a="media_id_a", out_b="media_id_b",
-    )
+def _phash_hamming(l: str, r: str):
+    return (
+        F.bit_count(F.col(f"{l}.phash_hi").bitwiseXOR(F.col(f"{r}.phash_hi")))
+        + F.bit_count(F.col(f"{l}.phash_lo").bitwiseXOR(F.col(f"{r}.phash_lo")))
+    ).cast("int")
 
 
 # ---- audio fingerprint near-dup ------------------------------------------
@@ -463,14 +512,49 @@ def audio_neardup(df: DataFrame, max_hamming: int = 3,
     phash_neardup / dedup.simhash_dedup). ``signatures`` accepts a
     pre-computed audio_fingerprint() frame so re-pairing never
     re-decodes. Hamming runs JVM-side (bit_count ∘ xor)."""
-    if not 0 <= max_hamming <= _AFP_BANDS - 1:
-        raise ValueError(
-            f"max_hamming must be in [0, {_AFP_BANDS - 1}] — above "
-            f"{_AFP_BANDS - 1} the {_AFP_BANDS}-band pigeonhole "
-            "blocking no longer guarantees exact recall")
+    _check_pigeonhole(max_hamming, _AFP_BANDS)
     sig = signatures if signatures is not None else audio_fingerprint(
         df, media_col=media_col, id_col=id_col)
-    band_cols = [
+    return banded_hamming_pairs(
+        sig, _afp_band_cols(), ["afp"], _afp_hamming, id_col, max_hamming,
+        out_a="media_id_a", out_b="media_id_b",
+    )
+
+
+def audio_neardup_incremental(
+    batch_df: DataFrame | None = None,
+    corpus_df: DataFrame | None = None,
+    max_hamming: int = 3,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    corpus_signatures: DataFrame | None = None,
+    batch_signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Audio near-dup pairs between an incoming batch and the existing
+    corpus — same daily-ingest contract as phash_neardup_incremental
+    (corpus never self-pairs; pre-materialized ``corpus_signatures`` /
+    ``batch_signatures`` skip the decode entirely; blocked cross join
+    ≡ all batch × corpus pairs for max_hamming ≤ 3)."""
+    _check_pigeonhole(max_hamming, _AFP_BANDS)
+    corpus_sig = corpus_signatures if corpus_signatures is not None else (
+        audio_fingerprint(corpus_df, media_col=media_col, id_col=id_col)
+        if corpus_df is not None else None)
+    if corpus_sig is None:
+        raise ValueError("need corpus_df or corpus_signatures")
+    batch_sig = batch_signatures if batch_signatures is not None else (
+        audio_fingerprint(batch_df, media_col=media_col, id_col=id_col)
+        if batch_df is not None else None)
+    if batch_sig is None:
+        raise ValueError("need batch_df or batch_signatures")
+    return banded_hamming_pairs(
+        corpus_sig, _afp_band_cols(), ["afp"], _afp_hamming, id_col,
+        max_hamming, out_a="media_id_a", out_b="media_id_b",
+        sig_right=batch_sig,
+    )
+
+
+def _afp_band_cols() -> list:
+    return [
         F.struct(
             F.lit(b).alias("band"),
             F.shiftright(F.col("afp"), (3 - b) * 8)
@@ -479,15 +563,11 @@ def audio_neardup(df: DataFrame, max_hamming: int = 3,
         for b in range(_AFP_BANDS)
     ]
 
-    def hamming(l: str, r: str):
-        return F.bit_count(
-            F.col(f"{l}.afp").bitwiseXOR(F.col(f"{r}.afp"))
-        ).cast("int")
 
-    return banded_hamming_pairs(
-        sig, band_cols, ["afp"], hamming, id_col, max_hamming,
-        out_a="media_id_a", out_b="media_id_b",
-    )
+def _afp_hamming(l: str, r: str):
+    return F.bit_count(
+        F.col(f"{l}.afp").bitwiseXOR(F.col(f"{r}.afp"))
+    ).cast("int")
 
 
 def resize_images(df: DataFrame, width: int, height: int,

@@ -487,6 +487,10 @@ def test_fuzz_image_phash(spark, duck):
 
     from conftest import SF_DIR
 
+    from pyspark.sql import functions as F
+
+    from coolplaydruid_spark.contract import _duck_phash_pairs_incremental
+
     rng = random.Random(SEED + 96)
     eng = engine_for(spark, SF_DIR)
     media = _docs_as_media(eng, "png")
@@ -499,6 +503,23 @@ def test_fuzz_image_phash(spark, duck):
             got2 = multimodal.phash_neardup(
                 media, max_hamming=max_h, signatures=sig)
             assert_df_matches_duck(got2, duck, _duck_phash_pairs(max_h))
+        # incremental batch × corpus split ≡ all cross pairs, through
+        # both the decode path and the pre-materialized-signature path
+        mod = rng.choice([3, 5, 7])
+        rem = rng.randrange(mod)
+        inc = multimodal.phash_neardup_incremental(
+            media.where(F.col("media_id") % mod == rem),
+            corpus_df=media.where(F.col("media_id") % mod != rem),
+            max_hamming=max_h)
+        assert_df_matches_duck(
+            inc, duck, _duck_phash_pairs_incremental(max_h, mod, rem))
+        if i == 0:
+            inc2 = multimodal.phash_neardup_incremental(
+                batch_signatures=sig.where(F.col("media_id") % mod == rem),
+                corpus_signatures=sig.where(F.col("media_id") % mod != rem),
+                max_hamming=max_h)
+            assert_df_matches_duck(
+                inc2, duck, _duck_phash_pairs_incremental(max_h, mod, rem))
 
 
 def test_fuzz_quality_pipeline_stage_metamorphics(spark):
@@ -622,6 +643,10 @@ def test_fuzz_audio_fingerprint(spark, duck):
 
     from conftest import SF_DIR
 
+    from pyspark.sql import functions as F
+
+    from coolplaydruid_spark.contract import _duck_afp_pairs_incremental
+
     rng = random.Random(SEED + 98)
     eng = engine_for(spark, SF_DIR)
     media = _docs_as_media(eng, "wav")
@@ -634,3 +659,11 @@ def test_fuzz_audio_fingerprint(spark, duck):
             got2 = multimodal.audio_neardup(
                 media, max_hamming=max_h, signatures=sig)
             assert_df_matches_duck(got2, duck, _duck_afp_pairs(max_h))
+        mod = rng.choice([3, 5, 7])
+        rem = rng.randrange(mod)
+        inc = multimodal.audio_neardup_incremental(
+            media.where(F.col("media_id") % mod == rem),
+            corpus_df=media.where(F.col("media_id") % mod != rem),
+            max_hamming=max_h)
+        assert_df_matches_duck(
+            inc, duck, _duck_afp_pairs_incremental(max_h, mod, rem))
