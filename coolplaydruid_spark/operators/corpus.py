@@ -339,8 +339,14 @@ def source_overlap_incremental(
     from coolplaydruid_spark.operators.dedup import shingles
 
     if corpus_group_shingles is not None:
+        # r9 verdict: a non-distinct pre-materialized table silently
+        # inflated n_shared and every Jaccard. The distinct here is one
+        # cheap shuffle of a vocab-scaled (not corpus-scaled) table, and
+        # Spark collapses it to a no-op aggregation when the input is
+        # already distinct-by-construction — so the documented contract
+        # is now enforced instead of trusted.
         corpus_sh = corpus_group_shingles.select(
-            F.col(group_col).alias("group_a"), "shingle")
+            F.col(group_col).alias("group_a"), "shingle").distinct()
     elif corpus_df is not None:
         corpus_sh = (
             shingles(corpus_df, k=k, text_col=text_col, id_col=id_col,

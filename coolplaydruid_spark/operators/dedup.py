@@ -192,21 +192,47 @@ def band_hashes(sig: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES,
 # band-bucket cap) pinned with NO caller-visible handle used to
 # accumulate unboundedly across a session running many dedup batches,
 # relying solely on LRU eviction (r8 advice — the same leak
-# perplexity_bucket_labels was restructured to avoid). A bounded FIFO:
-# each new pin evicts the oldest beyond _PIN_MAX — unpersisting a frame
-# another in-flight query still references only costs recompute, never
-# correctness. release_caches() drops everything eagerly (batch loops,
-# tests).
-_PINNED: list[DataFrame] = []
+# perplexity_bucket_labels was restructured to avoid). A bounded FIFO
+# PER SparkSession, guarded by a lock (r9 advice: concurrent dedup
+# batches could interleave append/pop on a shared list and over-evict,
+# and frames from a stopped session stayed referenced until global
+# eviction): each new pin evicts the oldest beyond _PIN_MAX in its own
+# session's FIFO and drops whole FIFOs whose session has stopped —
+# unpersisting a frame another in-flight query still references only
+# costs recompute, never correctness. release_caches() drops everything
+# eagerly (batch loops, tests).
+import threading
+
+_PIN_LOCK = threading.Lock()
+_PINNED: dict[int, list[DataFrame]] = {}  # id(sparkSession) -> FIFO
 _PIN_MAX = 4
+
+
+def _session_stopped(df: DataFrame) -> bool:
+    try:
+        # SparkContext.stop() nulls _jsc; a dead gateway raises instead.
+        return df.sparkSession.sparkContext._jsc is None
+    except Exception:  # noqa: BLE001
+        return True
 
 
 def _pin_cache(df: DataFrame) -> DataFrame:
     df = df.persist()
-    _PINNED.append(df)
-    while len(_PINNED) > _PIN_MAX:
+    sid = id(df.sparkSession)
+    evict: list[DataFrame] = []
+    with _PIN_LOCK:
+        fifo = _PINNED.setdefault(sid, [])
+        fifo.append(df)
+        while len(fifo) > _PIN_MAX:
+            evict.append(fifo.pop(0))
+        for other in [k for k in _PINNED if k != sid]:
+            frames = _PINNED[other]
+            if not frames or _session_stopped(frames[0]):
+                evict.extend(frames)
+                del _PINNED[other]
+    for f in evict:  # unpersist outside the lock: it is a Spark RPC
         try:
-            _PINNED.pop(0).unpersist()
+            f.unpersist()
         except Exception:  # noqa: BLE001 - a dead session must not break the next pin
             pass
     return df
@@ -214,9 +240,12 @@ def _pin_cache(df: DataFrame) -> DataFrame:
 
 def release_caches() -> None:
     """Unpersist every operator-internal pinned cache now."""
-    while _PINNED:
+    with _PIN_LOCK:
+        evict = [f for fifo in _PINNED.values() for f in fifo]
+        _PINNED.clear()
+    for f in evict:
         try:
-            _PINNED.pop().unpersist()
+            f.unpersist()
         except Exception:  # noqa: BLE001
             pass
 

@@ -300,8 +300,20 @@ _PHASH_W, _PHASH_H = 8, 8  # 8×8 gradient bits from a 9×8 sample grid
 _PHASH_BANDS = 8  # 8 bands × 8 bits: Hamming ≤ 7 ⇒ ≥ 1 whole band agrees
 
 
+def _passthru_schema(df: DataFrame, cols: list[str], sig_fields: str) -> str:
+    """mapInPandas output schema: the carried input columns typed from
+    the INPUT schema (r9 advice: hardcoding '{id_col} long' broke or
+    silently coerced string media ids, which the text-dedup siblings
+    support), followed by the signature fields."""
+    carried = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in cols
+    )
+    return f"{carried}, {sig_fields}"
+
+
 def phash_signatures(df: DataFrame, media_col: str = "media",
-                     id_col: str = "media_id") -> DataFrame:
+                     id_col: str = "media_id",
+                     extra_cols: list[str] | None = None) -> DataFrame:
     """64-bit dHash (difference hash) per image as TWO 32-bit integer
     halves — the standard perceptual near-dup signature for image
     corpora, over the REAL decode path (Pillow or the stdlib PNG codec).
@@ -314,13 +326,18 @@ def phash_signatures(df: DataFrame, media_col: str = "media",
     → row-major bits packed MSB-first into phash_hi (rows 0-3) and
     phash_lo (rows 4-7), each in [0, 2^32).
 
-    Returns (media_id, phash_hi, phash_lo). Map-only Arrow-batched
-    mapInPandas — the decode is the cost; no shuffle."""
+    Returns (media_id, *extra_cols, phash_hi, phash_lo); the id keeps
+    its INPUT type (string ids work like the text-dedup siblings), and
+    ``extra_cols`` ride through untouched (e.g. the ``__dt`` segment
+    partition at ingest-time materialization — no doc-keyed re-join).
+    Map-only Arrow-batched mapInPandas — the decode is the cost; no
+    shuffle."""
+    passthru = [id_col, *(extra_cols or [])]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, his, los = [], [], []
-            for mid, raw in zip(pdf[id_col], pdf[media_col]):
+            his, los = [], []
+            for raw in pdf[media_col]:
                 w, h, ch, px = decode_image(bytes(raw))
                 hi = lo = 0
                 for y in range(_PHASH_H):
@@ -337,14 +354,17 @@ def phash_signatures(df: DataFrame, media_col: str = "media",
                                 hi |= 1 << (31 - idx)
                             else:
                                 lo |= 1 << (63 - idx)
-                ids.append(mid)
                 his.append(hi)
                 los.append(lo)
-            yield pd.DataFrame(
-                {id_col: ids, "phash_hi": his, "phash_lo": los})
+            out = pdf[passthru].copy()
+            out["phash_hi"] = his
+            out["phash_lo"] = los
+            yield out
 
-    return spread(df, by=id_col).select(F.col(id_col), F.col(media_col)).mapInPandas(
-        batches, f"{id_col} long, phash_hi long, phash_lo long")
+    return spread(df, by=id_col).select(
+        *[F.col(c) for c in passthru], F.col(media_col)
+    ).mapInPandas(
+        batches, _passthru_schema(df, passthru, "phash_hi long, phash_lo long"))
 
 
 def phash_neardup(df: DataFrame, max_hamming: int = 6,
@@ -454,7 +474,8 @@ _AFP_BANDS = 4     # 4 bands × 8 bits: Hamming ≤ 3 ⇒ ≥ 1 whole band agree
 
 
 def audio_fingerprint(df: DataFrame, media_col: str = "media",
-                      id_col: str = "media_id") -> DataFrame:
+                      id_col: str = "media_id",
+                      extra_cols: list[str] | None = None) -> DataFrame:
     """32-bit energy-gradient fingerprint per audio clip — the audio
     counterpart of phash_signatures, over the REAL WAV decode: centered
     samples split into 33 time windows (sample i → window i·33 // n),
@@ -465,12 +486,15 @@ def audio_fingerprint(df: DataFrame, media_col: str = "media",
     Empty windows (clips shorter than 33 samples) contribute zero
     energy and zero length, making the comparison deterministic.
 
-    Returns (media_id, afp). Map-only Arrow-batched mapInPandas."""
+    Returns (media_id, *extra_cols, afp); id keeps its input type and
+    ``extra_cols`` ride through untouched (same contract as
+    phash_signatures). Map-only Arrow-batched mapInPandas."""
+    passthru = [id_col, *(extra_cols or [])]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, fps = [], []
-            for mid, raw in zip(pdf[id_col], pdf[media_col]):
+            fps = []
+            for raw in pdf[media_col]:
                 with wave.open(io.BytesIO(bytes(raw)), "rb") as wv:
                     sw = wv.getsampwidth()
                     frames = wv.readframes(wv.getnframes())
@@ -494,12 +518,14 @@ def audio_fingerprint(df: DataFrame, media_col: str = "media",
                 for w in range(_AFP_WINDOWS - 1):
                     if e[w] * l[w + 1] > e[w + 1] * l[w]:
                         fp |= 1 << (31 - w)
-                ids.append(mid)
                 fps.append(fp)
-            yield pd.DataFrame({id_col: ids, "afp": fps})
+            out = pdf[passthru].copy()
+            out["afp"] = fps
+            yield out
 
-    return spread(df, by=id_col).select(F.col(id_col), F.col(media_col)).mapInPandas(
-        batches, f"{id_col} long, afp long")
+    return spread(df, by=id_col).select(
+        *[F.col(c) for c in passthru], F.col(media_col)
+    ).mapInPandas(batches, _passthru_schema(df, passthru, "afp long"))
 
 
 def audio_neardup(df: DataFrame, max_hamming: int = 3,

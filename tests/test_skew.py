@@ -219,6 +219,10 @@ def test_band_cache_pin_is_bounded(spark):
     for _ in range(dedup._PIN_MAX + 3):
         dedup.minhash_lsh_dedup(docs, threshold=0.9,
                                 max_band_bucket=5).count()
-    assert len(dedup._PINNED) <= dedup._PIN_MAX
+    # r9 advice: the FIFO is now keyed per SparkSession under a lock —
+    # this session's FIFO is bounded, and no other session's pins leak
+    # into it
+    assert len(dedup._PINNED.get(id(spark), [])) <= dedup._PIN_MAX
+    assert set(dedup._PINNED) == {id(spark)}
     dedup.release_caches()
     assert not dedup._PINNED

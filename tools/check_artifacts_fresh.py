@@ -15,6 +15,14 @@ Checks, all mechanical:
     loudly instead of silently shipping unverified.
  4. FUZZ_r{N}.json lists every tests/test_fuzz_*.py surface, so a fuzz
     generator added after the soak is equally loud.
+ 5. The BENCH/CORRECTNESS/PLANMETRICS families are covered too (r9
+    advice — the gate passed while BENCH_r09/CORRECTNESS_r09 sat
+    untracked): every BENCH_r*.json / CORRECTNESS_r*.json present on
+    disk must be committed with no uncommitted edits (the driver writes
+    them per round; they record the PREVIOUS round's run, so no
+    postdates-engine requirement), and PLANMETRICS.json — which bench.py
+    regenerates — must be committed, clean, and postdate engine commits
+    just like CONTRACT/FUZZ.
 
 Usage: python tools/check_artifacts_fresh.py [round_number]
 (default: the highest N among committed CONTRACT_r*.json). Exit 0 =
@@ -114,6 +122,34 @@ def main() -> int:
                            and results[k].get("schema_match"))]
             if bad:
                 failures.append(f"{contract_f} has failing entries: {sorted(bad)}")
+
+    # 5. BENCH/CORRECTNESS on disk are committed + clean; PLANMETRICS is
+    # committed, clean, and postdates the engine (bench.py regenerates it)
+    for fam in ("BENCH_r*.json", "CORRECTNESS_r*.json"):
+        tracked = set(_git("ls-files", fam).splitlines())
+        on_disk = {p.name for p in ROOT.glob(fam)}
+        untracked = sorted(on_disk - tracked)
+        if untracked:
+            failures.append(
+                f"untracked {fam} artifacts: {untracked} — commit them")
+        dirty_fam = _git("status", "--porcelain", "--", fam)
+        if dirty_fam:
+            failures.append(
+                f"uncommitted {fam} edits:\n  "
+                + "\n  ".join(dirty_fam.splitlines()))
+    pm = "PLANMETRICS.json"
+    if (ROOT / pm).exists():
+        if not _git("ls-files", pm):
+            failures.append(f"{pm} exists but is not committed")
+        else:
+            if _git("status", "--porcelain", "--", pm):
+                failures.append(f"{pm} has uncommitted edits")
+            pm_ts, pm_desc = _last_commit_ts([pm])
+            if pm_ts < eng_ts:
+                failures.append(
+                    f"{pm} last committed at {pm_desc} ({pm_ts}) but engine "
+                    f"code was committed later at {eng_desc} ({eng_ts}) — "
+                    "re-run bench.py and recommit")
 
     # 4. FUZZ covers every fuzz surface
     fuzz_path = ROOT / fuzz_f
