@@ -601,7 +601,8 @@ def apply_dedup_filter(df: DataFrame, pairs: DataFrame,
 def banded_hamming_pairs(sig: DataFrame, band_cols: list, sig_cols: list[str],
                          hamming, id_col: str, max_hamming: int,
                          out_a: str = "doc_a", out_b: str = "doc_b",
-                         sig_right: DataFrame | None = None) -> DataFrame:
+                         sig_right: DataFrame | None = None,
+                         check_disjoint: bool = False) -> DataFrame:
     """The one banded-Hamming self-join, shared by SimHash, image dHash
     and audio fingerprints (r9 review: three verbatim copies diverge
     silently): explode the per-signature band structs, equi-join on
@@ -621,7 +622,28 @@ def banded_hamming_pairs(sig: DataFrame, band_cols: list, sig_cols: list[str],
     the id< ordering constraint is dropped (sides are disjoint), so
     out_a is always a left id and out_b a right id. The pigeonhole
     guarantee is unchanged: both sides band identically, so any
-    cross pair within the threshold still collides in ≥ 1 band."""
+    cross pair within the threshold still collides in ≥ 1 band.
+
+    ``check_disjoint=True`` VERIFIES the ids-unique-across-sides
+    invariant eagerly (a semi-join probe, one action) and raises on
+    violation — an item present on both sides would otherwise emit a
+    Hamming-0 self-pair and get "deduplicated" against itself (r9
+    verdict #3: the contract was documented but nothing enforced it).
+    Off by default: the probe costs an extra job, and production
+    callers that partition batches by ingest time satisfy the
+    invariant by construction."""
+    if check_disjoint and sig_right is not None:
+        overlap = (
+            sig.select(F.col(id_col))
+            .join(sig_right.select(F.col(id_col)), on=id_col, how="left_semi")
+            .limit(3)
+            .collect()
+        )
+        if overlap:
+            raise ValueError(
+                "banded_hamming_pairs: ids appear on BOTH sides "
+                f"(e.g. {[r[id_col] for r in overlap]}) — corpus and batch "
+                "ids must be disjoint or items self-pair as duplicates")
 
     def bandify(frame):
         return frame.select(

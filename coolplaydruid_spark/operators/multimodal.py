@@ -406,6 +406,7 @@ def phash_neardup_incremental(
     id_col: str = "media_id",
     corpus_signatures: DataFrame | None = None,
     batch_signatures: DataFrame | None = None,
+    check_disjoint: bool = False,
 ) -> DataFrame:
     """Image near-dup pairs between an INCOMING media batch and the
     EXISTING corpus — the daily-ingest shape (same contract as
@@ -436,6 +437,7 @@ def phash_neardup_incremental(
         corpus_sig, _phash_band_cols(), ["phash_hi", "phash_lo"],
         _phash_hamming, id_col, max_hamming,
         out_a="media_id_a", out_b="media_id_b", sig_right=batch_sig,
+        check_disjoint=check_disjoint,
     )
 
 
@@ -555,6 +557,7 @@ def audio_neardup_incremental(
     id_col: str = "media_id",
     corpus_signatures: DataFrame | None = None,
     batch_signatures: DataFrame | None = None,
+    check_disjoint: bool = False,
 ) -> DataFrame:
     """Audio near-dup pairs between an incoming batch and the existing
     corpus — same daily-ingest contract as phash_neardup_incremental
@@ -575,7 +578,7 @@ def audio_neardup_incremental(
     return banded_hamming_pairs(
         corpus_sig, _afp_band_cols(), ["afp"], _afp_hamming, id_col,
         max_hamming, out_a="media_id_a", out_b="media_id_b",
-        sig_right=batch_sig,
+        sig_right=batch_sig, check_disjoint=check_disjoint,
     )
 
 
