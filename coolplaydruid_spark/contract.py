@@ -3884,6 +3884,39 @@ def dedup_image_phash_incremental(spark, sf_dir):
         batch, corpus_signatures=corpus_sig, max_hamming=6)
 
 
+@q("dedup_image_phash_from_store", _duck_phash_pairs_incremental(6, 5, 0))
+def dedup_image_phash_from_store(spark, sf_dir):
+    """The END-TO-END ingest→dedup loop (r9 verdict #1): an index task
+    materializes the corpus's dHash signatures at accept time
+    (sources/batch.index_task signatures=[{"type": "phash"}] →
+    <dest>.sig/phash, __dt-partitioned), and the incremental near-dup
+    operator reads the STORE back — the corpus media is decoded exactly
+    once, at ingest; the pairing plan is decode-free on the corpus side
+    (plan-asserted in tests/test_ingest.py). Oracle = the same all-cross-
+    pairs SQL as dedup_image_phash_incremental, so store-read ≡ inline
+    signatures is value-hash-checked every round."""
+    import tempfile
+    from pathlib import Path as _P
+
+    from coolplaydruid_spark.sources import batch as _batch
+
+    eng = engine_for(spark, sf_dir)
+    media = _docs_as_media(eng, "png")
+    corpus = media.where(F.col("media_id") % 5 != 0).withColumn(
+        "ts", F.lit("2024-01-01").cast("timestamp"))
+    dest = str(_P(tempfile.gettempdir()) / "coolplaydruid_sigstore"
+               / _P(sf_dir).name / "media")
+    _batch.index_task(
+        spark, {"format": "dataframe", "df": corpus}, dest,
+        time_column="ts", signatures=[{"type": "phash"}],
+    )
+    corpus_sig = _batch.read_signatures(spark, dest, "phash").select(
+        "media_id", "phash_hi", "phash_lo")
+    return multimodal.phash_neardup_incremental(
+        media.where(F.col("media_id") % 5 == 0),
+        corpus_signatures=corpus_sig, max_hamming=6)
+
+
 @q("dedup_image_phash", _duck_phash_pairs(6))
 def dedup_image_phash(spark, sf_dir):
     """Perceptual image near-dup pairs (dHash Hamming ≤ 6) with banded

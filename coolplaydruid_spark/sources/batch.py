@@ -77,6 +77,12 @@ REGISTRY = TaskRegistry()
 
 def _read_source(spark: SparkSession, source: dict) -> DataFrame:
     fmt = source.get("format", "parquet")
+    if fmt == "dataframe":
+        # Programmatic escape hatch: ingest an already-constructed
+        # DataFrame (streaming foreachBatch bodies, tests, media frames
+        # built by an upstream decode stage) through the same task
+        # pipeline as file sources.
+        return source["df"]
     path = source["path"]
     reader = spark.read
     for k, v in (source.get("options") or {}).items():
@@ -129,6 +135,77 @@ def _read_source(spark: SparkSession, source: dict) -> DataFrame:
     raise ValueError(f"unsupported source format {fmt!r}")
 
 
+# ---- ingest-time signature materialization --------------------------------
+#
+# Every incremental dedup operator's 100 TB story is "signatures
+# materialize ONCE at accept time; re-pairing never re-decodes/re-shingles
+# the corpus" (operators/multimodal.phash_neardup_incremental,
+# operators/dedup.minhash_lsh_dedup_incremental corpus_shingles=,
+# operators/corpus.source_overlap_incremental corpus_group_shingles=).
+# This is the write half (r9 verdict #1): the index task computes the
+# requested signature tables from the POST-transform, PRE-rollup rows —
+# signatures are per-row functions of the raw media/text, so they must
+# see the rows rollup would collapse — and writes each as a Parquet table
+# partitioned by the same __dt as the segments, OUTSIDE the table root
+# (`<dest>.sig/<name>`) so segment partition discovery never sees
+# signature files. Append tasks append new __dt partitions; kill/
+# retention/auto-compaction apply to the signature dirs exactly as to
+# segments (same __dt layout).
+
+SIGNATURE_KINDS = ("phash", "audio_fingerprint", "minhash_shingles",
+                   "group_shingles")
+
+
+def signature_path(dest_path: str, name: str) -> str:
+    return f"{dest_path.rstrip('/')}.sig/{name}"
+
+
+def _build_signature(df: DataFrame, spec: dict) -> DataFrame:
+    """One signature table from a spec dict. The __dt column (already on
+    ``df``) rides through every builder via extra_cols — no id-keyed
+    re-join against the segment table is ever needed to partition the
+    signature store."""
+    from coolplaydruid_spark.operators import dedup, multimodal
+
+    kind = spec["type"]
+    if kind == "phash":
+        return multimodal.phash_signatures(
+            df, media_col=spec.get("media_col", "media"),
+            id_col=spec.get("id_col", "media_id"), extra_cols=[DT_COLUMN])
+    if kind == "audio_fingerprint":
+        return multimodal.audio_fingerprint(
+            df, media_col=spec.get("media_col", "media"),
+            id_col=spec.get("id_col", "media_id"), extra_cols=[DT_COLUMN])
+    if kind == "minhash_shingles":
+        # (id, __dt, shingle-hash) rows — the corpus_shingles= input of
+        # minhash_lsh_dedup_incremental (consumers project id+shingle).
+        return dedup.shingles(
+            df, k=int(spec.get("k", 3)), text_col=spec.get("text_col", "text"),
+            id_col=spec.get("id_col", "doc_id"), as_hash=True,
+            extra_cols=[DT_COLUMN])
+    if kind == "group_shingles":
+        # DISTINCT (group, shingle) per __dt — the corpus_group_shingles=
+        # input of source_overlap_incremental. Distinct WITHIN a __dt
+        # partition only: the same shingle appearing on two days is two
+        # rows (append must not rewrite old partitions), which is why the
+        # consumer re-distincts across partitions (enforced r10).
+        group_col = spec["group_col"]
+        sh = dedup.shingles(
+            df, k=int(spec.get("k", 3)), text_col=spec.get("text_col", "text"),
+            id_col=spec.get("id_col", "doc_id"),
+            extra_cols=[group_col, DT_COLUMN])
+        return sh.select(group_col, "shingle", DT_COLUMN).distinct()
+    raise ValueError(
+        f"unknown signature type {kind!r} (one of {SIGNATURE_KINDS})")
+
+
+def read_signatures(spark: SparkSession, dest_path: str, name: str) -> DataFrame:
+    """Read a signature table materialized by index_task(signatures=...).
+    Carries __dt; project the consumer's columns (e.g. drop __dt before
+    unioning with a freshly-computed batch shingle set)."""
+    return spark.read.parquet(signature_path(dest_path, name))
+
+
 def index_task(
     spark: SparkSession,
     source: dict,
@@ -141,6 +218,7 @@ def index_task(
     mode: str = "overwrite",
     repartition_by_dt: bool = True,
     partitions_spec: dict | None = None,
+    signatures: list[dict] | None = None,
 ) -> TaskStatus:
     """Druid `index` / `index_hadoop` task (I1/I2): build time-partitioned
     Parquet "segments" from input files.
@@ -172,6 +250,15 @@ def index_task(
     avoids tiny files — each partition dir gets whole output files);
     within-partition sort by `sort_by` dims maximizes Parquet row-group
     stat selectivity for later filters.
+
+    signatures: list of signature specs materialized at accept time
+    beside the segments (see _build_signature) — e.g.
+    ``[{"type": "phash"}, {"type": "minhash_shingles", "k": 3}]``.
+    Each writes ``<dest>.sig/<name or type>`` partitioned by the same
+    __dt, in the task's mode (append tasks append new partitions).
+    Incremental dedup operators then read the store via
+    ``read_signatures`` instead of re-decoding/re-shingling the corpus —
+    the plan-asserted decode-free path (tests/test_ingest.py).
     """
     status = REGISTRY.start("index")
     try:
@@ -197,6 +284,20 @@ def index_task(
             flt = compile_filter(transform_spec.get("filter"), df)
             if flt is not None:
                 df = df.filter(flt)
+        # Signatures see the post-transform, PRE-rollup rows (per-row
+        # functions of the raw media/text) with the segment __dt attached.
+        if signatures:
+            raw_dt = df.withColumn(
+                DT_COLUMN, F.to_date(ts).cast("string"))
+            for spec in signatures:
+                name = spec.get("name", spec["type"])
+                sig_df = _build_signature(raw_dt, spec)
+                (
+                    sig_df.repartition(F.col(DT_COLUMN))
+                    .write.mode(mode)
+                    .partitionBy(DT_COLUMN)
+                    .parquet(signature_path(dest_path, name))
+                )
         if rollup:
             gran = parse_granularity(rollup.get("granularity", "hour"))
             df = df.withColumn(TIME_COLUMN, ts)

@@ -515,3 +515,167 @@ def test_regex_parsespec_ingest(spark, tmp_path):
     assert got[0]["event_type"] == "click" and got[0]["value"] == 1.5
     assert got[1]["value"] == 2.25
     assert {str(r["__dt"]) for r in got} == {"2024-01-01", "2024-01-02"}
+
+
+# ---- ingest-time signature materialization (r9 verdict #1) ---------------
+
+
+def _media_rows(spark, ids_days):
+    """(media_id, ts, source, text, media=png, wav) rows; media bytes are
+    pure functions of the text (the _docs_as_media convention) so inline
+    recomputation must match the store bit-for-bit."""
+    from coolplaydruid_spark.operators import multimodal
+
+    rows = []
+    for mid, day in ids_days:
+        text = f"media item {mid} shares this exact boilerplate run " \
+               f"of tokens {'x' if mid % 2 else 'y'}"
+        data = text.encode()
+        png = multimodal.png_encode(
+            bytes(data[i % len(data)] for i in range(192)), 8, 8, 3)
+        wav = multimodal.wav_encode(data)
+        rows.append((mid, f"2024-01-0{day} 00:00:00", f"src{mid % 2}",
+                     text, png, wav))
+    return spark.createDataFrame(
+        rows,
+        "media_id long, ts string, source string, text string, "
+        "media binary, wav binary",
+    )
+
+
+_SIG_SPECS = [
+    {"type": "phash"},
+    {"type": "audio_fingerprint", "media_col": "wav", "name": "afp"},
+    {"type": "minhash_shingles", "text_col": "text", "id_col": "media_id"},
+    {"type": "group_shingles", "group_col": "source", "text_col": "text",
+     "id_col": "media_id"},
+]
+
+
+def test_index_task_materializes_signatures(spark, tmp_path):
+    """index_task(signatures=) writes phash/afp/shingle/group-shingle
+    tables beside the segments, each __dt-partitioned and bit-identical
+    to the inline operators over the same rows."""
+    from coolplaydruid_spark.operators import dedup, multimodal
+
+    df = _media_rows(spark, [(i, 1 + i % 2) for i in range(8)])
+    dest = str(tmp_path / "media_tbl")
+    status = batch.index_task(
+        spark, {"format": "dataframe", "df": df}, dest,
+        time_column="ts", signatures=_SIG_SPECS,
+    )
+    assert status.status == "SUCCESS"
+
+    stored_ph = batch.read_signatures(spark, dest, "phash")
+    assert set(stored_ph.columns) == {"media_id", "phash_hi", "phash_lo",
+                                      batch.DT_COLUMN}
+    assert {str(r[batch.DT_COLUMN]) for r in
+            stored_ph.select(batch.DT_COLUMN).distinct().collect()} == \
+        {"2024-01-01", "2024-01-02"}
+    inline_ph = {(r.media_id, r.phash_hi, r.phash_lo)
+                 for r in multimodal.phash_signatures(df).collect()}
+    assert {(r.media_id, r.phash_hi, r.phash_lo)
+            for r in stored_ph.collect()} == inline_ph
+
+    stored_afp = batch.read_signatures(spark, dest, "afp")
+    inline_afp = {(r.media_id, r.afp) for r in
+                  multimodal.audio_fingerprint(df, media_col="wav").collect()}
+    assert {(r.media_id, r.afp) for r in stored_afp.collect()} == inline_afp
+
+    stored_sh = batch.read_signatures(spark, dest, "minhash_shingles")
+    inline_sh = {(r.media_id, r.shingle) for r in dedup.shingles(
+        df, k=3, text_col="text", id_col="media_id", as_hash=True).collect()}
+    assert {(r.media_id, r.shingle) for r in stored_sh.collect()} == inline_sh
+
+    stored_gs = batch.read_signatures(spark, dest, "group_shingles")
+    # distinct within each __dt partition
+    assert stored_gs.count() == stored_gs.distinct().count()
+    inline_gs = {(r.source, r.shingle) for r in dedup.shingles(
+        df, k=3, text_col="text", id_col="media_id",
+        extra_cols=["source"]).select("source", "shingle").distinct().collect()}
+    assert {(r.source, r.shingle)
+            for r in stored_gs.select("source", "shingle").distinct().collect()} \
+        == inline_gs
+
+
+def test_signature_store_survives_append_and_compaction(spark, tmp_path):
+    """I5 parity: an append task appends new __dt partitions to every
+    signature table, and auto-compaction over a fragmented signature
+    partition preserves its values."""
+    day1 = _media_rows(spark, [(i, 1) for i in range(4)])
+    day2 = _media_rows(spark, [(i, 2) for i in range(10, 14)])
+    dest = str(tmp_path / "media_tbl")
+    batch.index_task(spark, {"format": "dataframe", "df": day1}, dest,
+                     time_column="ts", signatures=[{"type": "phash"}])
+    before = {(r.media_id, r.phash_hi, r.phash_lo)
+              for r in batch.read_signatures(spark, dest, "phash").collect()}
+    batch.append_task(spark, {"format": "dataframe", "df": day2}, dest,
+                      time_column="ts", signatures=[{"type": "phash"}])
+    after = batch.read_signatures(spark, dest, "phash")
+    assert {str(r[batch.DT_COLUMN]) for r in
+            after.select(batch.DT_COLUMN).distinct().collect()} == \
+        {"2024-01-01", "2024-01-02"}
+    got = {(r.media_id, r.phash_hi, r.phash_lo) for r in after.collect()}
+    assert before < got and len(got) == 8
+
+    # fragment the day-2 signature partition, then auto-compact the store
+    frag = after.where(F.col(batch.DT_COLUMN) == "2024-01-02")
+    sig_root = batch.signature_path(dest, "phash")
+    (frag.repartition(12).write.mode("overwrite")
+     .parquet(f"{sig_root}/{batch.DT_COLUMN}=2024-01-02"))
+    status = batch.auto_compact_task(spark, sig_root, max_files_per_dt=2)
+    assert status.status == "SUCCESS"
+    import pathlib
+    files = list(pathlib.Path(
+        f"{sig_root}/{batch.DT_COLUMN}=2024-01-02").glob("*.parquet"))
+    assert len(files) == 1
+    assert {(r.media_id, r.phash_hi, r.phash_lo)
+            for r in batch.read_signatures(spark, dest, "phash").collect()} == got
+
+
+def test_from_store_pairing_is_decode_free(spark, tmp_path):
+    """The read half of the materialization story: near-dup pairing over
+    stored signatures carries NO Python decode stage in its physical
+    plan — re-pairing after a threshold change is a pure JVM join — and
+    produces exactly the inline-decode result."""
+    from coolplaydruid_spark.operators import multimodal
+
+    df = _media_rows(spark, [(i, 1 + i % 2) for i in range(8)])
+    dest = str(tmp_path / "media_tbl")
+    batch.index_task(
+        spark, {"format": "dataframe", "df": df}, dest, time_column="ts",
+        signatures=[{"type": "phash"},
+                    {"type": "audio_fingerprint", "media_col": "wav",
+                     "name": "afp"}],
+    )
+    stored = batch.read_signatures(spark, dest, "phash") \
+        .select("media_id", "phash_hi", "phash_lo")
+    pairs = multimodal.phash_neardup(None, max_hamming=6, signatures=stored)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "PythonUDF" not in plan
+    inline = {(r.media_id_a, r.media_id_b, r.hamming)
+              for r in multimodal.phash_neardup(df, max_hamming=6).collect()}
+    assert {(r.media_id_a, r.media_id_b, r.hamming)
+            for r in pairs.collect()} == inline
+
+    # incremental, both sides from the store: decode-free batch x corpus
+    corpus_sig = stored.where(F.col("media_id") % 2 == 0)
+    batch_sig = stored.where(F.col("media_id") % 2 == 1)
+    inc = multimodal.phash_neardup_incremental(
+        corpus_signatures=corpus_sig, batch_signatures=batch_sig,
+        max_hamming=6)
+    inc_plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in inc_plan
+    assert inc.count() >= 0
+
+    stored_afp = batch.read_signatures(spark, dest, "afp") \
+        .select("media_id", "afp")
+    apairs = multimodal.audio_neardup(None, max_hamming=3,
+                                      signatures=stored_afp)
+    aplan = apairs._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in aplan
+    ainline = {(r.media_id_a, r.media_id_b, r.hamming)
+               for r in multimodal.audio_neardup(
+                   df, max_hamming=3, media_col="wav").collect()}
+    assert {(r.media_id_a, r.media_id_b, r.hamming)
+            for r in apairs.collect()} == ainline
