@@ -3928,6 +3928,63 @@ def dedup_image_phash(spark, sf_dir):
     return multimodal.phash_neardup(_docs_as_media(eng, "png"), max_hamming=6)
 
 
+@q(
+    "pipeline_media_dedup",
+    _duck_phash_cte().replace("WITH m AS", "WITH RECURSIVE m AS", 1)
+    + """
+    , p AS (
+      SELECT a.media_id AS ma, b.media_id AS mb
+      FROM h a JOIN h b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.phash_hi, b.phash_hi))
+          + bit_count(xor(a.phash_lo, b.phash_lo)) <= 6
+    ),
+    edges AS (SELECT ma AS src, mb AS dst FROM p
+              UNION SELECT mb, ma FROM p),
+    reach AS (
+      SELECT src AS vertex, src AS r FROM edges
+      UNION
+      SELECT e.dst AS vertex, rr.r FROM reach rr JOIN edges e ON e.src = rr.vertex
+    ),
+    comp AS (SELECT vertex, min(r) AS component FROM reach GROUP BY vertex),
+    ranked AS (
+      SELECT c.vertex AS media_id,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY length(coalesce(d.text, '')) DESC,
+                                         c.vertex ASC) AS rk
+      FROM comp c JOIN documents d ON d.doc_id = c.vertex
+    )
+    SELECT m.media_id, CAST(length(coalesce(d.text, '')) AS BIGINT) AS q
+    FROM m JOIN documents d ON d.doc_id = m.media_id
+    WHERE m.media_id NOT IN (SELECT media_id FROM ranked WHERE rk > 1)
+    """,
+)
+def pipeline_media_dedup(spark, sf_dir):
+    """The media counterpart of pipeline_quality_corpus (r9 verdict #2):
+    decode → dHash signatures → banded near-dup pairs (ham ≤ 6) →
+    connected components → quality-aware retention (keep the
+    highest-quality member per transitive cluster, quality = source
+    text length, ties → smallest id), composed END-TO-END under one
+    recursive-CTE oracle — proof the media family composes through
+    graph.connected_components/dedup_keep_best exactly the way the text
+    family provably does. Ranking touches only cluster members; the
+    binary media column never enters the window path."""
+    eng = engine_for(spark, sf_dir)
+    docs = eng.catalog.table("documents")
+    media = _docs_as_media(eng, "png")
+    pairs = multimodal.phash_neardup(media, max_hamming=6)
+    scored = media.join(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("q"),
+        ),
+        on="media_id",
+    ).select("media_id", "q")
+    return graph.dedup_keep_best(
+        scored, pairs, quality_col="q", id_col="media_id",
+        src_col="media_id_a", dst_col="media_id_b",
+    )
+
+
 def _duck_afp_cte() -> str:
     """Shared oracle CTEs rebuilding the 32-bit audio fingerprint from
     char codes for the WAV fixture (_docs_as_media 'wav': sample i is
