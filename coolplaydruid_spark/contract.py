@@ -3463,14 +3463,17 @@ def pack_training_sequences(spark, sf_dir):
 def similarity_topk_ivf(spark, sf_dir):
     """IVF (k-means inverted file) ANN — the scale path: each query
     scores only its n_probe nearest cells (~n_probe/n_clusters of the
-    corpus). Recall vs brute force is asserted in tests/test_plans.py."""
+    corpus). n_probe=4 of 8 cells (r9 verdict #4: the defensible
+    production point — measured recall@10 0.68–0.72 here vs 0.34 at
+    n_probe=2, and tests/test_plans.py asserts the full monotone sweep
+    plus n_probe=nlist ≡ brute force row-for-row)."""
     eng = engine_for(spark, sf_dir)
     emb = eng.catalog.table("embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivf_topk(
-        emb.where(F.col("vec_id") >= 5), queries, k=10, n_clusters=8, n_probe=2
+        emb.where(F.col("vec_id") >= 5), queries, k=10, n_clusters=8, n_probe=4
     )
 
 
@@ -3543,7 +3546,7 @@ def _validate_ivf(spark, sf_dir, rows):
     verified to be (cosine desc, neighbor asc) — i.e. the result IS the
     true top-k of its probed candidate superset — neighbors are
     contained in the corpus, and recall@10 against the exact brute-force
-    top-10 must clear the floor for n_probe=2 of 8 cells."""
+    top-10 must clear the floor for n_probe=4 of 8 cells."""
     import numpy as np
 
     eng = engine_for(spark, sf_dir)
@@ -3590,11 +3593,11 @@ def _validate_ivf(spark, sf_dir, rows):
             len({r["neighbor_id"] for r in rs} & exact_top) / 10.0
         )
     mean_recall = sum(recalls) / len(recalls)
-    if mean_recall < 0.3:
-        return False, f"recall@10 {mean_recall:.2f} < 0.3 floor"
+    if mean_recall < 0.6:
+        return False, f"recall@10 {mean_recall:.2f} < 0.6 floor"
     return True, (
         f"cosines exact, ranks = true top-k of probed cells, "
-        f"recall@10={mean_recall:.2f} (floor 0.3, n_probe=2/8)"
+        f"recall@10={mean_recall:.2f} (floor 0.6, n_probe=4/8)"
     )
 
 

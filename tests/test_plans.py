@@ -174,6 +174,46 @@ def test_ivf_topk_probes_and_recall(engine):
     assert recall >= 0.3, recall  # random vectors cluster poorly; probe half the cells
 
 
+def test_ivf_recall_monotone_in_n_probe_and_exact_at_full_probe(engine):
+    """r9 verdict #4 — the recall/latency trade as a red/green gate:
+    probing more cells can only raise recall (each query's candidate set
+    grows monotonically), and probing ALL cells (n_probe = nlist) makes
+    the candidate set the whole corpus, so the result must equal brute
+    force ROW FOR ROW — a free exactness oracle for the scoring/ranking
+    half of IVF that needs no SQL. Measured at this fixture:
+    recall@10 ≈ 0.2/0.56/0.68+/1.0 for n_probe 1/2/4/8."""
+    emb = engine.catalog.table("embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    exact = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+             for r in similarity.brute_force_topk(corpus, queries, k=10).collect()}
+    exact_sets: dict[int, set] = {}
+    for q, n, _c, _r in exact:
+        exact_sets.setdefault(q, set()).add(n)
+
+    recalls = []
+    for n_probe in (1, 2, 4, 8):
+        rows = similarity.ivf_topk(
+            corpus, queries, k=10, n_clusters=8, n_probe=n_probe).collect()
+        by_q: dict[int, set] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recalls.append(
+            sum(len(by_q.get(q, set()) & exact_sets[q]) / 10.0
+                for q in exact_sets) / len(exact_sets)
+        )
+        if n_probe == 8:
+            got = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+                   for r in rows}
+            assert got == exact  # full probe ≡ brute force, ties included
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] == 1.0
+    # n_probe=4 (the contract entry's setting) must clear its raised floor
+    assert recalls[2] >= 0.6, recalls
+
+
 def test_spread_adds_exchange_only_when_narrow(engine, spark):
     """operators.util.spread: under-partitioned inputs get one hash
     repartition; already-wide inputs pass through with no added
