@@ -3931,15 +3931,19 @@ def dedup_image_phash(spark, sf_dir):
     return multimodal.phash_neardup(_docs_as_media(eng, "png"), max_hamming=6)
 
 
-@q(
-    "pipeline_media_dedup",
-    _duck_phash_cte().replace("WITH m AS", "WITH RECURSIVE m AS", 1)
-    + """
+def _duck_media_pipeline(max_hamming: int) -> str:
+    """End-to-end media dedup oracle: all-pairs dHash Hamming graph →
+    recursive-CTE connected components → keep the longest-source-text
+    member per cluster (ties → smallest id). Shared with the pipeline
+    fuzzer, which sweeps max_hamming."""
+    return (
+        _duck_phash_cte().replace("WITH m AS", "WITH RECURSIVE m AS", 1)
+        + f"""
     , p AS (
       SELECT a.media_id AS ma, b.media_id AS mb
       FROM h a JOIN h b ON a.media_id < b.media_id
       WHERE bit_count(xor(a.phash_hi, b.phash_hi))
-          + bit_count(xor(a.phash_lo, b.phash_lo)) <= 6
+          + bit_count(xor(a.phash_lo, b.phash_lo)) <= {int(max_hamming)}
     ),
     edges AS (SELECT ma AS src, mb AS dst FROM p
               UNION SELECT mb, ma FROM p),
@@ -3959,22 +3963,17 @@ def dedup_image_phash(spark, sf_dir):
     SELECT m.media_id, CAST(length(coalesce(d.text, '')) AS BIGINT) AS q
     FROM m JOIN documents d ON d.doc_id = m.media_id
     WHERE m.media_id NOT IN (SELECT media_id FROM ranked WHERE rk > 1)
-    """,
-)
-def pipeline_media_dedup(spark, sf_dir):
-    """The media counterpart of pipeline_quality_corpus (r9 verdict #2):
-    decode → dHash signatures → banded near-dup pairs (ham ≤ 6) →
-    connected components → quality-aware retention (keep the
-    highest-quality member per transitive cluster, quality = source
-    text length, ties → smallest id), composed END-TO-END under one
-    recursive-CTE oracle — proof the media family composes through
-    graph.connected_components/dedup_keep_best exactly the way the text
-    family provably does. Ranking touches only cluster members; the
-    binary media column never enters the window path."""
-    eng = engine_for(spark, sf_dir)
+    """
+    )
+
+
+def _spark_media_pipeline(eng, max_hamming: int) -> DataFrame:
+    """Engine half of the composed media pipeline, shared with the
+    fuzzer: decode → signatures → banded pairs → components →
+    keep-best (quality = source text length)."""
     docs = eng.catalog.table("documents")
     media = _docs_as_media(eng, "png")
-    pairs = multimodal.phash_neardup(media, max_hamming=6)
+    pairs = multimodal.phash_neardup(media, max_hamming=max_hamming)
     scored = media.join(
         docs.select(
             F.col("doc_id").alias("media_id"),
@@ -3986,6 +3985,20 @@ def pipeline_media_dedup(spark, sf_dir):
         scored, pairs, quality_col="q", id_col="media_id",
         src_col="media_id_a", dst_col="media_id_b",
     )
+
+
+@q("pipeline_media_dedup", _duck_media_pipeline(6))
+def pipeline_media_dedup(spark, sf_dir):
+    """The media counterpart of pipeline_quality_corpus (r9 verdict #2):
+    decode → dHash signatures → banded near-dup pairs (ham ≤ 6) →
+    connected components → quality-aware retention (keep the
+    highest-quality member per transitive cluster, quality = source
+    text length, ties → smallest id), composed END-TO-END under one
+    recursive-CTE oracle — proof the media family composes through
+    graph.connected_components/dedup_keep_best exactly the way the text
+    family provably does. Ranking touches only cluster members; the
+    binary media column never enters the window path."""
+    return _spark_media_pipeline(engine_for(spark, sf_dir), 6)
 
 
 def _duck_afp_cte() -> str:

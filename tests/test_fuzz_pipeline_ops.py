@@ -667,3 +667,30 @@ def test_fuzz_audio_fingerprint(spark, duck):
             max_hamming=max_h)
         assert_df_matches_duck(
             inc, duck, _duck_afp_pairs_incremental(max_h, mod, rem))
+
+
+def test_fuzz_media_pipeline(spark, duck):
+    """The composed media dedup pipeline (decode → signatures → banded
+    pairs → connected components → keep-best) at random Hamming
+    thresholds, sharing the contract's recursive-CTE oracle builder
+    (r10). Also asserts the subset metamorphic inline: survivors at a
+    looser threshold ⊆ survivors at a tighter one."""
+    from conftest import SF_DIR
+
+    from coolplaydruid_spark.contract import (
+        _duck_media_pipeline,
+        _spark_media_pipeline,
+        engine_for,
+    )
+
+    rng = random.Random(SEED + 99)
+    eng = engine_for(spark, SF_DIR)
+    prev_h, prev_ids = None, None
+    for max_h in sorted(rng.sample(range(0, 8), k=3), reverse=True):
+        got = _spark_media_pipeline(eng, max_h)
+        assert_df_matches_duck(got, duck, _duck_media_pipeline(max_h))
+        ids = {r["media_id"] for r in got.collect()}
+        if prev_ids is not None and max_h < prev_h:
+            assert prev_ids <= ids, (
+                f"looser ham {prev_h} kept items tighter ham {max_h} dropped")
+        prev_h, prev_ids = max_h, ids

@@ -74,6 +74,12 @@ BLOCKED = {
     # dup-group sizes), exactly the growth banding bounds.
     "dedup_image_phash": 5.0,
     "dedup_audio_fingerprint": 5.0,
+    # r10: the incremental batch×corpus media forms (batch = every 5th
+    # item, so the batch grows WITH the corpus here — shuffle tracks the
+    # batch-side signature stream plus real cross-pair density, same
+    # bound as the self-join forms)
+    "dedup_image_phash_incremental": 5.0,
+    "dedup_audio_fingerprint_incremental": 5.0,
 }
 CONSTANT = {"similarity_topk_brute"}
 PLAN_TRANSITION = {"sql_join_top_customers", "sql_join_region_revenue"}
@@ -171,6 +177,21 @@ def test_plan_transition_joins_bounded_by_input(name):
     assert b["shuffle_write_records"] <= 2 * b["input_records"], (
         f"{name}: sf1 shuffle {b['shuffle_write_records']} exceeds 2× "
         f"input {b['input_records']} — more than a plan transition")
+
+
+def test_anchor_subset_is_the_r05_headline_set():
+    """bench.ANCHOR_SUBSET must stay exactly BENCH_r05's headline query
+    set (the cross-round wall anchor) and remain a subset of the current
+    headline set, so `anchor_subset_sec` keeps meaning the same
+    computation every round."""
+    import bench
+
+    assert set(bench.ANCHOR_SUBSET) <= set(bench.BENCH_QUERIES)
+    r05 = os.path.join(ROOT, "BENCH_r05.json")
+    if not os.path.exists(r05):
+        pytest.skip("no BENCH_r05.json")
+    parsed = json.load(open(r05)).get("parsed") or {}
+    assert set(bench.ANCHOR_SUBSET) == set(parsed.get("queries") or [])
 
 
 def test_carry_sf1_evidence_on_partial_run():
