@@ -2975,6 +2975,63 @@ def dedup_minhash_incremental(spark, sf_dir):
     )
 
 
+def _ingest_store(spark, sf_dir, corpus_df, sig_specs: list[dict],
+                  name: str) -> str:
+    """Materialize a corpus frame through an index task with ingest-time
+    signature specs, into a deterministic overwrite-mode path — the
+    accept-time write half the from-store contract entries read back
+    (r9 verdict #1). Idempotent per (sf_dir, name)."""
+    import tempfile
+    from pathlib import Path as _P
+
+    from coolplaydruid_spark.sources import batch as _batch
+
+    dest = str(_P(tempfile.gettempdir()) / "coolplaydruid_sigstore"
+               / _P(sf_dir).name / name)
+    _batch.index_task(
+        spark,
+        {"format": "dataframe",
+         "df": corpus_df.withColumn("ts", F.lit("2024-01-01").cast("timestamp"))},
+        dest, time_column="ts", signatures=sig_specs,
+    )
+    return dest
+
+
+def _corpus_store(spark, sf_dir, sig_specs: list[dict], name: str) -> str:
+    """_ingest_store over the standing document corpus (doc_id % 5 != 0)."""
+    eng = engine_for(spark, sf_dir)
+    return _ingest_store(
+        spark, sf_dir,
+        eng.catalog.table("documents").where(F.col("doc_id") % 5 != 0),
+        sig_specs, name)
+
+
+@q("dedup_minhash_incremental_from_store", _duck_minhash_incremental(0.5))
+def dedup_minhash_incremental_from_store(spark, sf_dir):
+    """The text-family ingest→dedup loop: the index task materializes the
+    corpus's (doc_id, shingle-hash) table at accept time
+    (signatures=[{"type": "minhash_shingles"}]); the incremental LSH
+    operator reads the STORE as corpus_shingles= — the corpus text is
+    shingled exactly once, at ingest, and the per-batch cost is priced by
+    the batch. Oracle identical to dedup_minhash_incremental, so
+    store-read ≡ inline shingling is value-hash-checked."""
+    from coolplaydruid_spark.sources import batch as _batch
+
+    dest = _corpus_store(
+        spark, sf_dir,
+        [{"type": "minhash_shingles", "text_col": "text", "id_col": "doc_id"}],
+        "docs_minhash")
+    corpus_sh = _batch.read_signatures(
+        spark, dest, "minhash_shingles").select("doc_id", "shingle")
+    eng = engine_for(spark, sf_dir)
+    docs = eng.catalog.table("documents")
+    return dedup.minhash_lsh_dedup_incremental(
+        docs.where(F.col("doc_id") % 5 == 0),
+        corpus_shingles=corpus_sh,
+        threshold=0.5,
+    )
+
+
 @q(
     "dedup_cluster_sizes",
     # the reach CTE is recursive, and RECURSIVE must be declared on the
@@ -3898,21 +3955,13 @@ def dedup_image_phash_from_store(spark, sf_dir):
     (plan-asserted in tests/test_ingest.py). Oracle = the same all-cross-
     pairs SQL as dedup_image_phash_incremental, so store-read ≡ inline
     signatures is value-hash-checked every round."""
-    import tempfile
-    from pathlib import Path as _P
-
     from coolplaydruid_spark.sources import batch as _batch
 
     eng = engine_for(spark, sf_dir)
     media = _docs_as_media(eng, "png")
-    corpus = media.where(F.col("media_id") % 5 != 0).withColumn(
-        "ts", F.lit("2024-01-01").cast("timestamp"))
-    dest = str(_P(tempfile.gettempdir()) / "coolplaydruid_sigstore"
-               / _P(sf_dir).name / "media")
-    _batch.index_task(
-        spark, {"format": "dataframe", "df": corpus}, dest,
-        time_column="ts", signatures=[{"type": "phash"}],
-    )
+    dest = _ingest_store(
+        spark, sf_dir, media.where(F.col("media_id") % 5 != 0),
+        [{"type": "phash"}], "media")
     corpus_sig = _batch.read_signatures(spark, dest, "phash").select(
         "media_id", "phash_hi", "phash_lo")
     return multimodal.phash_neardup_incremental(
@@ -6626,5 +6675,35 @@ def corpus_overlap_incremental(spark, sf_dir):
     return corpus.source_overlap_incremental(
         docs.where(F.col("doc_id") % 5 == 0),
         corpus_df=docs.where(F.col("doc_id") % 5 != 0),
+        group_col="source", k=3,
+    )
+
+
+@q(
+    "corpus_overlap_from_store",
+    _duck_overlap_incremental("source", 3, "doc_id % 5 = 0"),
+)
+def corpus_overlap_from_store(spark, sf_dir):
+    """The overlap-matrix ingest loop: the index task materializes the
+    corpus's DISTINCT (source, shingle) table at accept time
+    (signatures=[{"type": "group_shingles"}]); the incremental overlap
+    operator reads the STORE as corpus_group_shingles= — the corpus is
+    never re-shingled, and the operator's own .distinct() guard (r10)
+    collapses the per-__dt distincts into the global one. Oracle
+    identical to corpus_overlap_incremental."""
+    from coolplaydruid_spark.sources import batch as _batch
+
+    dest = _corpus_store(
+        spark, sf_dir,
+        [{"type": "group_shingles", "group_col": "source",
+          "text_col": "text", "id_col": "doc_id"}],
+        "docs_overlap")
+    corpus_gs = _batch.read_signatures(
+        spark, dest, "group_shingles").select("source", "shingle")
+    eng = engine_for(spark, sf_dir)
+    docs = eng.catalog.table("documents")
+    return corpus.source_overlap_incremental(
+        docs.where(F.col("doc_id") % 5 == 0),
+        corpus_group_shingles=corpus_gs,
         group_col="source", k=3,
     )
