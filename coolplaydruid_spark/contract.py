@@ -2980,14 +2980,21 @@ def _ingest_store(spark, sf_dir, corpus_df, sig_specs: list[dict],
     """Materialize a corpus frame through an index task with ingest-time
     signature specs, into a deterministic overwrite-mode path — the
     accept-time write half the from-store contract entries read back
-    (r9 verdict #1). Idempotent per (sf_dir, name)."""
+    (r9 verdict #1). Idempotent per (sf_dir, name); the path is keyed by
+    a hash of the RESOLVED sf_dir (review find: basename-only keying
+    collided /root/testdata/sf1 with the bench-synthesized
+    .benchdata/sf1) plus the pid, so concurrent gate processes never
+    race each other's overwrites."""
+    import hashlib
+    import os
     import tempfile
     from pathlib import Path as _P
 
     from coolplaydruid_spark.sources import batch as _batch
 
+    key = hashlib.md5(str(_P(sf_dir).resolve()).encode()).hexdigest()[:12]
     dest = str(_P(tempfile.gettempdir()) / "coolplaydruid_sigstore"
-               / _P(sf_dir).name / name)
+               / f"{key}-{os.getpid()}" / name)
     _batch.index_task(
         spark,
         {"format": "dataframe",
@@ -4023,13 +4030,14 @@ def _spark_media_pipeline(eng, max_hamming: int) -> DataFrame:
     docs = eng.catalog.table("documents")
     media = _docs_as_media(eng, "png")
     pairs = multimodal.phash_neardup(media, max_hamming=max_hamming)
-    scored = media.join(
-        docs.select(
-            F.col("doc_id").alias("media_id"),
-            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("q"),
-        ),
-        on="media_id",
-    ).select("media_id", "q")
+    # media ids ARE doc ids (_docs_as_media is 1:1), so quality projects
+    # straight off documents — no second decode pass, no join (review
+    # find: joining through the mapInPandas frame re-encoded every PNG
+    # just to recover ids the documents table already has).
+    scored = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("q"),
+    )
     return graph.dedup_keep_best(
         scored, pairs, quality_col="q", id_col="media_id",
         src_col="media_id_a", dst_col="media_id_b",

@@ -408,7 +408,18 @@ def minhash_lsh_dedup_incremental(
     uncapped."""
     sh_new = shingles(new_df, k=k, text_col=text_col, id_col=id_col, as_hash=True)
     if corpus_shingles is not None:
-        sh_corpus = corpus_shingles
+        # Same guard as corpus.source_overlap_incremental (r10): a
+        # re-appended/retried store partition that duplicates
+        # (id, shingle) rows would inflate n_shingles AND corrupt
+        # _verify_jaccard's seen-twice intersection trick (it assumes
+        # shingles are distinct per document) — a doubled corpus doc
+        # would falsely drop batch docs. Minhash minima are
+        # duplicate-insensitive, so the distinct exists purely for the
+        # verification pass; it costs one shuffle of the supplied table,
+        # the same scale as the signature groupBy that follows. The
+        # projection also drops store bookkeeping columns (__dt) so the
+        # verify-union's schemas line up.
+        sh_corpus = corpus_shingles.select(F.col(id_col), "shingle").distinct()
     elif corpus_df is not None:
         sh_corpus = shingles(
             corpus_df, k=k, text_col=text_col, id_col=id_col, as_hash=True

@@ -148,9 +148,12 @@ def _read_source(spark: SparkSession, source: dict) -> DataFrame:
 # see the rows rollup would collapse — and writes each as a Parquet table
 # partitioned by the same __dt as the segments, OUTSIDE the table root
 # (`<dest>.sig/<name>`) so segment partition discovery never sees
-# signature files. Append tasks append new __dt partitions; kill/
-# retention/auto-compaction apply to the signature dirs exactly as to
-# segments (same __dt layout).
+# signature files. Append tasks append new __dt partitions;
+# kill/retention/archive/restore move the signature partitions in
+# LOCKSTEP with the segments (_sig_roots), so the store never holds
+# signatures for segments that no longer exist; compacting a fragmented
+# signature partition is auto_compact_task(signature_path(dest, name))
+# — the same __dt layout makes it directly applicable.
 
 SIGNATURE_KINDS = ("phash", "audio_fingerprint", "minhash_shingles",
                    "group_shingles")
@@ -197,6 +200,18 @@ def _build_signature(df: DataFrame, spec: dict) -> DataFrame:
         return sh.select(group_col, "shingle", DT_COLUMN).distinct()
     raise ValueError(
         f"unknown signature type {kind!r} (one of {SIGNATURE_KINDS})")
+
+
+def _write_signatures(sig_frames: list, dest_path: str, mode: str) -> None:
+    """Write the materialized signature tables — called strictly AFTER
+    the segment write, so a failed task never mutates the store."""
+    for name, sig_df in sig_frames:
+        (
+            sig_df.repartition(F.col(DT_COLUMN))
+            .write.mode(mode)
+            .partitionBy(DT_COLUMN)
+            .parquet(signature_path(dest_path, name))
+        )
 
 
 def read_signatures(spark: SparkSession, dest_path: str, name: str) -> DataFrame:
@@ -285,19 +300,20 @@ def index_task(
             if flt is not None:
                 df = df.filter(flt)
         # Signatures see the post-transform, PRE-rollup rows (per-row
-        # functions of the raw media/text) with the segment __dt attached.
+        # functions of the raw media/text) with the segment __dt
+        # attached — but they are WRITTEN only after the segment write
+        # succeeds (review find: a failed segment write must not leave
+        # the store already mutated — ghost signatures would dedup
+        # future batches against media that never became corpus, and an
+        # append-mode retry would double the partition's rows).
+        sig_frames = []
         if signatures:
             raw_dt = df.withColumn(
                 DT_COLUMN, F.to_date(ts).cast("string"))
-            for spec in signatures:
-                name = spec.get("name", spec["type"])
-                sig_df = _build_signature(raw_dt, spec)
-                (
-                    sig_df.repartition(F.col(DT_COLUMN))
-                    .write.mode(mode)
-                    .partitionBy(DT_COLUMN)
-                    .parquet(signature_path(dest_path, name))
-                )
+            sig_frames = [
+                (spec.get("name", spec["type"]), _build_signature(raw_dt, spec))
+                for spec in signatures
+            ]
         if rollup:
             gran = parse_granularity(rollup.get("granularity", "hour"))
             df = df.withColumn(TIME_COLUMN, ts)
@@ -339,6 +355,7 @@ def index_task(
             # within-bucket sort keeps row-group stats selective on the
             # shard dims too
             writer.sortBy(*(sort_by or dims)).format("parquet").saveAsTable(name)
+            _write_signatures(sig_frames, dest_path, mode)
             REGISTRY.finish(
                 status.task_id,
                 True,
@@ -347,6 +364,7 @@ def index_task(
             )
             return status
         out.write.mode(mode).partitionBy(DT_COLUMN).parquet(dest_path)
+        _write_signatures(sig_frames, dest_path, mode)
         REGISTRY.finish(status.task_id, True, f"wrote {dest_path}")
     except Exception as e:  # noqa: BLE001
         REGISTRY.finish(status.task_id, False, str(e))
@@ -437,14 +455,29 @@ def auto_compact_task(spark: SparkSession, table_path: str,
     return status
 
 
+def _sig_roots(table_path: str) -> list[Path]:
+    """The table's signature-table directories (<table>.sig/<name>), if
+    any — segment lifecycle tasks (kill/retention/archive/restore) apply
+    to them in lockstep so the store can never hold signatures for
+    segments that no longer exist (ghost signatures would silently dedup
+    future batches against deleted corpus)."""
+    sig_dir = Path(str(table_path).rstrip("/") + ".sig")
+    return sorted(p for p in sig_dir.glob("*") if p.is_dir()) \
+        if sig_dir.exists() else []
+
+
 def kill_task(table_path: str, dt_values: list[str]) -> TaskStatus:
-    """Druid `kill` task (I6): drop segments (partitions) permanently."""
+    """Druid `kill` task (I6): drop segments (partitions) permanently —
+    including the same partitions of every materialized signature
+    table."""
     status = REGISTRY.start("kill")
     try:
+        roots = [Path(table_path), *_sig_roots(table_path)]
         for dt in dt_values:
-            p = Path(table_path) / f"{DT_COLUMN}={dt}"
-            if p.exists():
-                shutil.rmtree(p)
+            for root in roots:
+                p = root / f"{DT_COLUMN}={dt}"
+                if p.exists():
+                    shutil.rmtree(p)
         REGISTRY.finish(status.task_id, True, f"dropped {len(dt_values)} partitions")
     except Exception as e:  # noqa: BLE001
         REGISTRY.finish(status.task_id, False, str(e))
@@ -484,17 +517,25 @@ def retention_task(table_path: str, drop_before: str,
 def archive_task(table_path: str, archive_path: str, dt_values: list[str],
                  restore: bool = False) -> TaskStatus:
     """Druid `archive`/`restore`/`move` tasks (I6): relocate segment
-    partitions between live and archive storage roots."""
+    partitions between live and archive storage roots — signature-table
+    partitions move in lockstep (to <archive>.sig/<name>), so a restored
+    segment comes back with its accept-time signatures."""
     status = REGISTRY.start("restore" if restore else "archive")
     src_root, dst_root = (
         (archive_path, table_path) if restore else (table_path, archive_path)
     )
     try:
-        Path(dst_root).mkdir(parents=True, exist_ok=True)
-        for dt in dt_values:
-            src = Path(src_root) / f"{DT_COLUMN}={dt}"
-            if src.exists():
-                shutil.move(str(src), str(Path(dst_root) / f"{DT_COLUMN}={dt}"))
+        moves = [(Path(src_root), Path(dst_root))]
+        sig_src = _sig_roots(src_root)
+        for s in sig_src:
+            moves.append(
+                (s, Path(str(dst_root).rstrip("/") + ".sig") / s.name))
+        for src_r, dst_r in moves:
+            dst_r.mkdir(parents=True, exist_ok=True)
+            for dt in dt_values:
+                src = src_r / f"{DT_COLUMN}={dt}"
+                if src.exists():
+                    shutil.move(str(src), str(dst_r / f"{DT_COLUMN}={dt}"))
         REGISTRY.finish(status.task_id, True, "moved")
     except Exception as e:  # noqa: BLE001
         REGISTRY.finish(status.task_id, False, str(e))

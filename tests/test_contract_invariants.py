@@ -49,6 +49,30 @@ def test_overlap_incremental_dedupes_corpus_shingle_table(spark):
     assert want and got == want
 
 
+def test_minhash_incremental_dedupes_corpus_shingle_table(spark):
+    """Review find (r10): a corpus_shingles table with duplicated
+    (doc_id, shingle) rows — a re-appended store partition — used to
+    inflate n_shingles AND corrupt the seen-twice intersection count,
+    falsely dropping batch docs. The operator now applies .distinct()
+    to the supplied table; results must equal the clean-table run."""
+    corpus_docs = _docs(spark, [
+        (1, "cc", "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "web", "alpha beta gamma delta unrelated trailing words here"),
+    ])
+    batch = _docs(spark, [
+        (10, "books", "alpha beta gamma delta epsilon zeta eta iota"),
+    ])
+    clean = dedup.shingles(corpus_docs, k=3, as_hash=True)
+    dirty = clean.union(clean).union(clean)
+    want = sorted(
+        tuple(r) for r in dedup.minhash_lsh_dedup_incremental(
+            batch, corpus_shingles=clean, threshold=0.3).collect())
+    got = sorted(
+        tuple(r) for r in dedup.minhash_lsh_dedup_incremental(
+            batch, corpus_shingles=dirty, threshold=0.3).collect())
+    assert want and got == want
+
+
 def _phash_sigs(spark, rows):
     return spark.createDataFrame(rows, "media_id long, phash_hi long, phash_lo long")
 

@@ -659,6 +659,7 @@ def test_from_store_pairing_is_decode_free(spark, tmp_path):
             for r in pairs.collect()} == inline
 
     # incremental, both sides from the store: decode-free batch x corpus
+    # AND value-identical to the inline decode path over the same split
     corpus_sig = stored.where(F.col("media_id") % 2 == 0)
     batch_sig = stored.where(F.col("media_id") % 2 == 1)
     inc = multimodal.phash_neardup_incremental(
@@ -666,7 +667,13 @@ def test_from_store_pairing_is_decode_free(spark, tmp_path):
         max_hamming=6)
     inc_plan = inc._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in inc_plan
-    assert inc.count() >= 0
+    inc_inline = multimodal.phash_neardup_incremental(
+        batch_df=df.where(F.col("media_id") % 2 == 1),
+        corpus_df=df.where(F.col("media_id") % 2 == 0),
+        max_hamming=6)
+    assert {(r.media_id_a, r.media_id_b, r.hamming) for r in inc.collect()} \
+        == {(r.media_id_a, r.media_id_b, r.hamming)
+            for r in inc_inline.collect()}
 
     stored_afp = batch.read_signatures(spark, dest, "afp") \
         .select("media_id", "afp")
@@ -679,3 +686,42 @@ def test_from_store_pairing_is_decode_free(spark, tmp_path):
                    df, max_hamming=3, media_col="wav").collect()}
     assert {(r.media_id_a, r.media_id_b, r.hamming)
             for r in apairs.collect()} == ainline
+
+
+def test_segment_lifecycle_tasks_cover_signature_store(spark, tmp_path):
+    """kill/retention/archive/restore move signature-table partitions in
+    LOCKSTEP with segments — a dropped day must not leave ghost
+    signatures (they would dedup future batches against deleted corpus),
+    and a restored day comes back with its accept-time signatures."""
+    import pathlib
+
+    df = _media_rows(spark, [(1, 1), (2, 1), (10, 2), (11, 2)])
+    dest = str(tmp_path / "media_tbl")
+    batch.index_task(spark, {"format": "dataframe", "df": df}, dest,
+                     time_column="ts", signatures=[{"type": "phash"}])
+    sig_root = pathlib.Path(batch.signature_path(dest, "phash"))
+    assert (sig_root / f"{batch.DT_COLUMN}=2024-01-01").exists()
+
+    # archive day 1: segment AND signature partitions move
+    arch = str(tmp_path / "arch")
+    batch.archive_task(dest, arch, ["2024-01-01"])
+    assert not (sig_root / f"{batch.DT_COLUMN}=2024-01-01").exists()
+    arch_sig = pathlib.Path(batch.signature_path(arch, "phash"))
+    assert (arch_sig / f"{batch.DT_COLUMN}=2024-01-01").exists()
+    assert {r.media_id
+            for r in batch.read_signatures(spark, dest, "phash").collect()} \
+        == {10, 11}
+
+    # restore brings the signatures back
+    batch.archive_task(dest, arch, ["2024-01-01"], restore=True)
+    assert {r.media_id
+            for r in batch.read_signatures(spark, dest, "phash").collect()} \
+        == {1, 2, 10, 11}
+
+    # retention (kill path) drops segment + signature partitions together
+    batch.retention_task(dest, drop_before="2024-01-02")
+    assert not (pathlib.Path(dest) / f"{batch.DT_COLUMN}=2024-01-01").exists()
+    assert not (sig_root / f"{batch.DT_COLUMN}=2024-01-01").exists()
+    assert {r.media_id
+            for r in batch.read_signatures(spark, dest, "phash").collect()} \
+        == {10, 11}
