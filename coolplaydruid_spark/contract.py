@@ -2975,26 +2975,37 @@ def dedup_minhash_incremental(spark, sf_dir):
     )
 
 
+_STORE_CLEANUPS: set = set()
+
+
 def _ingest_store(spark, sf_dir, corpus_df, sig_specs: list[dict],
                   name: str) -> str:
     """Materialize a corpus frame through an index task with ingest-time
     signature specs, into a deterministic overwrite-mode path — the
     accept-time write half the from-store contract entries read back
-    (r9 verdict #1). Idempotent per (sf_dir, name); the path is keyed by
-    a hash of the RESOLVED sf_dir (review find: basename-only keying
-    collided /root/testdata/sf1 with the bench-synthesized
-    .benchdata/sf1) plus the pid, so concurrent gate processes never
-    race each other's overwrites."""
+    (r9 verdict #1). Idempotent per (sf_dir, name) WITHIN a process; the
+    path is keyed by a hash of the RESOLVED sf_dir (review find:
+    basename-only keying collided /root/testdata/sf1 with the
+    bench-synthesized .benchdata/sf1) plus the pid, so concurrent gate
+    processes never race each other's overwrites, and the pid directory
+    is removed at interpreter exit so repeated gate runs cannot fill
+    /tmp with corpus copies (review find)."""
+    import atexit
     import hashlib
     import os
+    import shutil
     import tempfile
     from pathlib import Path as _P
 
     from coolplaydruid_spark.sources import batch as _batch
 
     key = hashlib.md5(str(_P(sf_dir).resolve()).encode()).hexdigest()[:12]
-    dest = str(_P(tempfile.gettempdir()) / "coolplaydruid_sigstore"
-               / f"{key}-{os.getpid()}" / name)
+    proc_root = _P(tempfile.gettempdir()) / "coolplaydruid_sigstore" \
+        / f"{key}-{os.getpid()}"
+    if proc_root not in _STORE_CLEANUPS:
+        _STORE_CLEANUPS.add(proc_root)
+        atexit.register(shutil.rmtree, str(proc_root), ignore_errors=True)
+    dest = str(proc_root / name)
     _batch.index_task(
         spark,
         {"format": "dataframe",

@@ -204,7 +204,23 @@ def _build_signature(df: DataFrame, spec: dict) -> DataFrame:
 
 def _write_signatures(sig_frames: list, dest_path: str, mode: str) -> None:
     """Write the materialized signature tables — called strictly AFTER
-    the segment write, so a failed task never mutates the store."""
+    the segment write, so a failed SEGMENT write never mutates the store
+    (no ghost signatures, no doubled partitions on append retry).
+
+    An overwrite-mode task replaces the segments wholesale, so the
+    ENTIRE old store is cleared first — signature tables whose specs are
+    absent from this task (including signatures=None) would otherwise
+    keep serving the replaced corpus (review find).
+
+    Residual non-atomicity, stated honestly: a failure HERE leaves
+    segments already written with signatures missing/partial. That is
+    the recoverable direction — signature_task() rebuilds any signature
+    table from the standing segments, idempotently — whereas store-
+    before-segments corrupted dedup results. True all-or-nothing needs a
+    table format with a commit protocol (see auto_compact_task's swap
+    note)."""
+    if mode == "overwrite":
+        shutil.rmtree(str(dest_path).rstrip("/") + ".sig", ignore_errors=True)
     for name, sig_df in sig_frames:
         (
             sig_df.repartition(F.col(DT_COLUMN))
@@ -212,6 +228,42 @@ def _write_signatures(sig_frames: list, dest_path: str, mode: str) -> None:
             .partitionBy(DT_COLUMN)
             .parquet(signature_path(dest_path, name))
         )
+
+
+def signature_task(spark: SparkSession, table_path: str, time_column: str,
+                   signatures: list[dict]) -> TaskStatus:
+    """(Re)build signature tables from an EXISTING segment table — the
+    backfill/recovery path: adopt signatures on a table ingested before
+    materialization existed, or repair a store after a signature-write
+    failure left segments without signatures. Overwrite-per-table and a
+    pure function of the segments, hence idempotent. NOTE: under an
+    ingest rollup the segments no longer carry the raw per-row columns,
+    so signature backfill only applies to non-rolled-up tables (the
+    normal shape for document/media corpora)."""
+    status = REGISTRY.start("signature")
+    try:
+        df = spark.read.parquet(table_path)
+        raw_dt = df
+        if DT_COLUMN not in df.columns:
+            raw_dt = df.withColumn(
+                DT_COLUMN,
+                F.to_date(F.col(time_column).cast("timestamp")).cast("string"))
+        for spec in signatures:
+            name = spec.get("name", spec["type"])
+            sig_df = _build_signature(raw_dt, spec)
+            (
+                sig_df.repartition(F.col(DT_COLUMN))
+                .write.mode("overwrite")
+                .partitionBy(DT_COLUMN)
+                .parquet(signature_path(table_path, name))
+            )
+        REGISTRY.finish(
+            status.task_id, True,
+            f"rebuilt {len(signatures)} signature tables for {table_path}")
+    except Exception as e:  # noqa: BLE001
+        REGISTRY.finish(status.task_id, False, str(e))
+        raise
+    return status
 
 
 def read_signatures(spark: SparkSession, dest_path: str, name: str) -> DataFrame:
@@ -460,16 +512,25 @@ def _sig_roots(table_path: str) -> list[Path]:
     any — segment lifecycle tasks (kill/retention/archive/restore) apply
     to them in lockstep so the store can never hold signatures for
     segments that no longer exist (ghost signatures would silently dedup
-    future batches against deleted corpus)."""
+    future batches against deleted corpus). A crashed auto-compaction's
+    scratch dir (<name>.__compact__) is NOT a signature table and is
+    skipped (review find: archive would otherwise resurrect it)."""
     sig_dir = Path(str(table_path).rstrip("/") + ".sig")
-    return sorted(p for p in sig_dir.glob("*") if p.is_dir()) \
-        if sig_dir.exists() else []
+    if not sig_dir.exists():
+        return []
+    return sorted(
+        p for p in sig_dir.glob("*")
+        if p.is_dir() and not p.name.endswith(".__compact__")
+    )
 
 
 def kill_task(table_path: str, dt_values: list[str]) -> TaskStatus:
     """Druid `kill` task (I6): drop segments (partitions) permanently —
     including the same partitions of every materialized signature
-    table."""
+    table. Caveat: under a coarser-than-day rollup the segment __dt is
+    the bucket start while signature tables keep raw per-row dates —
+    pass every raw date to cover the store, or use retention_task,
+    which lists victims across the segment AND signature roots."""
     status = REGISTRY.start("kill")
     try:
         roots = [Path(table_path), *_sig_roots(table_path)]
@@ -491,14 +552,22 @@ def retention_task(table_path: str, drop_before: str,
     assigns/balances and applies load/drop rules to segments): drop — or
     archive, when ``archive_path`` is given — every ``__dt`` partition
     strictly before ``drop_before`` (YYYY-MM-DD). Partition-directory
-    listing only; no data is read."""
+    listing only; no data is read.
+
+    Victims are listed across the segment root AND every signature-table
+    root: under a coarser-than-day rollup the segment ``__dt`` is the
+    bucket start while signatures keep raw dates (they are per-row
+    functions of the pre-rollup data), so listing only segment dirs
+    would leave in-range ghost signature partitions behind (review
+    find)."""
     status = REGISTRY.start("retention")
     try:
-        victims = sorted(
+        victims = sorted({
             p.name.split("=", 1)[1]
-            for p in Path(table_path).glob(f"{DT_COLUMN}=*")
+            for root in [Path(table_path), *_sig_roots(table_path)]
+            for p in root.glob(f"{DT_COLUMN}=*")
             if p.name.split("=", 1)[1] < drop_before
-        )
+        })
         if victims:
             if archive_path:
                 archive_task(table_path, archive_path, victims)

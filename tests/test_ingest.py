@@ -725,3 +725,84 @@ def test_segment_lifecycle_tasks_cover_signature_store(spark, tmp_path):
     assert {r.media_id
             for r in batch.read_signatures(spark, dest, "phash").collect()} \
         == {10, 11}
+
+
+def test_overwrite_reindex_clears_stale_signature_tables(spark, tmp_path):
+    """An overwrite-mode re-index replaces the segments wholesale, so
+    signature tables absent from the new task (including signatures=None)
+    must not keep serving the replaced corpus."""
+    df_a = _media_rows(spark, [(1, 1), (2, 1)])
+    dest = str(tmp_path / "tbl")
+    batch.index_task(spark, {"format": "dataframe", "df": df_a}, dest,
+                     time_column="ts",
+                     signatures=[{"type": "phash"},
+                                 {"type": "audio_fingerprint",
+                                  "media_col": "wav", "name": "afp"}])
+    import pathlib
+    assert pathlib.Path(batch.signature_path(dest, "afp")).exists()
+
+    # re-ingest corpus B keeping only the phash spec: afp store must go,
+    # and the phash store must hold ONLY corpus B
+    df_b = _media_rows(spark, [(10, 2), (11, 2)])
+    batch.index_task(spark, {"format": "dataframe", "df": df_b}, dest,
+                     time_column="ts", signatures=[{"type": "phash"}])
+    assert not pathlib.Path(batch.signature_path(dest, "afp")).exists()
+    assert {r.media_id for r in
+            batch.read_signatures(spark, dest, "phash").collect()} == {10, 11}
+
+    # re-ingest with signatures=None: the whole store goes
+    batch.index_task(spark, {"format": "dataframe", "df": df_a}, dest,
+                     time_column="ts")
+    assert not pathlib.Path(dest + ".sig").exists()
+
+
+def test_signature_task_backfills_existing_table(spark, tmp_path):
+    """signature_task rebuilds signature tables from standing segments —
+    the adoption/recovery path — bit-identical to ingest-time
+    materialization."""
+    from coolplaydruid_spark.operators import multimodal
+
+    df = _media_rows(spark, [(i, 1 + i % 2) for i in range(6)])
+    dest = str(tmp_path / "tbl")
+    batch.index_task(spark, {"format": "dataframe", "df": df}, dest,
+                     time_column="ts")  # no signatures at ingest
+    status = batch.signature_task(spark, dest, "ts", [{"type": "phash"}])
+    assert status.status == "SUCCESS"
+    inline = {(r.media_id, r.phash_hi, r.phash_lo)
+              for r in multimodal.phash_signatures(df).collect()}
+    assert {(r.media_id, r.phash_hi, r.phash_lo)
+            for r in batch.read_signatures(spark, dest, "phash").collect()} \
+        == inline
+
+
+def test_retention_covers_raw_date_signatures_under_rollup(spark, tmp_path):
+    """Under a month rollup, segment __dt is the bucket start while
+    signatures keep raw dates; retention must list victims across BOTH
+    roots or in-range ghost signature partitions survive (review find)."""
+    rows = []
+    for i, day in [(1, "2024-01-05"), (2, "2024-01-20"), (3, "2024-02-10")]:
+        rows.append((i, f"{day} 00:00:00", f"text body number {i} here", 1.0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, ts string, text string, value double")
+    dest = str(tmp_path / "tbl")
+    batch.index_task(
+        spark, {"format": "dataframe", "df": df}, dest, time_column="ts",
+        rollup={"granularity": "month", "dimensions": [],
+                "aggregations": [{"type": "doubleSum", "name": "v",
+                                  "fieldName": "value"}]},
+        signatures=[{"type": "minhash_shingles", "text_col": "text",
+                     "id_col": "doc_id"}],
+    )
+    import pathlib
+    sig_root = pathlib.Path(batch.signature_path(dest, "minhash_shingles"))
+    # segments at bucket starts; signatures at raw dates
+    assert (pathlib.Path(dest) / f"{batch.DT_COLUMN}=2024-01-01").exists()
+    assert (sig_root / f"{batch.DT_COLUMN}=2024-01-05").exists()
+
+    batch.retention_task(dest, drop_before="2024-02-01")
+    assert not (pathlib.Path(dest) / f"{batch.DT_COLUMN}=2024-01-01").exists()
+    assert not (sig_root / f"{batch.DT_COLUMN}=2024-01-05").exists()
+    assert not (sig_root / f"{batch.DT_COLUMN}=2024-01-20").exists()
+    assert (sig_root / f"{batch.DT_COLUMN}=2024-02-10").exists()
+    assert {r.doc_id for r in batch.read_signatures(
+        spark, dest, "minhash_shingles").collect()} == {3}
