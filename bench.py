@@ -61,6 +61,9 @@ SF1_TAIL = [
     # (r9 verdict #6); shuffle should scale with the BATCH side
     "dedup_image_phash_incremental",
     "dedup_audio_fingerprint_incremental",
+    # r10: video frame-hash dedup — the co-frame join is the blocking,
+    # same shape as ngram Jaccard
+    "dedup_video_framehash",
 ]
 
 # The cross-round wall-clock anchor (r9 verdict #7): the 16-query

@@ -4161,6 +4161,114 @@ def dedup_audio_fingerprint(spark, sf_dir):
     return multimodal.audio_neardup(_docs_as_media(eng, "wav"), max_hamming=3)
 
 
+def _docs_as_video(eng) -> DataFrame:
+    """documents.text → opaque 'video' bytes with duration_ms := text
+    length (the multimodal_frame_sample convention) — a pure SQL
+    projection, so the only Python stage in the video pipeline is the
+    frame-sampling stub itself."""
+    return eng.catalog.table("documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("media"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+        .alias("duration_ms"),
+    )
+
+
+def _duck_video_cte(every_ms: int) -> str:
+    """Shared oracle CTEs rebuilding the per-frame 60-bit hash from the
+    text fixture: frame at ts is the 16-byte slice at the proportional
+    position (multimodal_frame_sample's byte math — ASCII text makes the
+    byte slice equal the VARCHAR slice), hash = first 15 md5 hex chars
+    as an integer (the repo-wide md5 idiom). fh = DISTINCT per-video
+    frame-hash sets."""
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, coalesce(text, '') AS raw,
+             CASE WHEN length(coalesce(text, '')) > 0
+                  THEN length(coalesce(text, '')) ELSE 1 END AS dur
+      FROM documents
+    ), f AS (
+      SELECT media_id, raw, dur,
+             unnest(range(0, dur, {int(every_ms)})) AS ts
+      FROM m
+    ), fr AS (
+      SELECT media_id, CAST(ts AS BIGINT) AS frame_ts_ms,
+             CAST(('0x' || substring(md5(substring(raw,
+                  CAST(FLOOR((ts * 1.0 / dur) *
+                       greatest(length(raw) - 16, 0)) AS INT) + 1, 16)), 1, 15))
+                  AS BIGINT) AS frame_hash
+      FROM f
+    ), fh AS (SELECT DISTINCT media_id, frame_hash FROM fr)
+    """
+
+
+def _duck_video_pairs(threshold: float, every_ms: int,
+                      cross_mod: int | None = None,
+                      cross_rem: int | None = None) -> str:
+    """Frame-hash Jaccard pair oracle; with cross_mod/cross_rem the
+    pairs are batch (id % mod = rem) × corpus (the rest) instead of the
+    a < b self-join — shared with the fuzzer."""
+    if cross_mod is None:
+        join = "fh a JOIN fh b ON a.frame_hash = b.frame_hash " \
+               "AND a.media_id < b.media_id"
+    else:
+        join = (f"fh a JOIN fh b ON a.frame_hash = b.frame_hash "
+                f"AND a.media_id % {cross_mod} != {cross_rem} "
+                f"AND b.media_id % {cross_mod} = {cross_rem}")
+    return _duck_video_cte(every_ms) + f"""
+    , co AS (
+      SELECT a.media_id AS ma, b.media_id AS mb, count(*) AS n_common
+      FROM {join}
+      GROUP BY 1, 2
+    ), sizes AS (SELECT media_id, count(*) AS n FROM fh GROUP BY 1)
+    SELECT ma AS media_id_a, mb AS media_id_b,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM co JOIN sizes sa ON co.ma = sa.media_id
+            JOIN sizes sb ON co.mb = sb.media_id
+    WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= {threshold}
+    """
+
+
+@q("multimodal_video_frame_signatures",
+   _duck_video_cte(100)
+   + "SELECT media_id, frame_ts_ms, frame_hash FROM fr")
+def multimodal_video_frame_signatures(spark, sf_dir):
+    """Per-frame 60-bit hashes over the sampled frame stream — the
+    video modality's dedup signature (codec-independent: the hash is
+    over frame bytes, here the honest byte-slice stub; a real decoder
+    changes nothing downstream). The oracle rebuilds every hash from
+    text char positions (operators/multimodal.video_frame_signatures)."""
+    eng = engine_for(spark, sf_dir)
+    return multimodal.video_frame_signatures(
+        _docs_as_video(eng), every_ms=100)
+
+
+@q("dedup_video_framehash", _duck_video_pairs(0.5, 100))
+def dedup_video_framehash(spark, sf_dir):
+    """Video near-dup pairs by frame-hash voting: Jaccard ≥ 0.5 over
+    each video's distinct sampled-frame-hash set — the video modality's
+    counterpart of n-gram Jaccard, with the co-frame join as the
+    blocking (operators/multimodal.video_neardup)."""
+    eng = engine_for(spark, sf_dir)
+    return multimodal.video_neardup(
+        _docs_as_video(eng), threshold=0.5, every_ms=100)
+
+
+@q("dedup_video_framehash_incremental", _duck_video_pairs(0.5, 100, 5, 0))
+def dedup_video_framehash_incremental(spark, sf_dir):
+    """Daily-ingest video dedup: incoming batch (every 5th video) ×
+    standing corpus via pre-materialized frame signatures — corpus
+    never re-samples or self-pairs
+    (operators/multimodal.video_neardup_incremental)."""
+    eng = engine_for(spark, sf_dir)
+    media = _docs_as_video(eng)
+    corpus_sig = multimodal.video_frame_signatures(
+        media.where(F.col("media_id") % 5 != 0), every_ms=100)
+    return multimodal.video_neardup_incremental(
+        media.where(F.col("media_id") % 5 == 0),
+        corpus_signatures=corpus_sig, threshold=0.5, every_ms=100)
+
+
 # ---------------------------------------------------------------------------
 # Corpus statistics & cleaning (operators/corpus.py)
 # ---------------------------------------------------------------------------

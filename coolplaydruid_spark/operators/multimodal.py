@@ -656,28 +656,172 @@ def resize_stub(df: DataFrame, width: int, height: int,
 
 def frame_sample_stub(df: DataFrame, every_ms: int = 1000,
                       media_col: str = "media", id_col: str = "media_id",
-                      duration_col: str = "duration_ms") -> DataFrame:
+                      duration_col: str = "duration_ms",
+                      extra_cols: list[str] | None = None) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled timestamp
-    (media_id, frame_ts_ms, frame binary). Frame extraction is stubbed as
-    a byte-slice; the explode-shaped output schema and batch iteration are
-    the real contract."""
+    (media_id, *extra_cols, frame_ts_ms, frame binary). Frame extraction
+    is stubbed as a byte-slice (no ffmpeg in the container); the
+    explode-shaped output schema, batch iteration, and the downstream
+    frame-hash dedup pipeline are the real, codec-independent contract —
+    a real decoder swaps the slice for a decoded frame and nothing else
+    changes. ``extra_cols`` ride through per frame (same convention as
+    phash_signatures; carries __dt at ingest-time materialization)."""
+    passthru = [id_col, *(extra_cols or [])]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out_ids, out_ts, out_frames = [], [], []
+            out = {c: [] for c in passthru}
+            out_ts, out_frames = [], []
             for _, row in pdf.iterrows():
                 dur = int(row[duration_col] or 0)
                 raw = row[media_col] or b""
                 for ts in range(0, max(dur, 1), every_ms):
-                    out_ids.append(row[id_col])
+                    for c in passthru:
+                        out[c].append(row[c])
                     out_ts.append(ts)
                     frac = ts / max(dur, 1)
                     pos = int(frac * max(len(raw) - 16, 0))
                     out_frames.append(raw[pos:pos + 16])
-            yield pd.DataFrame(
-                {"media_id": out_ids, "frame_ts_ms": out_ts, "frame": out_frames}
-            )
+            out["frame_ts_ms"] = out_ts
+            out["frame"] = out_frames
+            yield pd.DataFrame(out)
 
-    return spread(df, by=id_col).select(F.col(id_col), F.col(media_col), F.col(duration_col)).mapInPandas(
-        batches, "media_id long, frame_ts_ms long, frame binary"
+    return spread(df, by=id_col).select(
+        *[F.col(c) for c in passthru], F.col(media_col), F.col(duration_col)
+    ).mapInPandas(
+        batches,
+        _passthru_schema(df, passthru, "frame_ts_ms long, frame binary"),
     )
+
+
+# ---- video frame-hash near-dup --------------------------------------------
+
+
+def video_frame_signatures(df: DataFrame, every_ms: int = 1000,
+                           media_col: str = "media", id_col: str = "media_id",
+                           duration_col: str = "duration_ms",
+                           extra_cols: list[str] | None = None) -> DataFrame:
+    """(media_id, *extra_cols, frame_ts_ms, frame_hash): a 60-bit
+    md5-derived integer id per sampled frame — the video modality's
+    dedup signature. Frame-level hashing is codec-independent (the hash
+    is over the frame's bytes, stubbed or decoded), so the whole
+    downstream pipeline is real even while the frame extractor is the
+    honest byte-slice stub. The hash is the repo-wide md5 idiom
+    (dedup._shingle_hash's construction over binary), exactly
+    recomputable in SQL from the fixture text."""
+    frames = frame_sample_stub(
+        df, every_ms=every_ms, media_col=media_col, id_col=id_col,
+        duration_col=duration_col, extra_cols=extra_cols)
+    return frames.select(
+        F.col(id_col), *[F.col(c) for c in (extra_cols or [])],
+        F.col("frame_ts_ms"),
+        F.conv(F.substring(F.md5(F.col("frame")), 1, 15), 16, 10)
+        .cast("long").alias("frame_hash"),
+    )
+
+
+def _video_jaccard_tail(co, sizes, threshold: float, id_col: str):
+    from coolplaydruid_spark.operators.dedup import _attach_sizes_and_score
+
+    out = _attach_sizes_and_score(co, sizes, threshold, id_col)
+    return out.select(
+        F.col("doc_a").alias("media_id_a"),
+        F.col("doc_b").alias("media_id_b"),
+        F.col("jaccard"),
+    )
+
+
+def video_neardup(df: DataFrame | None = None, threshold: float = 0.5,
+                  every_ms: int = 1000, media_col: str = "media",
+                  id_col: str = "media_id", duration_col: str = "duration_ms",
+                  max_frame_freq: int | None = None,
+                  signatures: DataFrame | None = None) -> DataFrame:
+    """Video near-duplicate pairs by frame-hash voting: Jaccard over each
+    video's DISTINCT sampled-frame-hash set — (media_id_a, media_id_b,
+    jaccard ≥ threshold), a < b. Catches re-encodes/containers sharing
+    frames (with a real decoder: perceptually-hashed frames) and partial
+    containment via the threshold.
+
+    This is ngram_jaccard_pairs' exact shape with frames as shingles, so
+    it reuses the same machinery: candidates = videos sharing ≥ 1 frame
+    hash (the co-frame equi-join IS the blocking — never O(n²)), exact
+    |A∩B|/|A∪B| from co-frame counts, ``max_frame_freq`` dropping
+    stop-frames (intros/black frames appearing in more than that many
+    videos) before the join, same broadcast anti-join as the stop-
+    shingle cap. ``signatures`` accepts a video_frame_signatures() frame
+    (the store path: hashes materialize at ingest; re-pairing never
+    re-samples)."""
+    from coolplaydruid_spark.operators.dedup import _drop_hot_keys
+
+    sig = signatures if signatures is not None else video_frame_signatures(
+        df, every_ms=every_ms, media_col=media_col, id_col=id_col,
+        duration_col=duration_col)
+    fh = sig.select(F.col(id_col), "frame_hash").distinct()
+    fh = _drop_hot_keys(fh, ["frame_hash"], max_frame_freq)
+    a, b = fh.alias("a"), fh.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.frame_hash") == F.col("b.frame_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = fh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    return _video_jaccard_tail(co, sizes, threshold, id_col)
+
+
+def video_neardup_incremental(
+    batch_df: DataFrame | None = None,
+    corpus_df: DataFrame | None = None,
+    threshold: float = 0.5,
+    every_ms: int = 1000,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    duration_col: str = "duration_ms",
+    max_frame_freq: int | None = None,
+    corpus_signatures: DataFrame | None = None,
+    batch_signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Video near-dup pairs between an incoming batch and the existing
+    corpus — the same daily-ingest contract as the other modalities
+    (corpus never self-pairs; pre-materialized signatures skip the
+    sampling; ids unique across the union). Returns (media_id_a =
+    corpus id, media_id_b = batch id, jaccard ≥ threshold). Only the
+    CORPUS side takes the stop-frame cap (batch is ingest-bounded)."""
+    from coolplaydruid_spark.operators.dedup import _drop_hot_keys
+
+    corpus_sig = corpus_signatures if corpus_signatures is not None else (
+        video_frame_signatures(corpus_df, every_ms=every_ms,
+                               media_col=media_col, id_col=id_col,
+                               duration_col=duration_col)
+        if corpus_df is not None else None)
+    if corpus_sig is None:
+        raise ValueError("need corpus_df or corpus_signatures")
+    batch_sig = batch_signatures if batch_signatures is not None else (
+        video_frame_signatures(batch_df, every_ms=every_ms,
+                               media_col=media_col, id_col=id_col,
+                               duration_col=duration_col)
+        if batch_df is not None else None)
+    if batch_sig is None:
+        raise ValueError("need batch_df or batch_signatures")
+    fh_c = corpus_sig.select(F.col(id_col), "frame_hash").distinct()
+    fh_c = _drop_hot_keys(fh_c, ["frame_hash"], max_frame_freq)
+    fh_b = batch_sig.select(F.col(id_col), "frame_hash").distinct()
+    co = (
+        fh_c.alias("a")
+        .join(fh_b.alias("b"), F.col("a.frame_hash") == F.col("b.frame_hash"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = fh_c.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    ).union(fh_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles")))
+    return _video_jaccard_tail(co, sizes, threshold, id_col)

@@ -155,8 +155,8 @@ def _read_source(spark: SparkSession, source: dict) -> DataFrame:
 # signature partition is auto_compact_task(signature_path(dest, name))
 # — the same __dt layout makes it directly applicable.
 
-SIGNATURE_KINDS = ("phash", "audio_fingerprint", "minhash_shingles",
-                   "group_shingles")
+SIGNATURE_KINDS = ("phash", "audio_fingerprint", "video_framehash",
+                   "minhash_shingles", "group_shingles")
 
 
 def signature_path(dest_path: str, name: str) -> str:
@@ -179,6 +179,13 @@ def _build_signature(df: DataFrame, spec: dict) -> DataFrame:
         return multimodal.audio_fingerprint(
             df, media_col=spec.get("media_col", "media"),
             id_col=spec.get("id_col", "media_id"), extra_cols=[DT_COLUMN])
+    if kind == "video_framehash":
+        return multimodal.video_frame_signatures(
+            df, every_ms=int(spec.get("every_ms", 1000)),
+            media_col=spec.get("media_col", "media"),
+            id_col=spec.get("id_col", "media_id"),
+            duration_col=spec.get("duration_col", "duration_ms"),
+            extra_cols=[DT_COLUMN])
     if kind == "minhash_shingles":
         # (id, __dt, shingle-hash) rows — the corpus_shingles= input of
         # minhash_lsh_dedup_incremental (consumers project id+shingle).

@@ -694,3 +694,42 @@ def test_fuzz_media_pipeline(spark, duck):
             assert prev_ids <= ids, (
                 f"looser ham {prev_h} kept items tighter ham {max_h} dropped")
         prev_h, prev_ids = max_h, ids
+
+
+def test_fuzz_video_framehash(spark, duck):
+    """Video frame-hash near-dup at random sampling intervals and
+    Jaccard thresholds, sharing the contract's oracle builder; pins the
+    pre-computed-signatures path and the incremental batch × corpus
+    split (r10)."""
+    from conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    from coolplaydruid_spark.contract import (
+        _docs_as_video,
+        _duck_video_pairs,
+        engine_for,
+    )
+    from coolplaydruid_spark.operators import multimodal
+
+    rng = random.Random(SEED + 100)
+    eng = engine_for(spark, SF_DIR)
+    media = _docs_as_video(eng)
+    for i in range(max(3, N_SPECS // 20)):
+        every_ms = rng.choice([100, 200, 500])
+        thr = rng.choice([0.3, 0.5, 0.8])
+        got = multimodal.video_neardup(media, threshold=thr,
+                                       every_ms=every_ms)
+        assert_df_matches_duck(got, duck, _duck_video_pairs(thr, every_ms))
+        if i == 0:
+            sig = multimodal.video_frame_signatures(media, every_ms=every_ms)
+            got2 = multimodal.video_neardup(threshold=thr, signatures=sig)
+            assert_df_matches_duck(got2, duck, _duck_video_pairs(thr, every_ms))
+        mod = rng.choice([3, 5, 7])
+        rem = rng.randrange(mod)
+        inc = multimodal.video_neardup_incremental(
+            media.where(F.col("media_id") % mod == rem),
+            corpus_df=media.where(F.col("media_id") % mod != rem),
+            threshold=thr, every_ms=every_ms)
+        assert_df_matches_duck(
+            inc, duck, _duck_video_pairs(thr, every_ms, mod, rem))

@@ -535,17 +535,21 @@ def _media_rows(spark, ids_days):
             bytes(data[i % len(data)] for i in range(192)), 8, 8, 3)
         wav = multimodal.wav_encode(data)
         rows.append((mid, f"2024-01-0{day} 00:00:00", f"src{mid % 2}",
-                     text, png, wav))
+                     text, png, wav, len(text)))
     return spark.createDataFrame(
         rows,
         "media_id long, ts string, source string, text string, "
-        "media binary, wav binary",
+        "media binary, wav binary, duration_ms long",
     )
 
 
 _SIG_SPECS = [
     {"type": "phash"},
     {"type": "audio_fingerprint", "media_col": "wav", "name": "afp"},
+    # frame hashing is codec-independent byte slicing, so the wav bytes
+    # serve as the opaque "video" payload
+    {"type": "video_framehash", "media_col": "wav", "name": "vfh",
+     "every_ms": 20},
     {"type": "minhash_shingles", "text_col": "text", "id_col": "media_id"},
     {"type": "group_shingles", "group_col": "source", "text_col": "text",
      "id_col": "media_id"},
@@ -581,6 +585,13 @@ def test_index_task_materializes_signatures(spark, tmp_path):
     inline_afp = {(r.media_id, r.afp) for r in
                   multimodal.audio_fingerprint(df, media_col="wav").collect()}
     assert {(r.media_id, r.afp) for r in stored_afp.collect()} == inline_afp
+
+    stored_vfh = batch.read_signatures(spark, dest, "vfh")
+    inline_vfh = {(r.media_id, r.frame_ts_ms, r.frame_hash)
+                  for r in multimodal.video_frame_signatures(
+                      df, every_ms=20, media_col="wav").collect()}
+    assert {(r.media_id, r.frame_ts_ms, r.frame_hash)
+            for r in stored_vfh.collect()} == inline_vfh
 
     stored_sh = batch.read_signatures(spark, dest, "minhash_shingles")
     inline_sh = {(r.media_id, r.shingle) for r in dedup.shingles(

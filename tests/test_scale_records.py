@@ -80,6 +80,9 @@ BLOCKED = {
     # bound as the self-join forms)
     "dedup_image_phash_incremental": 5.0,
     "dedup_audio_fingerprint_incremental": 5.0,
+    # r10: frame-hash Jaccard — pair volume grows with real cross-video
+    # frame duplication, bounded by the co-frame blocking
+    "dedup_video_framehash": 5.0,
 }
 CONSTANT = {"similarity_topk_brute"}
 PLAN_TRANSITION = {"sql_join_top_customers", "sql_join_region_revenue"}
