@@ -3727,12 +3727,7 @@ def multimodal_frame_sample(spark, sf_dir):
     the proportional position — ASCII fixture text makes the byte slice
     equal the VARCHAR slice, so the md5 has an exact oracle."""
     eng = engine_for(spark, sf_dir)
-    media = eng.catalog.table("documents").select(
-        F.col("doc_id").alias("media_id"),
-        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("media"),
-        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("duration_ms"),
-    )
-    frames = multimodal.frame_sample_stub(media, every_ms=500)
+    frames = multimodal.frame_sample_stub(_docs_as_video(eng), every_ms=500)
     return frames.select(
         "media_id", "frame_ts_ms", F.md5(F.col("frame")).alias("frame_md5")
     )

@@ -487,21 +487,115 @@ def ngram_jaccard_pairs(
     join keys through the co-shingle self-join, the heaviest shuffle
     here); counts are string-identical up to md5 collisions."""
     sh = shingles(df, k=k, text_col=text_col, id_col=id_col, as_hash=True)
-    sh = _drop_hot_keys(sh, ["shingle"], max_shingle_freq)
-    a, b = sh.alias("a"), sh.alias("b")
-    co = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # shingles() emits distinct (id, shingle) rows by construction —
+    # distinct=False skips a redundant shuffle.
+    return set_jaccard_pairs(sh, "shingle", id_col, threshold,
+                             max_key_freq=max_shingle_freq, distinct=False)
+
+
+def set_jaccard_pairs(sets: DataFrame, key_col: str, id_col: str,
+                      threshold: float,
+                      sets_right: DataFrame | None = None,
+                      max_key_freq: int | None = None,
+                      out_a: str = "doc_a", out_b: str = "doc_b",
+                      distinct: bool = True, persist: bool = False,
+                      check_disjoint: bool = False) -> DataFrame:
+    """The one exact set-Jaccard pairing over (id, key) rows — shared by
+    n-gram Jaccard (keys = shingle hashes) and video frame-hash dedup
+    (keys = frame hashes); r10 review: three verbatim copies of the
+    co-key join + sizes + score block were already drifting (the
+    incremental copy capped only one side). Candidates = ids sharing
+    ≥ 1 key (the co-key equi-join IS the blocking — never O(n²));
+    exact |A∩B| / |A∪B| from the co-key counts; returns
+    (out_a, out_b, jaccard ≥ threshold).
+
+    ``sets_right``: batch × corpus pairing (corpus = ``sets``, never
+    self-joined; ids must be unique across the union —
+    ``check_disjoint=True`` verifies eagerly and raises, same contract
+    as banded_hamming_pairs). Hot keys are counted on the CORPUS side
+    (the unbounded one) but dropped from BOTH sides, so intersection
+    and both set sizes exclude the same keys and the measure stays
+    self-consistent (r10 review: a one-sided drop deflated every
+    batch-side denominator, silently missing exact duplicates).
+
+    ``distinct=False`` declares the input already distinct per id
+    (shingles() guarantees it), skipping one shuffle. ``persist=True``
+    pins the (distinct, capped) key sets via the bounded _pin_cache —
+    worth it when the lineage above is expensive (a Python media-decode
+    stage feeds the join twice and the sizes aggregate once)."""
+    left = sets.select(F.col(id_col), F.col(key_col))
+    if distinct:
+        left = left.distinct()
+    if sets_right is None:
+        left = _drop_hot_keys(left, [key_col], max_key_freq)
+        if persist:
+            left = _pin_cache(left)
+        a, b = left.alias("a"), left.alias("b")
+        co = (
+            a.join(
+                b,
+                (F.col(f"a.{key_col}") == F.col(f"b.{key_col}"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        sizes = left.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    else:
+        right = sets_right.select(F.col(id_col), F.col(key_col))
+        if distinct:
+            right = right.distinct()
+        if check_disjoint:
+            overlap = (
+                left.select(F.col(id_col))
+                .join(right.select(F.col(id_col)), on=id_col, how="left_semi")
+                .limit(3)
+                .collect()
+            )
+            if overlap:
+                raise ValueError(
+                    "set_jaccard_pairs: ids appear on BOTH sides "
+                    f"(e.g. {[r[id_col] for r in overlap]}) — corpus and "
+                    "batch ids must be disjoint or items self-pair and "
+                    "the sizes union fans out")
+        if max_key_freq is not None:
+            hot = (
+                left.groupBy(key_col)
+                .agg(F.count(F.lit(1)).alias("__hot_n"))
+                .where(F.col("__hot_n") > int(max_key_freq))
+                .select(key_col)
+            )
+            left = left.join(F.broadcast(hot), on=key_col, how="left_anti")
+            right = right.join(F.broadcast(hot), on=key_col, how="left_anti")
+        if persist:
+            left = _pin_cache(left)
+            right = _pin_cache(right)
+        co = (
+            left.alias("a")
+            .join(right.alias("b"),
+                  F.col(f"a.{key_col}") == F.col(f"b.{key_col}"))
+            .groupBy(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    return _attach_sizes_and_score(co, sizes, threshold, id_col)
+        sizes = left.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_shingles")
+        ).union(
+            right.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+        )
+    out = _attach_sizes_and_score(co, sizes, threshold, id_col)
+    if (out_a, out_b) != ("doc_a", "doc_b"):
+        out = out.select(
+            F.col("doc_a").alias(out_a),
+            F.col("doc_b").alias(out_b),
+            F.col("jaccard"),
+        )
+    return out
 
 
 def _attach_sizes_and_score(co: DataFrame, sizes: DataFrame, threshold: float,

@@ -712,22 +712,12 @@ def video_frame_signatures(df: DataFrame, every_ms: int = 1000,
     frames = frame_sample_stub(
         df, every_ms=every_ms, media_col=media_col, id_col=id_col,
         duration_col=duration_col, extra_cols=extra_cols)
+    from coolplaydruid_spark.operators.dedup import _shingle_hash
+
     return frames.select(
         F.col(id_col), *[F.col(c) for c in (extra_cols or [])],
         F.col("frame_ts_ms"),
-        F.conv(F.substring(F.md5(F.col("frame")), 1, 15), 16, 10)
-        .cast("long").alias("frame_hash"),
-    )
-
-
-def _video_jaccard_tail(co, sizes, threshold: float, id_col: str):
-    from coolplaydruid_spark.operators.dedup import _attach_sizes_and_score
-
-    out = _attach_sizes_and_score(co, sizes, threshold, id_col)
-    return out.select(
-        F.col("doc_a").alias("media_id_a"),
-        F.col("doc_b").alias("media_id_b"),
-        F.col("jaccard"),
+        _shingle_hash(F.col("frame")).alias("frame_hash"),
     )
 
 
@@ -742,37 +732,28 @@ def video_neardup(df: DataFrame | None = None, threshold: float = 0.5,
     frames (with a real decoder: perceptually-hashed frames) and partial
     containment via the threshold.
 
-    This is ngram_jaccard_pairs' exact shape with frames as shingles, so
-    it reuses the same machinery: candidates = videos sharing ≥ 1 frame
-    hash (the co-frame equi-join IS the blocking — never O(n²)), exact
-    |A∩B|/|A∪B| from co-frame counts, ``max_frame_freq`` dropping
-    stop-frames (intros/black frames appearing in more than that many
-    videos) before the join, same broadcast anti-join as the stop-
-    shingle cap. ``signatures`` accepts a video_frame_signatures() frame
-    (the store path: hashes materialize at ingest; re-pairing never
-    re-samples)."""
-    from coolplaydruid_spark.operators.dedup import _drop_hot_keys
+    This is ngram_jaccard_pairs' exact shape with frames as shingles —
+    one shared implementation (dedup.set_jaccard_pairs): candidates =
+    videos sharing ≥ 1 frame hash (the co-frame equi-join IS the
+    blocking — never O(n²)), ``max_frame_freq`` dropping stop-frames
+    (intros/black frames appearing in more than that many videos)
+    before the join. ``signatures`` accepts a video_frame_signatures()
+    frame (the store path: hashes materialize at ingest; re-pairing
+    never re-samples); on the df= path the (distinct, capped) frame
+    sets are pinned so the Python sampling stage feeds the join and the
+    sizes aggregate from one materialization."""
+    from coolplaydruid_spark.operators.dedup import set_jaccard_pairs
 
+    if df is None and signatures is None:
+        raise ValueError("need df or signatures")
     sig = signatures if signatures is not None else video_frame_signatures(
         df, every_ms=every_ms, media_col=media_col, id_col=id_col,
         duration_col=duration_col)
-    fh = sig.select(F.col(id_col), "frame_hash").distinct()
-    fh = _drop_hot_keys(fh, ["frame_hash"], max_frame_freq)
-    a, b = fh.alias("a"), fh.alias("b")
-    co = (
-        a.join(
-            b,
-            (F.col("a.frame_hash") == F.col("b.frame_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    return set_jaccard_pairs(
+        sig, "frame_hash", id_col, threshold, max_key_freq=max_frame_freq,
+        out_a="media_id_a", out_b="media_id_b",
+        persist=signatures is None,
     )
-    sizes = fh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    return _video_jaccard_tail(co, sizes, threshold, id_col)
 
 
 def video_neardup_incremental(
@@ -786,14 +767,18 @@ def video_neardup_incremental(
     max_frame_freq: int | None = None,
     corpus_signatures: DataFrame | None = None,
     batch_signatures: DataFrame | None = None,
+    check_disjoint: bool = False,
 ) -> DataFrame:
     """Video near-dup pairs between an incoming batch and the existing
     corpus — the same daily-ingest contract as the other modalities
     (corpus never self-pairs; pre-materialized signatures skip the
-    sampling; ids unique across the union). Returns (media_id_a =
-    corpus id, media_id_b = batch id, jaccard ≥ threshold). Only the
-    CORPUS side takes the stop-frame cap (batch is ingest-bounded)."""
-    from coolplaydruid_spark.operators.dedup import _drop_hot_keys
+    sampling; ids unique across the union, ``check_disjoint=True``
+    verifies and raises like the phash/audio siblings). Returns
+    (media_id_a = corpus id, media_id_b = batch id, jaccard ≥
+    threshold). The stop-frame cap is COUNTED on the corpus side (the
+    unbounded one) but applied to both sides, keeping the Jaccard
+    self-consistent (set_jaccard_pairs)."""
+    from coolplaydruid_spark.operators.dedup import set_jaccard_pairs
 
     corpus_sig = corpus_signatures if corpus_signatures is not None else (
         video_frame_signatures(corpus_df, every_ms=every_ms,
@@ -809,19 +794,9 @@ def video_neardup_incremental(
         if batch_df is not None else None)
     if batch_sig is None:
         raise ValueError("need batch_df or batch_signatures")
-    fh_c = corpus_sig.select(F.col(id_col), "frame_hash").distinct()
-    fh_c = _drop_hot_keys(fh_c, ["frame_hash"], max_frame_freq)
-    fh_b = batch_sig.select(F.col(id_col), "frame_hash").distinct()
-    co = (
-        fh_c.alias("a")
-        .join(fh_b.alias("b"), F.col("a.frame_hash") == F.col("b.frame_hash"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    return set_jaccard_pairs(
+        corpus_sig, "frame_hash", id_col, threshold, sets_right=batch_sig,
+        max_key_freq=max_frame_freq, out_a="media_id_a", out_b="media_id_b",
+        persist=corpus_signatures is None or batch_signatures is None,
+        check_disjoint=check_disjoint,
     )
-    sizes = fh_c.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_shingles")
-    ).union(fh_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles")))
-    return _video_jaccard_tail(co, sizes, threshold, id_col)

@@ -96,3 +96,41 @@ def test_keep_best_keeps_highest_quality_per_cluster(spark):
             dst_col="media_id_b").collect()
     }
     assert kept == {1, 3}
+
+
+def _vf_sigs(spark, rows):
+    return spark.createDataFrame(rows, "media_id long, frame_hash long")
+
+
+def test_video_incremental_cap_is_symmetric(spark):
+    """r10 review find: the stop-frame cap must drop corpus-hot frames
+    from BOTH sides — a one-sided drop deflates the batch denominator
+    and silently misses exact duplicates. Hot frame 99 appears in 5
+    corpus videos (> cap 3); batch video 100 is an exact copy of corpus
+    video 1 ({99, 11}); after the symmetric drop both residual sets are
+    {11} → jaccard 1.0 (a one-sided cap would score 0.5)."""
+    corpus = _vf_sigs(spark, [(c, 99) for c in range(1, 6)]
+                      + [(c, 10 + c) for c in range(1, 6)])
+    batch = _vf_sigs(spark, [(100, 99), (100, 11)])
+    out = multimodal.video_neardup_incremental(
+        corpus_signatures=corpus, batch_signatures=batch,
+        threshold=0.8, max_frame_freq=3).collect()
+    assert [(r.media_id_a, r.media_id_b, r.jaccard) for r in out] \
+        == [(1, 100, 1.0)]
+
+
+def test_video_incremental_check_disjoint(spark):
+    import pytest
+
+    sig = _vf_sigs(spark, [(1, 7), (2, 8)])
+    with pytest.raises(ValueError, match="BOTH sides"):
+        multimodal.video_neardup_incremental(
+            corpus_signatures=sig, batch_signatures=sig,
+            check_disjoint=True)
+
+
+def test_video_neardup_requires_input(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="need df or signatures"):
+        multimodal.video_neardup(threshold=0.5)
