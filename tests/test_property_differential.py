@@ -14,7 +14,7 @@ import math
 import pytest
 
 try:
-    from hypothesis import HealthCheck, given, settings
+    from hypothesis import HealthCheck, example, given, settings
     from hypothesis import strategies as st
 except ImportError:  # pragma: no cover
     pytest.skip("hypothesis not installed", allow_module_level=True)
@@ -495,10 +495,14 @@ def _eval(node):
     op = node[0]
     if op == "if":
         return _eval(node[2]) if _truthy_py(_eval(node[1])) else _eval(node[3])
-    if op == "min2":
-        return min(_eval(node[1]), _eval(node[2]))
-    if op == "max2":
-        return max(_eval(node[1]), _eval(node[2]))
+    if op in ("min2", "max2"):
+        # Druid's BivariateMathFunction (Math.max/min): the result is long
+        # only when BOTH operands are long, else double. Python's max(7, 2.5)
+        # returns the *int* 7, which would wrongly steer downstream `/` and
+        # `%` onto the long path — coerce to float when either side is.
+        u, v = _eval(node[1]), _eval(node[2])
+        r = min(u, v) if op == "min2" else max(u, v)
+        return float(r) if not (_is_long(u) and _is_long(v)) else r
     if op == "abs1":
         return abs(_eval(node[1]))
     a, b = _eval(node[1]), _eval(node[2])
@@ -539,6 +543,11 @@ def _truthy_py(v) -> bool:
 @settings(max_examples=40, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(tree=_expr_tree())
+# r10 falsifier: max(7L, 2.5d) is DOUBLE 7.0 per Druid's
+# BivariateMathFunction, so b/max(a,x) double-divides (-1.2) — the old
+# oracle long-divided because Python max(7, 2.5) returns int 7.
+@example(tree=("/", "b", ("max2", "a", "x")))
+@example(tree=("%", "a", ("min2", "x", "b")))
 def test_druid_expr_matches_python_semantics(spark, tree):
     from coolplaydruid_spark.functions.druidexpr import compile_druid_expr
 
