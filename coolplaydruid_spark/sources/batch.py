@@ -219,15 +219,30 @@ def _write_signatures(sig_frames: list, dest_path: str, mode: str) -> None:
     absent from this task (including signatures=None) would otherwise
     keep serving the replaced corpus (review find).
 
-    Residual non-atomicity, stated honestly: a failure HERE leaves
-    segments already written with signatures missing/partial. That is
-    the recoverable direction — signature_task() rebuilds any signature
-    table from the standing segments, idempotently — whereas store-
-    before-segments corrupted dedup results. True all-or-nothing needs a
-    table format with a commit protocol (see auto_compact_task's swap
-    note)."""
+    Residual non-atomicity, stated honestly: the ordering protects the
+    SIGNATURE side only. A failure HERE leaves segments already written
+    with signatures missing/partial — recoverable via signature_task()
+    (pure function of the standing segments, idempotent). But retrying
+    the whole APPEND task after a signature-write failure re-appends the
+    segment partition rows too (doubled segments): drop the affected
+    __dt partitions first (kill_task on the task's dates), then re-run
+    the append — or keep the segments and backfill with signature_task.
+    True all-or-nothing needs a table format with a commit protocol (see
+    auto_compact_task's swap note)."""
     if mode == "overwrite":
-        shutil.rmtree(str(dest_path).rstrip("/") + ".sig", ignore_errors=True)
+        sig_dir = str(dest_path).rstrip("/") + ".sig"
+        shutil.rmtree(sig_dir, ignore_errors=True)
+        # rmtree(ignore_errors=True) is a silent no-op on anything that
+        # isn't a local directory tree (object-store URI, permission
+        # failure) — and a surviving store would keep serving signatures
+        # for the corpus this overwrite just replaced (ghost signatures).
+        # Fail loudly rather than dedup against deleted data.
+        if Path(sig_dir).exists():
+            raise OSError(
+                f"overwrite could not clear signature store {sig_dir!r}; "
+                "refusing to leave stale signatures serving the replaced "
+                "corpus (non-local destinations need a storage-specific "
+                "delete before re-indexing)")
     for name, sig_df in sig_frames:
         (
             sig_df.repartition(F.col(DT_COLUMN))
@@ -273,10 +288,46 @@ def signature_task(spark: SparkSession, table_path: str, time_column: str,
     return status
 
 
-def read_signatures(spark: SparkSession, dest_path: str, name: str) -> DataFrame:
+def signature_coverage_gaps(dest_path: str, name: str) -> list[str]:
+    """Segment __dt partitions with NO matching partition in signature
+    table ``name`` — the silent-partial-store hazard: an append_task run
+    WITHOUT signature specs onto a table that has a store leaves the new
+    days unmaterialized, and incremental dedup reading the store would
+    skip cross-checks against those days and admit duplicates. Local
+    paths only (returns [] when the layout isn't inspectable — same
+    local-Path scope as the lifecycle tasks). Under a coarser-than-day
+    ingest rollup segment __dt is the bucket start while signatures keep
+    raw dates, so a gap list there needs per-date reading — rolled-up
+    tables aren't signature-backfillable anyway (signature_task note)."""
+    seg_root, sig_root = Path(str(dest_path).rstrip("/")), Path(
+        signature_path(dest_path, name))
+    if not seg_root.is_dir() or not sig_root.is_dir():
+        return []
+    seg_dts = {p.name for p in seg_root.glob(f"{DT_COLUMN}=*") if p.is_dir()}
+    sig_dts = {p.name for p in sig_root.glob(f"{DT_COLUMN}=*") if p.is_dir()}
+    return sorted(d.split("=", 1)[1] for d in seg_dts - sig_dts)
+
+
+def read_signatures(spark: SparkSession, dest_path: str, name: str,
+                    check_coverage: bool = True) -> DataFrame:
     """Read a signature table materialized by index_task(signatures=...).
     Carries __dt; project the consumer's columns (e.g. drop __dt before
-    unioning with a freshly-computed batch shingle set)."""
+    unioning with a freshly-computed batch shingle set).
+
+    check_coverage (default on): fail if any segment __dt partition has
+    no partition in this signature table — a partial store admits
+    duplicates silently (ADVICE r10). Backfill with signature_task, or
+    pass check_coverage=False to read a knowingly-partial store (e.g. a
+    coarse-rollup table, whose segment __dt is the bucket start)."""
+    if check_coverage:
+        gaps = signature_coverage_gaps(dest_path, name)
+        if gaps:
+            raise ValueError(
+                f"signature table {name!r} of {dest_path!r} is missing "
+                f"{len(gaps)} segment partition(s): {gaps[:5]}"
+                f"{'...' if len(gaps) > 5 else ''} — these days were "
+                "ingested without this signature spec; backfill with "
+                "signature_task(...) or pass check_coverage=False")
     return spark.read.parquet(signature_path(dest_path, name))
 
 
@@ -422,7 +473,18 @@ def index_task(
                 f"({shards} shards on {dims})",
             )
             return status
-        out.write.mode(mode).partitionBy(DT_COLUMN).parquet(dest_path)
+        writer = out.write.mode(mode)
+        if mode == "overwrite":
+            # The session default is DYNAMIC partition overwrite (merge/
+            # compact rely on per-partition swap), under which a re-index
+            # would replace only the __dt partitions present in the new
+            # data — but an overwrite-mode index task means "replace the
+            # dataSource": surviving old partitions would contradict the
+            # wholesale .sig-store wipe below and leave segments whose
+            # signatures were just deleted (r11 find, exposed by the
+            # read_signatures coverage check).
+            writer = writer.option("partitionOverwriteMode", "static")
+        writer.partitionBy(DT_COLUMN).parquet(dest_path)
         _write_signatures(sig_frames, dest_path, mode)
         REGISTRY.finish(status.task_id, True, f"wrote {dest_path}")
     except Exception as e:  # noqa: BLE001

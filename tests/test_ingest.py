@@ -4,6 +4,7 @@ streaming→batch parity contract."""
 
 import time
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -758,6 +759,10 @@ def test_overwrite_reindex_clears_stale_signature_tables(spark, tmp_path):
     batch.index_task(spark, {"format": "dataframe", "df": df_b}, dest,
                      time_column="ts", signatures=[{"type": "phash"}])
     assert not pathlib.Path(batch.signature_path(dest, "afp")).exists()
+    # overwrite replaces the SEGMENTS wholesale too (static partition
+    # overwrite for this write; the session default is dynamic) — corpus
+    # A's day-1 partition must not survive to contradict the store wipe
+    assert {r.media_id for r in spark.read.parquet(dest).collect()} == {10, 11}
     assert {r.media_id for r in
             batch.read_signatures(spark, dest, "phash").collect()} == {10, 11}
 
@@ -815,5 +820,50 @@ def test_retention_covers_raw_date_signatures_under_rollup(spark, tmp_path):
     assert not (sig_root / f"{batch.DT_COLUMN}=2024-01-05").exists()
     assert not (sig_root / f"{batch.DT_COLUMN}=2024-01-20").exists()
     assert (sig_root / f"{batch.DT_COLUMN}=2024-02-10").exists()
+    # coarse rollup: segment __dt (bucket start 2024-02-01) never matches
+    # the raw-date signature partitions — the documented coverage-check
+    # opt-out case
     assert {r.doc_id for r in batch.read_signatures(
-        spark, dest, "minhash_shingles").collect()} == {3}
+        spark, dest, "minhash_shingles",
+        check_coverage=False).collect()} == {3}
+
+
+def test_read_signatures_flags_partial_store(spark, tmp_path):
+    """ADVICE r10: append_task WITHOUT signature specs onto a table that
+    has a store leaves the new days unmaterialized — read_signatures must
+    fail on the gap (a partial store silently admits duplicates), and
+    signature_task is the documented backfill."""
+    day1 = _media_rows(spark, [(i, 1) for i in range(4)])
+    day2 = _media_rows(spark, [(i, 2) for i in range(10, 14)])
+    dest = str(tmp_path / "media_tbl")
+    batch.index_task(spark, {"format": "dataframe", "df": day1}, dest,
+                     time_column="ts", signatures=[{"type": "phash"}])
+    assert batch.signature_coverage_gaps(dest, "phash") == []
+    batch.append_task(spark, {"format": "dataframe", "df": day2}, dest,
+                      time_column="ts")  # no signatures= — store now partial
+    assert batch.signature_coverage_gaps(dest, "phash") == ["2024-01-02"]
+    with pytest.raises(ValueError, match="2024-01-02.*signature_task"):
+        batch.read_signatures(spark, dest, "phash")
+    # explicit opt-out still reads the partial store
+    assert batch.read_signatures(
+        spark, dest, "phash", check_coverage=False).count() == 4
+    # backfill repairs it
+    batch.signature_task(spark, dest, "ts", [{"type": "phash"}])
+    assert batch.signature_coverage_gaps(dest, "phash") == []
+    assert batch.read_signatures(spark, dest, "phash").count() == 8
+
+
+def test_overwrite_fails_loudly_on_unclearable_sig_store(spark, tmp_path):
+    """ADVICE r10: rmtree(ignore_errors=True) is a silent no-op when the
+    .sig path can't be removed as a directory tree — the overwrite must
+    refuse to proceed rather than leave stale signatures serving the
+    replaced corpus."""
+    df = _media_rows(spark, [(i, 1) for i in range(3)])
+    dest = str(tmp_path / "media_tbl")
+    # a plain FILE at the .sig path defeats rmtree exactly like a
+    # non-local store would
+    (tmp_path / "media_tbl.sig").write_text("not a directory")
+    with pytest.raises(OSError, match="signature store"):
+        batch.index_task(spark, {"format": "dataframe", "df": df}, dest,
+                         time_column="ts", signatures=[{"type": "phash"}],
+                         mode="overwrite")
