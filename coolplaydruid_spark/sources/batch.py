@@ -308,17 +308,40 @@ def signature_coverage_gaps(dest_path: str, name: str) -> list[str]:
     return sorted(d.split("=", 1)[1] for d in seg_dts - sig_dts)
 
 
-def read_signatures(spark: SparkSession, dest_path: str, name: str,
+def read_signatures(spark: SparkSession, dest_path: str, name: str | None = None,
                     check_coverage: bool = True) -> DataFrame:
-    """Read a signature table materialized by index_task(signatures=...).
-    Carries __dt; project the consumer's columns (e.g. drop __dt before
-    unioning with a freshly-computed batch shingle set).
+    """Read a signature store — either layout, one reader (r10 verdict:
+    the two stores used to be mutually unreadable):
 
-    check_coverage (default on): fail if any segment __dt partition has
-    no partition in this signature table — a partial store admits
-    duplicates silently (ADVICE r10). Backfill with signature_task, or
-    pass check_coverage=False to read a knowingly-partial store (e.g. a
-    coarse-rollup table, whose segment __dt is the bucket start)."""
+    - ingest store: ``read_signatures(spark, <segments table>, <name>)``
+      reads ``<dest>.sig/<name>/__dt=*`` as materialized by
+      index_task(signatures=...). Carries __dt; project the consumer's
+      columns (e.g. drop __dt before unioning with a freshly-computed
+      batch shingle set).
+    - streaming accepted store: ``read_signatures(spark, <accepted_path>)``
+      — name omitted — reads the ``batch=<id>``-partitioned layout that
+      streaming/media_dedup appends at accept time. Same signature
+      schema plus the ``batch`` column; raises if the store doesn't
+      exist or holds no accepted rows yet (a silently-empty corpus would
+      skip cross-checks).
+
+    check_coverage (default on, ingest layout only): fail if any segment
+    __dt partition has no partition in this signature table — a partial
+    store admits duplicates silently (ADVICE r10). Backfill with
+    signature_task, or pass check_coverage=False to read a
+    knowingly-partial store (e.g. a coarse-rollup table, whose segment
+    __dt is the bucket start)."""
+    if name is None:
+        # streaming layout: accepted_path/batch=<id>/*.parquet — reuse
+        # the streaming reader's existence/empty-store semantics
+        from coolplaydruid_spark.streaming.dedup import _read_accepted
+
+        df = _read_accepted(spark, str(dest_path).rstrip("/"))
+        if df is None:
+            raise ValueError(
+                f"{dest_path!r} is not a readable streaming accepted "
+                "store (missing, or no batch has accepted any rows yet)")
+        return df
     if check_coverage:
         gaps = signature_coverage_gaps(dest_path, name)
         if gaps:
