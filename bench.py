@@ -64,6 +64,16 @@ SF1_TAIL = [
     # r10: video frame-hash dedup — the co-frame join is the blocking,
     # same shape as ngram Jaccard
     "dedup_video_framehash",
+    # r11: the remaining r10 composed/from-store entries whose 100 TB
+    # claims were prose + constituent-stage evidence (r10 verdict #3)
+    "dedup_image_phash_from_store",
+    "dedup_minhash_incremental_from_store",
+    "corpus_overlap_from_store",
+    "pipeline_media_dedup",
+    "dedup_video_framehash_incremental",
+    # r11: SemDeDup production path — corpus-scaled k-means cells keep
+    # within-cell pairing bounded (fixed cells measured quadratic)
+    "dedup_embedding_semantic_fit",
 ]
 
 # The cross-round wall-clock anchor (r9 verdict #7): the 16-query
@@ -288,7 +298,14 @@ def main() -> None:
             # half-populated sf1 that later rounds mistake for complete.
             tables = ["region", "nation", "customer", "supplier", "part",
                       "orders", "lineitem", "events", "documents", "embeddings"]
-            if not all((sf1_dir / f"{t}.parquet").exists() for t in tables):
+            # Version sentinel beside the presence check: a fixture
+            # synthesized under older rules (e.g. pre-rotation exact-copy
+            # embeddings) must be rebuilt, not silently reused.
+            from tools.scale_up import SYNTH_VERSION as _SYNTH_VERSION
+
+            _ver = sf1_dir / "SYNTH_VERSION"
+            stale = not (_ver.exists() and _ver.read_text() == str(_SYNTH_VERSION))
+            if stale or not all((sf1_dir / f"{t}.parquet").exists() for t in tables):
                 import shutil
                 import subprocess
 

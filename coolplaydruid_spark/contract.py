@@ -3519,6 +3519,181 @@ def dedup_embedding_cosine_blocked(spark, sf_dir):
     return dedup.embedding_neardup(emb, threshold=0.2, block_col="bucket")
 
 
+@q(
+    "dedup_embedding_semantic",
+    """
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, cid,
+             round(list_dot_product(v, cv) /
+                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6)
+               AS cosine
+      FROM e CROSS JOIN cent
+    ),
+    asg AS (
+      SELECT vec_id, cid AS cell, cosine AS cell_cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC NULLS LAST, cid) AS rn
+      FROM scored
+    ),
+    a AS (SELECT vec_id, cell, cell_cos FROM asg WHERE rn = 1),
+    j AS (SELECT e.vec_id, e.v, a.cell FROM e JOIN a USING (vec_id)),
+    p AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM j x JOIN j y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE round(list_dot_product(x.v, y.v) /
+            (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
+            >= 0.4
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT src AS vertex, src AS r FROM edges
+      UNION
+      SELECT g.dst AS vertex, rr.r FROM reach rr JOIN edges g ON g.src = rr.vertex
+    ),
+    comp AS (SELECT vertex, min(r) AS component FROM reach GROUP BY vertex),
+    ranked AS (
+      SELECT c.vertex AS vec_id,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY a.cell_cos ASC NULLS LAST,
+                                         c.vertex ASC) AS rk
+      FROM comp c JOIN a ON a.vec_id = c.vertex
+    )
+    SELECT e.vec_id FROM e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM ranked WHERE rk > 1)
+    """,
+)
+def dedup_embedding_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means cells → within-cell exact
+    cosine pairs ≥ 0.4 → connected components → keep the member FARTHEST
+    from its cell centroid (lowest assignment cosine, ties → smallest
+    id). The semantic answer to dedup_embedding_cosine_blocked's random
+    sign-LSH blocks: cells follow cluster structure, so near-dups
+    co-block by construction. Centroids here are the first 8 corpus
+    vectors by id — collected on the driver and folded into the plan as
+    literals (the same mechanism the production fit_centroids path
+    uses), deterministic so the oracle can name them; the assignment is
+    a map-only codegen projection, the within-cell self-join the only
+    pairing shuffle, and ranking touches cluster members only."""
+    eng = engine_for(spark, sf_dir)
+    emb = eng.catalog.table("embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return dedup.semantic_dedup(emb, centroids=cent, threshold=0.4).select(
+        "vec_id"
+    )
+
+
+def _semantic_fit_cells(n: int) -> int:
+    """SemDeDup cell count for a corpus of n vectors: cells scale WITH
+    the corpus (the paper's 50k cells for LAION-440M) so mean cell
+    population — and with it the per-cell O(m²) pairing — stays bounded;
+    a FIXED cell count makes within-cell pair volume quadratic in the
+    corpus (measured: 105× pairs on 10× input with 8 fixed cells).
+    Shared by the contract entry and its replay validator — one
+    definition, or they silently diverge."""
+    return max(8, n // 250)
+
+
+@q("dedup_embedding_semantic_fit")  # no SQL oracle: k-means is
+# iterative — EXACT Python replay validator below (same sample, same
+# fit, same tie rules) rather than a rows-only check
+def dedup_embedding_semantic_fit(spark, sf_dir):
+    """The production SemDeDup path: driver-fit k-means
+    (similarity.fit_centroids — bounded md5-ordered sample, centroid
+    literals folded into the plan) with n_clusters scaled to the corpus
+    (_semantic_fit_cells), within-cell exact-cosine pairing ≥ 0.4,
+    connected components, keep-farthest-from-centroid. The companion
+    dedup_embedding_semantic pins the relational half (assignment,
+    pairing, components, retention) to an exact SQL oracle with
+    deterministic centroids; this entry exercises the fit half and the
+    corpus-scaled cell count — the shape whose sf1 scaling class is
+    gate-asserted (tests/test_scale_records.py)."""
+    eng = engine_for(spark, sf_dir)
+    emb = eng.catalog.table("embeddings")
+    n = emb.count()
+    return dedup.semantic_dedup(
+        emb, threshold=0.4, n_clusters=_semantic_fit_cells(n)
+    ).select("vec_id")
+
+
+@validator("dedup_embedding_semantic_fit")
+def _validate_semantic_fit(spark, sf_dir, rows):
+    """EXACT deterministic replay, not just invariants: rebuild the
+    md5-ordered training sample, run the SAME _kmeans_fit (fixed seed),
+    mirror the rounded-cosine assignment (ties → lowest cell id), the
+    within-cell pairing (rounded cosine ≥ 0.4), union-find components,
+    and the keep-farthest-from-centroid retention (lowest cell cosine,
+    ties → smallest id) — the survivor set must match exactly."""
+    import hashlib
+
+    import numpy as np
+
+    from coolplaydruid_spark.operators.similarity import _kmeans_fit
+
+    eng = engine_for(spark, sf_dir)
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in eng.catalog.table("embeddings").collect()
+    }
+    ids = sorted(emb)
+    # fit replay: sample = all rows ordered by md5(id) (corpus < the
+    # 100k train_sample bound at gate scale), same seed/max_iter
+    order = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    C = _kmeans_fit(np.stack([emb[i] for i in order]),
+                    _semantic_fit_cells(len(ids)), 10, 42)
+
+    def cos(a, b):
+        return round(float(a @ b) /
+                     (float(np.linalg.norm(a)) * float(np.linalg.norm(b))), 6)
+
+    cell, cell_cos = {}, {}
+    for i in ids:
+        best = min((-cos(emb[i], c), j) for j, c in enumerate(C))
+        cell[i], cell_cos[i] = best[1], -best[0]
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    members = set()
+    for ii, a in enumerate(ids):
+        for b in ids[ii + 1:]:
+            if cell[a] == cell[b] and cos(emb[a], emb[b]) >= 0.4:
+                members |= {a, b}
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = {}
+    for i in sorted(members):
+        comps.setdefault(find(i), []).append(i)
+    losers = set()
+    for mem in comps.values():
+        keep = min(mem, key=lambda i: (cell_cos[i], i))
+        losers |= set(mem) - {keep}
+    want = set(ids) - losers
+    got = {r["vec_id"] for r in rows}
+    if len(rows) != len(got):
+        return False, f"{len(rows) - len(got)} duplicate survivor rows"
+    if got != want:
+        return False, (
+            f"survivors differ: extra={sorted(got - want)[:5]} "
+            f"missing={sorted(want - got)[:5]} "
+            f"(got {len(got)}, want {len(want)})")
+    if not losers:
+        return False, "replay found no duplicates — the check is vacuous"
+    return True, (
+        f"exact replay: {len(want)} survivors, {len(losers)} dropped "
+        f"across {len(comps)} components, {len(C)} cells")
+
+
 @q("pack_training_sequences")  # no SQL oracle: bin assignment is
 # order-dependent (rows-only check; invariants asserted in
 # tests/test_operators.py::test_pack_sequences_invariants)

@@ -892,3 +892,173 @@ def embedding_neardup(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---- Semantic dedup (SemDeDup) ------------------------------------------
+
+
+def _fold_centroids(centroids, vec_col: str):
+    """Centroids as ONE plan literal: array<struct<cid, v, n>> with the
+    norm precomputed driver-side. Accepts a (centroid_id, vec) DataFrame
+    (collected here — centroids are model-sized by definition) or an
+    iterable of (cid, vector) pairs / bare vectors (cid = position)."""
+    if isinstance(centroids, DataFrame):
+        cid_col = (
+            "centroid_id" if "centroid_id" in centroids.columns
+            else [c for c in centroids.columns if c != vec_col][0]
+        )
+        pairs = [(r[cid_col], list(r[vec_col])) for r in centroids.collect()]
+    else:
+        pairs = []
+        for i, c in enumerate(centroids):
+            if isinstance(c, (tuple, list)) and len(c) == 2 and not isinstance(c[0], float):
+                pairs.append((c[0], list(c[1])))
+            else:
+                pairs.append((i, list(c)))
+    if not pairs:
+        raise ValueError("semantic dedup needs at least one centroid")
+    import math
+
+    return F.array(*[
+        F.struct(
+            F.lit(cid).alias("cid"),
+            F.array(*[F.lit(float(x)) for x in vec]).alias("v"),
+            F.lit(math.sqrt(sum(float(x) * float(x) for x in vec))).alias("n"),
+        )
+        for cid, vec in pairs
+    ])
+
+
+def semantic_cells(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``df`` + (``__cell``, ``__cell_cos``): every vector assigned to
+    its argmax-cosine centroid, ties broken toward the lowest centroid
+    id on the ROUNDED cosine (6 decimals) so the assignment is
+    engine-exact against a SQL oracle (same tie rule as
+    similarity.nearest_centroid).
+
+    100 TB shape: the centroids are folded as a plan literal
+    (_fold_centroids), so assignment is ONE map-only projection inside
+    whole-stage codegen — no join, no shuffle, no Python. A NULL cosine
+    (null vector element, or 0/0 on a zero-norm vector with ANSI off)
+    sorts LAST, so such a centroid is never picked while any real score
+    exists; an all-NULL row lands in the lowest-cid cell with
+    __cell_cos NULL — matching a SQL oracle's NULLS LAST ordering."""
+    cent = _fold_centroids(centroids, vec_col)
+    dv = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x))
+
+    def cos_to(c):
+        dot = F.aggregate(
+            F.zip_with(dv, c["v"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return F.round(dot / (nrm * c["n"]), 6)
+
+    # argmax by (cosine DESC, cid ASC) == array_min over
+    # (−cosine, cid, cosine) structs; the raw cosine rides along as the
+    # third field (never reached by the comparison — (negc, cid) is
+    # already unique per centroid).
+    scored = F.transform(
+        cent,
+        lambda c: F.struct(
+            F.coalesce(-cos_to(c), F.lit(float("inf"))).alias("negc"),
+            c["cid"].alias("cid"),
+            cos_to(c).alias("cos"),
+        ),
+    )
+    best = F.array_min(scored)
+    return df.select(
+        "*",
+        best["cid"].alias("__cell"),
+        best["cos"].alias("__cell_cos"),
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup candidate pairing (Abbas et al. 2023, arXiv:2303.09540):
+    vectors are near-duplicates only if they share a k-means cell AND
+    their exact cosine ≥ threshold. Returns (id_a, id_b, cosine),
+    id_a < id_b.
+
+    This is the semantic answer to embedding_neardup's RANDOM sign-LSH
+    blocks: cells follow the data's cluster structure, so semantically
+    close pairs land in the same block by construction instead of by
+    hash luck. The within-cell self-join is the ONLY shuffle, keyed on
+    the cell id; cell population — and so the per-cell O(m²) pairing —
+    is controlled by n_clusters, which SemDeDup scales with corpus size
+    (the paper uses 50k cells for LAION-440M)."""
+    cells = semantic_cells(df, centroids, vec_col=vec_col, id_col=id_col)
+    return embedding_neardup(
+        cells, threshold=threshold, vec_col=vec_col, id_col=id_col,
+        block_col="__cell",
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids=None,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    train_sample: int = 100_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup end-to-end: cells → within-cell cosine pairs ≥ threshold
+    → connected components → keep ONE survivor per component. Returns
+    the surviving rows of ``df`` (original columns).
+
+    Keep policy (the paper's): within a duplicate component keep the
+    member with the LOWEST cosine to its cell centroid — the example
+    farthest from the cluster center carries the most marginal
+    information — ties toward the smallest id. Components never span
+    cells (pairs are within-cell by construction) so the per-component
+    centroid is well-defined.
+
+    ``centroids=None`` driver-fits k-means via similarity.fit_centroids
+    (bounded md5-ordered sample, literals folded into the plan — the
+    production path). Passing an explicit small (centroid_id, vec)
+    frame or (cid, vector) list pins the cells for exact SQL oracles.
+    """
+    from coolplaydruid_spark.operators import graph
+
+    if centroids is None:
+        from coolplaydruid_spark.operators import similarity
+
+        fitted = similarity.fit_centroids(
+            df, n_clusters=n_clusters, seed=seed, max_iter=max_iter,
+            train_sample=train_sample, vec_col=vec_col, id_col=id_col,
+        )
+        if fitted is None:
+            return df  # empty corpus: nothing to dedup
+        centroids = [(i, list(c)) for i, c in enumerate(fitted)]
+
+    cells = _pin_cache(
+        semantic_cells(df, centroids, vec_col=vec_col, id_col=id_col)
+    )
+    pairs = embedding_neardup(
+        cells, threshold=threshold, vec_col=vec_col, id_col=id_col,
+        block_col="__cell",
+    )
+    # quality = −cell_cos: dedup_keep_best keeps the highest quality,
+    # i.e. the lowest centroid-cosine (farthest from center), ties →
+    # smallest id. Survivors carry df's original columns only.
+    scored = cells.withColumn("__q", -F.col("__cell_cos"))
+    kept = graph.dedup_keep_best(
+        scored, pairs, quality_col="__q", id_col=id_col,
+        src_col="id_a", dst_col="id_b",
+    )
+    return kept.drop("__cell", "__cell_cos", "__q")

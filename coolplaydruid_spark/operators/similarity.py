@@ -128,6 +128,47 @@ def _sqdist(vec, cent):
     )
 
 
+def fit_centroids(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    train_sample: int = 100_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Driver-fit k-means centroids over a bounded, unbiased corpus
+    sample; returns an ``ndarray`` of ≤ n_clusters centroid vectors, or
+    None for an empty corpus. Shared by ivf_topk (probe routing) and
+    dedup.semantic_dedup (SemDeDup cell assignment).
+
+    Scale: training needs a bounded, UNBIASED sample, not the corpus —
+    the train_sample rows with the smallest md5(id): hash order is
+    uniform w.r.t. content, so a corpus written sorted/clustered (by
+    time, source, language) cannot bias the centroids the way a prefix
+    limit() would. orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition top-K + merge, no full sort); the sample is collected
+    once and fitted driver-side (_kmeans_fit)."""
+    import numpy as np
+
+    # Arrow transfer (toPandas), not collect(): collect() materializes
+    # each vector as a Python list of boxed floats — ~4× the memory and
+    # far slower deserialization at the 100k-row default with real
+    # embedding dims. Arrow lands numpy arrays directly.
+    train_pdf = (
+        corpus.select(_dvec(F.col(vec_col)).alias("__v"),
+                      F.md5(F.col(id_col).cast("string")).alias("__h"))
+        .orderBy("__h")
+        .limit(train_sample)
+        .select("__v")
+        .toPandas()
+    )
+    if train_pdf.empty:
+        return None
+    X = np.stack(train_pdf["__v"].to_numpy()).astype(np.float64)
+    return _kmeans_fit(X, n_clusters, max_iter, seed)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -159,26 +200,13 @@ def ivf_topk(
     cell-keyed probe join. Non-SQL oracle (k-means is iterative) — tests
     check probe containment and recall against brute force instead.
     """
-    import numpy as np
-
-    # Arrow transfer (toPandas), not collect(): collect() materializes
-    # each vector as a Python list of boxed floats — ~4× the memory and
-    # far slower deserialization at the 100k-row default with real
-    # embedding dims. Arrow lands numpy arrays directly.
-    train_pdf = (
-        corpus.select(_dvec(F.col(vec_col)).alias("__v"),
-                      F.md5(F.col(id_col).cast("string")).alias("__h"))
-        .orderBy("__h")
-        .limit(train_sample)
-        .select("__v")
-        .toPandas()
-    )
-    if train_pdf.empty:
+    C = fit_centroids(corpus, n_clusters=n_clusters, seed=seed,
+                      max_iter=max_iter, train_sample=train_sample,
+                      vec_col=vec_col, id_col=id_col)
+    if C is None:
         # Empty corpus: same output schema, no rows (brute force parity).
         return brute_force_topk(corpus, queries, k=k, vec_col=vec_col,
                                 id_col=id_col, query_id_col=query_id_col)
-    X = np.stack(train_pdf["__v"].to_numpy()).astype(np.float64)
-    C = _kmeans_fit(X, n_clusters, max_iter, seed)
 
     # Centroids as a nested array literal: n_clusters × dim doubles
     # folded into the plan — broadcast-by-constant, visible to codegen.

@@ -209,6 +209,27 @@ def _build_signature(df: DataFrame, spec: dict) -> DataFrame:
         f"unknown signature type {kind!r} (one of {SIGNATURE_KINDS})")
 
 
+def _signature_sort_keys(spec: dict) -> list[str]:
+    """Within-partition write-sort keys per signature kind — the columns
+    the from-store pairing bands/joins on (r10 verdict #7; the
+    segment-side analog is index_task's zorder_by/sort_by). Sorting at
+    write clusters equal/nearby key values into few row groups, so
+    Parquet row-group min/max stats can skip the probe side's
+    non-matching groups at 100 TB; an unsorted partition leaves every
+    row group's [min, max] spanning the whole key domain — zero skips.
+    The sort is fixed-width integers only, a negligible cost beside the
+    decode/shingle work that produced the rows."""
+    kind = spec["type"]
+    if kind == "group_shingles":
+        return [spec["group_col"], "shingle"]
+    return {
+        "phash": ["phash_hi", "phash_lo"],
+        "audio_fingerprint": ["afp"],
+        "video_framehash": ["frame_hash"],
+        "minhash_shingles": ["shingle"],
+    }[kind]
+
+
 def _write_signatures(sig_frames: list, dest_path: str, mode: str) -> None:
     """Write the materialized signature tables — called strictly AFTER
     the segment write, so a failed SEGMENT write never mutates the store
@@ -243,13 +264,20 @@ def _write_signatures(sig_frames: list, dest_path: str, mode: str) -> None:
                 "refusing to leave stale signatures serving the replaced "
                 "corpus (non-local destinations need a storage-specific "
                 "delete before re-indexing)")
-    for name, sig_df in sig_frames:
-        (
-            sig_df.repartition(F.col(DT_COLUMN))
-            .write.mode(mode)
-            .partitionBy(DT_COLUMN)
-            .parquet(signature_path(dest_path, name))
-        )
+    # "overwrite_table": overwrite ONE signature table in place without
+    # the store-wide wipe above — signature_task's per-table rebuild.
+    write_mode = "overwrite" if mode == "overwrite_table" else mode
+    for name, sig_df, sort_keys, write_options in sig_frames:
+        out = sig_df.repartition(F.col(DT_COLUMN))
+        if sort_keys:
+            # __dt leads the sort so multi-partition tasks keep each
+            # output file's key run contiguous; partitionBy then splits
+            # files per __dt with the key columns sorted inside each.
+            out = out.sortWithinPartitions(DT_COLUMN, *sort_keys)
+        writer = out.write.mode(write_mode)
+        for k, v in (write_options or {}).items():
+            writer = writer.option(k, v)
+        writer.partitionBy(DT_COLUMN).parquet(signature_path(dest_path, name))
 
 
 def signature_task(spark: SparkSession, table_path: str, time_column: str,
@@ -273,12 +301,10 @@ def signature_task(spark: SparkSession, table_path: str, time_column: str,
         for spec in signatures:
             name = spec.get("name", spec["type"])
             sig_df = _build_signature(raw_dt, spec)
-            (
-                sig_df.repartition(F.col(DT_COLUMN))
-                .write.mode("overwrite")
-                .partitionBy(DT_COLUMN)
-                .parquet(signature_path(table_path, name))
-            )
+            _write_signatures(
+                [(name, sig_df, _signature_sort_keys(spec),
+                  spec.get("write_options"))],
+                table_path, "overwrite_table")
         REGISTRY.finish(
             status.task_id, True,
             f"rebuilt {len(signatures)} signature tables for {table_path}")
@@ -444,7 +470,8 @@ def index_task(
             raw_dt = df.withColumn(
                 DT_COLUMN, F.to_date(ts).cast("string"))
             sig_frames = [
-                (spec.get("name", spec["type"]), _build_signature(raw_dt, spec))
+                (spec.get("name", spec["type"]), _build_signature(raw_dt, spec),
+                 _signature_sort_keys(spec), spec.get("write_options"))
                 for spec in signatures
             ]
         if rollup:

@@ -274,6 +274,73 @@ def test_embedding_neardup(engine, duck):
     assert_df_matches_duck(df, duck, sql)
 
 
+def test_semantic_dedup_pairs_are_cocell_restriction_of_brute(engine):
+    """SemDeDup pairing must be EXACTLY the brute-force cosine pairs
+    restricted to co-cell ids — the cells lose recall only across cell
+    boundaries (the documented approximation), never inside one."""
+    emb = engine.catalog.table("embeddings").limit(200)
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    cell_of = {
+        r["vec_id"]: r["__cell"]
+        for r in dedup.semantic_cells(emb, cent).select("vec_id", "__cell").collect()
+    }
+    brute = {(r["id_a"], r["id_b"])
+             for r in dedup.embedding_neardup(emb, threshold=0.3).collect()}
+    sem = {(r["id_a"], r["id_b"])
+           for r in dedup.semantic_dedup_pairs(emb, cent, threshold=0.3).collect()}
+    assert sem == {(a, b) for a, b in brute if cell_of[a] == cell_of[b]}
+    assert sem, "no within-cell pair at threshold 0.3 — test lost its teeth"
+
+
+def test_semantic_dedup_keep_policy(spark):
+    """Hand-built two-cell corpus: the component keeps its member
+    FARTHEST from the cell centroid; a high-cosine pair that straddles
+    cells is NOT a duplicate (within-cell semantics)."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),    # cell 0, cell_cos 1.0
+            (2, [0.98, 0.2]),   # cell 0, pairs with 1 (cos .9798) and 3 (.9038)
+            (3, [0.8, 0.6]),    # cell 0, cell_cos 0.8 — farthest → survivor
+            (4, [0.0, 1.0]),    # cell 1
+            (5, [0.6, 0.8]),    # cell 1; cos(3,5)=0.96 but cells differ
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.semantic_dedup_pairs(emb, cents, threshold=0.9).collect()}
+    assert pairs == {(1, 2), (2, 3)}
+    kept = dedup.semantic_dedup(emb, centroids=cents, threshold=0.9)
+    assert set(kept.columns) == {"vec_id", "embedding"}
+    assert {r["vec_id"] for r in kept.collect()} == {3, 4, 5}
+
+
+def test_semantic_dedup_driver_fit_path(engine):
+    """centroids=None drives similarity.fit_centroids (bounded
+    md5-ordered sample, plan-literal fold): survivors are a subset of
+    the corpus, deterministic across two runs (fixed seed), and every
+    dropped id is an endpoint of some within-cell pair."""
+    emb = engine.catalog.table("embeddings").limit(300)
+    ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    kept1 = {r["vec_id"]
+             for r in dedup.semantic_dedup(emb, threshold=0.4, n_clusters=8).collect()}
+    kept2 = {r["vec_id"]
+             for r in dedup.semantic_dedup(emb, threshold=0.4, n_clusters=8).collect()}
+    assert kept1 == kept2 <= ids
+    from coolplaydruid_spark.operators import similarity as _sim
+
+    fitted = _sim.fit_centroids(emb, n_clusters=8)
+    endpoints = set()
+    for r in dedup.semantic_dedup_pairs(
+            emb, [(i, list(c)) for i, c in enumerate(fitted)],
+            threshold=0.4).collect():
+        endpoints |= {r["id_a"], r["id_b"]}
+    assert ids - kept1 <= endpoints
+    assert ids - kept1, "nothing deduped at threshold 0.4 — test lost its teeth"
+
+
 def test_brute_force_topk(engine, duck):
     emb = engine.catalog.table("embeddings")
     queries = emb.where(F.col("vec_id") < 3).select(

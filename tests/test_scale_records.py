@@ -83,6 +83,31 @@ BLOCKED = {
     # r10: frame-hash Jaccard — pair volume grows with real cross-video
     # frame duplication, bounded by the co-frame blocking
     "dedup_video_framehash": 5.0,
+    # r11 (r10 verdict #3): the from-store forms — store build (linear
+    # ingest) + decode-free banded pairing. Measured 10.2×/10.8× shuffle
+    # on 10.0× input (image/minhash) — the store adds no superlinear
+    # exchange.
+    "dedup_image_phash_from_store": 5.0,
+    "dedup_minhash_incremental_from_store": 5.0,
+    # store-read overlap: input grows SUB-linearly (2.9× on 10× corpus —
+    # the distinct group-shingle vocabulary saturates, same effect as
+    # corpus_pmi) while the shingle-keyed pair join tracks real co-group
+    # density (measured 5.6× shuffle = 1.9× input growth)
+    "corpus_overlap_from_store": 5.0,
+    # incremental frame-hash Jaccard: batch×corpus co-frame join,
+    # measured 10.7× shuffle on 9.8× input
+    "dedup_video_framehash_incremental": 5.0,
+    # r11 composed entries: decode → pairs → connected components →
+    # retention. Input records grow with PAIR volume, not corpus (the
+    # component loop re-reads the checkpointed edge list every
+    # iteration, and the sf1 synthesizer's duplicate density squares
+    # group sizes: measured ~64× input, ~80×/~59× shuffle — ratio
+    # 1.2×/0.9× of input growth). The invariant that matters at 100 TB:
+    # shuffle NEVER outruns the pair-bounded input stream — the banded
+    # blocking (image) / cell blocking (SemDeDup, cells scale with the
+    # corpus via _semantic_fit_cells) caps pair volume itself.
+    "pipeline_media_dedup": 5.0,
+    "dedup_embedding_semantic_fit": 5.0,
 }
 CONSTANT = {"similarity_topk_brute"}
 PLAN_TRANSITION = {"sql_join_top_customers", "sql_join_region_revenue"}

@@ -13,6 +13,11 @@ Scaling rules keep per-row work representative:
    scales ~linearly (plain replication would make every doc 9 exact
    dups — and a rotation is no better: cyclic shifts preserve almost
    every n-gram — quadratically distorting the LSH verify stage);
+ - embedding vectors get one seeded orthogonal transform (signed
+   coordinate permutation) per copy — same rationale: exact vector
+   copies are cosine-1.0 near-dups, quadratically distorting pairwise
+   embedding operators; the transform preserves each copy's internal
+   cosine structure exactly while decorrelating cross-copy cosines;
  - events keep their timestamps (10× rows per time bucket, same span) —
    the schema (timestamp[ns]) is preserved exactly via pyarrow so the
    engine's nanos shim path is exercised identically.
@@ -30,6 +35,13 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SRC = Path("/root/testdata/sf0.1")
+
+# Bumped whenever the synthesis rules change; written as a sentinel file
+# beside the tables so consumers (bench.py) re-synthesize instead of
+# reusing a fixture built under older rules. v2: embedding copies get a
+# per-copy orthogonal transform (exact-copy vectors quadratically
+# distorted pairwise embedding operators).
+SYNTH_VERSION = 2
 
 # key domain -> (owning table, column) for the offset base
 DOMAINS = {
@@ -71,6 +83,31 @@ def _permute_text(col: pa.ChunkedArray, copy_idx: int) -> pa.Array:
     return pa.array(out, type=pa.string())
 
 
+def _rotate_embeddings(col: pa.ChunkedArray, copy_idx: int,
+                       field_type: pa.DataType) -> pa.Array:
+    """Apply ONE seeded orthogonal transform (signed coordinate
+    permutation) to every vector of a copy — the embedding analog of
+    _permute_text: plain replication makes every vector 9 exact dups
+    (cosine 1.0), which quadratically distorts any pairwise embedding
+    operator (45 spurious pairs per 10-copy group); an orthogonal map
+    preserves each copy's INTERNAL pairwise-cosine structure exactly
+    (cos(Px, Py) = cos(x, y)) while decorrelating cross-copy cosines,
+    so near-dup density scales ~linearly like the text side."""
+    import random
+
+    rng = random.Random((0xE5 << 32) | copy_idx)
+    vecs = col.to_pylist()
+    dim = next((len(v) for v in vecs if v), 0)
+    perm = list(range(dim))
+    rng.shuffle(perm)
+    signs = [rng.choice((1.0, -1.0)) for _ in range(dim)]
+    out = [
+        None if v is None else [signs[j] * v[perm[j]] for j in range(dim)]
+        for v in vecs
+    ]
+    return pa.array(out, type=field_type)
+
+
 def scale_table(name: str, factor: int, bases: dict[str, int]) -> pa.Table:
     src = pq.read_table(SRC / f"{name}.parquet")
     copies = [src]
@@ -84,6 +121,11 @@ def scale_table(name: str, factor: int, bases: dict[str, int]) -> pa.Table:
             idx = t.schema.get_field_index("text")
             t = t.set_column(idx, t.schema.field("text"),
                              _permute_text(t.column("text"), i))
+        if name == "embeddings":
+            idx = t.schema.get_field_index("embedding")
+            t = t.set_column(idx, t.schema.field("embedding"),
+                             _rotate_embeddings(t.column("embedding"), i,
+                                                t.schema.field("embedding").type))
         copies.append(t)
     return pa.concat_tables(copies)
 
@@ -103,6 +145,7 @@ def main() -> None:
         t = scale_table(name, factor, bases)
         pq.write_table(t, dest / f"{name}.parquet")
         print(f"{name}: {t.num_rows} rows")
+    (dest / "SYNTH_VERSION").write_text(str(SYNTH_VERSION))
 
 
 if __name__ == "__main__":
