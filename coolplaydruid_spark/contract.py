@@ -3694,6 +3694,81 @@ def _validate_semantic_fit(spark, sf_dir, rows):
         f"across {len(comps)} components, {len(C)} cells")
 
 
+_DUCK_SEMANTIC_INCR = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, cid,
+             round(list_dot_product(v, cv) /
+                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6)
+               AS cosine
+      FROM e CROSS JOIN cent
+    ),
+    asg AS (
+      SELECT vec_id, cid AS cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC NULLS LAST, cid) AS rn
+      FROM scored
+    ),
+    j AS (SELECT e.vec_id, e.v, asg.cell
+          FROM e JOIN asg ON e.vec_id = asg.vec_id AND asg.rn = 1)
+    SELECT c.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(c.v, b.v) /
+                 (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+             AS cosine
+    FROM j c JOIN j b ON c.cell = b.cell
+         AND c.vec_id % 5 != 0 AND b.vec_id % 5 = 0
+    WHERE round(list_dot_product(c.v, b.v) /
+          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+          >= 0.4
+    """
+
+
+@q("dedup_embedding_semantic_incremental", _DUCK_SEMANTIC_INCR)
+def dedup_embedding_semantic_incremental(spark, sf_dir):
+    """Daily-ingest SemDeDup: incoming vector batch (every 5th id) ×
+    standing corpus, both assigned with the SAME pinned centroids —
+    the corpus never self-pairs, and the co-cell equi-join is the only
+    exchange (AQE broadcasts the batch side in the daily-shard case).
+    Completes the incremental batch×corpus form every other dedup
+    family already has (operators/dedup.semantic_dedup_pairs_incremental)."""
+    eng = engine_for(spark, sf_dir)
+    emb = eng.catalog.table("embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    return dedup.semantic_dedup_pairs_incremental(
+        emb.where(F.col("vec_id") % 5 == 0), cent,
+        corpus_df=emb.where(F.col("vec_id") % 5 != 0), threshold=0.4,
+        check_disjoint=True)
+
+
+@q("dedup_embedding_semantic_from_store", _DUCK_SEMANTIC_INCR)
+def dedup_embedding_semantic_from_store(spark, sf_dir):
+    """The ingest→semantic-dedup loop: an index task materializes the
+    corpus's cell assignments at accept time (signatures=[{"type":
+    "semantic_cells", "centroids": ...}] → <dest>.sig/semantic_cells,
+    __dt-partitioned, write-sorted by cell) and the incremental operator
+    reads the STORE back as corpus_cells — the store pins the centroid
+    version the corpus was accepted under, so every later batch pairs
+    against a STABLE clustering. Oracle = the same SQL as
+    dedup_embedding_semantic_incremental, so store-read ≡ inline
+    assignment is value-hash-checked every round."""
+    from coolplaydruid_spark.sources import batch as _batch
+
+    eng = engine_for(spark, sf_dir)
+    emb = eng.catalog.table("embeddings")
+    cent_rows = [(r["vec_id"], list(r["embedding"])) for r in
+                 emb.where(F.col("vec_id") < 8).collect()]
+    dest = _ingest_store(
+        spark, sf_dir, emb.where(F.col("vec_id") % 5 != 0),
+        [{"type": "semantic_cells", "centroids": cent_rows}], "semvec")
+    corpus_cells = _batch.read_signatures(
+        spark, dest, "semantic_cells").select("vec_id", "embedding", "__cell")
+    return dedup.semantic_dedup_pairs_incremental(
+        emb.where(F.col("vec_id") % 5 == 0), cent_rows,
+        corpus_cells=corpus_cells, threshold=0.4)
+
+
 @q("pack_training_sequences")  # no SQL oracle: bin assignment is
 # order-dependent (rows-only check; invariants asserted in
 # tests/test_operators.py::test_pack_sequences_invariants)
@@ -4437,6 +4512,100 @@ def dedup_video_framehash_incremental(spark, sf_dir):
     return multimodal.video_neardup_incremental(
         media.where(F.col("media_id") % 5 == 0),
         corpus_signatures=corpus_sig, threshold=0.5, every_ms=100)
+
+
+_DUCK_PIPELINE_TAIL = """
+    edges AS (SELECT ma AS src, mb AS dst FROM p
+              UNION SELECT mb, ma FROM p),
+    reach AS (
+      SELECT src AS vertex, src AS r FROM edges
+      UNION
+      SELECT e.dst AS vertex, rr.r FROM reach rr JOIN edges e ON e.src = rr.vertex
+    ),
+    comp AS (SELECT vertex, min(r) AS component FROM reach GROUP BY vertex),
+    ranked AS (
+      SELECT c.vertex AS media_id,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY length(coalesce(d.text, '')) DESC,
+                                         c.vertex ASC) AS rk
+      FROM comp c JOIN documents d ON d.doc_id = c.vertex
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(length(coalesce(d.text, '')) AS BIGINT) AS q
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT media_id FROM ranked WHERE rk > 1)
+    """
+
+
+def _spark_modal_pipeline(eng, pairs: DataFrame) -> DataFrame:
+    """Shared retention tail of the composed per-modality pipelines:
+    quality (source text length) projects straight off documents —
+    media ids ARE doc ids in the fixtures — so the binary column never
+    enters the component/window path and nothing is decoded twice."""
+    scored = eng.catalog.table("documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("q"),
+    )
+    return graph.dedup_keep_best(
+        scored, pairs, quality_col="q", id_col="media_id",
+        src_col="media_id_a", dst_col="media_id_b",
+    )
+
+
+@q(
+    "pipeline_audio_dedup",
+    _duck_afp_cte().replace("WITH m AS", "WITH RECURSIVE m AS", 1)
+    + """
+    , p AS (
+      SELECT a.media_id AS ma, b.media_id AS mb
+      FROM h a JOIN h b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.afp, b.afp)) <= 3
+    ),
+    """
+    + _DUCK_PIPELINE_TAIL,
+)
+def pipeline_audio_dedup(spark, sf_dir):
+    """The audio modality composed end-to-end (r10 verdict: the
+    composed pipeline existed for images only): decode → 32-bit audio
+    fingerprints → banded Hamming pairs (≤ 3) → connected components →
+    keep the highest-quality member per transitive cluster, all under
+    one recursive-CTE oracle."""
+    eng = engine_for(spark, sf_dir)
+    pairs = multimodal.audio_neardup(
+        _docs_as_media(eng, "wav"), max_hamming=3, media_col="media")
+    return _spark_modal_pipeline(eng, pairs)
+
+
+@q(
+    "pipeline_video_dedup",
+    _duck_video_cte(100).replace("WITH m AS", "WITH RECURSIVE m AS", 1)
+    + """
+    , co AS (
+      SELECT a.media_id AS ma, b.media_id AS mb, count(*) AS n_common
+      FROM fh a JOIN fh b ON a.frame_hash = b.frame_hash
+                         AND a.media_id < b.media_id
+      GROUP BY 1, 2
+    ), sizes AS (SELECT media_id, count(*) AS n FROM fh GROUP BY 1),
+    p AS (
+      SELECT ma, mb
+      FROM co JOIN sizes sa ON co.ma = sa.media_id
+              JOIN sizes sb ON co.mb = sb.media_id
+      WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
+    ),
+    """
+    + _DUCK_PIPELINE_TAIL,
+)
+def pipeline_video_dedup(spark, sf_dir):
+    """The video modality composed end-to-end: sampled frame-hash sets
+    → set-Jaccard pairs (≥ 0.5, co-frame join as the blocking) →
+    connected components → quality-aware retention, under one
+    recursive-CTE oracle — with this every media modality (image,
+    audio, video) has the full signatures → pairs → components →
+    keep-best composition oracle-gated, same as the text family."""
+    eng = engine_for(spark, sf_dir)
+    pairs = multimodal.video_neardup(
+        _docs_as_video(eng), threshold=0.5, every_ms=100).drop("jaccard")
+    return _spark_modal_pipeline(eng, pairs)
 
 
 # ---------------------------------------------------------------------------

@@ -1062,3 +1062,103 @@ def semantic_dedup(
         src_col="id_a", dst_col="id_b",
     )
     return kept.drop("__cell", "__cell_cos", "__q")
+
+
+def semantic_dedup_pairs_incremental(
+    new_df: DataFrame | None,
+    centroids,
+    corpus_df: DataFrame | None = None,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    corpus_cells: DataFrame | None = None,
+    batch_cells: DataFrame | None = None,
+    check_disjoint: bool = False,
+) -> DataFrame:
+    """SemDeDup pairs between a NEW vector batch and an EXISTING corpus
+    — the daily-ingest shape: the incoming batch is checked against
+    everything already accepted WITHOUT re-pairing the corpus against
+    itself. Returns (id_a = corpus id, id_b = new id, cosine ≥
+    threshold). Both sides are assigned with the SAME centroids (cells
+    from different centroid sets are incomparable — which is exactly why
+    the from-store path exists: the store pins the centroid version the
+    corpus was accepted under).
+
+    ``corpus_cells``: a pre-assigned corpus frame carrying
+    (id_col, vec_col, __cell) — semantic_cells' output, or an
+    ingest-materialized `semantic_cells` signature table
+    (sources.batch.read_signatures) — so the corpus is never
+    re-assigned; otherwise ``corpus_df`` is assigned here (map-only,
+    centroid literals, no shuffle). The co-cell equi-join is the ONLY
+    exchange, and AQE broadcasts the batch side in the normal
+    daily-shard case, leaving the corpus map-only.
+
+    ``batch_cells``: a pre-assigned BATCH frame (same (id_col, vec_col,
+    __cell) shape) — the streaming accept loop's case, where the batch
+    was already assigned for its in-batch self-check; otherwise
+    ``new_df`` is assigned here.
+
+    ``check_disjoint=True`` verifies the corpus/batch id disjointness
+    invariant eagerly (limit-3 probe) instead of silently double-pairing
+    a replayed id — same contract as set_jaccard_pairs."""
+    def _check_shape(frame, what):
+        missing = {id_col, vec_col, "__cell"} - set(frame.columns)
+        if missing:
+            raise ValueError(
+                f"{what} lacks columns {sorted(missing)} — pass "
+                "semantic_cells() output or a "
+                "read_signatures('semantic_cells') table")
+
+    if corpus_cells is None:
+        if corpus_df is None:
+            raise ValueError("need corpus_df or corpus_cells")
+        corpus_cells = semantic_cells(
+            corpus_df, centroids, vec_col=vec_col, id_col=id_col)
+    else:
+        _check_shape(corpus_cells, "corpus_cells")
+    if batch_cells is None:
+        if new_df is None:
+            raise ValueError("need new_df or batch_cells")
+        batch_cells = semantic_cells(
+            new_df, centroids, vec_col=vec_col, id_col=id_col)
+    else:
+        _check_shape(batch_cells, "batch_cells")
+    if check_disjoint:
+        overlap = (
+            corpus_cells.select(F.col(id_col))
+            .join(batch_cells.select(F.col(id_col)), on=id_col,
+                  how="left_semi")
+            .limit(3)
+            .collect()
+        )
+        if overlap:
+            raise ValueError(
+                "semantic_dedup_pairs_incremental: ids appear on BOTH "
+                f"sides (e.g. {[r[id_col] for r in overlap]}) — corpus "
+                "and batch ids must be disjoint")
+
+    def prep(frame, alias):
+        dv = F.col(vec_col).cast("array<double>")
+        return frame.select(
+            F.col(id_col).alias(f"id_{alias}"),
+            dv.alias(f"__v{alias}"),
+            F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x))
+            .alias(f"__n{alias}"),
+            F.col("__cell"),
+        )
+
+    c = prep(corpus_cells, "a")
+    b = prep(batch_cells, "b")
+    dot = F.aggregate(
+        F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        c.join(b, on="__cell")
+        .select(
+            "id_a", "id_b",
+            F.round(dot / (F.col("__na") * F.col("__nb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -156,7 +156,7 @@ def _read_source(spark: SparkSession, source: dict) -> DataFrame:
 # — the same __dt layout makes it directly applicable.
 
 SIGNATURE_KINDS = ("phash", "audio_fingerprint", "video_framehash",
-                   "minhash_shingles", "group_shingles")
+                   "minhash_shingles", "group_shingles", "semantic_cells")
 
 
 def signature_path(dest_path: str, name: str) -> str:
@@ -205,6 +205,20 @@ def _build_signature(df: DataFrame, spec: dict) -> DataFrame:
             id_col=spec.get("id_col", "doc_id"),
             extra_cols=[group_col, DT_COLUMN])
         return sh.select(group_col, "shingle", DT_COLUMN).distinct()
+    if kind == "semantic_cells":
+        # (id, vector, __cell, __cell_cos) per __dt — the corpus_cells=
+        # input of dedup.semantic_dedup_pairs_incremental. The store
+        # PINS the centroid version the corpus was accepted under: cells
+        # from different centroid sets are incomparable, so later
+        # batches must assign against the same spec["centroids"] the
+        # store carries (assignment itself is map-only and cheap — what
+        # the store buys is a STABLE clustering across daily ingests,
+        # not decode savings).
+        vec_col = spec.get("vec_col", "embedding")
+        id_col = spec.get("id_col", "vec_id")
+        return dedup.semantic_cells(
+            df, spec["centroids"], vec_col=vec_col, id_col=id_col,
+        ).select(id_col, vec_col, "__cell", "__cell_cos", DT_COLUMN)
     raise ValueError(
         f"unknown signature type {kind!r} (one of {SIGNATURE_KINDS})")
 
@@ -227,6 +241,7 @@ def _signature_sort_keys(spec: dict) -> list[str]:
         "audio_fingerprint": ["afp"],
         "video_framehash": ["frame_hash"],
         "minhash_shingles": ["shingle"],
+        "semantic_cells": ["__cell"],
     }[kind]
 
 

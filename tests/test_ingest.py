@@ -937,3 +937,53 @@ def test_signature_store_writes_sorted_rowgroups(spark, tmp_path):
         f"mean skipped fraction {mean_skip:.2f} < 0.4 across "
         f"{total_groups} groups — sorted row-group pruning is not "
         "selective")
+
+
+def test_semantic_cells_signature_store(spark, tmp_path):
+    """index_task(signatures=[semantic_cells]) materializes cell
+    assignments pinned to the spec's centroids; the store reads back
+    bit-identical to the inline operator and feeds
+    semantic_dedup_pairs_incremental as corpus_cells with values equal
+    to the corpus_df= inline path."""
+    from coolplaydruid_spark.operators import dedup
+
+    import random
+    rng = random.Random(11)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)],
+             f"2024-01-0{1 + i % 2} 00:00:00") for i in range(40)]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, ts string")
+    cents = [(0, [1.0] + [0.0] * 7), (1, [0.0, 1.0] + [0.0] * 6),
+             (2, [0.0] * 7 + [1.0])]
+    dest = str(tmp_path / "emb_tbl")
+    status = batch.index_task(
+        spark, {"format": "dataframe", "df": df.where("vec_id % 5 != 0")},
+        dest, time_column="ts",
+        signatures=[{"type": "semantic_cells", "centroids": cents}],
+    )
+    assert status.status == "SUCCESS"
+
+    stored = batch.read_signatures(spark, dest, "semantic_cells")
+    assert set(stored.columns) == {"vec_id", "embedding", "__cell",
+                                   "__cell_cos", batch.DT_COLUMN}
+    inline = dedup.semantic_cells(df.where("vec_id % 5 != 0"), cents)
+    assert {(r["vec_id"], r["__cell"], r["__cell_cos"]) for r in stored.collect()} \
+        == {(r["vec_id"], r["__cell"], r["__cell_cos"]) for r in inline.collect()}
+
+    batch_df = df.where("vec_id % 5 = 0")
+    from_store = dedup.semantic_dedup_pairs_incremental(
+        batch_df, cents, threshold=0.3,
+        corpus_cells=stored.select("vec_id", "embedding", "__cell"))
+    inline_pairs = dedup.semantic_dedup_pairs_incremental(
+        batch_df, cents, threshold=0.3,
+        corpus_df=df.where("vec_id % 5 != 0"))
+    got = {(r.id_a, r.id_b, r.cosine) for r in from_store.collect()}
+    assert got == {(r.id_a, r.id_b, r.cosine) for r in inline_pairs.collect()}
+    assert got, "no cross pair at threshold 0.3 — test lost its teeth"
+
+    # write-sorted by cell within each partition file
+    import glob
+    for f in glob.glob(batch.signature_path(dest, "semantic_cells")
+                       + "/*/*.parquet"):
+        cells = [r["__cell"] for r in spark.read.parquet(f).collect()]
+        assert cells == sorted(cells), f"{f} not sorted by __cell"

@@ -1243,3 +1243,39 @@ def test_nearest_centroid_null_cosine_never_wins(spark):
     got = {r["vec_id"]: r["centroid_id"]
            for r in similarity.nearest_centroid(pts, cent).collect()}
     assert got == {10: 1, 11: 3}
+
+
+def test_semantic_incremental_is_cross_restriction_of_full(engine):
+    """Incremental batch×corpus pairs must be EXACTLY the full
+    within-cell pairs restricted to (corpus, batch) endpoints — the
+    corpus never self-pairs, the batch never self-pairs."""
+    emb = engine.catalog.table("embeddings").limit(200)
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    full = {(r["id_a"], r["id_b"]): r["cosine"]
+            for r in dedup.semantic_dedup_pairs(emb, cent, threshold=0.3).collect()}
+    incr = {(r["id_a"], r["id_b"]): r["cosine"]
+            for r in dedup.semantic_dedup_pairs_incremental(
+                emb.where(F.col("vec_id") % 5 == 0), cent,
+                corpus_df=emb.where(F.col("vec_id") % 5 != 0),
+                threshold=0.3, check_disjoint=True).collect()}
+    # full pairs are id_a < id_b; incremental is (corpus, batch) — fold
+    # both into frozensets for comparison
+    want = {frozenset(p): c for p, c in full.items()
+            if (p[0] % 5 == 0) != (p[1] % 5 == 0)}
+    assert {frozenset(p): c for p, c in incr.items()} == want
+    assert incr, "no cross pair at threshold 0.3 — test lost its teeth"
+    for a, b in incr:
+        assert a % 5 != 0 and b % 5 == 0
+
+
+def test_semantic_incremental_check_disjoint_raises(engine):
+    emb = engine.catalog.table("embeddings").limit(50)
+    cent = [(0, [1.0] * 8)]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="BOTH sides"):
+        dedup.semantic_dedup_pairs_incremental(
+            emb, cent, corpus_df=emb, threshold=0.9, check_disjoint=True)
+    with _pytest.raises(ValueError, match="corpus_cells lacks"):
+        dedup.semantic_dedup_pairs_incremental(
+            emb, cent, corpus_cells=emb.select("vec_id"), threshold=0.9)
