@@ -1279,3 +1279,16 @@ def test_semantic_incremental_check_disjoint_raises(engine):
     with _pytest.raises(ValueError, match="corpus_cells lacks"):
         dedup.semantic_dedup_pairs_incremental(
             emb, cent, corpus_cells=emb.select("vec_id"), threshold=0.9)
+
+
+def test_semantic_cells_assignment_is_map_only(engine):
+    """The SemDeDup assignment must stay a pure projection over the scan
+    — centroid literals folded into the plan, no join, no exchange, no
+    Python stage (the 100 TB contract for the map half)."""
+    emb = engine.catalog.table("embeddings")
+    cells = dedup.semantic_cells(emb, [(i, [0.1 * (i + 1)] * 8)
+                                       for i in range(4)])
+    plan = cells._jdf.queryExecution().executedPlan().toString()
+    for banned in ("Exchange", "Join", "InMemoryTableScan", "MapInPandas",
+                   "BatchEvalPython", "ArrowEvalPython"):
+        assert banned not in plan, f"{banned} in semantic_cells plan:\n{plan}"
