@@ -3694,9 +3694,20 @@ def _validate_semantic_fit(spark, sf_dir, rows):
         f"across {len(comps)} components, {len(C)} cells")
 
 
-_DUCK_SEMANTIC_INCR = """
+def _duck_semantic_pairs(n_cent: int, tau: float,
+                         mod: int | None = None,
+                         rem: int | None = None) -> str:
+    """SemDeDup pairing oracle: centroids = the first n_cent vectors by
+    id, argmax-cosine cell assignment (rounded, ties → lowest cid),
+    within-cell exact-cosine pairs ≥ tau. Default = the id_a < id_b
+    self form; with mod/rem the pairs are corpus (id % mod != rem) ×
+    batch (id % mod = rem) — the incremental shape. Shared with the
+    fuzz surface so the gate and the fuzzer can never drift apart."""
+    cross = (f"c.vec_id % {mod} != {rem} AND b.vec_id % {mod} = {rem}"
+             if mod is not None else "c.vec_id < b.vec_id")
+    return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_cent}),
     scored AS (
       SELECT e.vec_id, cid,
              round(list_dot_product(v, cv) /
@@ -3716,12 +3727,14 @@ _DUCK_SEMANTIC_INCR = """
            round(list_dot_product(c.v, b.v) /
                  (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
              AS cosine
-    FROM j c JOIN j b ON c.cell = b.cell
-         AND c.vec_id % 5 != 0 AND b.vec_id % 5 = 0
+    FROM j c JOIN j b ON c.cell = b.cell AND {cross}
     WHERE round(list_dot_product(c.v, b.v) /
           (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-          >= 0.4
+          >= {tau}
     """
+
+
+_DUCK_SEMANTIC_INCR = _duck_semantic_pairs(8, 0.4, 5, 0)
 
 
 @q("dedup_embedding_semantic_incremental", _DUCK_SEMANTIC_INCR)

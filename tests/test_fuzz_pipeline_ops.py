@@ -733,3 +733,35 @@ def test_fuzz_video_framehash(spark, duck):
             threshold=thr, every_ms=every_ms)
         assert_df_matches_duck(
             inc, duck, _duck_video_pairs(thr, every_ms, mod, rem))
+
+
+def test_fuzz_semantic_pairs(spark, duck):
+    """SemDeDup pairing at random centroid counts, thresholds, and
+    batch/corpus splits — self and incremental forms both pinned to
+    contract._duck_semantic_pairs (shared with the driver gate)."""
+    from pyspark.sql import functions as F
+
+    from coolplaydruid_spark.contract import _duck_semantic_pairs, engine_for
+    from coolplaydruid_spark.operators import dedup
+
+    from conftest import SF_DIR
+
+    rng = random.Random(SEED + 93)
+    emb = engine_for(spark, SF_DIR).catalog.table("embeddings")
+    for _ in range(max(4, N_SPECS // 10)):
+        n = rng.randint(2, 16)
+        tau = rng.choice([0.2, 0.3, 0.4, 0.5])
+        cent = emb.where(F.col("vec_id") < n).select(
+            F.col("vec_id").alias("centroid_id"), "embedding")
+        if rng.random() < 0.5:
+            got = dedup.semantic_dedup_pairs(emb, cent, threshold=tau)
+            assert_df_matches_duck(got, duck, _duck_semantic_pairs(n, tau))
+        else:
+            mod = rng.randint(3, 7)
+            rem = rng.randrange(mod)
+            got = dedup.semantic_dedup_pairs_incremental(
+                emb.where(F.col("vec_id") % mod == rem), cent,
+                corpus_df=emb.where(F.col("vec_id") % mod != rem),
+                threshold=tau)
+            assert_df_matches_duck(
+                got, duck, _duck_semantic_pairs(n, tau, mod, rem))
