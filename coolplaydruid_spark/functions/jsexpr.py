@@ -97,6 +97,45 @@ def _to_string(v: "_Val") -> Column:
     return v.col.cast("string")
 
 
+def _to_number(v: "_Val") -> Column:
+    """JS ToNumber for a string operand: a malformed numeric string is
+    NaN, not an error (fuzz find, seed 13597: under ANSI mode a plain
+    cast THREW on the concat result '-0.5-0.5' reaching a numeric
+    comparison — Rhino evaluates it to NaN). NULL input stays NULL (the
+    module's documented SQL-null propagation)."""
+    c = v.col.try_cast("double")
+    return F.when(v.col.isNotNull() & c.isNull(),
+                  F.lit(float("nan"))).otherwise(c)
+
+
+def _num_operand(v: "_Val") -> Column:
+    """Operand of an arithmetic op: str-tagged values coerce via JS
+    ToNumber (NaN on malformed instead of an ANSI cast error)."""
+    return _to_number(v) if v.tag == "str" else v.col
+
+
+def _coerce_cmp(left: "_Val", right: "_Val"):
+    """JS comparison coercion. A string compared against a number or
+    boolean converts via ToNumber; any NUMERIC comparison gets a NaN
+    guard, because JS says NaN compares unequal to everything while
+    Spark orders NaN greater than any double and NaN == NaN true — and
+    ToNumber/sqrt(-1) can feed NaN into any numeric comparison.
+    Returns (lcol, rcol, nan_guard); nan_guard is None when no numeric
+    coercion applies (str-str and unknown comparisons keep Spark
+    semantics). isnan(NULL) is false, so the guard never hijacks
+    SQL-null propagation."""
+    num_tags = ("num", "bool")
+    if left.tag == "str" and right.tag in num_tags:
+        lc, rc = _to_number(left), right.col.cast("double")
+    elif right.tag == "str" and left.tag in num_tags:
+        lc, rc = left.col.cast("double"), _to_number(right)
+    elif left.tag in num_tags and right.tag in num_tags:
+        lc, rc = left.col.cast("double"), right.col.cast("double")
+    else:
+        return left.col, right.col, None
+    return lc, rc, F.isnan(lc) | F.isnan(rc)
+
+
 class _Parser:
     def __init__(self, toks: list[tuple[str, str]], env: dict[str, _Val]):
         self.toks = toks
@@ -158,11 +197,12 @@ class _Parser:
         while self.peek()[1] in ("==", "!=", "===", "!=="):
             op = self.next()[1]
             right = self.relational()
-            col = (
-                left.col == right.col
-                if op in ("==", "===")
-                else left.col != right.col
-            )
+            lc, rc, nan = _coerce_cmp(left, right)
+            col = lc == rc if op in ("==", "===") else lc != rc
+            if nan is not None:
+                # JS: NaN compares unequal to everything — == false,
+                # != true (Spark's own NaN ordering says NaN == NaN).
+                col = F.when(nan, F.lit(op in ("!=", "!=="))).otherwise(col)
             left = _Val(col, "bool")
         return left
 
@@ -171,12 +211,17 @@ class _Parser:
         while self.peek()[1] in ("<", "<=", ">", ">="):
             op = self.next()[1]
             right = self.additive()
+            lc, rc, nan = _coerce_cmp(left, right)
             col = {
-                "<": left.col < right.col,
-                "<=": left.col <= right.col,
-                ">": left.col > right.col,
-                ">=": left.col >= right.col,
+                "<": lc < rc,
+                "<=": lc <= rc,
+                ">": lc > rc,
+                ">=": lc >= rc,
             }[op]
+            if nan is not None:
+                # JS: every relational with NaN is false (Spark sorts
+                # NaN greater than any double).
+                col = F.when(nan, F.lit(False)).otherwise(col)
             left = _Val(col, "bool")
         return left
 
@@ -186,7 +231,7 @@ class _Parser:
             op = self.next()[1]
             right = self.multiplicative()
             if op == "-":
-                left = _Val(left.col - right.col, "num")
+                left = _Val(_num_operand(left) - _num_operand(right), "num")
             elif "str" in (left.tag, right.tag):
                 left = _Val(F.concat(_to_string(left), _to_string(right)), "str")
             else:
@@ -198,10 +243,11 @@ class _Parser:
         while self.peek()[1] in ("*", "/", "%"):
             op = self.next()[1]
             right = self.unary()
+            lc, rc = _num_operand(left), _num_operand(right)
             col = {
-                "*": lambda: left.col * right.col,
-                "/": lambda: left.col.cast("double") / right.col,
-                "%": lambda: left.col % right.col,
+                "*": lambda: lc * rc,
+                "/": lambda: lc.cast("double") / rc,
+                "%": lambda: lc % rc,
             }[op]()
             left = _Val(col, "num")
         return left
@@ -211,7 +257,7 @@ class _Parser:
             return _Val(~_truthy(self.unary()), "bool")
         if self.try_eat("-"):
             v = self.unary()
-            return _Val(-v.col, "num")
+            return _Val(-_num_operand(v), "num")
         return self.postfix()
 
     def postfix(self) -> _Val:
@@ -324,14 +370,19 @@ class _Parser:
             if v in ("parseInt", "parseFloat", "Number", "String"):
                 self.eat("(")
                 a = self.args()
-                if v == "parseInt":
-                    # truncation toward zero, like JS on numeric input
-                    return _Val(
-                        a[0].col.cast("double").cast("long").cast("double"), "num"
-                    )
                 if v == "String":
                     return _Val(_to_string(a[0]), "str")
-                return _Val(a[0].col.cast("double"), "num")
+                # Number/parseFloat/parseInt: JS ToNumber — malformed
+                # strings are NaN, never a cast error (try_cast for the
+                # long truncation too: NaN/Infinity must not throw).
+                d = _num_operand(a[0]) if a[0].tag == "str" \
+                    else a[0].col.cast("double")
+                if v == "parseInt":
+                    # truncation toward zero, like JS on numeric input
+                    d = F.when(
+                        F.isnan(d) | d.isNull(), d
+                    ).otherwise(d.try_cast("long").cast("double"))
+                return _Val(d, "num")
             if v in self.env:
                 return self.env[v]
             raise JsSubsetError(f"unknown identifier {v!r}")
@@ -377,7 +428,10 @@ def _truthy(v: _Val) -> Column:
     if v.tag == "str":
         return v.col.isNotNull() & (v.col != "")
     if v.tag == "num":
-        return v.col.isNotNull() & (v.col != 0)
+        # JS: Boolean(NaN) is false (Spark's NaN != 0 is true)
+        return (v.col.isNotNull()
+                & ~F.isnan(v.col.cast("double"))
+                & (v.col != 0))
     return F.coalesce(v.col.cast("boolean"), F.lit(False))
 
 
@@ -421,20 +475,27 @@ def _compile_body(p: _Parser) -> _Val:
     return out
 
 
-def compile_scalar(src: str, arg_cols: list[Column], kind: str = "str") -> Column:
+def compile_scalar(src: str, arg_cols: list[Column],
+                   kind: str | list[str] = "str") -> Column:
     """Compile JS function source to a Column over the given argument
     columns (one per declared parameter, by position).
 
     ``kind`` sets the JS type the parameters carry: dimension values
     arrive as strings in Druid's JS filter/extraction (so `a + b`
     concatenates), while post-aggregator fields are aggregate outputs —
-    numbers (so `a + b` adds)."""
+    numbers (so `a + b` adds). A LIST gives each parameter its own kind
+    (mixed string-dimension + numeric-field signatures)."""
     params, p = _parse_function(src)
     if len(arg_cols) < len(params):
         raise JsSubsetError(
             f"function declares {len(params)} params, got {len(arg_cols)} columns"
         )
-    p.env = {name: _Val(col, kind) for name, col in zip(params, arg_cols)}
+    kinds = [kind] * len(params) if isinstance(kind, str) else list(kind)
+    if len(kinds) < len(params):
+        raise JsSubsetError(
+            f"function declares {len(params)} params, got {len(kinds)} kinds")
+    p.env = {name: _Val(col, k)
+             for name, col, k in zip(params, arg_cols, kinds)}
     return _compile_body(p).col
 
 

@@ -44,6 +44,45 @@ def js_frame(spark):
     return spark.createDataFrame(ROWS, "id long, s string, d double")
 
 
+# The oracles model x as a JS string and y as a JS number, so the
+# compile must declare the params that way (seed-13597 find: passing
+# one kind for both params tagged the numeric y as a string, turning
+# `y + y` into concat — and the concat result reaching a numeric
+# comparison exposed the engine's missing ToNumber coercion).
+PARAM_KINDS = ["str", "num"]
+
+# Pinned fuzz finds (seed 13597): JS ToNumber — a malformed numeric
+# string in a numeric comparison is NaN, never an ANSI cast error; NaN
+# compares unequal to everything (==/</<=/>/>= false, != true);
+# Boolean(NaN) is false. Each entry: (src, s, d, expected).
+PINNED = [
+    ("function(x, y) { return ((x + x) != 2) ? 1.0 : 0.0; }",
+     "hello", 1.0, 1.0),    # Number('hellohello') = NaN; NaN != 2 → true
+    ("function(x, y) { return ((x + x) == 2) ? 1.0 : 0.0; }",
+     "zebra", -0.5, 0.0),   # NaN == 2 → false
+    ("function(x, y) { return ((x + x) < 99999) ? 1.0 : 0.0; }",
+     "zebra", -0.5, 0.0),   # NaN < n → false (Spark would say true)
+    ("function(x, y) { return ((x + x) < 99999) ? 1.0 : 0.0; }",
+     "42", 0.0, 1.0),       # '4242' parses: 4242 < 99999 → true
+    ("function(x, y) { return ((y + y) != -1) ? 1.0 : 0.0; }",
+     "zebra", -0.5, 0.0),   # y is a NUMBER: -0.5 + -0.5 adds, not concat
+    ("function(x, y) { return (Number(x) != Number(x)) ? 1.0 : 0.0; }",
+     "zebra", -0.5, 1.0),   # NaN != NaN → true (Spark says false)
+    ("function(x, y) { return (x - 1) ? 'a' : 'b'; }",
+     "zebra", -0.5, "b"),   # NaN is falsy (Spark's NaN != 0 is true)
+    ("function(x, y) { return parseInt(x) ? 'a' : 'b'; }",
+     "zebra", -0.5, "b"),   # parseInt('zebra') = NaN, no cast error
+]
+
+
+def test_pinned_js_tonumber_coercion(spark):
+    for src, s, d, want in PINNED:
+        col = compile_scalar(src, [F.col("s"), F.col("d")], kind=PARAM_KINDS)
+        df = spark.createDataFrame([(s, d)], "s string, d double")
+        got = df.select(col.alias("e")).collect()[0]["e"]
+        assert got == want, (src, s, d, got, want)
+
+
 class _Null(Exception):
     pass
 
@@ -271,7 +310,7 @@ def test_fuzz_jsexpr(js_frame):
             src = f"function(x, y) {{ return {frag}; }}"
             try:
                 col = compile_scalar(src, [F.col("s"), F.col("d")],
-                                     kind=kind)
+                                     kind=PARAM_KINDS)
                 cols.append(col.alias(f"e{j}"))
                 metas.append((start + j, src, fn))
             except Exception as e:  # noqa: BLE001
