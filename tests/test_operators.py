@@ -1292,3 +1292,54 @@ def test_semantic_cells_assignment_is_map_only(engine):
     for banned in ("Exchange", "Join", "InMemoryTableScan", "MapInPandas",
                    "BatchEvalPython", "ArrowEvalPython"):
         assert banned not in plan, f"{banned} in semantic_cells plan:\n{plan}"
+
+
+def test_semantic_cells_arrow_matches_jvm_exactly(engine):
+    """impl='arrow' (batch numpy matmul) must be value-identical to
+    impl='jvm' (pure Column expressions) on real fixture embeddings at
+    a production-ish cell count — same rounded cosine, same tie rule."""
+    emb = engine.catalog.table("embeddings")
+    cents = [(i, [((i * 7 + j * 3) % 11 - 5) / 5.0 for j in range(64)])
+             for i in range(40)]
+    jvm = {(r["vec_id"]): (r["__cell"], r["__cell_cos"])
+           for r in dedup.semantic_cells(emb, cents, impl="jvm").collect()}
+    arrow = {(r["vec_id"]): (r["__cell"], r["__cell_cos"])
+             for r in dedup.semantic_cells(emb, cents, impl="arrow").collect()}
+    assert jvm == arrow
+    assert len({c for c, _ in jvm.values()}) > 5, "degenerate cells"
+
+
+def test_semantic_cells_arrow_null_and_corner_semantics(spark):
+    """Null vector / null element land in the lowest-cid cell with NULL
+    cosine on BOTH paths; the arrow path refuses zero-norm vectors
+    loudly (its one documented divergence: it cannot carry a NaN
+    cosine)."""
+    import pytest as _pytest
+
+    cents = [(3, [1.0, 0.0]), (7, [0.0, 1.0])]
+    df = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, None), (3, [0.5, None])],
+        "vec_id long, embedding array<double>")
+    for impl in ("jvm", "arrow"):
+        got = {r["vec_id"]: (r["__cell"], r["__cell_cos"])
+               for r in dedup.semantic_cells(df, cents, impl=impl).collect()}
+        assert got[1][0] == 3 and got[1][1] is not None, (impl, got)
+        assert got[2] == (3, None), (impl, got)
+        assert got[3] == (3, None), (impl, got)
+    zero = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(Exception, match="zero-norm|NaN"):
+        dedup.semantic_cells(zero, cents, impl="arrow").collect()
+
+
+def test_semantic_cells_auto_picks_arrow_above_threshold(engine):
+    """auto = arrow above ~4k centroid-floats (a MapInPandas plan),
+    jvm below (pure projection plan) — the oracle-gated entries stay on
+    the exact JVM path by construction."""
+    emb = engine.catalog.table("embeddings").limit(10)
+    small = dedup.semantic_cells(emb, [(i, [0.1] * 64) for i in range(8)])
+    big = dedup.semantic_cells(emb, [(i, [0.1 * (i % 9 + 1)] * 64)
+                                     for i in range(80)])
+    assert "mapInPandas" not in small._jdf.queryExecution().executedPlan().toString() \
+        and "MapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in big._jdf.queryExecution().executedPlan().toString()
