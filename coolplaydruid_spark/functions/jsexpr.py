@@ -102,10 +102,59 @@ def _to_number(v: "_Val") -> Column:
     NaN, not an error (fuzz find, seed 13597: under ANSI mode a plain
     cast THREW on the concat result '-0.5-0.5' reaching a numeric
     comparison — Rhino evaluates it to NaN). NULL input stays NULL (the
-    module's documented SQL-null propagation)."""
+    module's documented SQL-null propagation). An empty or
+    whitespace-only string is 0 (Number('') === 0 — r11 advice: Spark's
+    try_cast nulls it, which misread as NaN here, so `"" == 0` came out
+    false where Rhino says true), and an unsigned 0x-prefixed hex
+    literal parses as hex (Number('0x10') === 16; a SIGNED '-0x10' is
+    NaN in JS, and try_cast already nulls it into the NaN fallback)."""
+    s = F.trim(v.col)
     c = v.col.try_cast("double")
-    return F.when(v.col.isNotNull() & c.isNull(),
-                  F.lit(float("nan"))).otherwise(c)
+    hex_body = F.regexp_extract(s, r"^0[xX]([0-9a-fA-F]+)$", 1)
+    return (
+        F.when(v.col.isNull(), c)
+        .when(s == "", F.lit(0.0))
+        .when(hex_body != "", F.conv(hex_body, 16, 10).cast("double"))
+        .when(c.isNull(), F.lit(float("nan")))
+        .otherwise(c)
+    )
+
+
+def _parse_int_str(col: Column) -> Column:
+    """JS parseInt on a string: trim, then PREFIX-parse — an optional
+    sign, then either a 0x/0X hex body or decimal digits; whatever
+    follows the numeric prefix is ignored ('12abc' → 12 — r11 advice:
+    ToNumber yielded NaN there). No parsable prefix (incl. '' and
+    'Infinity' — parseInt never accepts Infinity) → NaN; NULL → NULL."""
+    s = F.trim(col)
+    neg = F.when(s.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
+    hex_body = F.regexp_extract(s, r"^[+-]?0[xX]([0-9a-fA-F]+)", 1)
+    dec_body = F.regexp_extract(s, r"^([+-]?[0-9]+)", 1)
+    return (
+        F.when(col.isNull(), F.lit(None).cast("double"))
+        .when(hex_body != "", neg * F.conv(hex_body, 16, 10).cast("double"))
+        .when(dec_body != "", dec_body.cast("double"))
+        .otherwise(F.lit(float("nan")))
+    )
+
+
+def _parse_float_str(col: Column) -> Column:
+    """JS parseFloat on a string: trim, then PREFIX-parse the longest
+    StrDecimalLiteral — sign, then Infinity | digits[.digits][exp] |
+    .digits[exp] ('12e3abc' → 12000, '0x10' → 0 via the '0' prefix,
+    '' → NaN — parseFloat does NOT share ToNumber's ''→0 or hex rules)."""
+    s = F.trim(col)
+    body = F.regexp_extract(
+        s,
+        r"^([+-]?(?:Infinity|[0-9]+\.?[0-9]*(?:[eE][+-]?[0-9]+)?"
+        r"|\.[0-9]+(?:[eE][+-]?[0-9]+)?))",
+        1,
+    )
+    return (
+        F.when(col.isNull(), F.lit(None).cast("double"))
+        .when(body != "", body.cast("double"))
+        .otherwise(F.lit(float("nan")))
+    )
 
 
 def _num_operand(v: "_Val") -> Column:
@@ -197,6 +246,21 @@ class _Parser:
         while self.peek()[1] in ("==", "!=", "===", "!=="):
             op = self.next()[1]
             right = self.relational()
+            if op in ("===", "!==") and (
+                (left.tag == "str" and right.tag in ("num", "bool"))
+                or (right.tag == "str" and left.tag in ("num", "bool"))
+            ):
+                # JS strict equality never coerces: differing primitive
+                # types compare unequal regardless of value ('5' === 5
+                # is false — r11 advice: routing these through
+                # _coerce_cmp's ToNumber made it true). SQL-null
+                # propagation preserved: a NULL operand yields NULL.
+                col = F.when(
+                    left.col.isNull() | right.col.isNull(),
+                    F.lit(None).cast("boolean"),
+                ).otherwise(F.lit(op == "!=="))
+                left = _Val(col, "bool")
+                continue
             lc, rc, nan = _coerce_cmp(left, right)
             col = lc == rc if op in ("==", "===") else lc != rc
             if nan is not None:
@@ -372,16 +436,30 @@ class _Parser:
                 a = self.args()
                 if v == "String":
                     return _Val(_to_string(a[0]), "str")
-                # Number/parseFloat/parseInt: JS ToNumber — malformed
-                # strings are NaN, never a cast error (try_cast for the
-                # long truncation too: NaN/Infinity must not throw).
+                if v == "parseInt" and a[0].tag == "str":
+                    return _Val(_parse_int_str(a[0].col), "num")
+                if v == "parseFloat" and a[0].tag == "str":
+                    return _Val(_parse_float_str(a[0].col), "num")
+                # Number: JS ToNumber — malformed strings are NaN,
+                # never a cast error; '' is 0, unsigned 0x hex parses.
                 d = _num_operand(a[0]) if a[0].tag == "str" \
                     else a[0].col.cast("double")
                 if v == "parseInt":
-                    # truncation toward zero, like JS on numeric input
-                    d = F.when(
-                        F.isnan(d) | d.isNull(), d
-                    ).otherwise(d.try_cast("long").cast("double"))
+                    # numeric input: truncation toward zero, like JS —
+                    # except ±Infinity, where JS parseInt is NaN (r11
+                    # advice: try_cast('long') turned Infinity into SQL
+                    # NULL, breaking the NaN-vs-NULL distinction).
+                    # |d| ≥ 2^63 is already integral as a double, so
+                    # returning d IS the truncation (JS's further
+                    # String(1e21)→'1e+21'→1 corner is out of subset).
+                    big = F.abs(d) >= F.lit(9.223372036854776e18)
+                    d = (
+                        F.when(F.isnan(d) | d.isNull(), d)
+                        .when(F.abs(d) == F.lit(float("inf")),
+                              F.lit(float("nan")))
+                        .when(big, d)
+                        .otherwise(d.try_cast("long").cast("double"))
+                    )
                 return _Val(d, "num")
             if v in self.env:
                 return self.env[v]

@@ -943,9 +943,12 @@ def _semantic_cells_arrow(df: DataFrame, pairs: list, vec_col: str) -> DataFrame
     path is measured ~90× slower at 80 cells × 64 dims). Bit-identical
     rules: cosine rounded to 6 decimals, ties toward the lowest centroid
     id, a null vector (or null element) lands in the lowest-cid cell
-    with NULL cosine. The one corner it refuses (fail-loud, use
+    with NULL cosine. The corners it refuses (fail-loud, use
     impl='jvm'): zero-norm or all-NaN vectors, whose JVM result is a NaN
-    cosine that pandas' nullable Float64 cannot carry distinctly."""
+    cosine that pandas' nullable Float64 cannot carry distinctly, and
+    vectors with an INFINITE element, whose JVM cosine is ±inf/NaN and
+    can win the argmax — silently nulling them would diverge (r11
+    advice)."""
     import numpy as np
     import pandas as pd
 
@@ -976,11 +979,23 @@ def _semantic_cells_arrow(df: DataFrame, pairs: list, vec_col: str) -> DataFrame
             # here: both take the null treatment (lowest-cid cell, NULL
             # cosine — the JVM rule for null elements; a true-NaN
             # embedding needs impl='jvm' for its NaN-cosine corner).
-            clean_idx = [
-                i for i, v in enumerate(vecs)
-                if v is not None
-                and np.isfinite(np.asarray(v, dtype=np.float64)).all()
-            ]
+            # An INFINITE element is distinguishable — and its JVM
+            # cosine is ±inf/NaN that can win or poison the argmax — so
+            # it fails loud like zero-norm instead of silently taking
+            # the null treatment (r11 advice: undocumented arrow/jvm
+            # divergence).
+            clean_idx = []
+            for i, v in enumerate(vecs):
+                if v is None:
+                    continue
+                arr = np.asarray(v, dtype=np.float64)
+                if np.isinf(arr).any():
+                    raise ValueError(
+                        "infinite vector element: the Arrow assignment "
+                        "cannot mirror the JVM path's infinite cosine — "
+                        "pass impl='jvm' for degenerate inputs")
+                if not np.isnan(arr).any():
+                    clean_idx.append(i)
             if clean_idx:
                 M = np.stack([
                     np.asarray(vecs.iloc[i], dtype=np.float64) for i in clean_idx

@@ -72,6 +72,37 @@ PINNED = [
      "zebra", -0.5, "b"),   # NaN is falsy (Spark's NaN != 0 is true)
     ("function(x, y) { return parseInt(x) ? 'a' : 'b'; }",
      "zebra", -0.5, "b"),   # parseInt('zebra') = NaN, no cast error
+    # r12 advice fixes: ToNumber('') = 0 (not NaN), unsigned hex parses,
+    # strict equality never coerces, parseInt prefix-parses and maps
+    # Infinity to NaN, parseFloat prefix-parses without ToNumber's rules.
+    ("function(x, y) { return (x == 0) ? 1.0 : 0.0; }",
+     "", 1.0, 1.0),         # Number('') = 0 → true (was NaN → false)
+    ("function(x, y) { return (x < 1) ? 1.0 : 0.0; }",
+     "   ", 1.0, 1.0),      # whitespace-only → 0 < 1 → true
+    ("function(x, y) { return (x == 16) ? 1.0 : 0.0; }",
+     "0x10", 1.0, 1.0),     # Number('0x10') = 16
+    ("function(x, y) { return (x == 16) ? 1.0 : 0.0; }",
+     "-0x10", 1.0, 0.0),    # SIGNED hex is NaN under ToNumber
+    ("function(x, y) { return (x === 5) ? 1.0 : 0.0; }",
+     "5", 5.0, 0.0),        # strict equality: '5' === 5 is false
+    ("function(x, y) { return (x !== 5) ? 1.0 : 0.0; }",
+     "5", 5.0, 1.0),        # '5' !== 5 is true
+    ("function(x, y) { return (x == 5) ? 1.0 : 0.0; }",
+     "5", 5.0, 1.0),        # loose equality still coerces
+    ("function(x, y) { return parseInt(x); }",
+     "12abc", 0.0, 12.0),   # parseInt prefix-parses
+    ("function(x, y) { return parseInt(x); }",
+     "-0x1A", 0.0, -26.0),  # parseInt DOES take signed hex
+    ("function(x, y) { return parseInt(parseFloat(x)) ? 'a' : 'b'; }",
+     "Infinity", 1.0, "b"), # numeric-input parseInt(Inf) = NaN, not NULL
+    ("function(x, y) { return parseInt(x) ? 'a' : 'b'; }",
+     "Infinity", 1.0, "b"), # parseInt('Infinity') = NaN too
+    ("function(x, y) { return parseFloat(x); }",
+     "12.5e1abc", 0.0, 125.0),  # parseFloat prefix-parses
+    ("function(x, y) { return parseFloat(x); }",
+     "0x10", 0.0, 0.0),     # parseFloat sees the '0' prefix, not hex
+    ("function(x, y) { return parseFloat(x) ? 'a' : 'b'; }",
+     "", 1.0, "b"),         # parseFloat('') = NaN (NOT ToNumber's 0)
 ]
 
 

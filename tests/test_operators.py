@@ -1330,6 +1330,13 @@ def test_semantic_cells_arrow_null_and_corner_semantics(spark):
         [(1, [0.0, 0.0])], "vec_id long, embedding array<double>")
     with _pytest.raises(Exception, match="zero-norm|NaN"):
         dedup.semantic_cells(zero, cents, impl="arrow").collect()
+    # An infinite element also fails loud (r11 advice: it used to take
+    # the null-vector treatment silently while the JVM path computed an
+    # infinite cosine that could win the argmax).
+    inf = spark.createDataFrame(
+        [(1, [float("inf"), 1.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(Exception, match="infinite vector element"):
+        dedup.semantic_cells(inf, cents, impl="arrow").collect()
 
 
 def test_semantic_cells_auto_picks_arrow_above_threshold(engine):

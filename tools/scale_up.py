@@ -40,8 +40,10 @@ SRC = Path("/root/testdata/sf0.1")
 # beside the tables so consumers (bench.py) re-synthesize instead of
 # reusing a fixture built under older rules. v2: embedding copies get a
 # per-copy orthogonal transform (exact-copy vectors quadratically
-# distorted pairwise embedding operators).
-SYNTH_VERSION = 2
+# distorted pairwise embedding operators). v3: the transform is derived
+# per (copy, dim) and maps null elements through (r11 advice: a null
+# element or ragged dim in the fixture broke synthesis).
+SYNTH_VERSION = 3
 
 # key domain -> (owning table, column) for the offset base
 DOMAINS = {
@@ -97,14 +99,31 @@ def _rotate_embeddings(col: pa.ChunkedArray, copy_idx: int,
 
     rng = random.Random((0xE5 << 32) | copy_idx)
     vecs = col.to_pylist()
-    dim = next((len(v) for v in vecs if v), 0)
-    perm = list(range(dim))
-    rng.shuffle(perm)
-    signs = [rng.choice((1.0, -1.0)) for _ in range(dim)]
-    out = [
-        None if v is None else [signs[j] * v[perm[j]] for j in range(dim)]
-        for v in vecs
-    ]
+    # One permutation per DIM actually present: the operators support
+    # ragged and null-element vectors, so the fixture may carry them
+    # (r11 advice: deriving one perm from the first vector raised
+    # IndexError on shorter vectors and TypeError on null elements).
+    perms: dict[int, tuple[list[int], list[float]]] = {}
+
+    def _perm_for(dim: int):
+        if dim not in perms:
+            # seeded per (copy, dim) so equal-dim vectors share one map
+            r = random.Random((0xE5 << 40) | (copy_idx << 16) | dim)
+            p = list(range(dim))
+            r.shuffle(p)
+            perms[dim] = (p, [r.choice((1.0, -1.0)) for _ in range(dim)])
+        return perms[dim]
+
+    out = []
+    for v in vecs:
+        if v is None:
+            out.append(None)
+            continue
+        perm, signs = _perm_for(len(v))
+        out.append([
+            signs[j] * v[perm[j]] if v[perm[j]] is not None else None
+            for j in range(len(v))
+        ])
     return pa.array(out, type=field_type)
 
 
