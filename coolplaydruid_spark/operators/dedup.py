@@ -967,8 +967,15 @@ def _semantic_cells_arrow(df: DataFrame, pairs: list, vec_col: str) -> DataFrame
         + [T.StructField("__cell", cell_t), T.StructField("__cell_cos", T.DoubleType())]
     )
     lowest = cid_arr[0].item() if hasattr(cid_arr[0], "item") else cid_arr[0]
+    # The centroid matrix rides an explicit Broadcast, not the task
+    # closure: a closure capture is re-pickled and shipped with EVERY
+    # task (50k cells × 768 dims × 8 B ≈ 300 MB per task at SemDeDup's
+    # published shape), while a broadcast lands on each executor once
+    # via the torrent protocol (r11 verdict #1).
+    bc = df.sparkSession.sparkContext.broadcast((cid_arr, C, cn))
 
     def assign(batches):
+        cid_arr, C, cn = bc.value
         for pdf in batches:
             n = len(pdf)
             cells = [lowest] * n
@@ -1144,6 +1151,7 @@ def semantic_dedup(
     train_sample: int = 100_000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    fit_impl: str = "auto",
 ) -> DataFrame:
     """SemDeDup end-to-end: cells → within-cell cosine pairs ≥ threshold
     → connected components → keep ONE survivor per component. Returns
@@ -1156,10 +1164,14 @@ def semantic_dedup(
     cells (pairs are within-cell by construction) so the per-component
     centroid is well-defined.
 
-    ``centroids=None`` driver-fits k-means via similarity.fit_centroids
-    (bounded md5-ordered sample, literals folded into the plan — the
-    production path). Passing an explicit small (centroid_id, vec)
-    frame or (cid, vector) list pins the cells for exact SQL oracles.
+    ``centroids=None`` fits k-means via similarity.fit_centroids —
+    driver-side over a bounded md5-ordered sample below
+    DRIVER_FIT_MAX_CELLS, distributed pyspark.ml KMeans above it
+    (``fit_impl`` forces either; the fitted centroids then reach the
+    assignment as plan literals or an Arrow broadcast per
+    semantic_cells' impl rule). Passing an explicit small
+    (centroid_id, vec) frame or (cid, vector) list pins the cells for
+    exact SQL oracles.
     """
     from coolplaydruid_spark.operators import graph
 
@@ -1169,6 +1181,7 @@ def semantic_dedup(
         fitted = similarity.fit_centroids(
             df, n_clusters=n_clusters, seed=seed, max_iter=max_iter,
             train_sample=train_sample, vec_col=vec_col, id_col=id_col,
+            impl=fit_impl,
         )
         if fitted is None:
             return df  # empty corpus: nothing to dedup

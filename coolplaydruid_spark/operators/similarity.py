@@ -128,6 +128,46 @@ def _sqdist(vec, cent):
     )
 
 
+# Above this cell count the driver fit stops being honest: a k-means++
+# seeding pass is O(sample × k × dim) flops PER CENTER on the driver,
+# the distance matrix is sample × k doubles per iteration, and the
+# 100k-row train_sample cap leaves < 25 samples/cell — so "auto"
+# switches to the distributed pyspark.ml fit (r11 verdict: the driver
+# path capped ~1000× below SemDeDup's published 50k-cell shape).
+DRIVER_FIT_MAX_CELLS = 4096
+
+
+def _fit_centroids_ml(corpus: DataFrame, n_clusters: int, seed: int,
+                      max_iter: int, vec_col: str):
+    """Distributed k-means fit via pyspark.ml.clustering.KMeans — the
+    production path for cell counts past DRIVER_FIT_MAX_CELLS, where
+    SemDeDup's published setting (50k cells for LAION-440M, Abbas et
+    al. 2023) is unreachable driver-side: MLlib's k-means|| init and
+    per-iteration Lloyd steps are cluster-parallel jobs, the corpus
+    never leaves the executors, and only the k × dim centroid matrix
+    comes back to the driver. Rows with a NULL vector or a NULL element
+    are excluded from TRAINING only (they still get assigned downstream
+    under semantic_cells' null rule). Returns ndarray or None (empty)."""
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(_dvec(F.col(vec_col)).alias("__v")).where(
+        F.col("__v").isNotNull()
+        & ~F.exists(F.col("__v"), lambda x: x.isNull())
+    ).select(array_to_vector(F.col("__v")).alias("__features"))
+    n = feats.count()
+    if n == 0:
+        return None
+    model = KMeans(
+        k=min(n_clusters, n), seed=seed, maxIter=max_iter,
+        featuresCol="__features",
+    ).fit(feats)
+    return np.asarray([np.asarray(c, dtype=np.float64)
+                       for c in model.clusterCenters()])
+
+
 def fit_centroids(
     corpus: DataFrame,
     n_clusters: int = 16,
@@ -136,20 +176,30 @@ def fit_centroids(
     train_sample: int = 100_000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    impl: str = "auto",
 ):
-    """Driver-fit k-means centroids over a bounded, unbiased corpus
-    sample; returns an ``ndarray`` of ≤ n_clusters centroid vectors, or
-    None for an empty corpus. Shared by ivf_topk (probe routing) and
-    dedup.semantic_dedup (SemDeDup cell assignment).
+    """Fit k-means centroids; returns an ``ndarray`` of ≤ n_clusters
+    centroid vectors, or None for an empty corpus. Shared by ivf_topk
+    (probe routing) and dedup.semantic_dedup (SemDeDup cell assignment).
 
-    Scale: training needs a bounded, UNBIASED sample, not the corpus —
-    the train_sample rows with the smallest md5(id): hash order is
-    uniform w.r.t. content, so a corpus written sorted/clustered (by
-    time, source, language) cannot bias the centroids the way a prefix
-    limit() would. orderBy+limit compiles to TakeOrderedAndProject
-    (per-partition top-K + merge, no full sort); the sample is collected
-    once and fitted driver-side (_kmeans_fit)."""
+    ``impl``: "driver" (bounded-sample fit on the driver — exact,
+    deterministic, zero cluster jobs; every SQL-oracled gate pins this
+    path), "ml" (distributed pyspark.ml KMeans — the 100 TB path), or
+    "auto" (default): ml above DRIVER_FIT_MAX_CELLS cells, driver below.
+
+    Driver-path scale: training needs a bounded, UNBIASED sample, not
+    the corpus — the train_sample rows with the smallest md5(id): hash
+    order is uniform w.r.t. content, so a corpus written
+    sorted/clustered (by time, source, language) cannot bias the
+    centroids the way a prefix limit() would. orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition top-K + merge, no full sort);
+    the sample is collected once and fitted driver-side (_kmeans_fit)."""
     import numpy as np
+
+    if impl not in ("auto", "driver", "ml"):
+        raise ValueError(f"impl must be auto|driver|ml, got {impl!r}")
+    if impl == "ml" or (impl == "auto" and n_clusters > DRIVER_FIT_MAX_CELLS):
+        return _fit_centroids_ml(corpus, n_clusters, seed, max_iter, vec_col)
 
     # Arrow transfer (toPandas), not collect(): collect() materializes
     # each vector as a Python list of boxed floats — ~4× the memory and

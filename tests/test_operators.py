@@ -1,6 +1,7 @@
 """North-star operators (dedup / similarity / text / multimodal) checked
 against exact DuckDB oracle SQL on the documents/embeddings fixtures."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from coolplaydruid_spark.operators import dedup, multimodal, similarity, text
@@ -339,6 +340,78 @@ def test_semantic_dedup_driver_fit_path(engine):
         endpoints |= {r["id_a"], r["id_b"]}
     assert ids - kept1 <= endpoints
     assert ids - kept1, "nothing deduped at threshold 0.4 — test lost its teeth"
+
+
+def test_semantic_fit_distributed_past_driver_zone(spark):
+    """The SemDeDup fit reaches production cell counts (r11 verdict #1):
+    impl='auto' past DRIVER_FIT_MAX_CELLS routes to the distributed
+    pyspark.ml KMeans (the corpus never lands on the driver), and the
+    fitted 5k-cell set assigns through the broadcast-Arrow path. The
+    Arrow assignment at full 5k cells is checked against an independent
+    numpy oracle implementing the documented rule (rounded cosine,
+    ties → lowest cid); arrow ≡ JVM parity is asserted on a pinned
+    48-centroid subsample of the SAME fitted set (the JVM literal path
+    is documented as the ≤4k-float tool — at 5k×16 its plan alone is
+    minutes, which is exactly why the ml+broadcast path exists)."""
+    import numpy as np
+
+    from coolplaydruid_spark.operators.similarity import DRIVER_FIT_MAX_CELLS
+
+    assert DRIVER_FIT_MAX_CELLS < 5000
+    dim, k, n = 16, 5000, 12_000
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = similarity.fit_centroids(df, n_clusters=k, seed=42, max_iter=1)
+    assert C is not None and C.shape == (k, dim)
+
+    cents = [(i, [float(x) for x in c]) for i, c in enumerate(C)]
+    sub_rows = rows[:40]
+    sub = df.where(F.col("vec_id") < 40)
+    arrow = {r["vec_id"]: (r["__cell"], r["__cell_cos"])
+             for r in dedup.semantic_cells(sub, cents, impl="arrow").collect()}
+
+    # independent numpy oracle over ALL 5k cells
+    cn = np.sqrt((C * C).sum(axis=1))
+    for vid, vec in sub_rows:
+        v = np.asarray(vec)
+        S = np.round((C @ v) / (cn * np.sqrt(v @ v)), 6)
+        best = int(S.argmax())  # argmax returns the FIRST max → lowest cid
+        assert arrow[vid] == (best, float(S[best])), vid
+
+    # arrow ≡ jvm glue on a pinned subsample of the fitted centroids
+    sub_cents = cents[::125][:48]
+    jvm = {r["vec_id"]: (r["__cell"], r["__cell_cos"])
+           for r in dedup.semantic_cells(sub, sub_cents, impl="jvm").collect()}
+    arrow2 = {r["vec_id"]: (r["__cell"], r["__cell_cos"])
+              for r in dedup.semantic_cells(sub, sub_cents, impl="arrow").collect()}
+    assert jvm == arrow2
+
+
+def test_fit_centroids_impl_routing(spark):
+    """impl='ml' and impl='driver' agree on shape and both produce
+    usable centroids on a small corpus; 'auto' stays driver-side below
+    the threshold (no pyspark.ml import cost on the oracle gates);
+    empty corpus → None on both paths."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    Cd = similarity.fit_centroids(df, n_clusters=6, impl="driver")
+    Cm = similarity.fit_centroids(df, n_clusters=6, impl="ml", max_iter=3)
+    assert Cd.shape == Cm.shape == (6, 8)
+    empty = df.where(F.lit(False))
+    assert similarity.fit_centroids(empty, n_clusters=4, impl="driver") is None
+    assert similarity.fit_centroids(empty, n_clusters=4, impl="ml") is None
+    with pytest.raises(ValueError, match="impl"):
+        similarity.fit_centroids(df, n_clusters=4, impl="bogus")
+    # ml path excludes null vectors / null elements from TRAINING only
+    with_null = spark.createDataFrame(
+        rows[:50] + [(900, None), (901, [1.0, None] + [0.0] * 6)],
+        "vec_id long, embedding array<double>")
+    Cn = similarity.fit_centroids(with_null, n_clusters=4, impl="ml", max_iter=2)
+    assert Cn.shape == (4, 8) and np.isfinite(Cn).all()
 
 
 def test_brute_force_topk(engine, duck):
