@@ -3696,15 +3696,29 @@ def _validate_semantic_fit(spark, sf_dir, rows):
 
 def _duck_semantic_pairs(n_cent: int, tau: float,
                          mod: int | None = None,
-                         rem: int | None = None) -> str:
+                         rem: int | None = None,
+                         max_cell: int | None = None) -> str:
     """SemDeDup pairing oracle: centroids = the first n_cent vectors by
     id, argmax-cosine cell assignment (rounded, ties → lowest cid),
     within-cell exact-cosine pairs ≥ tau. Default = the id_a < id_b
     self form; with mod/rem the pairs are corpus (id % mod != rem) ×
-    batch (id % mod = rem) — the incremental shape. Shared with the
-    fuzz surface so the gate and the fuzzer can never drift apart."""
+    batch (id % mod = rem) — the incremental shape. ``max_cell``
+    mirrors the engine's hot-cell cap: cells whose population exceeds
+    it emit no pairs (self form counts the whole cell; incremental
+    counts the CORPUS side only, the engine's symmetric-drop rule).
+    Shared with the fuzz surface so the gate and the fuzzer can never
+    drift apart."""
     cross = (f"c.vec_id % {mod} != {rem} AND b.vec_id % {mod} = {rem}"
              if mod is not None else "c.vec_id < b.vec_id")
+    cap_cte, src = "", "j"
+    if max_cell is not None:
+        count_side = (f"WHERE vec_id % {mod} != {rem}"
+                      if mod is not None else "")
+        cap_cte = f""",
+    hot AS (SELECT cell FROM j {count_side}
+            GROUP BY cell HAVING count(*) > {max_cell}),
+    jk AS (SELECT * FROM j WHERE cell NOT IN (SELECT cell FROM hot))"""
+        src = "jk"
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_cent}),
@@ -3722,16 +3736,36 @@ def _duck_semantic_pairs(n_cent: int, tau: float,
       FROM scored
     ),
     j AS (SELECT e.vec_id, e.v, asg.cell
-          FROM e JOIN asg ON e.vec_id = asg.vec_id AND asg.rn = 1)
+          FROM e JOIN asg ON e.vec_id = asg.vec_id AND asg.rn = 1){cap_cte}
     SELECT c.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(c.v, b.v) /
                  (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
              AS cosine
-    FROM j c JOIN j b ON c.cell = b.cell AND {cross}
+    FROM {src} c JOIN {src} b ON c.cell = b.cell AND {cross}
     WHERE round(list_dot_product(c.v, b.v) /
           (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
           >= {tau}
     """
+
+
+@q("dedup_embedding_semantic_capped", _duck_semantic_pairs(8, 0.4, max_cell=65))
+def dedup_embedding_semantic_capped(spark, sf_dir):
+    """semantic_dedup_pairs with the hot-cell cap (r11 verdict #2 —
+    the semantic family's analogue of dedup_minhash_capped): cells
+    holding more than 65 vectors emit no pairs, bounding the
+    within-cell self-join at cap² pairs per cell against skewed
+    clusters k-means cannot split (mass boilerplate embeddings). The
+    cap genuinely prunes at sf0.01 (5 of 8 cells over the cap → 5
+    pairs vs 20 uncapped), so the oracle verifies the exclusion
+    semantics, not just the plumbing; dropped-cell members are all
+    KEPT — the conservative recall trade, same argument as minhash's
+    max_band_bucket."""
+    eng = engine_for(spark, sf_dir)
+    emb = eng.catalog.table("embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    return dedup.semantic_dedup_pairs(emb, cent, threshold=0.4,
+                                      max_cell_size=65)
 
 
 _DUCK_SEMANTIC_INCR = _duck_semantic_pairs(8, 0.4, 5, 0)

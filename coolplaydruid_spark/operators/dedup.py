@@ -858,6 +858,7 @@ def embedding_neardup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_col: str | None = None,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Cosine-similarity near-duplicate pairs over an embedding column:
     (id_a, id_b, cosine ≥ threshold), id_a < id_b.
@@ -865,7 +866,22 @@ def embedding_neardup(
     The dot product runs JVM-side (zip_with + aggregate). Without
     block_col this is the exact O(n²) pairing — correct at test scale;
     at 100 TB pass block_col (e.g. an IVF/LSH bucket from
-    similarity.sign_lsh_bucket) to turn it into a per-bucket join."""
+    similarity.sign_lsh_bucket, or a SemDeDup cell) to turn it into a
+    per-bucket join.
+
+    ``max_block_size`` (needs block_col) drops blocks holding more
+    rows BEFORE the self-join — the embedding family's member of the
+    hot-key caps every other pairing family has (max_band_bucket,
+    max_key_freq, max_frame_freq): one skewed block (boilerplate
+    embeddings all mapping to one cell/bucket) makes the within-block
+    join O(m²) at corpus scale; the cap bounds it at cap² pairs per
+    block. The recall trade is conservative for DEDUP: rows of a
+    dropped block emit no pairs, so they are all KEPT (never wrongly
+    dropped) — a mass-duplicated block that needs thinning anyway is
+    the exact-dedup stage's O(n) job upstream, same argument as
+    minhash's max_band_bucket. Default off."""
+    if max_block_size is not None and block_col is None:
+        raise ValueError("max_block_size needs block_col")
     dv = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x))
     base = spread(df, by=id_col).select(
@@ -874,6 +890,11 @@ def embedding_neardup(
         norm.alias("nrm"),
         *([F.col(block_col)] if block_col else []),
     )
+    if max_block_size is not None:
+        # persist+repartition: the capped frame feeds BOTH join sides
+        # and the frequency count on one (block-keyed) partitioning.
+        base = _drop_hot_keys(base, [block_col], max_block_size,
+                              persist=True, repartition=True)
     l, r = base.alias("l"), base.alias("r")
     cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
     if block_col:
@@ -1121,6 +1142,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup candidate pairing (Abbas et al. 2023, arXiv:2303.09540):
     vectors are near-duplicates only if they share a k-means cell AND
@@ -1133,11 +1155,14 @@ def semantic_dedup_pairs(
     hash luck. The within-cell self-join is the ONLY shuffle, keyed on
     the cell id; cell population — and so the per-cell O(m²) pairing —
     is controlled by n_clusters, which SemDeDup scales with corpus size
-    (the paper uses 50k cells for LAION-440M)."""
+    (the paper uses 50k cells for LAION-440M). ``max_cell_size``
+    hard-bounds the residual skew risk (one boilerplate-heavy cell
+    k-means cannot split finely enough): cells above it emit no pairs
+    — their members are all kept; see embedding_neardup."""
     cells = semantic_cells(df, centroids, vec_col=vec_col, id_col=id_col)
     return embedding_neardup(
         cells, threshold=threshold, vec_col=vec_col, id_col=id_col,
-        block_col="__cell",
+        block_col="__cell", max_block_size=max_cell_size,
     )
 
 
@@ -1152,10 +1177,13 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     fit_impl: str = "auto",
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup end-to-end: cells → within-cell cosine pairs ≥ threshold
     → connected components → keep ONE survivor per component. Returns
-    the surviving rows of ``df`` (original columns).
+    the surviving rows of ``df`` (original columns). ``max_cell_size``:
+    see semantic_dedup_pairs — an over-cap cell emits no pairs, so all
+    its members survive (conservative; default off).
 
     Keep policy (the paper's): within a duplicate component keep the
     member with the LOWEST cosine to its cell centroid — the example
@@ -1192,7 +1220,7 @@ def semantic_dedup(
     )
     pairs = embedding_neardup(
         cells, threshold=threshold, vec_col=vec_col, id_col=id_col,
-        block_col="__cell",
+        block_col="__cell", max_block_size=max_cell_size,
     )
     # quality = −cell_cos: dedup_keep_best keeps the highest quality,
     # i.e. the lowest centroid-cosine (farthest from center), ties →
@@ -1215,6 +1243,7 @@ def semantic_dedup_pairs_incremental(
     corpus_cells: DataFrame | None = None,
     batch_cells: DataFrame | None = None,
     check_disjoint: bool = False,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup pairs between a NEW vector batch and an EXISTING corpus
     — the daily-ingest shape: the incoming batch is checked against
@@ -1241,7 +1270,14 @@ def semantic_dedup_pairs_incremental(
 
     ``check_disjoint=True`` verifies the corpus/batch id disjointness
     invariant eagerly (limit-3 probe) instead of silently double-pairing
-    a replayed id — same contract as set_jaccard_pairs."""
+    a replayed id — same contract as set_jaccard_pairs.
+
+    ``max_cell_size`` drops hot cells SYMMETRICALLY: the population is
+    counted on the CORPUS side (the unbounded one) and over-cap cells
+    are excluded from BOTH sides, so a batch row never pairs into a
+    cell the corpus no longer exposes — the same two-sided discipline
+    as set_jaccard_pairs' max_key_freq (r10 review: a one-sided drop
+    is silently inconsistent). Batch rows in a dropped cell are kept."""
     def _check_shape(frame, what):
         missing = {id_col, vec_col, "__cell"} - set(frame.columns)
         if missing:
@@ -1290,6 +1326,15 @@ def semantic_dedup_pairs_incremental(
 
     c = prep(corpus_cells, "a")
     b = prep(batch_cells, "b")
+    if max_cell_size is not None:
+        hot = (
+            c.groupBy("__cell")
+            .agg(F.count(F.lit(1)).alias("__hot_n"))
+            .where(F.col("__hot_n") > int(max_cell_size))
+            .select("__cell")
+        )
+        c = c.join(F.broadcast(hot), on="__cell", how="left_anti")
+        b = b.join(F.broadcast(hot), on="__cell", how="left_anti")
     dot = F.aggregate(
         F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
         F.lit(0.0),

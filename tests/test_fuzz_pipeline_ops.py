@@ -751,17 +751,23 @@ def test_fuzz_semantic_pairs(spark, duck):
     for _ in range(max(4, N_SPECS // 10)):
         n = rng.randint(2, 16)
         tau = rng.choice([0.2, 0.3, 0.4, 0.5])
+        # hot-cell cap at a random bite: None (off) or a size that
+        # plausibly drops some cells at sf0.01 (~500 vectors / n cells)
+        cap = rng.choice([None, 20, 40, 65, 120])
         cent = emb.where(F.col("vec_id") < n).select(
             F.col("vec_id").alias("centroid_id"), "embedding")
         if rng.random() < 0.5:
-            got = dedup.semantic_dedup_pairs(emb, cent, threshold=tau)
-            assert_df_matches_duck(got, duck, _duck_semantic_pairs(n, tau))
+            got = dedup.semantic_dedup_pairs(emb, cent, threshold=tau,
+                                             max_cell_size=cap)
+            assert_df_matches_duck(
+                got, duck, _duck_semantic_pairs(n, tau, max_cell=cap))
         else:
             mod = rng.randint(3, 7)
             rem = rng.randrange(mod)
             got = dedup.semantic_dedup_pairs_incremental(
                 emb.where(F.col("vec_id") % mod == rem), cent,
                 corpus_df=emb.where(F.col("vec_id") % mod != rem),
-                threshold=tau)
+                threshold=tau, max_cell_size=cap)
             assert_df_matches_duck(
-                got, duck, _duck_semantic_pairs(n, tau, mod, rem))
+                got, duck, _duck_semantic_pairs(n, tau, mod, rem,
+                                                max_cell=cap))
