@@ -349,6 +349,46 @@ def signature_coverage_gaps(dest_path: str, name: str) -> list[str]:
     return sorted(d.split("=", 1)[1] for d in seg_dts - sig_dts)
 
 
+def streaming_coverage_gaps(accepted_path: str) -> list[str]:
+    """Missing or incomplete ``batch=<id>`` partitions of a streaming
+    accepted store — the streaming layout's analogue of
+    signature_coverage_gaps (r11 verdict #7: the ingest layout was
+    guarded, the streaming one had the same silent-admit hazard).
+
+    Two invariants make gaps detectable without a manifest: Structured
+    Streaming epoch ids are contiguous from 0 per checkpoint, and every
+    process_*_batch writes its ``batch=<id>`` directory even when zero
+    rows survive (the exactly-once overwrite) — so (a) a HOLE in
+    0..max(id) means a processed batch's accepted rows were lost after
+    the fact, and (b) a batch directory without a ``_SUCCESS`` marker is
+    a failed write whose replay never ran (the stream stopped for good
+    before retrying). Either way a consumer reading the store as its
+    dedup corpus would skip cross-checks against those rows and admit
+    duplicates silently. Local paths only (returns [] when the layout
+    isn't inspectable — same scope as signature_coverage_gaps); a store
+    REUSED under a fresh checkpoint restarts ids at 0 and keeps the
+    contiguity invariant."""
+    root = Path(str(accepted_path).rstrip("/"))
+    if not root.is_dir():
+        return []
+    dirs: dict[int, Path] = {}
+    for p in root.glob("batch=*"):
+        if not p.is_dir():
+            continue
+        try:
+            dirs[int(p.name.split("=", 1)[1])] = p
+        except ValueError:
+            continue
+    if not dirs:
+        return []
+    gaps = [f"batch={i} missing" for i in range(max(dirs) + 1)
+            if i not in dirs]
+    gaps += [f"batch={i} incomplete (no _SUCCESS)"
+             for i, p in sorted(dirs.items())
+             if not (p / "_SUCCESS").exists()]
+    return gaps
+
+
 def read_signatures(spark: SparkSession, dest_path: str, name: str | None = None,
                     check_coverage: bool = True) -> DataFrame:
     """Read a signature store — either layout, one reader (r10 verdict:
@@ -366,17 +406,29 @@ def read_signatures(spark: SparkSession, dest_path: str, name: str | None = None
       exist or holds no accepted rows yet (a silently-empty corpus would
       skip cross-checks).
 
-    check_coverage (default on, ingest layout only): fail if any segment
-    __dt partition has no partition in this signature table — a partial
-    store admits duplicates silently (ADVICE r10). Backfill with
-    signature_task, or pass check_coverage=False to read a
-    knowingly-partial store (e.g. a coarse-rollup table, whose segment
-    __dt is the bucket start)."""
+    check_coverage (default on, both layouts): ingest layout — fail if
+    any segment __dt partition has no partition in this signature table
+    (a partial store admits duplicates silently, ADVICE r10); backfill
+    with signature_task. Streaming layout — fail on a hole in the
+    contiguous batch=0..max sequence or a batch directory without its
+    _SUCCESS marker (streaming_coverage_gaps; r11 verdict #7); recover
+    by re-running the stream from its checkpoint (an incomplete batch
+    replays) or accept the loss with check_coverage=False."""
     if name is None:
         # streaming layout: accepted_path/batch=<id>/*.parquet — reuse
         # the streaming reader's existence/empty-store semantics
         from coolplaydruid_spark.streaming.dedup import _read_accepted
 
+        if check_coverage:
+            gaps = streaming_coverage_gaps(dest_path)
+            if gaps:
+                raise ValueError(
+                    f"streaming accepted store {dest_path!r} has "
+                    f"{len(gaps)} damaged batch partition(s): {gaps[:5]}"
+                    f"{'...' if len(gaps) > 5 else ''} — a consumer "
+                    "reading it as a dedup corpus would silently admit "
+                    "duplicates; replay the stream from its checkpoint "
+                    "or pass check_coverage=False")
         df = _read_accepted(spark, str(dest_path).rstrip("/"))
         if df is None:
             raise ValueError(

@@ -98,3 +98,49 @@ def test_replay_is_idempotent_and_survives_partial_output(spark, tmp_path):
     sdedup.process_batch(b2, 2, accepted)  # 20 dups corpus doc 1 -> dropped
     final = sorted(r.doc_id for r in spark.read.parquet(accepted).collect())
     assert 20 not in final and final == first
+
+
+def test_streaming_coverage_gaps_guard(spark, tmp_path):
+    """r11 verdict #7: the streaming batch=<id> layout gets the same
+    partial-store guard the ingest layout has. An intact store (incl. a
+    zero-survivor batch) reads clean; a deleted middle batch or a batch
+    dir stripped of _SUCCESS raises through read_signatures, and
+    check_coverage=False reads the damaged store knowingly."""
+    import shutil
+
+    import pytest
+
+    from coolplaydruid_spark.sources.batch import (
+        read_signatures, streaming_coverage_gaps)
+
+    accepted = str(tmp_path / "acc")
+    b0 = spark.createDataFrame([(0, BASE), (1, FRESH)], DOC_SCHEMA)
+    sdedup.process_batch(b0, 0, accepted)
+    # batch 1: pure duplicate of corpus doc 0 — zero survivors, but the
+    # batch=1 directory is still written (the exactly-once overwrite)
+    b1 = spark.createDataFrame([(10, BASE)], DOC_SCHEMA)
+    sdedup.process_batch(b1, 1, accepted)
+    b2 = spark.createDataFrame([(20, NEAR_DUP.replace("night", "noon")
+                                 .replace("fox", "hare"))], DOC_SCHEMA)
+    sdedup.process_batch(b2, 2, accepted)
+
+    assert streaming_coverage_gaps(accepted) == []
+    assert read_signatures(spark, accepted).count() >= 2
+
+    # hole: a processed batch's directory lost after the fact
+    shutil.rmtree(tmp_path / "acc" / "batch=1")
+    assert streaming_coverage_gaps(accepted) == ["batch=1 missing"]
+    with pytest.raises(ValueError, match="damaged batch partition"):
+        read_signatures(spark, accepted)
+    got = read_signatures(spark, accepted, check_coverage=False)
+    assert got.count() >= 2  # knowing opt-out still reads
+
+    # incomplete: a write that never finished (no _SUCCESS marker)
+    (tmp_path / "acc" / "batch=1").mkdir()
+    (tmp_path / "acc" / "batch=2" / "_SUCCESS").unlink()
+    gaps = streaming_coverage_gaps(accepted)
+    assert "batch=2 incomplete (no _SUCCESS)" in gaps
+    with pytest.raises(ValueError, match="damaged batch partition"):
+        read_signatures(spark, accepted)
+    # non-existent path: not inspectable, no false alarm
+    assert streaming_coverage_gaps(str(tmp_path / "nope")) == []
