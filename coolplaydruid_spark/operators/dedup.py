@@ -1089,6 +1089,14 @@ def semantic_cells(
     per output field and the norm/cast per centroid — measured 1.7×
     slower end-to-end (30.7s → 17.7s assignment at sf1, 20k rows × 80
     centroids × 64 dims; the arrow path does the same in ~0.4s)."""
+    if isinstance(centroids, dict):
+        # registry ref {"registry", "name", "version"?} — resolved here
+        # so every semantic surface (self / incremental / streaming /
+        # ingest store) accepts named centroid sets uniformly.
+        from coolplaydruid_spark import centroids as _cent
+
+        centroids, _ = _cent.resolve_centroids(
+            df.sparkSession, centroids, vec_col=vec_col)
     pairs = _centroid_pairs(centroids, vec_col)
     if impl not in ("auto", "jvm", "arrow"):
         raise ValueError(f"impl must be auto|jvm|arrow, got {impl!r}")
@@ -1278,6 +1286,17 @@ def semantic_dedup_pairs_incremental(
     cell the corpus no longer exposes — the same two-sided discipline
     as set_jaccard_pairs' max_key_freq (r10 review: a one-sided drop
     is silently inconsistent). Batch rows in a dropped cell are kept."""
+    if isinstance(centroids, dict):
+        from coolplaydruid_spark import centroids as _cent
+
+        spark = next(
+            f.sparkSession
+            for f in (new_df, corpus_df, corpus_cells, batch_cells)
+            if f is not None
+        )
+        centroids, _ = _cent.resolve_centroids(
+            spark, centroids, vec_col=vec_col)
+
     def _check_shape(frame, what):
         missing = {id_col, vec_col, "__cell"} - set(frame.columns)
         if missing:
@@ -1300,6 +1319,17 @@ def semantic_dedup_pairs_incremental(
             new_df, centroids, vec_col=vec_col, id_col=id_col)
     else:
         _check_shape(batch_cells, "batch_cells")
+    if any("__centroid_version" in f.columns
+           for f in (corpus_cells, batch_cells)):
+        # A stamped store (ingest signature store / streaming accepted
+        # store) must have been assigned under THESE centroids — cells
+        # from different centroid sets are incomparable, and a re-fit
+        # would otherwise orphan the store silently (r11 verdict #6).
+        from coolplaydruid_spark import centroids as _cent
+
+        expected = _cent.centroid_version(centroids, vec_col)
+        _cent.check_version(corpus_cells, expected, "corpus_cells")
+        _cent.check_version(batch_cells, expected, "batch_cells")
     if check_disjoint:
         overlap = (
             corpus_cells.select(F.col(id_col))

@@ -214,11 +214,23 @@ def _build_signature(df: DataFrame, spec: dict) -> DataFrame:
         # store carries (assignment itself is map-only and cheap — what
         # the store buys is a STABLE clustering across daily ingests,
         # not decode savings).
+        # spec["centroids"] accepts a registry REF ({"registry", "name",
+        # "version"?}) besides the inline forms; either way the store is
+        # STAMPED with the content-derived version so consumers can
+        # verify their centroids match (centroids.check_version — r11
+        # verdict #6: an unstamped store is silently orphaned by a
+        # re-fit).
+        from coolplaydruid_spark import centroids as _cent
+
         vec_col = spec.get("vec_col", "embedding")
         id_col = spec.get("id_col", "vec_id")
+        pairs, ver = _cent.resolve_centroids(
+            df.sparkSession, spec["centroids"], vec_col=vec_col)
         return dedup.semantic_cells(
-            df, spec["centroids"], vec_col=vec_col, id_col=id_col,
-        ).select(id_col, vec_col, "__cell", "__cell_cos", DT_COLUMN)
+            df, pairs, vec_col=vec_col, id_col=id_col,
+        ).select(
+            id_col, vec_col, "__cell", "__cell_cos", DT_COLUMN,
+        ).withColumn("__centroid_version", F.lit(ver))
     raise ValueError(
         f"unknown signature type {kind!r} (one of {SIGNATURE_KINDS})")
 

@@ -76,10 +76,24 @@ def process_semantic_batch(
 ) -> None:
     """One micro-batch, exposed as a plain batch function so replay
     semantics are directly testable (same contract as
-    streaming/dedup.process_batch and media_dedup.process_media_batch)."""
+    streaming/dedup.process_batch and media_dedup.process_media_batch).
+
+    ``centroids`` also accepts a registry ref ({"registry", "name",
+    "version"?} — coolplaydruid_spark.centroids); the accepted store is
+    stamped with the content-derived ``__centroid_version`` either way,
+    and a stamped ``corpus_cells`` (an ingest signature store) is
+    version-verified before the cross-check — a store assigned under
+    different centroids fails loudly instead of pairing incomparable
+    cells (r11 verdict #6)."""
+    from coolplaydruid_spark import centroids as _cent
+
+    pairs, ver = _cent.resolve_centroids(
+        batch_df.sparkSession, centroids, vec_col=vec_col)
     cells = dedup.semantic_cells(
-        batch_df, centroids, vec_col=vec_col, id_col=id_col,
-    ).select(id_col, vec_col, *_STORE_COLS).persist()
+        batch_df, pairs, vec_col=vec_col, id_col=id_col,
+    ).select(id_col, vec_col, *_STORE_COLS).withColumn(
+        "__centroid_version", F.lit(ver)
+    ).persist()
     try:
         self_pairs = dedup.embedding_neardup(
             cells, threshold=threshold, vec_col=vec_col, id_col=id_col,
@@ -90,6 +104,10 @@ def process_semantic_batch(
 
         existing = _read_accepted(
             batch_df.sparkSession, accepted_path, exclude_batch=batch_id)
+        for part, what in ((existing, "accepted store"),
+                           (corpus_cells, "corpus_cells")):
+            if part is not None:
+                _cent.check_version(part, ver, what)
         corpus_parts = [
             part.select(id_col, vec_col, "__cell")
             for part in (existing, corpus_cells) if part is not None
@@ -99,7 +117,7 @@ def process_semantic_batch(
             for part in corpus_parts[1:]:
                 corpus = corpus.unionByName(part)
             cross = dedup.semantic_dedup_pairs_incremental(
-                None, centroids, corpus_cells=corpus,
+                None, pairs, corpus_cells=corpus,
                 batch_cells=survivors, threshold=threshold,
                 vec_col=vec_col, id_col=id_col,
             )

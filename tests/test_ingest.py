@@ -965,7 +965,8 @@ def test_semantic_cells_signature_store(spark, tmp_path):
 
     stored = batch.read_signatures(spark, dest, "semantic_cells")
     assert set(stored.columns) == {"vec_id", "embedding", "__cell",
-                                   "__cell_cos", batch.DT_COLUMN}
+                                   "__cell_cos", batch.DT_COLUMN,
+                                   "__centroid_version"}
     inline = dedup.semantic_cells(df.where("vec_id % 5 != 0"), cents)
     assert {(r["vec_id"], r["__cell"], r["__cell_cos"]) for r in stored.collect()} \
         == {(r["vec_id"], r["__cell"], r["__cell_cos"]) for r in inline.collect()}

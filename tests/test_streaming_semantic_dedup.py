@@ -50,8 +50,10 @@ def test_streamed_semantic_accepts_match_batch_incremental_replay(spark, tmp_pat
     assert got == want == {1, 3, 11}
     # the store holds the ingest-store cell schema (+ batch), so it can
     # seed batch incremental dedup via read_signatures' streaming layout
+    # (+ the r12 __centroid_version stamp both layouts now carry)
     assert set(streamed.columns) == {"vec_id", "embedding", "__cell",
-                                     "__cell_cos", "batch"}
+                                     "__cell_cos", "batch",
+                                     "__centroid_version"}
     from coolplaydruid_spark.sources import batch as _batchmod
 
     via_reader = _batchmod.read_signatures(spark, accepted)
