@@ -74,6 +74,15 @@ SF1_TAIL = [
     # r11: SemDeDup production path — corpus-scaled k-means cells keep
     # within-cell pairing bounded (fixed cells measured quadratic)
     "dedup_embedding_semantic_fit",
+    # r12 (r11 verdict #4): the semantic family's remaining forms at
+    # their PRODUCTION shape — corpus-scaled fitted cells (~250
+    # rows/cell), so the co-cell pairing is batch-priced. The 8-pinned-
+    # cell oracle entries are deliberately NOT here: fixed cells are
+    # quadratic by construction at sf1 (the exact shape the scaled
+    # entries avoid — measured 8M co-cell candidates vs ~1M).
+    "dedup_embedding_semantic_incremental_scaled",
+    "dedup_embedding_semantic_from_store_scaled",
+    "streaming_semantic_replay",
 ]
 
 # The cross-round wall-clock anchor (r9 verdict #7): the 16-query

@@ -2978,6 +2978,29 @@ def dedup_minhash_incremental(spark, sf_dir):
 _STORE_CLEANUPS: set = set()
 
 
+def _proc_store_root(sf_dir):
+    """Per-(sf_dir, pid) temp root for contract entries that materialize
+    stores — keyed by a hash of the RESOLVED sf_dir (review find:
+    basename-only keying collided /root/testdata/sf1 with the
+    bench-synthesized .benchdata/sf1) plus the pid so concurrent gate
+    processes never race each other's overwrites; removed at
+    interpreter exit so repeated runs cannot fill /tmp."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path as _P
+
+    key = hashlib.md5(str(_P(sf_dir).resolve()).encode()).hexdigest()[:12]
+    proc_root = _P(tempfile.gettempdir()) / "coolplaydruid_sigstore" \
+        / f"{key}-{os.getpid()}"
+    if proc_root not in _STORE_CLEANUPS:
+        _STORE_CLEANUPS.add(proc_root)
+        atexit.register(shutil.rmtree, str(proc_root), ignore_errors=True)
+    return proc_root
+
+
 def _ingest_store(spark, sf_dir, corpus_df, sig_specs: list[dict],
                   name: str) -> str:
     """Materialize a corpus frame through an index task with ingest-time
@@ -2990,22 +3013,9 @@ def _ingest_store(spark, sf_dir, corpus_df, sig_specs: list[dict],
     processes never race each other's overwrites, and the pid directory
     is removed at interpreter exit so repeated gate runs cannot fill
     /tmp with corpus copies (review find)."""
-    import atexit
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-    from pathlib import Path as _P
-
     from coolplaydruid_spark.sources import batch as _batch
 
-    key = hashlib.md5(str(_P(sf_dir).resolve()).encode()).hexdigest()[:12]
-    proc_root = _P(tempfile.gettempdir()) / "coolplaydruid_sigstore" \
-        / f"{key}-{os.getpid()}"
-    if proc_root not in _STORE_CLEANUPS:
-        _STORE_CLEANUPS.add(proc_root)
-        atexit.register(shutil.rmtree, str(proc_root), ignore_errors=True)
-    dest = str(proc_root / name)
+    dest = str(_proc_store_root(sf_dir) / name)
     _batch.index_task(
         spark,
         {"format": "dataframe",
@@ -3814,6 +3824,193 @@ def dedup_embedding_semantic_from_store(spark, sf_dir):
     return dedup.semantic_dedup_pairs_incremental(
         emb.where(F.col("vec_id") % 5 == 0), cent_rows,
         corpus_cells=corpus_cells, threshold=0.4)
+
+
+def _fitted_cents(spark, frame, id_col: str = "vec_id"):
+    """Deterministic production-shaped centroids for the scale-evidence
+    entries: driver k-means (fixed seed) at the corpus-scaled cell count
+    (_semantic_fit_cells) — the SemDeDup setting where mean cell
+    population stays ~250 regardless of corpus size, so the co-cell
+    pairing is batch-priced instead of quadratic (the 8-pinned-cell
+    oracle entries deliberately keep cells FIXED for SQL determinism,
+    which makes them quadratic by construction at sf1 — wrong shape for
+    scale rows)."""
+    from coolplaydruid_spark.operators import similarity as _sim
+
+    n = frame.count()
+    C = _sim.fit_centroids(frame, n_clusters=_semantic_fit_cells(n))
+    return [(i, [float(x) for x in c]) for i, c in enumerate(C)]
+
+
+def _np_semantic_state(spark, sf_dir, fit_ids_pred=None):
+    """Shared numpy replay base for the scaled-entry validators: load
+    all vectors, refit the SAME driver k-means on the fit subset
+    (md5-ordered, fixed seed — fit_centroids' exact recipe), and assign
+    every vector (rounded cosine, ties → lowest cell id). Returns
+    (emb: id→vec, cell: id→cid, cos fn)."""
+    import hashlib
+
+    import numpy as np
+
+    from coolplaydruid_spark.operators.similarity import _kmeans_fit
+
+    eng = engine_for(spark, sf_dir)
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in eng.catalog.table("embeddings").collect()
+    }
+    fit_ids = [i for i in sorted(emb)
+               if fit_ids_pred is None or fit_ids_pred(i)]
+    order = sorted(fit_ids,
+                   key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    C = _kmeans_fit(np.stack([emb[i] for i in order]),
+                    _semantic_fit_cells(len(fit_ids)), 10, 42)
+
+    def cos(a, b):
+        return round(float(a @ b) /
+                     (float(np.linalg.norm(a)) * float(np.linalg.norm(b))), 6)
+
+    cell = {}
+    for i in sorted(emb):
+        cell[i] = min((-cos(emb[i], c), j) for j, c in enumerate(C))[1]
+    return emb, cell, cos
+
+
+@q("dedup_embedding_semantic_incremental_scaled")  # no SQL oracle:
+# k-means is iterative — exact numpy replay validator below
+def dedup_embedding_semantic_incremental_scaled(spark, sf_dir):
+    """The incremental SemDeDup form at its PRODUCTION shape (r11
+    verdict #4): centroids fitted on the standing corpus at the
+    corpus-scaled cell count, so mean cell population stays ~250 and
+    the batch×corpus co-cell join is batch-priced (candidates ≈ batch ×
+    cell size, flat in corpus) — the 100 TB claim the sf1 PLANMETRICS
+    row records. The 8-pinned-cell sibling keeps the exact SQL oracle
+    at sf0.01; this entry carries the scale shape with an exact numpy
+    replay validator instead."""
+    eng = engine_for(spark, sf_dir)
+    emb = eng.catalog.table("embeddings")
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    cent = _fitted_cents(spark, corpus)
+    return dedup.semantic_dedup_pairs_incremental(
+        emb.where(F.col("vec_id") % 5 == 0), cent,
+        corpus_df=corpus, threshold=0.4)
+
+
+@validator("dedup_embedding_semantic_incremental_scaled")
+def _validate_semantic_incr_scaled(spark, sf_dir, rows):
+    """Exact numpy replay: refit (same md5-ordered sample, same seed),
+    assign all vectors, enumerate EVERY co-cell corpus×batch pair with
+    rounded cosine ≥ 0.4 — the returned set must match exactly (both
+    directions: no missing pair, no extra pair, cosines equal)."""
+    emb, cell, cos = _np_semantic_state(
+        spark, sf_dir, fit_ids_pred=lambda i: i % 5 != 0)
+    want = {
+        (a, b, cos(emb[a], emb[b]))
+        for a in emb if a % 5 != 0
+        for b in emb if b % 5 == 0
+        if cell[a] == cell[b] and cos(emb[a], emb[b]) >= 0.4
+    }
+    got = {(r["id_a"], r["id_b"], r["cosine"]) for r in rows}
+    if got != want:
+        return False, (f"pair-set mismatch: {len(got - want)} extra, "
+                       f"{len(want - got)} missing of {len(want)}")
+    if not want:
+        return False, "no qualifying pair — the check is vacuous"
+    return True, f"exact replay: {len(want)} cross pairs across " \
+                 f"{len(set(cell.values()))} cells"
+
+
+@q("dedup_embedding_semantic_from_store_scaled")  # no SQL oracle:
+# same numpy replay as the inline scaled form — store-read ≡ inline
+def dedup_embedding_semantic_from_store_scaled(spark, sf_dir):
+    """The from-store incremental form at production shape: the index
+    task materializes corpus cell assignments under the FITTED
+    corpus-scaled centroids (store build is linear ingest + map-only
+    assignment), and the batch pairs against the store WITHOUT
+    re-assigning the corpus — per-batch cost prices by the batch, near
+    flat in corpus, which is what the sf1 row must show (r11 verdict
+    #4). Validated by the same exact numpy replay as the inline scaled
+    entry, so store-read ≡ exact is checked every round."""
+    from coolplaydruid_spark.sources import batch as _batch
+
+    eng = engine_for(spark, sf_dir)
+    emb = eng.catalog.table("embeddings")
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    cent = _fitted_cents(spark, corpus)
+    dest = _ingest_store(
+        spark, sf_dir, corpus,
+        [{"type": "semantic_cells", "centroids": cent}], "semvec_scaled")
+    corpus_cells = _batch.read_signatures(
+        spark, dest, "semantic_cells").select("vec_id", "embedding", "__cell")
+    return dedup.semantic_dedup_pairs_incremental(
+        emb.where(F.col("vec_id") % 5 == 0), cent,
+        corpus_cells=corpus_cells, threshold=0.4)
+
+
+VALIDATORS["dedup_embedding_semantic_from_store_scaled"] = \
+    _validate_semantic_incr_scaled
+
+
+@q("streaming_semantic_replay")  # no SQL oracle: the accept loop is
+# ordered across micro-batches — exact numpy replay validator below
+def streaming_semantic_replay(spark, sf_dir):
+    """The streaming semantic accept loop replayed as ordered batches —
+    the streaming surface's scale-evidence entry (r11 verdict #4):
+    three micro-batches (vec_id % 3) run process_semantic_batch against
+    the growing accepted store under production-shaped (corpus-scaled,
+    fitted) centroids; returns the accepted corpus (vec_id, __cell).
+    Per-batch cost = in-batch within-cell self-join + batch×accepted
+    co-cell join — batch-priced by construction, which is exactly what
+    the sf1 PLANMETRICS row must show (the accepted store is read back
+    per batch, but only co-cell candidates shuffle)."""
+    from coolplaydruid_spark.sources import batch as _batch
+    from coolplaydruid_spark.streaming import semantic_dedup as _ssem
+
+    eng = engine_for(spark, sf_dir)
+    emb = eng.catalog.table("embeddings")
+    cent = _fitted_cents(spark, emb)
+    acc = str(_proc_store_root(sf_dir) / "sem_stream_acc")
+    for b in range(3):
+        _ssem.process_semantic_batch(
+            emb.where(F.col("vec_id") % 3 == b), b, acc, cent,
+            threshold=0.4)
+    return _batch.read_signatures(spark, acc).select("vec_id", "__cell")
+
+
+@validator("streaming_semantic_replay")
+def _validate_streaming_semantic_replay(spark, sf_dir, rows):
+    """Exact numpy replay of the ordered accept loop: assign all
+    vectors under the refitted centroids, then per batch (vec_id % 3,
+    in order) (1) drop any member with a smaller-id co-cell neighbor at
+    rounded cosine ≥ 0.4 INSIDE the batch (keep-first — the drop set is
+    every id_b of the within-batch pairing, matching
+    process_semantic_batch), (2) drop survivors with ANY co-cell
+    accepted neighbor ≥ 0.4, (3) accept the rest. The accepted
+    (id, cell) set must match exactly."""
+    emb, cell, cos = _np_semantic_state(spark, sf_dir)
+    accepted: list[int] = []
+    for b in range(3):
+        batch = sorted(i for i in emb if i % 3 == b)
+        drops = {
+            j for bi, i in enumerate(batch) for j in batch[bi + 1:]
+            if cell[i] == cell[j] and cos(emb[i], emb[j]) >= 0.4
+        }
+        for i in batch:
+            if i in drops:
+                continue
+            if any(cell[a] == cell[i] and cos(emb[a], emb[i]) >= 0.4
+                   for a in accepted):
+                continue
+            accepted.append(i)
+    want = {(i, cell[i]) for i in accepted}
+    got = {(r["vec_id"], r["__cell"]) for r in rows}
+    if got != want:
+        return False, (f"accepted-set mismatch: {len(got - want)} extra, "
+                       f"{len(want - got)} missing of {len(want)}")
+    if len(want) == len(emb):
+        return False, "nothing dropped across 3 batches — check is vacuous"
+    return True, (f"exact ordered replay: {len(want)} accepted, "
+                  f"{len(emb) - len(want)} dropped across 3 batches")
 
 
 @q("pack_training_sequences")  # no SQL oracle: bin assignment is

@@ -1077,9 +1077,15 @@ def semantic_cells(
     path, exact for every corner incl. NaN cosines), "arrow"
     (_semantic_cells_arrow — one numpy matmul per Arrow batch, the
     production path for large cell counts), or "auto" (default): arrow
-    when k × dim exceeds ~4k — the point where the JVM expression
-    path's per-element lambda interpretation dominates the query — jvm
-    below it, keeping every SQL-oracled gate on the exact JVM path.
+    when k × dim exceeds 1024 centroid-floats, jvm below — every
+    SQL-oracled gate pins ≤ 512 floats (8 cells × 64 dims), so they
+    all stay on the exact JVM path. The boundary was ~4k in r11;
+    lowered in r12 after measuring the JVM path's hidden COLD cost:
+    the centroid literals make every centroid set a fresh codegen
+    class, so a one-shot production query runs largely interpreted/C1
+    (measured 4s warm vs 30s+ cold for a 64-cell × 64-dim assignment
+    of 16k rows) while the arrow plan is literal-free and JIT-stable
+    (~0.5s either way).
 
     The JVM expensive pieces are STAGED as separate aliased projections
     (cast → norm fold → per-centroid cosines → argmin struct → fields)
@@ -1101,7 +1107,7 @@ def semantic_cells(
     if impl not in ("auto", "jvm", "arrow"):
         raise ValueError(f"impl must be auto|jvm|arrow, got {impl!r}")
     if impl == "arrow" or (
-        impl == "auto" and pairs and len(pairs) * len(pairs[0][1]) > 4096
+        impl == "auto" and pairs and len(pairs) * len(pairs[0][1]) > 1024
     ):
         return _semantic_cells_arrow(df, pairs, vec_col)
     cent = _fold_centroids(pairs, vec_col)

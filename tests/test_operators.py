@@ -1413,7 +1413,7 @@ def test_semantic_cells_arrow_null_and_corner_semantics(spark):
 
 
 def test_semantic_cells_auto_picks_arrow_above_threshold(engine):
-    """auto = arrow above ~4k centroid-floats (a MapInPandas plan),
+    """auto = arrow above 1024 centroid-floats (a MapInPandas plan),
     jvm below (pure projection plan) — the oracle-gated entries stay on
     the exact JVM path by construction."""
     emb = engine.catalog.table("embeddings").limit(10)

@@ -108,6 +108,21 @@ BLOCKED = {
     # corpus via _semantic_fit_cells) caps pair volume itself.
     "pipeline_media_dedup": 5.0,
     "dedup_embedding_semantic_fit": 5.0,
+    # r12 (r11 verdict #4): the semantic family's remaining forms at
+    # production shape (corpus-scaled fitted cells — mean cell ~250, so
+    # co-cell candidates price by the batch, not the corpus²).
+    # incremental: batch = every 5th vector, so the batch grows WITH
+    # the corpus here — the co-cell join tracks batch-side volume plus
+    # real cross-pair density, the same bound as the media incremental
+    # rows. from-store: linear store build (ingest + map-only
+    # assignment) + the same co-cell pairing reading cells back instead
+    # of re-assigning. streaming replay: three ordered accept batches —
+    # each batch's exchange is its self-check plus the batch×accepted
+    # co-cell join, so the total stays pair-bounded like the batch
+    # forms.
+    "dedup_embedding_semantic_incremental_scaled": 5.0,
+    "dedup_embedding_semantic_from_store_scaled": 5.0,
+    "streaming_semantic_replay": 5.0,
 }
 CONSTANT = {"similarity_topk_brute"}
 PLAN_TRANSITION = {"sql_join_top_customers", "sql_join_region_revenue"}
