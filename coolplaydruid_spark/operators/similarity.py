@@ -219,6 +219,87 @@ def fit_centroids(
     return _kmeans_fit(X, n_clusters, max_iter, seed)
 
 
+def _ivf_assign_arrow(df: DataFrame, C, vec_field: str) -> DataFrame:
+    """Argmin-L2 cell assignment via one numpy matmul per Arrow batch —
+    the literal-free IVF path for production cell counts (same r12
+    rationale as dedup._semantic_cells_arrow: centroid literals make
+    every centroid set a fresh codegen class, recompiled and
+    interpreted-cold, and cap k at what Catalyst can plan; the arrow
+    plan is JIT-stable and the centroids ride one Broadcast per
+    executor). Ties → lowest cell index (argmin returns the first
+    minimum — the JVM path's array_position rule). A null vector or
+    null/NaN element yields a NULL cell (never probed — the JVM path's
+    NULL-distance outcome). BLAS sums in a different order than the JVM
+    fold, so a last-bit near-tie may assign differently — recall-grade
+    equivalence, gated by the same probe/recall tests; full-probe ≡
+    brute exactness is assignment-independent."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    Cm = np.asarray(C, dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast(Cm)
+    schema = T.StructType(
+        list(df.schema) + [T.StructField("__cell", T.IntegerType())])
+
+    def assign(batches):
+        Cv = bc.value
+        c2 = (Cv * Cv).sum(axis=1)
+        for pdf in batches:
+            cells = [None] * len(pdf)
+            for i, v in enumerate(pdf[vec_field]):
+                if v is None:
+                    continue
+                x = np.asarray(v, dtype=np.float64)
+                if not np.isfinite(x).all():
+                    continue
+                d = c2 - 2.0 * (Cv @ x)  # + ||x||² is argmin-invariant
+                cells[i] = int(d.argmin())
+            out = pdf.copy()
+            out["__cell"] = np.array(cells, dtype=object)
+            yield out
+
+    return df.mapInPandas(assign, schema)
+
+
+def _ivf_probes_arrow(q: DataFrame, C, n_probe: int,
+                      vec_field: str) -> DataFrame:
+    """Top-n_probe nearest cells per query, arrow-batched: replicates
+    each query row n_probe times with its probe cell ids. Stable
+    argsort → ties toward the lowest cell index, the JVM zipped-sort
+    rule. Null/NaN query vectors emit no probes (no candidates — the
+    JVM path's NULL-distance outcome)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    Cm = np.asarray(C, dtype=np.float64)
+    bc = q.sparkSession.sparkContext.broadcast(Cm)
+    schema = T.StructType(
+        list(q.schema) + [T.StructField("__cell", T.IntegerType())])
+
+    def probe(batches):
+        Cv = bc.value
+        c2 = (Cv * Cv).sum(axis=1)
+        for pdf in batches:
+            keep, cells = [], []
+            for i, v in enumerate(pdf[vec_field]):
+                if v is None:
+                    continue
+                x = np.asarray(v, dtype=np.float64)
+                if not np.isfinite(x).all():
+                    continue
+                d = c2 - 2.0 * (Cv @ x)
+                for c in np.argsort(d, kind="stable")[:n_probe]:
+                    keep.append(i)
+                    cells.append(int(c))
+            out = pdf.iloc[keep].copy()
+            out["__cell"] = np.array(cells, dtype=object)
+            yield out
+
+    return q.mapInPandas(probe, schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -231,6 +312,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    fit_impl: str = "auto",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means partitions the
     corpus into n_clusters cells; each query probes its n_probe nearest
@@ -249,59 +331,75 @@ def ivf_topk(
     candidate volume is ~n_probe/n_clusters of the corpus via the
     cell-keyed probe join. Non-SQL oracle (k-means is iterative) — tests
     check probe containment and recall against brute force instead.
+
+    r12: past 1024 centroid-floats the assignment/probe expressions
+    switch from plan literals to the arrow path (_ivf_assign_arrow /
+    _ivf_probes_arrow) — same rationale and boundary as
+    dedup.semantic_cells — and ``fit_impl`` routes the fit itself to
+    distributed pyspark.ml KMeans ("auto": past
+    DRIVER_FIT_MAX_CELLS), so IVF holds its shape at production cell
+    counts instead of capping at what the driver can fit and Catalyst
+    can plan.
     """
     C = fit_centroids(corpus, n_clusters=n_clusters, seed=seed,
                       max_iter=max_iter, train_sample=train_sample,
-                      vec_col=vec_col, id_col=id_col)
+                      vec_col=vec_col, id_col=id_col, impl=fit_impl)
     if C is None:
         # Empty corpus: same output schema, no rows (brute force parity).
         return brute_force_topk(corpus, queries, k=k, vec_col=vec_col,
                                 id_col=id_col, query_id_col=query_id_col)
 
-    # Centroids as a nested array literal: n_clusters × dim doubles
-    # folded into the plan — broadcast-by-constant, visible to codegen.
-    cent_lit = F.array(*[
-        F.array(*[F.lit(float(v)) for v in c]) for c in C
-    ])
-
-    def dists_to_cells(vec):
-        return F.transform(cent_lit, lambda c: _sqdist(vec, c))
-
-    assigned = corpus.select(
+    pts = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _dvec(F.col(vec_col)).alias("__cvec"),
         _norm(_dvec(F.col(vec_col))).alias("__cn"),
-    ).withColumn(
-        "__dists", dists_to_cells(F.col("__cvec"))
-    ).withColumn(
-        # argmin: first index of the minimum (ties → lowest cell id)
-        "__cell",
-        (F.array_position(F.col("__dists"), F.array_min(F.col("__dists"))) - 1
-         ).cast("int"),
-    ).drop("__dists")
+    )
+    qprep = queries.select(
+        F.col(query_id_col),
+        _dvec(F.col(vec_col)).alias("__qvec"),
+        _norm(_dvec(F.col(vec_col))).alias("__qn"),
+    )
+    if len(C) * len(C[0]) > 1024:
+        assigned = _ivf_assign_arrow(pts, C, "__cvec")
+        probes = _ivf_probes_arrow(qprep, C, n_probe, "__qvec")
+    else:
+        # Centroids as a nested array literal: n_clusters × dim doubles
+        # folded into the plan — broadcast-by-constant, visible to
+        # codegen; exact JVM arithmetic for the small-k gates.
+        cent_lit = F.array(*[
+            F.array(*[F.lit(float(v)) for v in c]) for c in C
+        ])
 
-    # Query → n_probe nearest cells: sort (dist, cell) structs, slice.
-    zipped = F.arrays_zip(
-        dists_to_cells(F.col("__qvec")).alias("d"),
-        F.sequence(F.lit(0), F.lit(int(len(C)) - 1)).alias("i"),
-    )
-    probes = (
-        queries.select(
-            F.col(query_id_col),
-            _dvec(F.col(vec_col)).alias("__qvec"),
-            _norm(_dvec(F.col(vec_col))).alias("__qn"),
-        )
-        .withColumn(
+        def dists_to_cells(vec):
+            return F.transform(cent_lit, lambda c: _sqdist(vec, c))
+
+        assigned = pts.withColumn(
+            "__dists", dists_to_cells(F.col("__cvec"))
+        ).withColumn(
+            # argmin: first index of the minimum (ties → lowest cell id)
             "__cell",
-            F.explode(
-                F.transform(
-                    F.slice(F.array_sort(zipped), 1, n_probe),
-                    lambda s: s["i"].cast("int"),
-                )
-            ),
+            (F.array_position(F.col("__dists"),
+                              F.array_min(F.col("__dists"))) - 1
+             ).cast("int"),
+        ).drop("__dists")
+
+        # Query → n_probe nearest cells: sort (dist, cell) structs, slice.
+        zipped = F.arrays_zip(
+            dists_to_cells(F.col("__qvec")).alias("d"),
+            F.sequence(F.lit(0), F.lit(int(len(C)) - 1)).alias("i"),
         )
-        .select(query_id_col, "__qvec", "__qn", "__cell")
-    )
+        probes = (
+            qprep.withColumn(
+                "__cell",
+                F.explode(
+                    F.transform(
+                        F.slice(F.array_sort(zipped), 1, n_probe),
+                        lambda s: s["i"].cast("int"),
+                    )
+                ),
+            )
+            .select(query_id_col, "__qvec", "__qn", "__cell")
+        )
 
     scored = assigned.join(F.broadcast(probes), on="__cell").select(
         F.col(query_id_col),

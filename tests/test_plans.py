@@ -405,3 +405,43 @@ def test_cap_per_group_single_exchange(spark):
     )
     plan = _plan(sampling.cap_per_group(docs, "source", 5))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ivf_topk_arrow_path_above_literal_boundary(spark):
+    """r12: past 1024 centroid-floats IVF switches to the literal-free
+    arrow assignment/probes (JIT-stable, broadcast centroids — the same
+    boundary as dedup.semantic_cells). Exactness oracle that needs no
+    SQL: probing ALL cells makes the candidate set the whole corpus, so
+    the result must equal brute force row-for-row EVEN with the arrow
+    assignment (candidates are assignment-independent at full probe);
+    partial probe stays a subset of the corpus with sane ranks."""
+    import numpy as np
+
+    from coolplaydruid_spark.operators import similarity
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(800)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    corpus = df.where(F.col("vec_id") >= 4)
+    nlist = 96  # 96 cells x 16 dims = 1536 floats > 1024 -> arrow path
+    approx = similarity.ivf_topk(
+        corpus, queries, k=10, n_clusters=nlist, n_probe=nlist)
+    assert "MapInPandas" in approx._jdf.queryExecution().executedPlan().toString()
+    exact = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+             for r in similarity.brute_force_topk(corpus, queries, k=10).collect()}
+    got = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+           for r in approx.collect()}
+    assert got == exact  # full probe == brute force, arrow path included
+
+    part = similarity.ivf_topk(
+        corpus, queries, k=10, n_clusters=nlist, n_probe=8).collect()
+    ids = {r["vec_id"] for r in corpus.select("vec_id").collect()}
+    assert {r["neighbor_id"] for r in part} <= ids
+    by_q = {}
+    for r in part:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), (q, ranks)
