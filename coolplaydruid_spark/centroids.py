@@ -167,10 +167,17 @@ def check_version(frame: DataFrame, expected: str, what: str = "store") -> None:
     stores)."""
     if "__centroid_version" not in frame.columns:
         return
+    from pyspark.sql import functions as F
+
+    # NULL stamps (pre-registry rows) are filtered BEFORE the bounded
+    # limit(2) probe (r12 advice): a store holding {NULL, v1, v2} could
+    # otherwise satisfy the limit with {NULL, v1}, hiding v2 and letting
+    # the mixed-version error — the exact hazard this guard exists for —
+    # silently not fire.
     vals = sorted(
         r[0] for r in
-        frame.select("__centroid_version").distinct().limit(2).collect()
-        if r[0] is not None
+        frame.where(F.col("__centroid_version").isNotNull())
+        .select("__centroid_version").distinct().limit(2).collect()
     )
     if len(vals) > 1:
         raise ValueError(

@@ -3626,7 +3626,11 @@ def dedup_embedding_semantic_fit(spark, sf_dir):
     emb = eng.catalog.table("embeddings")
     n = emb.count()
     return dedup.semantic_dedup(
-        emb, threshold=0.4, n_clusters=_semantic_fit_cells(n)
+        emb, threshold=0.4, n_clusters=_semantic_fit_cells(n),
+        # pinned to the exactly-replayable driver fit — same rationale
+        # as _fitted_cents (r12 advice): "auto" flips to
+        # nondeterministic ml past DRIVER_FIT_MAX_CELLS
+        fit_impl="driver",
     ).select("vec_id")
 
 
@@ -3650,10 +3654,11 @@ def _validate_semantic_fit(spark, sf_dir, rows):
         for r in eng.catalog.table("embeddings").collect()
     }
     ids = sorted(emb)
-    # fit replay: sample = all rows ordered by md5(id) (corpus < the
-    # 100k train_sample bound at gate scale), same seed/max_iter
+    # fit replay: the 100k smallest-md5(id) rows, same seed/max_iter —
+    # the truncation mirrors fit_centroids' train_sample bound so the
+    # replay stays exact past 100k vectors (r12 advice)
     order = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
-    C = _kmeans_fit(np.stack([emb[i] for i in order]),
+    C = _kmeans_fit(np.stack([emb[i] for i in order[:100_000]]),
                     _semantic_fit_cells(len(ids)), 10, 42)
 
     def cos(a, b):
@@ -3838,7 +3843,14 @@ def _fitted_cents(spark, frame, id_col: str = "vec_id"):
     from coolplaydruid_spark.operators import similarity as _sim
 
     n = frame.count()
-    C = _sim.fit_centroids(frame, n_clusters=_semantic_fit_cells(n))
+    # impl pinned to the driver recipe (r12 advice): "auto" switches to
+    # nondeterministic pyspark.ml past DRIVER_FIT_MAX_CELLS, so at a
+    # larger sf the gate and its numpy replay validator would silently
+    # diverge for harness reasons, not engine bugs. The ml path's scale
+    # evidence lives in the operator tests; THIS helper exists to be
+    # exactly replayable.
+    C = _sim.fit_centroids(frame, n_clusters=_semantic_fit_cells(n),
+                           impl="driver")
     return [(i, [float(x) for x in c]) for i, c in enumerate(C)]
 
 
@@ -3863,7 +3875,10 @@ def _np_semantic_state(spark, sf_dir, fit_ids_pred=None):
                if fit_ids_pred is None or fit_ids_pred(i)]
     order = sorted(fit_ids,
                    key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
-    C = _kmeans_fit(np.stack([emb[i] for i in order]),
+    # Mirror fit_centroids' train_sample bound (r12 advice): the driver
+    # recipe fits on the 100k smallest-md5 rows, so past 100k vectors
+    # the replay must truncate identically or it silently diverges.
+    C = _kmeans_fit(np.stack([emb[i] for i in order[:100_000]]),
                     _semantic_fit_cells(len(fit_ids)), 10, 42)
 
     def cos(a, b):

@@ -316,6 +316,21 @@ class DruidEngine:
                     raise ResourceLimitExceededError(
                         f"query produced more than maxResults={max_results} rows"
                     )
+            elif query.get("queryType") == "scan" and query.get("limit") is None:
+                # A LIMITLESS scan is the one surface whose result is
+                # O(table): collect() would materialize every row in the
+                # JVM driver at once before Python sees any. Fetch
+                # partition-at-a-time instead (toLocalIterator — the
+                # same delivery execute_stream uses), so JVM driver
+                # memory peaks at ~2 prefetched partitions regardless of
+                # table size (r12 verdict #2). Every other query type is
+                # bounded by construction: aggregations by their buckets,
+                # select by pagingSpec.threshold (default 1000), scan
+                # WITH a limit by CollectLimit.
+                rows = [
+                    r.asDict(recursive=True)
+                    for r in df.toLocalIterator(prefetchPartitions=True)
+                ]
             else:
                 rows = [r.asDict(recursive=True) for r in df.collect()]
             if timed_out.is_set():

@@ -97,6 +97,14 @@ def _to_string(v: "_Val") -> Column:
     return v.col.cast("string")
 
 
+def _js_strip(col: Column) -> Column:
+    """JS WhiteSpace strip for ToNumber/parseInt/parseFloat: JS strips
+    tabs, newlines, form feeds etc., not just ASCII spaces — F.trim
+    misses them, so Number('\\t') came out NaN where JS says 0 and
+    parseInt('\\n12') NaN where JS says 12 (r12 advice)."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def _to_number(v: "_Val") -> Column:
     """JS ToNumber for a string operand: a malformed numeric string is
     NaN, not an error (fuzz find, seed 13597: under ANSI mode a plain
@@ -108,8 +116,8 @@ def _to_number(v: "_Val") -> Column:
     false where Rhino says true), and an unsigned 0x-prefixed hex
     literal parses as hex (Number('0x10') === 16; a SIGNED '-0x10' is
     NaN in JS, and try_cast already nulls it into the NaN fallback)."""
-    s = F.trim(v.col)
-    c = v.col.try_cast("double")
+    s = _js_strip(v.col)
+    c = s.try_cast("double")
     hex_body = F.regexp_extract(s, r"^0[xX]([0-9a-fA-F]+)$", 1)
     return (
         F.when(v.col.isNull(), c)
@@ -126,13 +134,19 @@ def _parse_int_str(col: Column) -> Column:
     follows the numeric prefix is ignored ('12abc' → 12 — r11 advice:
     ToNumber yielded NaN there). No parsable prefix (incl. '' and
     'Infinity' — parseInt never accepts Infinity) → NaN; NULL → NULL."""
-    s = F.trim(col)
+    s = _js_strip(col)
     neg = F.when(s.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
     hex_body = F.regexp_extract(s, r"^[+-]?0[xX]([0-9a-fA-F]+)", 1)
+    # A bare hex PREFIX with no hex digits ('0x', '-0x') is NaN in JS —
+    # without this guard the decimal branch matched the leading '0' and
+    # returned 0 (r12 advice). '00x10' does NOT match (its second char
+    # is '0', not x), so it still decimal-parses to 0, as JS does.
+    hex_stub = F.regexp_extract(s, r"^[+-]?0[xX]", 0)
     dec_body = F.regexp_extract(s, r"^([+-]?[0-9]+)", 1)
     return (
         F.when(col.isNull(), F.lit(None).cast("double"))
         .when(hex_body != "", neg * F.conv(hex_body, 16, 10).cast("double"))
+        .when(hex_stub != "", F.lit(float("nan")))
         .when(dec_body != "", dec_body.cast("double"))
         .otherwise(F.lit(float("nan")))
     )
@@ -143,7 +157,7 @@ def _parse_float_str(col: Column) -> Column:
     StrDecimalLiteral — sign, then Infinity | digits[.digits][exp] |
     .digits[exp] ('12e3abc' → 12000, '0x10' → 0 via the '0' prefix,
     '' → NaN — parseFloat does NOT share ToNumber's ''→0 or hex rules)."""
-    s = F.trim(col)
+    s = _js_strip(col)
     body = F.regexp_extract(
         s,
         r"^([+-]?(?:Infinity|[0-9]+\.?[0-9]*(?:[eE][+-]?[0-9]+)?"
@@ -246,15 +260,17 @@ class _Parser:
         while self.peek()[1] in ("==", "!=", "===", "!=="):
             op = self.next()[1]
             right = self.relational()
+            prims = ("str", "num", "bool")
             if op in ("===", "!==") and (
-                (left.tag == "str" and right.tag in ("num", "bool"))
-                or (right.tag == "str" and left.tag in ("num", "bool"))
+                left.tag in prims and right.tag in prims
+                and left.tag != right.tag
             ):
-                # JS strict equality never coerces: differing primitive
-                # types compare unequal regardless of value ('5' === 5
-                # is false — r11 advice: routing these through
-                # _coerce_cmp's ToNumber made it true). SQL-null
-                # propagation preserved: a NULL operand yields NULL.
+                # JS strict equality never coerces: ANY two differing
+                # primitive types compare unequal regardless of value
+                # ('5' === 5 false, (a > 1) === 1 false — r12 advice:
+                # the r11 fix only covered str-vs-num/bool, so bool vs
+                # num still fell through to _coerce_cmp's ToNumber).
+                # SQL-null propagation preserved: NULL operand → NULL.
                 col = F.when(
                     left.col.isNull() | right.col.isNull(),
                     F.lit(None).cast("boolean"),

@@ -999,9 +999,9 @@ def _semantic_cells_arrow(df: DataFrame, pairs: list, vec_col: str) -> DataFrame
         cid_arr, C, cn = bc.value
         for pdf in batches:
             n = len(pdf)
-            cells = [lowest] * n
-            coss = [None] * n
-            vecs = pdf[vec_col]
+            cells = np.full(n, lowest, dtype=object)
+            coss = np.full(n, None, dtype=object)
+            vals = pdf[vec_col].to_numpy()
             # Arrow lands a null ELEMENT as NaN in a float64 ndarray, so
             # null-element and NaN-element vectors are indistinguishable
             # here: both take the null treatment (lowest-cid cell, NULL
@@ -1011,23 +1011,25 @@ def _semantic_cells_arrow(df: DataFrame, pairs: list, vec_col: str) -> DataFrame
             # cosine is ±inf/NaN that can win or poison the argmax — so
             # it fails loud like zero-norm instead of silently taking
             # the null treatment (r11 advice: undocumented arrow/jvm
-            # divergence).
-            clean_idx = []
-            for i, v in enumerate(vecs):
-                if v is None:
-                    continue
-                arr = np.asarray(v, dtype=np.float64)
-                if np.isinf(arr).any():
+            # divergence). The null/NaN/inf screen is vectorized over
+            # ONE stacked matrix (r12 verdict #1: the per-row scan ran
+            # asarray twice per row); isinf/isnan then run once per
+            # batch instead of per row.
+            nn = np.flatnonzero(np.fromiter(
+                (v is not None for v in vals), dtype=bool, count=n))
+            if nn.size:
+                Mall = np.stack([
+                    np.asarray(vals[i], dtype=np.float64) for i in nn])
+                if np.isinf(Mall).any():
                     raise ValueError(
                         "infinite vector element: the Arrow assignment "
                         "cannot mirror the JVM path's infinite cosine — "
                         "pass impl='jvm' for degenerate inputs")
-                if not np.isnan(arr).any():
-                    clean_idx.append(i)
-            if clean_idx:
-                M = np.stack([
-                    np.asarray(vecs.iloc[i], dtype=np.float64) for i in clean_idx
-                ])
+                clean = ~np.isnan(Mall).any(axis=1)
+            else:
+                clean = np.zeros(0, dtype=bool)
+            if nn.size and clean.any():
+                rows, M = nn[clean], Mall[clean]
                 nr = np.sqrt((M * M).sum(axis=1))
                 S = np.round((M @ C.T) / np.outer(nr, cn), 6)
                 bad = ~np.isfinite(S)
@@ -1039,14 +1041,13 @@ def _semantic_cells_arrow(df: DataFrame, pairs: list, vec_col: str) -> DataFrame
                 S = np.where(bad, -np.inf, S)  # NaN cosine sorts last (JVM rule)
                 best = S.argmax(axis=1)
                 picked = S[np.arange(len(best)), best]
-                for j, row in enumerate(clean_idx):
-                    b = best[j]
-                    cells[row] = (cid_arr[b].item()
-                                  if hasattr(cid_arr[b], "item") else cid_arr[b])
-                    coss[row] = float(picked[j])
+                # .tolist() materializes Python scalars (str or int cids,
+                # float cosines) — the same values the per-row loop wrote
+                cells[rows] = np.asarray(cid_arr[best].tolist(), dtype=object)
+                coss[rows] = np.asarray(picked.tolist(), dtype=object)
             out = pdf.copy()
             out["__cell"] = pd.Series(cells, index=pdf.index)
-            out["__cell_cos"] = pd.array(coss, dtype="Float64")
+            out["__cell_cos"] = pd.array(list(coss), dtype="Float64")
             yield out
 
     return df.mapInPandas(assign, schema)

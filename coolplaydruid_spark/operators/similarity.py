@@ -219,6 +219,27 @@ def fit_centroids(
     return _kmeans_fit(X, n_clusters, max_iter, seed)
 
 
+def _finite_rows(vecs):
+    """Stack a batch's non-null, all-finite vectors into ONE float64
+    matrix. Returns (rows, M): the qualifying positional row indices and
+    the stacked matrix (M is None when nothing qualifies). The per-row
+    work is only the unavoidable object→ndarray view + stack; the
+    finite screen is one vectorized isfinite over the matrix, and every
+    caller then does one BLAS matmul per batch instead of a Python-level
+    per-row matvec (r12 verdict #1: the per-row loop dominated the
+    assignment wall at production cell counts)."""
+    import numpy as np
+
+    vals = vecs.to_numpy()
+    idx = np.flatnonzero(np.fromiter(
+        (v is not None for v in vals), dtype=bool, count=len(vals)))
+    if idx.size == 0:
+        return idx, None
+    M = np.stack([np.asarray(vals[i], dtype=np.float64) for i in idx])
+    ok = np.isfinite(M).all(axis=1)
+    return idx[ok], M[ok]
+
+
 def _ivf_assign_arrow(df: DataFrame, C, vec_field: str) -> DataFrame:
     """Argmin-L2 cell assignment via one numpy matmul per Arrow batch —
     the literal-free IVF path for production cell counts (same r12
@@ -246,17 +267,17 @@ def _ivf_assign_arrow(df: DataFrame, C, vec_field: str) -> DataFrame:
         Cv = bc.value
         c2 = (Cv * Cv).sum(axis=1)
         for pdf in batches:
-            cells = [None] * len(pdf)
-            for i, v in enumerate(pdf[vec_field]):
-                if v is None:
-                    continue
-                x = np.asarray(v, dtype=np.float64)
-                if not np.isfinite(x).all():
-                    continue
-                d = c2 - 2.0 * (Cv @ x)  # + ||x||² is argmin-invariant
-                cells[i] = int(d.argmin())
+            cells = np.full(len(pdf), None, dtype=object)
+            rows, M = _finite_rows(pdf[vec_field])
+            if rows.size:
+                # ONE matmul per batch (r12 verdict #1 — the per-row
+                # Cv @ x loop); + ||x||² is argmin-invariant, and
+                # argmin returns the FIRST minimum, so ties still break
+                # toward the lowest cell index.
+                best = (c2[None, :] - 2.0 * (M @ Cv.T)).argmin(axis=1)
+                cells[rows] = np.asarray(best.tolist(), dtype=object)
             out = pdf.copy()
-            out["__cell"] = np.array(cells, dtype=object)
+            out["__cell"] = cells
             yield out
 
     return df.mapInPandas(assign, schema)
@@ -282,22 +303,121 @@ def _ivf_probes_arrow(q: DataFrame, C, n_probe: int,
         Cv = bc.value
         c2 = (Cv * Cv).sum(axis=1)
         for pdf in batches:
-            keep, cells = [], []
-            for i, v in enumerate(pdf[vec_field]):
-                if v is None:
-                    continue
-                x = np.asarray(v, dtype=np.float64)
-                if not np.isfinite(x).all():
-                    continue
-                d = c2 - 2.0 * (Cv @ x)
-                for c in np.argsort(d, kind="stable")[:n_probe]:
-                    keep.append(i)
-                    cells.append(int(c))
+            rows, M = _finite_rows(pdf[vec_field])
+            if rows.size:
+                # ONE matmul + ONE row-wise stable argsort per batch
+                # (r12 verdict #1); stable sort keeps ties toward the
+                # lowest cell index, the JVM zipped-sort rule. Row-major
+                # ravel pairs each query row with its n_probe cells in
+                # the same order the per-row loop emitted.
+                D = c2[None, :] - 2.0 * (M @ Cv.T)
+                order = np.argsort(D, axis=1, kind="stable")[:, :n_probe]
+                keep = np.repeat(rows, order.shape[1])
+                cells = np.asarray(order.ravel().tolist(), dtype=object)
+            else:
+                keep = rows
+                cells = np.array([], dtype=object)
             out = pdf.iloc[keep].copy()
-            out["__cell"] = np.array(cells, dtype=object)
+            out["__cell"] = cells
             yield out
 
     return q.mapInPandas(probe, schema)
+
+
+_IVF_LITERAL_MAX_FLOATS = 1024
+
+
+def _ivf_cent_lit(C):
+    """Centroids as a nested array literal: n_clusters × dim doubles
+    folded into the plan — broadcast-by-constant, visible to codegen;
+    exact JVM arithmetic for the small-k gates."""
+    return F.array(*[
+        F.array(*[F.lit(float(v)) for v in c]) for c in C
+    ])
+
+
+def _ivf_assign(pts: DataFrame, C, vec_field: str = "__cvec") -> DataFrame:
+    """IVF cell assignment (argmin L2 → ``__cell`` int index): plan
+    literals below _IVF_LITERAL_MAX_FLOATS centroid-floats (exact JVM
+    arithmetic, whole-stage codegen), the Arrow matmul path above (the
+    JIT-stable production form — r12)."""
+    if len(C) * len(C[0]) > _IVF_LITERAL_MAX_FLOATS:
+        return _ivf_assign_arrow(pts, C, vec_field)
+    cent_lit = _ivf_cent_lit(C)
+    dists = F.transform(cent_lit, lambda c: _sqdist(F.col(vec_field), c))
+    return pts.withColumn("__dists", dists).withColumn(
+        # argmin: first index of the minimum (ties → lowest cell id)
+        "__cell",
+        (F.array_position(F.col("__dists"),
+                          F.array_min(F.col("__dists"))) - 1).cast("int"),
+    ).drop("__dists")
+
+
+def _ivf_probes(qprep: DataFrame, C, n_probe: int,
+                vec_field: str = "__qvec") -> DataFrame:
+    """Query → n_probe nearest cells, one output row per (query, cell):
+    same literal/arrow switch as _ivf_assign."""
+    if len(C) * len(C[0]) > _IVF_LITERAL_MAX_FLOATS:
+        return _ivf_probes_arrow(qprep, C, n_probe, vec_field)
+    cent_lit = _ivf_cent_lit(C)
+    # sort (dist, cell) structs, slice the n_probe nearest
+    zipped = F.arrays_zip(
+        F.transform(cent_lit, lambda c: _sqdist(F.col(vec_field), c)).alias("d"),
+        F.sequence(F.lit(0), F.lit(int(len(C)) - 1)).alias("i"),
+    )
+    return qprep.withColumn(
+        "__cell",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(zipped), 1, n_probe),
+                lambda s: s["i"].cast("int"),
+            )
+        ),
+    )
+
+
+def _resolved_ivf_centroids(spark, centroids, vec_col: str):
+    """Normalize an explicit ivf_topk/ivf_cells centroid argument to
+    (C ndarray, version). Accepts everything resolve_centroids does —
+    incl. a registry ref ``{"registry","name","version"?}`` (r12 verdict
+    #3: an IVF index has the same cell-orphaning hazard as a semantic-
+    dedup store when probe-time centroids drift from build-time
+    assignments). Pairs are put in SORTED-cid order, so the positional
+    ``__cell`` index is a pure function of the centroid VERSION — two
+    loads of the same version can never disagree on what cell 7 means."""
+    import numpy as np
+
+    from coolplaydruid_spark import centroids as _cent
+
+    pairs, version = _cent.resolve_centroids(spark, centroids, vec_col=vec_col)
+    pairs = sorted(pairs, key=lambda p: p[0])
+    return np.asarray([vec for _, vec in pairs], dtype=np.float64), version
+
+
+def ivf_cells(
+    corpus: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Materialize the IVF cell assignment for a corpus under an
+    EXPLICIT (typically registry-named) centroid set — the frame a user
+    persists so later ``ivf_topk(corpus_cells=...)`` probes skip the
+    corpus-wide assignment pass. Returns (id_col, vec_col as
+    array<double>, __cell int, __centroid_version): the stamp rides as
+    a column (same rationale as the semantic-dedup stores — it survives
+    lifecycle rewrites), and ivf_topk verifies it against the centroids
+    in hand before joining, so a re-fit can never silently orphan the
+    stored cells."""
+    C, version = _resolved_ivf_centroids(corpus.sparkSession, centroids, vec_col)
+    pts = corpus.select(
+        F.col(id_col), _dvec(F.col(vec_col)).alias("__cvec"))
+    return _ivf_assign(pts, C, "__cvec").select(
+        F.col(id_col),
+        F.col("__cvec").alias(vec_col),
+        F.col("__cell"),
+        F.lit(version).alias("__centroid_version"),
+    )
 
 
 def ivf_topk(
@@ -313,6 +433,8 @@ def ivf_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     fit_impl: str = "auto",
+    centroids=None,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means partitions the
     corpus into n_clusters cells; each query probes its n_probe nearest
@@ -340,66 +462,62 @@ def ivf_topk(
     DRIVER_FIT_MAX_CELLS), so IVF holds its shape at production cell
     counts instead of capping at what the driver can fit and Catalyst
     can plan.
+
+    r13 (verdict #3): ``centroids`` pins an EXPLICIT centroid set —
+    anything resolve_centroids accepts, incl. a registry ref
+    ``{"registry","name","version"?}`` — and skips the fit entirely;
+    ``corpus_cells`` (requires ``centroids``) reuses a pre-materialized
+    ``ivf_cells`` store instead of re-assigning the corpus, after
+    verifying its ``__centroid_version`` stamp against the centroids in
+    hand, so a re-fit under the same registry name fails loudly instead
+    of probing orphaned cells.
     """
-    C = fit_centroids(corpus, n_clusters=n_clusters, seed=seed,
-                      max_iter=max_iter, train_sample=train_sample,
-                      vec_col=vec_col, id_col=id_col, impl=fit_impl)
-    if C is None:
+    if corpus_cells is not None and centroids is None:
+        raise ValueError(
+            "corpus_cells requires explicit centroids: a store's cells "
+            "are only comparable under the centroid set (version) they "
+            "were assigned with — pass the registry ref or vectors the "
+            "store was built from")
+    version = None
+    if centroids is not None:
+        C, version = _resolved_ivf_centroids(
+            corpus.sparkSession, centroids, vec_col)
+    else:
+        C = fit_centroids(corpus, n_clusters=n_clusters, seed=seed,
+                          max_iter=max_iter, train_sample=train_sample,
+                          vec_col=vec_col, id_col=id_col, impl=fit_impl)
+    if C is None or len(C) == 0:
         # Empty corpus: same output schema, no rows (brute force parity).
         return brute_force_topk(corpus, queries, k=k, vec_col=vec_col,
                                 id_col=id_col, query_id_col=query_id_col)
 
-    pts = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _dvec(F.col(vec_col)).alias("__cvec"),
-        _norm(_dvec(F.col(vec_col))).alias("__cn"),
-    )
     qprep = queries.select(
         F.col(query_id_col),
         _dvec(F.col(vec_col)).alias("__qvec"),
         _norm(_dvec(F.col(vec_col))).alias("__qn"),
     )
-    if len(C) * len(C[0]) > 1024:
-        assigned = _ivf_assign_arrow(pts, C, "__cvec")
-        probes = _ivf_probes_arrow(qprep, C, n_probe, "__qvec")
+    if corpus_cells is not None:
+        from coolplaydruid_spark import centroids as _cent
+
+        if "__cell" not in corpus_cells.columns:
+            raise ValueError("corpus_cells lacks a __cell column — "
+                             "materialize it with ivf_cells")
+        _cent.check_version(corpus_cells, version, "corpus_cells")
+        assigned = corpus_cells.select(
+            F.col(id_col).alias("neighbor_id"),
+            _dvec(F.col(vec_col)).alias("__cvec"),
+            _norm(_dvec(F.col(vec_col))).alias("__cn"),
+            F.col("__cell").cast("int").alias("__cell"),
+        )
     else:
-        # Centroids as a nested array literal: n_clusters × dim doubles
-        # folded into the plan — broadcast-by-constant, visible to
-        # codegen; exact JVM arithmetic for the small-k gates.
-        cent_lit = F.array(*[
-            F.array(*[F.lit(float(v)) for v in c]) for c in C
-        ])
-
-        def dists_to_cells(vec):
-            return F.transform(cent_lit, lambda c: _sqdist(vec, c))
-
-        assigned = pts.withColumn(
-            "__dists", dists_to_cells(F.col("__cvec"))
-        ).withColumn(
-            # argmin: first index of the minimum (ties → lowest cell id)
-            "__cell",
-            (F.array_position(F.col("__dists"),
-                              F.array_min(F.col("__dists"))) - 1
-             ).cast("int"),
-        ).drop("__dists")
-
-        # Query → n_probe nearest cells: sort (dist, cell) structs, slice.
-        zipped = F.arrays_zip(
-            dists_to_cells(F.col("__qvec")).alias("d"),
-            F.sequence(F.lit(0), F.lit(int(len(C)) - 1)).alias("i"),
+        pts = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _dvec(F.col(vec_col)).alias("__cvec"),
+            _norm(_dvec(F.col(vec_col))).alias("__cn"),
         )
-        probes = (
-            qprep.withColumn(
-                "__cell",
-                F.explode(
-                    F.transform(
-                        F.slice(F.array_sort(zipped), 1, n_probe),
-                        lambda s: s["i"].cast("int"),
-                    )
-                ),
-            )
-            .select(query_id_col, "__qvec", "__qn", "__cell")
-        )
+        assigned = _ivf_assign(pts, C, "__cvec")
+    probes = _ivf_probes(qprep, C, n_probe, "__qvec").select(
+        query_id_col, "__qvec", "__qn", "__cell")
 
     scored = assigned.join(F.broadcast(probes), on="__cell").select(
         F.col(query_id_col),

@@ -1,0 +1,86 @@
+"""The Arrow assignment kernels are batch matmuls, not per-row matvecs
+(r12 verdict #1): one X @ C.T per Arrow batch. These tests pin (a) the
+batch kernel's value-equivalence to the per-row reference loop it
+replaced, and (b) that it is actually faster — ≥3× at the verdict's
+64-dim / 16k-row shape (the real gap is ~10-30×, so 3× holds under
+host noise; best-of-3 on both sides to be safe). No Spark session:
+the kernel math is exercised directly through _finite_rows + the same
+expressions the mapInPandas closures run."""
+
+import time
+
+import numpy as np
+import pandas as pd
+
+from coolplaydruid_spark.operators import similarity
+
+
+def _mk(rows=16_000, dim=64, k=256, seed=7):
+    rng = np.random.RandomState(seed)
+    Cv = rng.randn(k, dim)
+    vecs = pd.Series(list(rng.randn(rows, dim)))
+    return vecs, Cv, (Cv * Cv).sum(axis=1)
+
+
+def _best_of(fn, n=3):
+    best = float("inf")
+    out = None
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn()
+        best = min(best, time.perf_counter() - t0)
+    return out, best
+
+
+def test_batch_argmin_kernel_matches_and_beats_per_row_loop():
+    vecs, Cv, c2 = _mk()
+
+    def batch():
+        rows, M = similarity._finite_rows(vecs)
+        return rows, (c2[None, :] - 2.0 * (M @ Cv.T)).argmin(axis=1)
+
+    def per_row():  # the pre-r13 inner loop, verbatim semantics
+        cells = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            d = c2 - 2.0 * (Cv @ x)
+            cells.append(int(d.argmin()))
+        return cells
+
+    (rows, best), t_batch = _best_of(batch)
+    loop_cells, t_row = _best_of(per_row)
+    assert rows.tolist() == list(range(len(vecs)))
+    assert best.tolist() == loop_cells
+    assert t_row >= 3.0 * t_batch, (
+        f"batch kernel only {t_row / t_batch:.1f}x the per-row loop "
+        f"(batch={t_batch:.3f}s row={t_row:.3f}s)")
+
+
+def test_batch_probe_kernel_matches_per_row_argsort():
+    vecs, Cv, c2 = _mk(rows=2_000)
+    n_probe = 4
+    rows, M = similarity._finite_rows(vecs)
+    D = c2[None, :] - 2.0 * (M @ Cv.T)
+    order = np.argsort(D, axis=1, kind="stable")[:, :n_probe]
+    got = list(zip(np.repeat(rows, order.shape[1]).tolist(),
+                   order.ravel().tolist()))
+    want = []
+    for i, v in enumerate(vecs):
+        d = c2 - 2.0 * (Cv @ np.asarray(v, dtype=np.float64))
+        for c in np.argsort(d, kind="stable")[:n_probe]:
+            want.append((i, int(c)))
+    assert got == want
+
+
+def test_finite_rows_screens_null_and_nonfinite():
+    vecs = pd.Series([
+        np.array([1.0, 2.0]), None, np.array([np.nan, 1.0]),
+        np.array([np.inf, 0.0]), np.array([3.0, 4.0]),
+    ])
+    rows, M = similarity._finite_rows(vecs)
+    assert rows.tolist() == [0, 4]
+    assert M.tolist() == [[1.0, 2.0], [3.0, 4.0]]
+    empty, none_m = similarity._finite_rows(pd.Series([None, None]))
+    assert empty.size == 0 and none_m is None
+    zero, zm = similarity._finite_rows(pd.Series([], dtype=object))
+    assert zero.size == 0 and zm is None

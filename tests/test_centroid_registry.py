@@ -118,6 +118,74 @@ def test_centroid_roundtrip_across_surfaces(spark, tmp_path):
             threshold=0.99)
 
 
+def test_ivf_registry_roundtrip(spark, tmp_path):
+    """r12 verdict #3: ivf_topk accepts the same registry ref as the
+    semantic-dedup family — register → ivf_cells (stamped store) →
+    store-backed probes ≡ inline assignment; a re-fit under the same
+    name makes the stale store fail loudly; a pinned version keeps
+    working; a full probe over explicit centroids still equals brute
+    force."""
+    from pyspark.sql import functions as F
+
+    from coolplaydruid_spark.operators import similarity as sim
+
+    reg = str(tmp_path / "reg")
+    rng = random.Random(11)
+    cents4 = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(4)]
+    v1 = cent.register_centroids(spark, reg, "ivf", cents4)
+    ref = {"registry": reg, "name": "ivf"}
+
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(3)],
+        "query_id long, embedding array<double>")
+
+    # materialize the store: every row stamped with the version
+    cells = sim.ivf_cells(corpus, ref)
+    got = cells.collect()
+    assert {r["__centroid_version"] for r in got} == {v1}
+    assert {r["__cell"] for r in got} <= {0, 1, 2, 3}
+
+    def key(rows):
+        return {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+                for r in rows}
+
+    inline = sim.ivf_topk(corpus, queries, k=3, n_probe=2, centroids=ref)
+    stored = sim.ivf_topk(corpus, queries, k=3, n_probe=2, centroids=ref,
+                          corpus_cells=cells)
+    assert key(inline.collect()) == key(stored.collect())
+
+    # full probe over explicit centroids ≡ brute force (exact cosines)
+    full = sim.ivf_topk(corpus, queries, k=3, n_probe=4, centroids=ref)
+    brute = sim.brute_force_topk(corpus, queries, k=3)
+    assert key(full.collect()) == key(brute.collect())
+
+    # corpus_cells without centroids is ambiguous — fail loudly
+    with pytest.raises(ValueError, match="requires explicit centroids"):
+        sim.ivf_topk(corpus, queries, corpus_cells=cells)
+    with pytest.raises(ValueError, match="lacks a __cell"):
+        sim.ivf_topk(corpus, queries, centroids=ref,
+                     corpus_cells=cells.drop("__cell"))
+
+    # the re-fit: CURRENT moves → the stale store fails the version
+    # check; pinning v1 keeps it working
+    cents_b = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(4)]
+    cent.register_centroids(spark, reg, "ivf", cents_b)
+    with pytest.raises(ValueError, match="incomparable"):
+        sim.ivf_topk(corpus, queries, centroids=ref, corpus_cells=cells)
+    pinned = sim.ivf_topk(corpus, queries, k=3, n_probe=2,
+                          centroids=dict(ref, version=v1),
+                          corpus_cells=cells)
+    assert key(pinned.collect()) == key(stored.collect())
+    # an unstamped (legacy) store passes the no-op check under any set
+    legacy = cells.drop("__centroid_version")
+    assert sim.ivf_topk(corpus, queries, k=3, n_probe=2,
+                        centroids=dict(ref, version=v1),
+                        corpus_cells=legacy).count() > 0
+
+
 def test_mixed_version_store_detected(spark, tmp_path):
     """A store appended under two centroid sets is itself an error —
     some of its cells are incomparable with ANY single set in hand."""
@@ -134,3 +202,36 @@ def test_mixed_version_store_detected(spark, tmp_path):
         dedup.semantic_dedup_pairs_incremental(
             df, CENTS_A, corpus_cells=a.unionByName(b),
             threshold=0.0).collect()
+
+
+def test_mixed_version_detected_under_null_stamps(spark):
+    """r12 advice: NULL stamps (pre-registry rows) must not mask a
+    mixed-version store — check_version's bounded distinct().limit(2)
+    probe could previously satisfy itself with {NULL, v1} and miss v2,
+    so the mixed-version error silently never fired on the natural
+    pre-registry-store-appended-under-two-re-fits state."""
+    from pyspark.sql import functions as F
+
+    va, vb = cent.centroid_version(CENTS_A), cent.centroid_version(CENTS_B)
+    base = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 0)], "vec_id long, __cell long")
+    store = (
+        # NULL stamp first so a naive limit(2) would grab it
+        base.where("vec_id = 1").withColumn(
+            "__centroid_version", F.lit(None).cast("string"))
+        .unionByName(base.where("vec_id = 2").withColumn(
+            "__centroid_version", F.lit(va)))
+        .unionByName(base.where("vec_id = 3").withColumn(
+            "__centroid_version", F.lit(vb)))
+    ).coalesce(1)
+    with pytest.raises(ValueError, match="MULTIPLE centroid versions"):
+        cent.check_version(store, va)
+    # NULL + one matching version still passes (pre-registry rows are
+    # tolerated); NULL + one MISMATCHED version still fails
+    ok = base.where("vec_id = 1").withColumn(
+        "__centroid_version", F.lit(None).cast("string")
+    ).unionByName(base.where("vec_id = 2").withColumn(
+        "__centroid_version", F.lit(va)))
+    cent.check_version(ok, va)
+    with pytest.raises(ValueError, match="incomparable"):
+        cent.check_version(ok, vb)

@@ -174,6 +174,76 @@ def test_subset_rejection(src):
             jsexpr.compile_scalar(src, [F.lit("x")])
 
 
+def test_strict_equality_never_coerces_bool_vs_num(spark):
+    """r12 advice: JS strict equality compares ANY two differing
+    primitive types unequal — the r11 fix covered str-vs-num/bool but
+    bool-vs-num still fell through to ToNumber coercion, so
+    (a > 1) === 1 came out true where JS says false."""
+    df = spark.createDataFrame([("5",), ("0",)], ["x"])
+
+    def run(src):
+        return [r["r"] for r in df.select(
+            jsexpr.compile_scalar(src, [F.col("x")], kind="str")
+            .cast("boolean").alias("r")).collect()]
+
+    # bool === num: always false (never true even when ToNumber agrees)
+    assert run("function(x) { return (Number(x) > 1) === 1 }") == [False, False]
+    assert run("function(x) { return 1 === (Number(x) > 1) }") == [False, False]
+    assert run("function(x) { return (Number(x) > 1) !== 1 }") == [True, True]
+    # loose equality still coerces: true == 1 is true in JS
+    assert run("function(x) { return (Number(x) > 1) == 1 }") == [True, False]
+    # same-tag strict comparisons unaffected
+    assert run("function(x) { return Number(x) === 5 }") == [True, False]
+    # SQL-null propagation preserved on the new no-coerce branch
+    dfn = spark.createDataFrame([(None,)], "x string")
+    out = dfn.select(jsexpr.compile_scalar(
+        "function(x) { return (Number(x) > 1) === 1 }",
+        [F.col("x")]).alias("r")).collect()[0]["r"]
+    assert out is None
+
+
+@pytest.mark.parametrize(
+    "src,value,expected",
+    [
+        # JS WhiteSpace strip: \t/\n pad every numeric-string entry
+        # point (r12 advice — F.trim only strips ASCII spaces)
+        ("function(x) { return Number(x) }", "\t", 0.0),
+        ("function(x) { return Number(x) }", "\t0x10\n", 16.0),
+        ("function(x) { return parseInt(x) }", "\n12", 12.0),
+        ("function(x) { return parseInt(x) }", "\t0x10", 16.0),
+        ("function(x) { return parseFloat(x) }", "\t1.5x", 1.5),
+    ],
+)
+def test_js_whitespace_stripping(spark, src, value, expected):
+    assert _eval_scalar(spark, src, value) == pytest.approx(expected)
+
+
+@pytest.mark.parametrize(
+    "src,value,expected",
+    [
+        # parseInt('0x') family: a bare hex prefix with no hex digits
+        # is NaN in JS (r12 advice — the decimal branch matched the
+        # leading '0' and returned 0)
+        ("function(x) { return parseInt(x) }", "0x", float("nan")),
+        ("function(x) { return parseInt(x) }", "-0x", float("nan")),
+        ("function(x) { return parseInt(x) }", "+0x", float("nan")),
+        # '00x10' is NOT a hex prefix (second char is '0'): decimal
+        # prefix '00' parses to 0, and '12x' decimal-prefixes to 12
+        ("function(x) { return parseInt(x) }", "00x10", 0.0),
+        ("function(x) { return parseInt(x) }", "12x", 12.0),
+        ("function(x) { return parseInt(x) }", "0x1F", 31.0),
+    ],
+)
+def test_parse_int_hex_prefix_edge(spark, src, value, expected):
+    import math
+
+    got = _eval_scalar(spark, src, value)
+    if math.isnan(expected):
+        assert got is not None and math.isnan(got)
+    else:
+        assert got == pytest.approx(expected)
+
+
 def test_null_index_propagates_through_substring_and_minmax(spark):
     """Review-driven: a null numeric argument must null the result
     (SQL three-valued semantics) — least/greatest-based rewrites of

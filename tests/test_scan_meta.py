@@ -41,6 +41,49 @@ def test_scan_limit_ordered(engine):
     assert ts == sorted(ts, reverse=True)
 
 
+def test_unlimited_scan_never_collects(engine, monkeypatch):
+    """r12 verdict #2: a LIMITLESS scan through execute() must not
+    df.collect() — that materializes the whole table in the JVM driver
+    at once. It routes through toLocalIterator (partition-at-a-time,
+    driver peak ~2 prefetched partitions) and returns the same rows.
+    A scan WITH a limit keeps the collect fast path (CollectLimit is
+    bounded by construction)."""
+    # patch the CONCRETE class (Spark 4: pyspark.sql.classic overrides
+    # the pyspark.sql.DataFrame base methods, so patching the base
+    # would intercept nothing)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls = {"collect": 0, "iter": 0}
+    real_collect, real_iter = DataFrame.collect, DataFrame.toLocalIterator
+
+    def spy_collect(self):
+        calls["collect"] += 1
+        return real_collect(self)
+
+    def spy_iter(self, prefetchPartitions=False):
+        calls["iter"] += 1
+        return real_iter(self, prefetchPartitions=prefetchPartitions)
+
+    monkeypatch.setattr(DataFrame, "collect", spy_collect)
+    monkeypatch.setattr(DataFrame, "toLocalIterator", spy_iter)
+    base = {
+        "queryType": "scan",
+        "dataSource": "events",
+        "columns": ["event_id", "event_type"],
+        "intervals": INTERVAL,
+    }
+    unlimited = engine.execute(base)
+    assert calls == {"collect": 0, "iter": 1}
+    assert len(unlimited) > 100  # the whole fixture month, not a page
+    limited = engine.execute(dict(base, limit=7))
+    assert calls["iter"] == 1 and calls["collect"] >= 1
+    assert len(limited) == 7
+    # both deliveries serialize the same row shape, and the limited
+    # result is a subset of the unlimited one
+    all_ids = {r["event_id"] for r in unlimited}
+    assert {r["event_id"] for r in limited} <= all_ids
+
+
 def test_select_paging(engine):
     base = {
         "queryType": "select",
