@@ -3712,7 +3712,8 @@ def _validate_semantic_fit(spark, sf_dir, rows):
 def _duck_semantic_pairs(n_cent: int, tau: float,
                          mod: int | None = None,
                          rem: int | None = None,
-                         max_cell: int | None = None) -> str:
+                         max_cell: int | None = None,
+                         member_pred: str | None = None) -> str:
     """SemDeDup pairing oracle: centroids = the first n_cent vectors by
     id, argmax-cosine cell assignment (rounded, ties → lowest cid),
     within-cell exact-cosine pairs ≥ tau. Default = the id_a < id_b
@@ -3721,8 +3722,12 @@ def _duck_semantic_pairs(n_cent: int, tau: float,
     mirrors the engine's hot-cell cap: cells whose population exceeds
     it emit no pairs (self form counts the whole cell; incremental
     counts the CORPUS side only, the engine's symmetric-drop rule).
-    Shared with the fuzz surface so the gate and the fuzzer can never
-    drift apart."""
+    ``member_pred`` restricts which vectors PARTICIPATE (the composed
+    pipeline passes its survivor set) while the pinned centroids stay
+    the first n_cent of the FULL table — the Spark side pins centroids
+    before filtering, and assignment is per-vector, so restricting
+    participants never changes a participant's cell. Shared with the
+    fuzz surface so the gate and the fuzzer can never drift apart."""
     cross = (f"c.vec_id % {mod} != {rem} AND b.vec_id % {mod} = {rem}"
              if mod is not None else "c.vec_id < b.vec_id")
     cap_cte, src = "", "j"
@@ -3734,9 +3739,11 @@ def _duck_semantic_pairs(n_cent: int, tau: float,
             GROUP BY cell HAVING count(*) > {max_cell}),
     jk AS (SELECT * FROM j WHERE cell NOT IN (SELECT cell FROM hot))"""
         src = "jk"
+    member = f"WHERE {member_pred}" if member_pred else ""
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_cent}),
+    WITH eall AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (SELECT * FROM eall {member}),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM eall WHERE vec_id < {n_cent}),
     scored AS (
       SELECT e.vec_id, cid,
              round(list_dot_product(v, cv) /
@@ -4061,25 +4068,18 @@ def similarity_topk_ivf(spark, sf_dir):
     )
 
 
-@validator("pack_training_sequences")
-def _validate_packing(spark, sf_dir, rows):
-    """EXACT deterministic oracle (not just invariants): per-partition
-    FFD is a pure function of each partition's doc multiset, and the
-    output bins recover that multiset — `seq_id // 2^40` is the
-    partition namespace (min doc id of the partition). Replaying pure-
-    Python FFD over each namespace's docs must reproduce the bins
-    bit-for-bit; exact cover against the full input guarantees no doc
-    was dropped from / duplicated across namespaces."""
+def _ffd_replay_check(rows, tokens: dict, budget: int):
+    """EXACT deterministic packing oracle (not just invariants),
+    shared by pack_training_sequences and pipeline_llm_corpus_packed:
+    per-partition FFD is a pure function of each partition's doc
+    multiset, and the output bins recover that multiset — `seq_id //
+    2^40` is the partition namespace (min doc id of the partition).
+    Replaying pure-Python FFD over each namespace's docs must reproduce
+    the bins bit-for-bit; exact cover against the full input guarantees
+    no doc was dropped from / duplicated across namespaces. Returns
+    (ok, msg)."""
     from coolplaydruid_spark.operators.packing import _SEQ_STRIDE
 
-    budget = 128
-    eng = engine_for(spark, sf_dir)
-    docs = (
-        text.token_count(eng.catalog.table("documents"))
-        .select("doc_id", "ws_tokens")
-        .collect()
-    )
-    tokens = {r["doc_id"]: r["ws_tokens"] for r in docs}
     placed = [d for r in rows for d in r["doc_ids"]]
     if sorted(placed) != sorted(tokens):
         return False, "doc cover mismatch (missing/duplicated doc ids)"
@@ -4121,6 +4121,20 @@ def _validate_packing(spark, sf_dir, rows):
         f"FFD replay exact: {len(rows)} bins across {len(by_ns)} "
         f"partitions, cover+budget+numbering verified"
     )
+
+
+@validator("pack_training_sequences")
+def _validate_packing(spark, sf_dir, rows):
+    """pack_training_sequences' exact replay: inputs = every document's
+    whitespace token count (see _ffd_replay_check for the rules)."""
+    eng = engine_for(spark, sf_dir)
+    docs = (
+        text.token_count(eng.catalog.table("documents"))
+        .select("doc_id", "ws_tokens")
+        .collect()
+    )
+    tokens = {r["doc_id"]: r["ws_tokens"] for r in docs}
+    return _ffd_replay_check(rows, tokens, 128)
 
 
 @validator("similarity_topk_ivf")
@@ -6894,9 +6908,13 @@ def text_dup_ngram_stats(spark, sf_dir):
 def _duck_gopher(
     min_words: int, max_words: int, min_mean: float, max_mean: float,
     max_symbol: float, min_alpha: float, min_stop: int,
+    src: str = "documents",
 ) -> str:
     """Gopher rule-filter oracle: same rounded signals, same fixed-order
-    fail-reason list as text.gopher_quality_filter."""
+    fail-reason list as text.gopher_quality_filter. ``src`` lets the
+    composed pipeline oracles filter their own survivor CTE — one copy
+    of the rule SQL serves every entry (the module's no-second-copy
+    doctrine)."""
     stoplist = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS["en"])
     fails = f"""list_filter([
       CASE WHEN n_words < {min_words} THEN 'too_few_words' END,
@@ -6908,7 +6926,7 @@ def _duck_gopher(
     ], x -> x IS NOT NULL)"""
     return f"""
     WITH base AS (
-      SELECT doc_id, {DUCK_TOKS} AS t, coalesce(text, '') AS txt FROM documents
+      SELECT doc_id, {DUCK_TOKS} AS t, coalesce(text, '') AS txt FROM {src}
     ), m AS (
       SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
         CASE WHEN len(t) > 0 THEN round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t), 6) ELSE 0.0 END AS mean_word_len,
@@ -7296,6 +7314,215 @@ def pipeline_quality_corpus(spark, sf_dir):
         eng.catalog.table("documents"), _GOPHER_PARAMS, 0.6,
         _QUALITY_MIX_RATES, 100,
     )
+
+
+# ---------------------------------------------------------------------------
+# The canonical production chain end-to-end (r12 verdict #4): ingest →
+# exact dedup → minhash near-dedup → Gopher quality filter → semantic
+# dedup → contamination check → quality-mixture sampling [→ packing].
+# One oracle proves the stages INTEROPERATE — every stage's keep set is
+# the next stage's input, so a drift anywhere surfaces as a value-hash
+# mismatch here even if each stage's own entry still passes.
+# ---------------------------------------------------------------------------
+
+
+def _duck_llm_corpus() -> str:
+    """End-to-end corpus-build oracle, composed from the existing
+    builders (the module's no-second-copy doctrine): DUCK_SHINGLES /
+    _duck_minhash_exprs / _duck_band_selects for the minhash stage,
+    _duck_gopher(src=...), _duck_semantic_pairs(member_pred=...),
+    _duck_quality_mixture(src=...). Near-dup retention is keep-smallest-
+    id per transitive component (recursive reach CTE — the
+    dedup_cluster_sizes rule); the contamination probe is the RAW first
+    20 docs (the benchmark set is fixed before any cleaning), docs with
+    ≥5% of their shingles in the probe are dropped, and probe docs
+    themselves never enter the final corpus. Stage CTEs are
+    MATERIALIZED: DuckDB inlines CTEs by default, and each stage here
+    is referenced down a long chain — inlining multiplied the parquet
+    scans until the process ran out of file descriptors."""
+    mh = _duck_minhash_exprs(12)
+    band_selects = _duck_band_selects(12, 4)
+    shingles_d1 = DUCK_SHINGLES.replace("FROM documents", "FROM d1")
+    shingles_probe = DUCK_SHINGLES.replace(
+        "FROM documents", "FROM documents WHERE doc_id < 20")
+    sem = _duck_semantic_pairs(
+        8, 0.3, member_pred="vec_id IN (SELECT doc_id FROM d3)")
+    gopher = _duck_gopher(**_GOPHER_PARAMS, src="d2")
+    kept = _duck_quality_mixture(_QUALITY_MIX_RATES, 100, "d5")
+    return f"""
+    WITH RECURSIVE
+    -- stage 1: exact dedup (keep smallest doc id per md5(text) digest)
+    s1 AS MATERIALIZED (SELECT min(doc_id) AS doc_id
+           FROM documents GROUP BY md5(coalesce(text, ''))),
+    d1 AS MATERIALIZED (SELECT d.* FROM documents d JOIN s1 USING (doc_id)),
+    -- stage 2: minhash LSH near-dup pairs at tau=0.5 over d1
+    lshf AS MATERIALIZED ({shingles_d1} SELECT doc_id, shingle FROM shf),
+    sig AS MATERIALIZED (SELECT doc_id, {mh} FROM lshf GROUP BY doc_id),
+    banded AS MATERIALIZED ({band_selects}),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    ),
+    co AS MATERIALIZED (
+      SELECT doc_a, doc_b, count(*) AS n_common
+      FROM cand JOIN lshf a ON cand.doc_a = a.doc_id
+                JOIN lshf b ON cand.doc_b = b.doc_id AND a.shingle = b.shingle
+      GROUP BY 1, 2
+    ),
+    sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM lshf GROUP BY 1),
+    mp AS MATERIALIZED (
+      SELECT doc_a, doc_b
+      FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
+              JOIN sizes sb ON co.doc_b = sb.doc_id
+      WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
+    ),
+    medges AS (SELECT doc_a AS src, doc_b AS dst FROM mp
+               UNION SELECT doc_b, doc_a FROM mp),
+    mreach AS (
+      SELECT src AS vertex, src AS r FROM medges
+      UNION
+      SELECT e.dst AS vertex, rr.r FROM mreach rr JOIN medges e ON e.src = rr.vertex
+    ),
+    mcomp AS MATERIALIZED (SELECT vertex, min(r) AS component FROM mreach GROUP BY vertex),
+    d2 AS MATERIALIZED (SELECT d1.* FROM d1 WHERE doc_id NOT IN
+           (SELECT vertex FROM mcomp WHERE component <> vertex)),
+    -- stage 3: Gopher rule filter over the near-dedup survivors
+    g AS MATERIALIZED ({gopher}),
+    d3 AS MATERIALIZED (SELECT d2.* FROM d2 JOIN g USING (doc_id) WHERE g.passes),
+    -- stage 4: semantic dedup (pinned first-8 centroids of the FULL
+    -- embedding table; participants = d3 survivors; keep-smallest-id)
+    sp AS MATERIALIZED ({sem}),
+    sedges AS (SELECT id_a AS src, id_b AS dst FROM sp
+               UNION SELECT id_b, id_a FROM sp),
+    sreach AS (
+      SELECT src AS vertex, src AS r FROM sedges
+      UNION
+      SELECT e.dst AS vertex, rr.r FROM sreach rr JOIN sedges e ON e.src = rr.vertex
+    ),
+    scomp AS MATERIALIZED (SELECT vertex, min(r) AS component FROM sreach GROUP BY vertex),
+    d4 AS MATERIALIZED (SELECT d3.* FROM d3 WHERE doc_id NOT IN
+           (SELECT vertex FROM scomp WHERE component <> vertex)),
+    -- stage 5: decontamination — drop any survivor with ≥5% of its
+    -- shingles in the RAW probe docs (<20); probe docs leave the
+    -- corpus too (same rounded-frac rule as text_contamination_fraction)
+    pshf AS MATERIALIZED ({shingles_probe} SELECT DISTINCT shingle FROM shf),
+    cfrac AS MATERIALIZED (
+      SELECT s.doc_id,
+             round(sum(CASE WHEN p.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                   * 1.0 / count(*), 6) AS contaminated_frac
+      FROM lshf s LEFT JOIN pshf p USING (shingle)
+      GROUP BY 1
+    ),
+    d5 AS MATERIALIZED (SELECT d4.* FROM d4 JOIN cfrac USING (doc_id)
+           WHERE doc_id >= 20 AND contaminated_frac < 0.05),
+    -- stage 6: quality-mixture thinning, NLL model trained on the
+    -- SURVIVORS (exactly what a staged pipeline would do)
+    kept AS MATERIALIZED ({kept})
+    SELECT doc_id, bucket, n_tokens FROM kept
+    """
+
+
+def _spark_llm_corpus_stages(spark, sf_dir) -> dict:
+    """Spark side of the composed corpus build, one keyed frame per
+    stage (shared by the two contract entries and the non-vacuity test
+    — both must assemble the stages identically). Every stage is the
+    library operator, composed: nothing here re-implements a rule."""
+    eng = engine_for(spark, sf_dir)
+    docs = eng.catalog.table("documents")
+    emb = eng.catalog.table("embeddings")
+    # 1: exact dedup — survivors are exact_dedup's per-digest keeper
+    s1 = dedup.exact_dedup(docs).select(F.col("survivor_id").alias("doc_id"))
+    d1 = docs.join(s1, on="doc_id")
+    # 2: minhash LSH pairs → components → keep smallest id
+    mpairs = dedup.minhash_lsh_dedup(d1, threshold=0.5, cache=True)
+    mlosers = (
+        graph.connected_components(mpairs)
+        .where(F.col("component") != F.col("vertex"))
+        .select(F.col("vertex").alias("doc_id"))
+    )
+    d2 = d1.join(mlosers, on="doc_id", how="left_anti")
+    # 3: Gopher rule filter
+    d3 = d2.join(_spark_gopher(d2).where("passes").select("doc_id"),
+                 on="doc_id")
+    # 4: semantic dedup — centroids pinned to the full table's first 8
+    # (pinned BEFORE filtering, so assignment is stable across stages),
+    # pairs among survivors only, keep smallest id
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    sub = emb.join(d3.select(F.col("doc_id").alias("vec_id")), on="vec_id")
+    spairs = dedup.semantic_dedup_pairs(sub, cent, threshold=0.3)
+    slosers = (
+        graph.connected_components(spairs, src_col="id_a", dst_col="id_b")
+        .where(F.col("component") != F.col("vertex"))
+        .select(F.col("vertex").alias("doc_id"))
+    )
+    d4 = d3.join(slosers, on="doc_id", how="left_anti")
+    # 5: decontamination against the raw probe docs (<20) at the 5%
+    # shingle-overlap threshold; probe docs never enter the corpus,
+    # and a shingle-less (empty) doc has no measurable fraction — it
+    # is dropped, on both sides, by the inner join
+    frac = text.contamination_fraction(
+        d4.where(F.col("doc_id") >= 20), docs.where(F.col("doc_id") < 20))
+    d5 = d4.join(
+        frac.where(F.col("contaminated_frac") < 0.05).select("doc_id"),
+        on="doc_id")
+    # 6: quality-mixture thinning trained on the survivors
+    kept = sampling.quality_mixture(
+        d5, rates=dict(_QUALITY_MIX_RATES), vocab_size=100)
+    return {"d1": d1, "d2": d2, "d3": d3, "d4": d4, "d5": d5, "kept": kept}
+
+
+@q("pipeline_llm_corpus", _duck_llm_corpus())
+def pipeline_llm_corpus(spark, sf_dir):
+    """The canonical LLM training-corpus build end-to-end, composed
+    from the operator library: exact dedup → minhash near-dedup (τ=0.5,
+    keep-smallest per component) → Gopher rules → semantic dedup
+    (pinned centroids, τ=0.4) → benchmark decontamination → CCNet
+    quality-mixture thinning. Returns the selected corpus as (doc_id,
+    bucket, n_tokens) — the full relational chain is value-hash-checked
+    against one composed DuckDB oracle; tests/test_operators.py asserts
+    every stage genuinely prunes at gate scale."""
+    return _spark_llm_corpus_stages(spark, sf_dir)["kept"]
+
+
+@q("pipeline_llm_corpus_packed")  # no SQL oracle: FFD bin assignment is
+# order-dependent by nature — exact end-to-end replay validator below
+def pipeline_llm_corpus_packed(spark, sf_dir):
+    """The corpus build driven through to TRAINING SEQUENCES: the
+    pipeline_llm_corpus selection packed into ≤128-token bins
+    (per-partition first-fit-decreasing). The validator replays the
+    ENTIRE chain — the composed DuckDB oracle reproduces the selected
+    doc set, then pure-Python FFD must reproduce the bins bit-for-bit —
+    so this single entry certifies ingest-to-packer interoperation."""
+    from coolplaydruid_spark.operators import packing
+
+    kept = _spark_llm_corpus_stages(spark, sf_dir)["kept"]
+    return packing.pack_sequences(kept, budget=128, token_col="n_tokens")
+
+
+@validator("pipeline_llm_corpus_packed")
+def _validate_llm_corpus_packed(spark, sf_dir, rows):
+    """End-to-end exact replay: run the composed corpus-build oracle in
+    DuckDB on the same parquet (selected docs + token counts), then
+    verify the packed bins are exactly the per-namespace FFD of that
+    selection (_ffd_replay_check — the same replay pack_training_
+    sequences passes)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    sel = con.execute(_duck_llm_corpus()).fetchall()
+    tokens = {r[0]: r[2] for r in sel}
+    if not tokens:
+        return False, "oracle selected no documents — the check is vacuous"
+    ok, msg = _ffd_replay_check(rows, tokens, 128)
+    if not ok:
+        return ok, msg
+    return True, (
+        f"end-to-end replay: {len(tokens)} oracle-selected docs, {msg}")
 
 
 def _duck_overlap_matrix(group: str, k: int) -> str:

@@ -1257,6 +1257,32 @@ def test_pipeline_quality_corpus_filters_bite(spark):
     assert by["head"]["n_docs"] >= by["middle"]["n_docs"] >= by["tail"]["n_docs"]
 
 
+def test_pipeline_llm_corpus_every_stage_prunes(spark):
+    """The composed end-to-end corpus build (r12 verdict #4) is only
+    evidence if its stages actually BITE at gate scale: minhash,
+    Gopher, semantic dedup, decontamination, and mixture thinning must
+    each strictly shrink the survivor set (the fixture holds no exact
+    duplicates, so the exact stage is cover-preserving by construction
+    — asserted, not waived), and the packed form must cover exactly
+    the selected docs."""
+    from coolplaydruid_spark import contract
+
+    from tests.conftest import SF_DIR
+
+    stages = contract._spark_llm_corpus_stages(spark, SF_DIR)
+    n = {k: stages[k].count() for k in ("d1", "d2", "d3", "d4", "d5", "kept")}
+    raw = contract.engine_for(spark, SF_DIR).catalog.table("documents").count()
+    assert n["d1"] == raw  # fixture has no exact dups; cover preserved
+    assert raw > n["d2"] > n["d3"] > n["d4"] > n["d5"] > n["kept"] > 0, n
+    # packed output covers exactly the selected docs
+    packed = contract.QUERIES["pipeline_llm_corpus_packed"](
+        spark, SF_DIR).collect()
+    placed = sorted(d for r in packed for d in r["doc_ids"])
+    kept_ids = sorted(r["doc_id"] for r in stages["kept"].collect())
+    assert placed == kept_ids
+    assert all(r["total_tokens"] <= 128 or r["n_docs"] == 1 for r in packed)
+
+
 def test_wave2_ops_on_empty_corpus(spark):
     """A staged pipeline can hand any of these an EMPTY survivor set
     (every doc filtered upstream) — each must return an empty frame
