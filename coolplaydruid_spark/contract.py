@@ -7326,7 +7326,15 @@ def pipeline_quality_corpus(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _duck_llm_corpus() -> str:
+def _duck_llm_corpus(
+    minhash_tau: float = 0.5,
+    gopher_params: dict | None = None,
+    sem_tau: float = 0.3,
+    max_cell: int = 250,
+    cont_cut: float = 0.05,
+    rates: dict | None = None,
+    vocab_size: int = 100,
+) -> str:
     """End-to-end corpus-build oracle, composed from the existing
     builders (the module's no-second-copy doctrine): DUCK_SHINGLES /
     _duck_minhash_exprs / _duck_band_selects for the minhash stage,
@@ -7335,20 +7343,25 @@ def _duck_llm_corpus() -> str:
     id per transitive component (recursive reach CTE — the
     dedup_cluster_sizes rule); the contamination probe is the RAW first
     20 docs (the benchmark set is fixed before any cleaning), docs with
-    ≥5% of their shingles in the probe are dropped, and probe docs
-    themselves never enter the final corpus. Stage CTEs are
+    ≥cont_cut of their shingles in the probe are dropped, and probe
+    docs themselves never enter the final corpus. Every stage knob is a
+    parameter so the fuzzer draws through the same SQL the contract
+    entry pins (the _duck_quality_pipeline pattern). Stage CTEs are
     MATERIALIZED: DuckDB inlines CTEs by default, and each stage here
     is referenced down a long chain — inlining multiplied the parquet
     scans until the process ran out of file descriptors."""
+    gopher_params = gopher_params or _GOPHER_PARAMS
+    rates = rates or _QUALITY_MIX_RATES
     mh = _duck_minhash_exprs(12)
     band_selects = _duck_band_selects(12, 4)
     shingles_d1 = DUCK_SHINGLES.replace("FROM documents", "FROM d1")
     shingles_probe = DUCK_SHINGLES.replace(
         "FROM documents", "FROM documents WHERE doc_id < 20")
     sem = _duck_semantic_pairs(
-        8, 0.3, member_pred="vec_id IN (SELECT doc_id FROM d3)")
-    gopher = _duck_gopher(**_GOPHER_PARAMS, src="d2")
-    kept = _duck_quality_mixture(_QUALITY_MIX_RATES, 100, "d5")
+        8, sem_tau, max_cell=max_cell,
+        member_pred="vec_id IN (SELECT doc_id FROM d3)")
+    gopher = _duck_gopher(**gopher_params, src="d2")
+    kept = _duck_quality_mixture(rates, vocab_size, "d5")
     return f"""
     WITH RECURSIVE
     -- stage 1: exact dedup (keep smallest doc id per md5(text) digest)
@@ -7375,7 +7388,7 @@ def _duck_llm_corpus() -> str:
       SELECT doc_a, doc_b
       FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
               JOIN sizes sb ON co.doc_b = sb.doc_id
-      WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
+      WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= {minhash_tau}
     ),
     medges AS (SELECT doc_a AS src, doc_b AS dst FROM mp
                UNION SELECT doc_b, doc_a FROM mp),
@@ -7415,7 +7428,7 @@ def _duck_llm_corpus() -> str:
       GROUP BY 1
     ),
     d5 AS MATERIALIZED (SELECT d4.* FROM d4 JOIN cfrac USING (doc_id)
-           WHERE doc_id >= 20 AND contaminated_frac < 0.05),
+           WHERE doc_id >= 20 AND contaminated_frac < {cont_cut}),
     -- stage 6: quality-mixture thinning, NLL model trained on the
     -- SURVIVORS (exactly what a staged pipeline would do)
     kept AS MATERIALIZED ({kept})
@@ -7423,11 +7436,20 @@ def _duck_llm_corpus() -> str:
     """
 
 
-def _spark_llm_corpus_stages(spark, sf_dir) -> dict:
+def _spark_llm_corpus_stages(spark, sf_dir, **kw) -> dict:
     """Spark side of the composed corpus build, one keyed frame per
-    stage (shared by the two contract entries and the non-vacuity test
-    — both must assemble the stages identically). Every stage is the
-    library operator, composed: nothing here re-implements a rule."""
+    stage (shared by the two contract entries, the non-vacuity test,
+    and the end-to-end fuzzer — all must assemble the stages
+    identically). Every stage is the library operator, composed:
+    nothing here re-implements a rule. Keyword knobs mirror
+    _duck_llm_corpus one-for-one."""
+    minhash_tau = kw.get("minhash_tau", 0.5)
+    gopher_params = kw.get("gopher_params") or _GOPHER_PARAMS
+    sem_tau = kw.get("sem_tau", 0.3)
+    max_cell = kw.get("max_cell", 250)
+    cont_cut = kw.get("cont_cut", 0.05)
+    rates = kw.get("rates") or _QUALITY_MIX_RATES
+    vocab_size = kw.get("vocab_size", 100)
     eng = engine_for(spark, sf_dir)
     docs = eng.catalog.table("documents")
     emb = eng.catalog.table("embeddings")
@@ -7435,7 +7457,7 @@ def _spark_llm_corpus_stages(spark, sf_dir) -> dict:
     s1 = dedup.exact_dedup(docs).select(F.col("survivor_id").alias("doc_id"))
     d1 = docs.join(s1, on="doc_id")
     # 2: minhash LSH pairs → components → keep smallest id
-    mpairs = dedup.minhash_lsh_dedup(d1, threshold=0.5, cache=True)
+    mpairs = dedup.minhash_lsh_dedup(d1, threshold=minhash_tau, cache=True)
     mlosers = (
         graph.connected_components(mpairs)
         .where(F.col("component") != F.col("vertex"))
@@ -7443,15 +7465,27 @@ def _spark_llm_corpus_stages(spark, sf_dir) -> dict:
     )
     d2 = d1.join(mlosers, on="doc_id", how="left_anti")
     # 3: Gopher rule filter
-    d3 = d2.join(_spark_gopher(d2).where("passes").select("doc_id"),
-                 on="doc_id")
+    d3 = d2.join(
+        _spark_gopher(d2, gopher_params).where("passes").select("doc_id"),
+        on="doc_id")
     # 4: semantic dedup — centroids pinned to the full table's first 8
     # (pinned BEFORE filtering, so assignment is stable across stages),
     # pairs among survivors only, keep smallest id
     cent = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding")
     sub = emb.join(d3.select(F.col("doc_id").alias("vec_id")), on="vec_id")
-    spairs = dedup.semantic_dedup_pairs(sub, cent, threshold=0.3)
+    # max_cell_size=250 (SemDeDup's mean-cell-population design point):
+    # with PINNED centroids the within-cell self-join is quadratic in
+    # the corpus by construction, and the hot-cell cap is the engine's
+    # production guard for exactly this configuration — an over-cap
+    # cell emits no pairs (all members conservatively kept). It never
+    # binds at gate scale (135 survivors across 8 cells), so the SQL
+    # oracle stays exact; at the sf1 tail it is the mechanism that
+    # keeps the composed chain pair-bounded. The corpus-scaled-cells
+    # production shape is separately evidenced by the *_scaled
+    # semantic entries.
+    spairs = dedup.semantic_dedup_pairs(sub, cent, threshold=sem_tau,
+                                        max_cell_size=max_cell)
     slosers = (
         graph.connected_components(spairs, src_col="id_a", dst_col="id_b")
         .where(F.col("component") != F.col("vertex"))
@@ -7465,11 +7499,11 @@ def _spark_llm_corpus_stages(spark, sf_dir) -> dict:
     frac = text.contamination_fraction(
         d4.where(F.col("doc_id") >= 20), docs.where(F.col("doc_id") < 20))
     d5 = d4.join(
-        frac.where(F.col("contaminated_frac") < 0.05).select("doc_id"),
+        frac.where(F.col("contaminated_frac") < cont_cut).select("doc_id"),
         on="doc_id")
     # 6: quality-mixture thinning trained on the survivors
     kept = sampling.quality_mixture(
-        d5, rates=dict(_QUALITY_MIX_RATES), vocab_size=100)
+        d5, rates=dict(rates), vocab_size=vocab_size)
     return {"d1": d1, "d2": d2, "d3": d3, "d4": d4, "d5": d5, "kept": kept}
 
 
@@ -7478,7 +7512,8 @@ def pipeline_llm_corpus(spark, sf_dir):
     """The canonical LLM training-corpus build end-to-end, composed
     from the operator library: exact dedup → minhash near-dedup (τ=0.5,
     keep-smallest per component) → Gopher rules → semantic dedup
-    (pinned centroids, τ=0.4) → benchmark decontamination → CCNet
+    (pinned centroids, τ=0.3, hot-cell cap) → benchmark
+    decontamination (5% shingle overlap) → CCNet
     quality-mixture thinning. Returns the selected corpus as (doc_id,
     bucket, n_tokens) — the full relational chain is value-hash-checked
     against one composed DuckDB oracle; tests/test_operators.py asserts

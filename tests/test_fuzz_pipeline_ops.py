@@ -419,6 +419,47 @@ def test_fuzz_quality_pipeline_end_to_end(spark, duck):
             got, duck, _duck_quality_pipeline(gp, dup_cut, rates, v))
 
 
+def test_fuzz_llm_corpus_end_to_end(spark, duck):
+    """The COMPOSED r13 corpus build at random stage knobs (minhash τ ×
+    Gopher thresholds × semantic τ / hot-cell cap × contamination cut ×
+    mixture rates / vocabulary) — seven stages whose handoffs are the
+    thing under test: each draw re-derives the DuckDB oracle from the
+    SAME knobs through _duck_llm_corpus, the builder the contract entry
+    pins, so the fuzz surface and the driver gate can never drift."""
+    from coolplaydruid_spark.contract import (
+        _duck_llm_corpus,
+        _spark_llm_corpus_stages,
+    )
+
+    from conftest import SF_DIR
+
+    rng = random.Random(SEED + 131)
+    for _ in range(max(2, N_SPECS // 30)):
+        kw = dict(
+            minhash_tau=rng.choice([0.4, 0.5, 0.7]),
+            gopher_params=dict(
+                min_words=rng.randint(0, 50),
+                max_words=rng.randint(60, 120),
+                min_mean=rng.choice([0.0, 3.0]),
+                max_mean=rng.choice([4.6, 10.0]),
+                max_symbol=0.1,
+                min_alpha=rng.choice([0.0, 0.8]),
+                min_stop=rng.randint(0, 2),
+            ),
+            sem_tau=rng.choice([0.2, 0.3, 0.4]),
+            max_cell=rng.choice([60, 250]),
+            cont_cut=rng.choice([0.03, 0.05, 0.1]),
+            rates={
+                "head": rng.choice([1.0, 0.8]),
+                "middle": rng.choice([0.5, 0.2]),
+                "tail": rng.choice([0.1, 0.0]),
+            },
+            vocab_size=rng.choice([50, 100]),
+        )
+        got = _spark_llm_corpus_stages(spark, SF_DIR, **kw)["kept"]
+        assert_df_matches_duck(got, duck, _duck_llm_corpus(**kw))
+
+
 def test_fuzz_overlap_matrix(spark, duck):
     """Cross-group overlap matrix at random group columns and shingle
     widths."""

@@ -123,6 +123,15 @@ BLOCKED = {
     "dedup_embedding_semantic_incremental_scaled": 5.0,
     "dedup_embedding_semantic_from_store_scaled": 5.0,
     "streaming_semantic_replay": 5.0,
+    # r13: the composed corpus build (exact → minhash → Gopher →
+    # semantic → decontamination → mixture → packing). Every pairing
+    # stage is blocked or capped: minhash bands bound the candidate
+    # join, the semantic stage's pinned cells carry the hot-cell cap
+    # (max_cell_size=250 — over-cap cells emit no pairs, the production
+    # guard for fixed centroid sets), the contamination join is
+    # probe-bounded, packing is partition-local. Shuffle must track the
+    # shingle/signature streams, never corpus².
+    "pipeline_llm_corpus_packed": 5.0,
 }
 CONSTANT = {"similarity_topk_brute"}
 PLAN_TRANSITION = {"sql_join_top_customers", "sql_join_region_revenue"}
