@@ -4068,6 +4068,112 @@ def similarity_topk_ivf(spark, sf_dir):
     )
 
 
+def _duck_ivf_pinned(n_cent: int, n_probe: int, k: int) -> str:
+    """Full IVF oracle for an EXPLICIT (pinned) centroid set: with
+    centroids fixed, every IVF stage is relational — argmin-L2 cell
+    assignment (ties → lowest centroid id, the engine's
+    first-minimum/array_position rule), per-query n_probe nearest
+    cells (same ordering), cosine scoring inside probed cells, rounded
+    top-k. The squared distance mirrors the engine's _sqdist
+    element-fold exactly (same op order — list_sum over the squared
+    element diffs), so the argmin sees the same float64 values."""
+
+    def sq(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(range(1, len({a}) + 1), "
+                f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_cent}),
+    corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= {n_cent}),
+    qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT corpus.vec_id, cid,
+               row_number() OVER (PARTITION BY corpus.vec_id
+                                  ORDER BY {sq('corpus.v', 'cv')} ASC,
+                                           cid ASC) AS rn
+        FROM corpus CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    pq AS (
+      SELECT query_id, cid AS cell FROM (
+        SELECT query_id, cid,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {sq('qv', 'cv')} ASC,
+                                           cid ASC) AS rn
+        FROM qs CROSS JOIN cent
+      ) WHERE rn <= {n_probe}
+    ),
+    scored AS (
+      SELECT pq.query_id, corpus.vec_id AS neighbor_id,
+             round(list_dot_product(qs.qv, corpus.v) /
+                   (sqrt(list_dot_product(qs.qv, qs.qv))
+                    * sqrt(list_dot_product(corpus.v, corpus.v))), 6)
+               AS cosine
+      FROM pq JOIN cells ON pq.cell = cells.cell
+              JOIN corpus ON corpus.vec_id = cells.vec_id
+              JOIN qs ON qs.query_id = pq.query_id
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("similarity_topk_ivf_pinned", _duck_ivf_pinned(8, 4, 10))
+def similarity_topk_ivf_pinned(spark, sf_dir):
+    """IVF with an EXPLICIT pinned centroid set (the r13 registry path):
+    with centroids fixed, the whole IVF chain — assignment, probe
+    selection, cell-join scoring, top-k — is relational, so this entry
+    carries a full value-hash SQL oracle where the fitted sibling
+    (similarity_topk_ivf) is recall-gated by nature (k-means is
+    iterative). Centroids = first 8 vectors; 8×64 = 512 centroid-floats
+    keeps the exact JVM literal path."""
+    eng = engine_for(spark, sf_dir)
+    emb = eng.catalog.table("embeddings")
+    cents = [(r["vec_id"], list(r["embedding"]))
+             for r in emb.where(F.col("vec_id") < 8).collect()]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivf_topk(
+        emb.where(F.col("vec_id") >= 8), queries, k=10, n_probe=4,
+        centroids=cents)
+
+
+@q("similarity_topk_ivf_from_store", _duck_ivf_pinned(8, 4, 10))
+def similarity_topk_ivf_from_store(spark, sf_dir):
+    """The ivf_cells store loop end-to-end: register the pinned set in
+    a centroid registry, materialize the corpus's version-stamped cell
+    assignment, PERSIST it and read it back, then probe via
+    corpus_cells — the store-read path must be value-identical to
+    inline assignment, checked by the same SQL oracle as
+    similarity_topk_ivf_pinned. Completes the registry round-trip the
+    semantic-dedup from-store entries already have (r12 verdict #3)."""
+    from coolplaydruid_spark import centroids as _cent
+
+    eng = engine_for(spark, sf_dir)
+    emb = eng.catalog.table("embeddings")
+    cents = [(r["vec_id"], list(r["embedding"]))
+             for r in emb.where(F.col("vec_id") < 8).collect()]
+    reg = str(_proc_store_root(sf_dir) / "ivfreg")
+    _cent.register_centroids(spark, reg, "gate", cents)
+    ref = {"registry": reg, "name": "gate"}
+    corpus = emb.where(F.col("vec_id") >= 8)
+    cells_path = str(_proc_store_root(sf_dir) / "ivfcells.parquet")
+    similarity.ivf_cells(corpus, ref).write.mode("overwrite").parquet(
+        cells_path)
+    store = spark.read.parquet(cells_path)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivf_topk(
+        corpus, queries, k=10, n_probe=4, centroids=ref,
+        corpus_cells=store)
+
+
 def _ffd_replay_check(rows, tokens: dict, budget: int):
     """EXACT deterministic packing oracle (not just invariants),
     shared by pack_training_sequences and pipeline_llm_corpus_packed:

@@ -24,8 +24,8 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 # Rotated per round (r8 verdict #7: fixed seed lists re-prove the same
 # draws round after round). 20260814 stays as the one stable seed for
-# regression comparability; the rest are fresh draws this round (r12).
-DEFAULT_SEEDS = [20260814, 4421, 30827, 55103, 9619]
+# regression comparability; the rest are fresh draws this round (r13).
+DEFAULT_SEEDS = [20260814, 17359, 42901, 7247, 61583]
 
 
 def surfaces() -> dict[str, dict]:
