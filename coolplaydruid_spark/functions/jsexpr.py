@@ -101,8 +101,11 @@ def _js_strip(col: Column) -> Column:
     """JS WhiteSpace strip for ToNumber/parseInt/parseFloat: JS strips
     tabs, newlines, form feeds etc., not just ASCII spaces — F.trim
     misses them, so Number('\\t') came out NaN where JS says 0 and
-    parseInt('\\n12') NaN where JS says 12 (r12 advice)."""
-    return F.regexp_replace(col, r"^\s+|\s+$", "")
+    parseInt('\\n12') NaN where JS says 12 (r12 advice). Beyond \\s,
+    JS WhiteSpace/LineTerminator also cover NBSP, the BOM, and the
+    Unicode line/paragraph separators."""
+    ws = r"[\s\u00A0\uFEFF\u2028\u2029]"
+    return F.regexp_replace(col, f"^{ws}+|{ws}+$", "")
 
 
 def _to_number(v: "_Val") -> Column:

@@ -212,6 +212,9 @@ def test_strict_equality_never_coerces_bool_vs_num(spark):
         ("function(x) { return parseInt(x) }", "\n12", 12.0),
         ("function(x) { return parseInt(x) }", "\t0x10", 16.0),
         ("function(x) { return parseFloat(x) }", "\t1.5x", 1.5),
+        # beyond \s: NBSP and the BOM are JS WhiteSpace too
+        ("function(x) { return Number(x) }", "\u00a042\ufeff", 42.0),
+        ("function(x) { return parseInt(x) }", "\u20287", 7.0),
     ],
 )
 def test_js_whitespace_stripping(spark, src, value, expected):
