@@ -205,13 +205,19 @@ def _carry_sf1_evidence(payload: dict, prev: dict, tail: list) -> dict:
     if all(q in (payload.get("sf1_plan_metrics") or {}) for q in tail):
         return payload
     if prev.get("sf1_plan_metrics"):
+        # sf1_tail_runs_sec moves WITH sf1_tail_sec (review find: a
+        # carried sf1_tail_sec paired with this run's partial run lists
+        # would show mins that appear in no runs list — the exact
+        # noise-classification evidence the field exists for).
         partial = {
             "sf1_tail_sec": payload.get("sf1_tail_sec"),
+            "sf1_tail_runs_sec": payload.get("sf1_tail_runs_sec"),
             "sf1_plan_metrics": payload.get("sf1_plan_metrics"),
         }
         if partial["sf1_tail_sec"] or partial["sf1_plan_metrics"]:
             payload["sf1_partial_attempt"] = partial
         payload["sf1_tail_sec"] = prev["sf1_tail_sec"]
+        payload["sf1_tail_runs_sec"] = prev.get("sf1_tail_runs_sec") or {}
         payload["sf1_plan_metrics"] = prev["sf1_plan_metrics"]
         payload["sf1_carried_from_previous_run"] = True
     return payload

@@ -2850,8 +2850,20 @@ def _duck_band_selects(num_hashes: int, bands: int, src: str = "sig") -> str:
     )
 
 
-def _duck_minhash_lsh(threshold: float, num_hashes: int = 12, bands: int = 4,
-                      max_band_bucket: int | None = None) -> str:
+def _duck_minhash_pair_ctes(threshold: float, num_hashes: int = 12,
+                            bands: int = 4, shf: str = "shf",
+                            max_band_bucket: int | None = None,
+                            materialized: bool = False) -> str:
+    """THE single copy of the minhash-LSH candidate/verify SQL (review
+    find: the composed pipeline oracle had hand-copied it, the exact
+    drift mode the src-parameter pattern exists to prevent): a CTE
+    block (no leading WITH, no leading comma) defining sig / banded
+    [/ hot / bandc] / cand / co / sizes and finally ``mh_pairs``
+    (doc_a, doc_b, jaccard ≥ threshold), all reading the (doc_id,
+    shingle) source CTE named ``shf``. ``materialized`` marks each CTE
+    MATERIALIZED for long composed chains where DuckDB's default
+    inlining multiplies the upstream scans."""
+    mat = "MATERIALIZED " if materialized else ""
     mh = _duck_minhash_exprs(num_hashes)
     band_selects = _duck_band_selects(num_hashes, bands)
     if max_band_bucket is None:
@@ -2860,31 +2872,45 @@ def _duck_minhash_lsh(threshold: float, num_hashes: int = 12, bands: int = 4,
     else:
         # mirror of operators/dedup._drop_hot_keys: buckets holding more
         # than the cap are excluded from candidate generation entirely
-        capped = f"""
-    , hot AS (SELECT band, bh FROM banded GROUP BY 1, 2
-              HAVING count(*) > {int(max_band_bucket)})
-    , bandc AS (SELECT b.* FROM banded b WHERE NOT EXISTS (
+        capped = f""",
+    hot AS {mat}(SELECT band, bh FROM banded GROUP BY 1, 2
+              HAVING count(*) > {int(max_band_bucket)}),
+    bandc AS {mat}(SELECT b.* FROM banded b WHERE NOT EXISTS (
         SELECT 1 FROM hot h WHERE h.band = b.band AND h.bh = b.bh))"""
         band_src = "bandc"
-    return (
-        DUCK_SHINGLES
-        + f"""
-    , sig AS (SELECT doc_id, {mh} FROM shf GROUP BY doc_id)
-    , banded AS ({band_selects}){capped}
-    , cand AS (
+    return f"""
+    sig AS {mat}(SELECT doc_id, {mh} FROM {shf} GROUP BY doc_id),
+    banded AS {mat}({band_selects}){capped},
+    cand AS {mat}(
       SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
       FROM {band_src} l JOIN {band_src} r
         ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
-    ), co AS (
+    ),
+    co AS {mat}(
       SELECT doc_a, doc_b, count(*) AS n_common
-      FROM cand JOIN shf a ON cand.doc_a = a.doc_id
-                JOIN shf b ON cand.doc_b = b.doc_id AND a.shingle = b.shingle
+      FROM cand JOIN {shf} a ON cand.doc_a = a.doc_id
+                JOIN {shf} b ON cand.doc_b = b.doc_id AND a.shingle = b.shingle
       GROUP BY 1, 2
-    ), sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1)
-    SELECT doc_a, doc_b, round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
-    FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
-            JOIN sizes sb ON co.doc_b = sb.doc_id
-    WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= {threshold}
+    ),
+    sizes AS {mat}(SELECT doc_id, count(*) AS n FROM {shf} GROUP BY 1),
+    mh_pairs AS {mat}(
+      SELECT doc_a, doc_b,
+             round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+      FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
+              JOIN sizes sb ON co.doc_b = sb.doc_id
+      WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= {threshold}
+    )"""
+
+
+def _duck_minhash_lsh(threshold: float, num_hashes: int = 12, bands: int = 4,
+                      max_band_bucket: int | None = None) -> str:
+    return (
+        DUCK_SHINGLES
+        + ", "
+        + _duck_minhash_pair_ctes(threshold, num_hashes, bands, "shf",
+                                  max_band_bucket)
+        + """
+    SELECT doc_a, doc_b, jaccard FROM mh_pairs
     """
     )
 
@@ -3646,7 +3672,10 @@ def _validate_semantic_fit(spark, sf_dir, rows):
 
     import numpy as np
 
-    from coolplaydruid_spark.operators.similarity import _kmeans_fit
+    from coolplaydruid_spark.operators.similarity import (
+        TRAIN_SAMPLE_DEFAULT,
+        _kmeans_fit,
+    )
 
     eng = engine_for(spark, sf_dir)
     emb = {
@@ -3654,11 +3683,12 @@ def _validate_semantic_fit(spark, sf_dir, rows):
         for r in eng.catalog.table("embeddings").collect()
     }
     ids = sorted(emb)
-    # fit replay: the 100k smallest-md5(id) rows, same seed/max_iter —
-    # the truncation mirrors fit_centroids' train_sample bound so the
-    # replay stays exact past 100k vectors (r12 advice)
+    # fit replay: the train-sample smallest-md5(id) rows, same
+    # seed/max_iter — the truncation mirrors fit_centroids'
+    # train_sample bound (one imported constant, not a second copy) so
+    # the replay stays exact past the bound (r12 advice)
     order = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
-    C = _kmeans_fit(np.stack([emb[i] for i in order[:100_000]]),
+    C = _kmeans_fit(np.stack([emb[i] for i in order[:TRAIN_SAMPLE_DEFAULT]]),
                     _semantic_fit_cells(len(ids)), 10, 42)
 
     def cos(a, b):
@@ -3871,7 +3901,10 @@ def _np_semantic_state(spark, sf_dir, fit_ids_pred=None):
 
     import numpy as np
 
-    from coolplaydruid_spark.operators.similarity import _kmeans_fit
+    from coolplaydruid_spark.operators.similarity import (
+        TRAIN_SAMPLE_DEFAULT,
+        _kmeans_fit,
+    )
 
     eng = engine_for(spark, sf_dir)
     emb = {
@@ -3883,9 +3916,10 @@ def _np_semantic_state(spark, sf_dir, fit_ids_pred=None):
     order = sorted(fit_ids,
                    key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
     # Mirror fit_centroids' train_sample bound (r12 advice): the driver
-    # recipe fits on the 100k smallest-md5 rows, so past 100k vectors
-    # the replay must truncate identically or it silently diverges.
-    C = _kmeans_fit(np.stack([emb[i] for i in order[:100_000]]),
+    # recipe fits on the train-sample smallest-md5 rows, so past the
+    # bound the replay must truncate identically or it silently
+    # diverges — one imported constant, not a second copy.
+    C = _kmeans_fit(np.stack([emb[i] for i in order[:TRAIN_SAMPLE_DEFAULT]]),
                     _semantic_fit_cells(len(fit_ids)), 10, 42)
 
     def cos(a, b):
@@ -7458,8 +7492,8 @@ def _duck_llm_corpus(
     scans until the process ran out of file descriptors."""
     gopher_params = gopher_params or _GOPHER_PARAMS
     rates = rates or _QUALITY_MIX_RATES
-    mh = _duck_minhash_exprs(12)
-    band_selects = _duck_band_selects(12, 4)
+    minhash = _duck_minhash_pair_ctes(minhash_tau, 12, 4, shf="lshf",
+                                      materialized=True)
     shingles_d1 = DUCK_SHINGLES.replace("FROM documents", "FROM d1")
     shingles_probe = DUCK_SHINGLES.replace(
         "FROM documents", "FROM documents WHERE doc_id < 20")
@@ -7474,28 +7508,11 @@ def _duck_llm_corpus(
     s1 AS MATERIALIZED (SELECT min(doc_id) AS doc_id
            FROM documents GROUP BY md5(coalesce(text, ''))),
     d1 AS MATERIALIZED (SELECT d.* FROM documents d JOIN s1 USING (doc_id)),
-    -- stage 2: minhash LSH near-dup pairs at tau=0.5 over d1
+    -- stage 2: minhash LSH near-dup pairs over d1 (the SHARED
+    -- candidate/verify block — one copy with _duck_minhash_lsh)
     lshf AS MATERIALIZED ({shingles_d1} SELECT doc_id, shingle FROM shf),
-    sig AS MATERIALIZED (SELECT doc_id, {mh} FROM lshf GROUP BY doc_id),
-    banded AS MATERIALIZED ({band_selects}),
-    cand AS MATERIALIZED (
-      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-      FROM banded l JOIN banded r
-        ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
-    ),
-    co AS MATERIALIZED (
-      SELECT doc_a, doc_b, count(*) AS n_common
-      FROM cand JOIN lshf a ON cand.doc_a = a.doc_id
-                JOIN lshf b ON cand.doc_b = b.doc_id AND a.shingle = b.shingle
-      GROUP BY 1, 2
-    ),
-    sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM lshf GROUP BY 1),
-    mp AS MATERIALIZED (
-      SELECT doc_a, doc_b
-      FROM co JOIN sizes sa ON co.doc_a = sa.doc_id
-              JOIN sizes sb ON co.doc_b = sb.doc_id
-      WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= {minhash_tau}
-    ),
+    {minhash},
+    mp AS MATERIALIZED (SELECT doc_a, doc_b FROM mh_pairs),
     medges AS (SELECT doc_a AS src, doc_b AS dst FROM mp
                UNION SELECT doc_b, doc_a FROM mp),
     mreach AS (

@@ -102,9 +102,11 @@ def _js_strip(col: Column) -> Column:
     tabs, newlines, form feeds etc., not just ASCII spaces — F.trim
     misses them, so Number('\\t') came out NaN where JS says 0 and
     parseInt('\\n12') NaN where JS says 12 (r12 advice). Beyond \\s,
-    JS WhiteSpace/LineTerminator also cover NBSP, the BOM, and the
-    Unicode line/paragraph separators."""
-    ws = r"[\s\u00A0\uFEFF\u2028\u2029]"
+    JS WhiteSpace/LineTerminator also cover the BOM, the Unicode
+    line/paragraph separators, and ALL Zs space separators (NBSP, the
+    en/em quads, thin/hair spaces, ideographic space \u2014 Java regex
+    \\p{Zs}; review find: the first fix covered only NBSP)."""
+    ws = r"[\s\p{Zs}\uFEFF\u2028\u2029]"
     return F.regexp_replace(col, f"^{ws}+|{ws}+$", "")
 
 

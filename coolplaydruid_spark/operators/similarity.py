@@ -136,6 +136,12 @@ def _sqdist(vec, cent):
 # path capped ~1000× below SemDeDup's published 50k-cell shape).
 DRIVER_FIT_MAX_CELLS = 4096
 
+# fit_centroids' default training-sample bound. Named so the contract
+# replay validators truncate at the SAME bound (review find: two
+# hardcoded 100_000 copies would silently desynchronize the replays if
+# this were ever tuned).
+TRAIN_SAMPLE_DEFAULT = 100_000
+
 
 def _fit_centroids_ml(corpus: DataFrame, n_clusters: int, seed: int,
                       max_iter: int, vec_col: str):
@@ -173,7 +179,7 @@ def fit_centroids(
     n_clusters: int = 16,
     seed: int = 42,
     max_iter: int = 10,
-    train_sample: int = 100_000,
+    train_sample: int = TRAIN_SAMPLE_DEFAULT,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     impl: str = "auto",
@@ -410,6 +416,11 @@ def ivf_cells(
     in hand before joining, so a re-fit can never silently orphan the
     stored cells."""
     C, version = _resolved_ivf_centroids(corpus.sparkSession, centroids, vec_col)
+    if len(C) == 0:
+        # resolve_centroids raises on an empty SET; this guards the
+        # degenerate resolved forms (review find: _ivf_assign's C[0]
+        # would otherwise raise an obscure IndexError)
+        raise ValueError("ivf_cells needs at least one centroid")
     pts = corpus.select(
         F.col(id_col), _dvec(F.col(vec_col)).alias("__cvec"))
     return _ivf_assign(pts, C, "__cvec").select(

@@ -215,6 +215,8 @@ def test_strict_equality_never_coerces_bool_vs_num(spark):
         # beyond \s: NBSP and the BOM are JS WhiteSpace too
         ("function(x) { return Number(x) }", "\u00a042\ufeff", 42.0),
         ("function(x) { return parseInt(x) }", "\u20287", 7.0),
+        # full Zs category (review find): EN QUAD, thin space
+        ("function(x) { return Number(x) }", "\u200542\u2009", 42.0),
     ],
 )
 def test_js_whitespace_stripping(spark, src, value, expected):
