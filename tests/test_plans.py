@@ -265,6 +265,25 @@ def test_contract_sweep_no_cartesian_products(engine):
     assert not offenders, f"unexpected cartesian joins in: {offenders}"
 
 
+def test_pipeline_llm_corpus_plan_is_jvm_side(engine):
+    """The composed corpus build stays entirely JVM-side up to packing:
+    no Python evaluation stage anywhere in the seven-stage selection
+    plan (the pinned-centroid semantic assignment rides the literal
+    path, shingling/minhash/Gopher/NLL are codegen) and no cartesian
+    product; packing then adds exactly one MapInPandas (the
+    per-partition FFD) on top."""
+    from coolplaydruid_spark import contract
+    from coolplaydruid_spark.operators import packing
+
+    kept = contract._spark_llm_corpus_stages(engine.spark, SF_DIR)["kept"]
+    plan = _plan(kept)
+    for banned in ("CartesianProduct", "BatchEvalPython",
+                   "ArrowEvalPython", "MapInPandas"):
+        assert banned not in plan, f"{banned} in the selection plan"
+    packed = packing.pack_sequences(kept, budget=128, token_col="n_tokens")
+    assert _plan(packed).count("MapInPandas") == 1
+
+
 def test_topn_gran_all_is_take_ordered_not_global_window(engine):
     """granularity=all topN must plan as TakeOrderedAndProject (parallel
     partial top-k), never a constant-folded single-partition window —
