@@ -184,6 +184,9 @@ def test_ivf_registry_roundtrip(spark, tmp_path):
     assert sim.ivf_topk(corpus, queries, k=3, n_probe=2,
                         centroids=dict(ref, version=v1),
                         corpus_cells=legacy).count() > 0
+    # degenerate centroid sets fail loudly at both entry points
+    with pytest.raises(ValueError, match="at least one centroid"):
+        sim.ivf_cells(corpus, [])
 
 
 def test_mixed_version_store_detected(spark, tmp_path):
