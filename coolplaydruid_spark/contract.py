@@ -2871,12 +2871,17 @@ def _duck_minhash_pair_ctes(threshold: float, num_hashes: int = 12,
         band_src = "banded"
     else:
         # mirror of operators/dedup._drop_hot_keys: buckets holding more
-        # than the cap are excluded from candidate generation entirely
+        # than the cap are excluded from candidate generation entirely.
+        # Formulated as a window count rather than a hot-set NOT EXISTS
+        # (value-identical, asserted in tests): the two-CTE NOT EXISTS
+        # form crashes DuckDB outright ("corrupted double-linked list" /
+        # physical-operator-cast InternalException) when MATERIALIZED
+        # inside the composed pipeline's WITH RECURSIVE chain (r14 find,
+        # duckdb 1.x) — the window form plans cleanly in both contexts.
         capped = f""",
-    hot AS {mat}(SELECT band, bh FROM banded GROUP BY 1, 2
-              HAVING count(*) > {int(max_band_bucket)}),
-    bandc AS {mat}(SELECT b.* FROM banded b WHERE NOT EXISTS (
-        SELECT 1 FROM hot h WHERE h.band = b.band AND h.bh = b.bh))"""
+    bandc AS {mat}(SELECT doc_id, band, bh FROM (
+        SELECT b.*, count(*) OVER (PARTITION BY band, bh) AS __n
+        FROM banded b) WHERE __n <= {int(max_band_bucket)})"""
         band_src = "bandc"
     return f"""
     sig AS {mat}(SELECT doc_id, {mh} FROM {shf} GROUP BY doc_id),
@@ -4331,11 +4336,61 @@ def _validate_ivf(spark, sf_dir, rows):
             len({r["neighbor_id"] for r in rs} & exact_top) / 10.0
         )
     mean_recall = sum(recalls) / len(recalls)
-    if mean_recall < 0.6:
-        return False, f"recall@10 {mean_recall:.2f} < 0.6 floor"
+
+    # n_probe sweep (r13 verdict #5): the pinned/from-store entries
+    # carry exact SQL oracles for the relational chain, so the FITTED
+    # path's only gate is this recall check — make it evidence-backed:
+    # re-run ivf_topk at n_probe ∈ {1,2,4,8} under the identical
+    # deterministic fit (same seed/sample) and record the whole
+    # recall/n_probe curve in the detail. Anchors: the curve must be
+    # non-decreasing (probing more cells only ADDS candidates — the
+    # plan-level containment is asserted in tests/test_plans.py; this
+    # checks the recall consequence), its n_probe=nlist endpoint must
+    # be exact brute force (recall 1.0), and its n_probe=4 point must
+    # reproduce the gated result's recall (same fit ⇒ same cells).
+    eng2 = engine_for(spark, sf_dir)
+    emb_t = eng2.catalog.table("embeddings")
+    queries_df = emb_t.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    corpus_df = emb_t.where(F.col("vec_id") >= 5)
+
+    def _mean_recall(res_rows) -> float:
+        got: dict[int, set] = {}
+        for r in res_rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        rs = []
+        for qid in qids:
+            exact_top = set(sorted(
+                corpus, key=lambda n: (-cos(emb[qid], corpus[n]), n))[:10])
+            rs.append(len(got.get(qid, set()) & exact_top) / 10.0)
+        return sum(rs) / len(rs)
+
+    curve = {}
+    for p in (1, 2, 4, 8):
+        res = similarity.ivf_topk(
+            corpus_df, queries_df, k=10, n_clusters=8, n_probe=p).collect()
+        curve[p] = round(_mean_recall(res), 4)
+    probes = sorted(curve)
+    if any(curve[probes[i]] > curve[probes[i + 1]]
+           for i in range(len(probes) - 1)):
+        return False, f"recall curve not non-decreasing: {curve}"
+    if curve[8] < 0.999:
+        return False, (
+            f"n_probe=nlist recall {curve[8]} != 1.0 — probing every "
+            "cell must be exact brute force")
+    if abs(curve[4] - mean_recall) > 1e-6:
+        return False, (
+            f"sweep recall@n_probe=4 {curve[4]} != gated result's "
+            f"{mean_recall:.4f} — the fit is not deterministic")
+    # floor raised 0.6 → 0.65 (r13 verdict #5): measured 0.68–0.72 at
+    # this fixture across rounds; the curve in the detail shows what
+    # the floor rests on (and that n_probe=4/8 sits on the knee).
+    if mean_recall < 0.65:
+        return False, f"recall@10 {mean_recall:.2f} < 0.65 floor"
     return True, (
         f"cosines exact, ranks = true top-k of probed cells, "
-        f"recall@10={mean_recall:.2f} (floor 0.6, n_probe=4/8)"
+        f"recall@10={mean_recall:.2f} (floor 0.65, n_probe=4/8); "
+        f"recall/n_probe curve {curve} — endpoint exact, non-decreasing"
     )
 
 
@@ -7468,6 +7523,7 @@ def pipeline_quality_corpus(spark, sf_dir):
 
 def _duck_llm_corpus(
     minhash_tau: float = 0.5,
+    minhash_cap: int | None = 100,
     gopher_params: dict | None = None,
     sem_tau: float = 0.3,
     max_cell: int = 250,
@@ -7493,6 +7549,7 @@ def _duck_llm_corpus(
     gopher_params = gopher_params or _GOPHER_PARAMS
     rates = rates or _QUALITY_MIX_RATES
     minhash = _duck_minhash_pair_ctes(minhash_tau, 12, 4, shf="lshf",
+                                      max_band_bucket=minhash_cap,
                                       materialized=True)
     shingles_d1 = DUCK_SHINGLES.replace("FROM documents", "FROM d1")
     shingles_probe = DUCK_SHINGLES.replace(
@@ -7567,6 +7624,7 @@ def _spark_llm_corpus_stages(spark, sf_dir, **kw) -> dict:
     nothing here re-implements a rule. Keyword knobs mirror
     _duck_llm_corpus one-for-one."""
     minhash_tau = kw.get("minhash_tau", 0.5)
+    minhash_cap = kw.get("minhash_cap", 100)
     gopher_params = kw.get("gopher_params") or _GOPHER_PARAMS
     sem_tau = kw.get("sem_tau", 0.3)
     max_cell = kw.get("max_cell", 250)
@@ -7579,8 +7637,19 @@ def _spark_llm_corpus_stages(spark, sf_dir, **kw) -> dict:
     # 1: exact dedup — survivors are exact_dedup's per-digest keeper
     s1 = dedup.exact_dedup(docs).select(F.col("survivor_id").alias("doc_id"))
     d1 = docs.join(s1, on="doc_id")
-    # 2: minhash LSH pairs → components → keep smallest id
-    mpairs = dedup.minhash_lsh_dedup(d1, threshold=minhash_tau, cache=True)
+    # 2: minhash LSH pairs → components → keep smallest id. The
+    # composed chain is the canonical 100 TB recipe, so its near-dup
+    # stage carries the SAME degenerate-blocking guard the standalone
+    # dedup_minhash_capped evidences (r13 verdict #4): minhash_cap=100
+    # by default — an LSH (band, bh) bucket holding >100 docs after
+    # exact dedup is mass-duplicated boilerplate, and dropping it
+    # bounds the candidate join at bands × cap² pairs per bucket (its
+    # members are conservatively all kept). Never binds at gate scale
+    # (buckets ≤ 3 docs there, so the SQL oracle stays exact on the
+    # uncapped values); the fuzzer draws binding caps (2, 3) to
+    # exercise the exclusion semantics through the composed chain.
+    mpairs = dedup.minhash_lsh_dedup(d1, threshold=minhash_tau, cache=True,
+                                     max_band_bucket=minhash_cap)
     mlosers = (
         graph.connected_components(mpairs)
         .where(F.col("component") != F.col("vertex"))

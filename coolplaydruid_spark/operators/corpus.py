@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from coolplaydruid_spark import evidence
 from coolplaydruid_spark.operators.text import tokens
 from coolplaydruid_spark.operators.util import spread
 
@@ -285,6 +286,7 @@ def source_overlap_matrix(
         .distinct()
     )
     sizes = grp_sh.groupBy("__grp").agg(F.count(F.lit(1)).alias("__n"))
+    evidence.record_blocking("overlap_shingle_groups", grp_sh, ["shingle"])
     a = grp_sh.select(F.col("__grp").alias("group_a"), "shingle")
     b = grp_sh.select(F.col("__grp").alias("group_b"), "shingle")
     shared = (
@@ -362,6 +364,8 @@ def source_overlap_incremental(
         .select(F.col(group_col).alias("group_b"), "shingle")
         .distinct()
     )
+    evidence.record_blocking("overlap_shingle_cross", corpus_sh, ["shingle"],
+                             right=batch_sh)
     shared = (
         corpus_sh.join(batch_sh, on="shingle")
         .groupBy("group_a", "group_b")

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from coolplaydruid_spark import evidence
 from coolplaydruid_spark.operators.text import tokens
 from coolplaydruid_spark.operators.util import spread
 
@@ -352,6 +353,7 @@ def minhash_lsh_dedup(
     sig = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col, hashed=True)
     banded = band_hashes(sig, num_hashes=num_hashes, bands=bands, id_col=id_col)
     banded = _cap_band_buckets(banded, max_band_bucket)
+    evidence.record_blocking("minhash_lsh_bands", banded, ["band", "bh"])
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -442,6 +444,8 @@ def minhash_lsh_dedup_incremental(
     # pairs, and dropping the corpus rows of a hot bucket zeroes the
     # bucket's join output entirely.
     banded_corpus = _cap_band_buckets(banded_corpus, max_band_bucket)
+    evidence.record_blocking("minhash_lsh_bands_incremental", banded_corpus,
+                             ["band", "bh"], right=banded_new)
     candidates = (
         banded_corpus.alias("l")
         .join(
@@ -530,6 +534,7 @@ def set_jaccard_pairs(sets: DataFrame, key_col: str, id_col: str,
         left = _drop_hot_keys(left, [key_col], max_key_freq)
         if persist:
             left = _pin_cache(left)
+        evidence.record_blocking("set_jaccard_cokey", left, [key_col])
         a, b = left.alias("a"), left.alias("b")
         co = (
             a.join(
@@ -573,6 +578,8 @@ def set_jaccard_pairs(sets: DataFrame, key_col: str, id_col: str,
         if persist:
             left = _pin_cache(left)
             right = _pin_cache(right)
+        evidence.record_blocking("set_jaccard_cokey_cross", left, [key_col],
+                                 right=right)
         co = (
             left.alias("a")
             .join(right.alias("b"),
@@ -756,8 +763,11 @@ def banded_hamming_pairs(sig: DataFrame, band_cols: list, sig_cols: list[str],
             F.explode(F.array(*band_cols)).alias("b"),
         ).select(id_col, *sig_cols, "b.band", "b.bits")
 
-    l = bandify(sig).alias("l")
-    r = bandify(sig_right if sig_right is not None else sig).alias("r")
+    lb = bandify(sig)
+    rb = bandify(sig_right) if sig_right is not None else None
+    evidence.record_blocking("banded_hamming", lb, ["band", "bits"], right=rb)
+    l = lb.alias("l")
+    r = (rb if rb is not None else lb).alias("r")
     cond = (F.col("l.band") == F.col("r.band")) & (
         F.col("l.bits") == F.col("r.bits"))
     if sig_right is None:
@@ -895,6 +905,8 @@ def embedding_neardup(
         # and the frequency count on one (block-keyed) partitioning.
         base = _drop_hot_keys(base, [block_col], max_block_size,
                               persist=True, repartition=True)
+    evidence.record_blocking("embedding_blocked", base,
+                             [block_col] if block_col else [])
     l, r = base.alias("l"), base.alias("r")
     cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
     if block_col:
@@ -1188,7 +1200,7 @@ def semantic_dedup(
     n_clusters: int = 16,
     seed: int = 42,
     max_iter: int = 10,
-    train_sample: int = 100_000,
+    train_sample: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     fit_impl: str = "auto",
@@ -1221,6 +1233,11 @@ def semantic_dedup(
     if centroids is None:
         from coolplaydruid_spark.operators import similarity
 
+        # None → similarity.TRAIN_SAMPLE_DEFAULT (r13 advice: a literal
+        # 100_000 here would silently desync from the replay validators
+        # that truncate at the shared constant if it were ever tuned).
+        if train_sample is None:
+            train_sample = similarity.TRAIN_SAMPLE_DEFAULT
         fitted = similarity.fit_centroids(
             df, n_clusters=n_clusters, seed=seed, max_iter=max_iter,
             train_sample=train_sample, vec_col=vec_col, id_col=id_col,
@@ -1372,6 +1389,7 @@ def semantic_dedup_pairs_incremental(
         )
         c = c.join(F.broadcast(hot), on="__cell", how="left_anti")
         b = b.join(F.broadcast(hot), on="__cell", how="left_anti")
+    evidence.record_blocking("semantic_cells_cross", c, ["__cell"], right=b)
     dot = F.aggregate(
         F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
         F.lit(0.0),

@@ -439,7 +439,7 @@ def ivf_topk(
     n_probe: int = 2,
     seed: int = 42,
     max_iter: int = 10,
-    train_sample: int = 100_000,
+    train_sample: int = TRAIN_SAMPLE_DEFAULT,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",

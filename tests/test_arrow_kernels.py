@@ -1,10 +1,14 @@
 """The Arrow assignment kernels are batch matmuls, not per-row matvecs
 (r12 verdict #1): one X @ C.T per Arrow batch. These tests pin (a) the
 batch kernel's value-equivalence to the per-row reference loop it
-replaced, and (b) that it is actually faster — ≥3× at the verdict's
-64-dim / 16k-row shape (the real gap is ~10-30×, so 3× holds under
-host noise; best-of-3 on both sides to be safe). No Spark session:
-the kernel math is exercised directly through _finite_rows + the same
+replaced, and (b) a SANITY speed bound — ≥1.5× at the verdict's
+64-dim / 16k-row shape (the real gap is ~10-30×; the bound is
+deliberately loose because wall-clock unit assertions couple CI to
+host timing — r13 advice: a loaded shared host or a
+parallel-throttled BLAS can shrink the gap without any code being
+wrong. 1.5× only fails if the matmul kernel has genuinely regressed
+to per-row cost; best-of-3 on both sides). No Spark session: the
+kernel math is exercised directly through _finite_rows + the same
 expressions the mapInPandas closures run."""
 
 import time
@@ -51,7 +55,7 @@ def test_batch_argmin_kernel_matches_and_beats_per_row_loop():
     loop_cells, t_row = _best_of(per_row)
     assert rows.tolist() == list(range(len(vecs)))
     assert best.tolist() == loop_cells
-    assert t_row >= 3.0 * t_batch, (
+    assert t_row >= 1.5 * t_batch, (
         f"batch kernel only {t_row / t_batch:.1f}x the per-row loop "
         f"(batch={t_batch:.3f}s row={t_row:.3f}s)")
 

@@ -284,6 +284,34 @@ def test_pipeline_llm_corpus_plan_is_jvm_side(engine):
     assert _plan(packed).count("MapInPandas") == 1
 
 
+def test_pipeline_llm_corpus_plan_is_jvm_side_at_sf1(spark):
+    """The same composed-plan shape assertion against the sf1 bench
+    fixture (r13 verdict #6: the gate-scale plan was asserted, the
+    bench-scale one only prose) — planning is data-size-dependent only
+    through statistics, and THIS pins that no stage flips onto a Python
+    eval path or a cartesian at the 10× fixture. Plan-only (plus the
+    model-sized pinned-centroid collect), so it costs seconds. Skips
+    when the bench fixture hasn't been synthesized."""
+    import os
+
+    import pytest
+
+    from coolplaydruid_spark import contract
+    from coolplaydruid_spark.operators import packing
+
+    sf1 = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".benchdata", "sf1")
+    if not os.path.exists(os.path.join(sf1, "documents.parquet")):
+        pytest.skip("no .benchdata/sf1 fixture (run bench.py's sf1 tail)")
+    kept = contract._spark_llm_corpus_stages(spark, sf1)["kept"]
+    plan = _plan(kept)
+    for banned in ("CartesianProduct", "BatchEvalPython",
+                   "ArrowEvalPython", "MapInPandas"):
+        assert banned not in plan, f"{banned} in the sf1 selection plan"
+    packed = packing.pack_sequences(kept, budget=128, token_col="n_tokens")
+    assert _plan(packed).count("MapInPandas") == 1
+
+
 def test_topn_gran_all_is_take_ordered_not_global_window(engine):
     """granularity=all topN must plan as TakeOrderedAndProject (parallel
     partial top-k), never a constant-folded single-partition window —

@@ -12,10 +12,14 @@ bench.py's SF1_TAIL without classifying it here fails loudly):
 - LINEAR: shuffle records grow ~with input (digest/doc-keyed exchanges:
   exact dedup, map-only text ops whose one exchange is result
   delivery).
-- BLOCKED: band/bucket-blocked self-joins. Growth may exceed linear
-  (a denser corpus has more REAL band collisions) but must stay far
-  below the quadratic class — the 100 TB argument is that blocking,
-  not corpus size, bounds the join.
+- BLOCKED: band/bucket-blocked pair joins, gated on DETERMINISTIC
+  candidate-pair volume (evidence.py), not shuffle records — AQE
+  join-strategy flips move the shuffle metric ~7× on identical
+  data/results (r13 verdict #1). Candidate growth must be matched by
+  blocked-row growth or verified-output growth; unmatched growth means
+  the blocking collapsed. Raw shuffle records remain recorded as
+  telemetry, and the shuffle-fallback leg's cost model is pinned in
+  tests/test_fallback_cost.py.
 - CONSTANT: result-bounded exchanges (top-k similarity ships k rows
   per query regardless of corpus size; the corpus never shuffles).
 - PLAN_TRANSITION: star joins whose small side outgrows the broadcast
@@ -59,79 +63,71 @@ LINEAR = {
     # the GROUP count, so it can never go quadratic in the corpus.
     "corpus_overlap_matrix", "corpus_overlap_incremental",
 }
-# max allowed shuffle-growth / input-growth factor per blocked operator:
-# r6→r7 observed 1.4–2.0× (real collisions in a denser corpus); 5× is
-# far below the quadratic class (which would be ~input-ratio×, i.e. 10×
-# here) while still failing on a pathological blow-up.
+# BLOCKED gate (rewritten r14, r13 verdict #1): the gate used to ratio
+# raw shuffle_write_records, a PLAN property — AQE's broadcast-vs-
+# shuffle choice for the verify joins flips it ~7× on bit-identical
+# inputs and outputs (r13 measured 84,294 / 84,294 / 124,596 for the
+# same minhash query; the round driver recorded 607,172 — all four runs
+# produced the identical 256 pairs). The gate now ratios the
+# DETERMINISTIC candidate-pair volume the operators themselves record
+# (coolplaydruid_spark/evidence.py, emitted by bench.py into
+# PLANMETRICS `candidate_pairs`/`blocked_rows`/`output_rows`):
+#
+#     pair_ratio <= cap × max(blocked_rows ratio, output_rows ratio)
+#
+# Candidate volume may legitimately grow with INPUT (more buckets) or
+# with VERIFIED-duplicate density (the sf1 synthesizer duplicates texts
+# ~10×, squaring dup-group sizes — e.g. image dHash candidates grow
+# ~100× on 10× input *because the verified pair set grows ~49×*: those
+# are real near-duplicates banding is SUPPOSED to surface). What it
+# must never do is grow past BOTH — false candidates from a collapsed
+# bucket multiply the pair stream without any matching verified-output
+# or input growth, and that is exactly what this ratio catches while
+# shuffle-record telemetry (still recorded) cannot distinguish from an
+# AQE plan flip. The shuffle-fallback leg itself is cost-model-pinned
+# separately in tests/test_fallback_cost.py (r13 verdict #2).
+#
+# Caps = measured r14 excess (pair_ratio / max(row, out) at sf0.1→sf1)
+# with ≥2× headroom, far below an unmatched-candidate blow-up:
 BLOCKED = {
-    "dedup_minhash_lsh": 5.0,
-    # the capped variant must grow no faster than the uncapped one —
-    # the cap only ever removes candidate-join work
-    "dedup_minhash_capped": 5.0,
-    # r9 media near-dup: banded Hamming self-joins. Measured 1.3×/1.7×
-    # over input growth at sf1 — the excess over linear is REAL pair
-    # rows (the sf1 synthesizer duplicates texts ~10×, squaring
-    # dup-group sizes), exactly the growth banding bounds.
+    # measured 29.9× pairs on 10.0× rows, 1.0× output (the duplicated
+    # variants band-collide but fail exact-Jaccard 0.5) → excess 2.99
+    "dedup_minhash_lsh": 6.0,
+    # cap=2 bounds candidates almost flat: 1.47× pairs (excess 0.15)
+    "dedup_minhash_capped": 6.0,
+    # banded Hamming families: pairs track verified near-dup density
+    # (100.2×/98.4× pairs vs 48.7×/95.2× outputs → excess 2.1/1.0)
     "dedup_image_phash": 5.0,
     "dedup_audio_fingerprint": 5.0,
-    # r10: the incremental batch×corpus media forms (batch = every 5th
-    # item, so the batch grows WITH the corpus here — shuffle tracks the
-    # batch-side signature stream plus real cross-pair density, same
-    # bound as the self-join forms)
     "dedup_image_phash_incremental": 5.0,
     "dedup_audio_fingerprint_incremental": 5.0,
-    # r10: frame-hash Jaccard — pair volume grows with real cross-video
-    # frame duplication, bounded by the co-frame blocking
-    "dedup_video_framehash": 5.0,
-    # r11 (r10 verdict #3): the from-store forms — store build (linear
-    # ingest) + decode-free banded pairing. Measured 10.2×/10.8× shuffle
-    # on 10.0× input (image/minhash) — the store adds no superlinear
-    # exchange.
+    # co-frame Jaccard: 64.9× pairs vs 10.2× verified output — the
+    # candidate set carries sub-threshold co-frame pairs (intros/shared
+    # frames) that verification prunes; excess 6.3, cap 13
+    "dedup_video_framehash": 13.0,
     "dedup_image_phash_from_store": 5.0,
-    "dedup_minhash_incremental_from_store": 5.0,
-    # store-read overlap: input grows SUB-linearly (2.9× on 10× corpus —
-    # the distinct group-shingle vocabulary saturates, same effect as
-    # corpus_pmi) while the shingle-keyed pair join tracks real co-group
-    # density (measured 5.6× shuffle = 1.9× input growth)
-    "corpus_overlap_from_store": 5.0,
-    # incremental frame-hash Jaccard: batch×corpus co-frame join,
-    # measured 10.7× shuffle on 9.8× input
-    "dedup_video_framehash_incremental": 5.0,
-    # r11 composed entries: decode → pairs → connected components →
-    # retention. Input records grow with PAIR volume, not corpus (the
-    # component loop re-reads the checkpointed edge list every
-    # iteration, and the sf1 synthesizer's duplicate density squares
-    # group sizes: measured ~64× input, ~80×/~59× shuffle — ratio
-    # 1.2×/0.9× of input growth). The invariant that matters at 100 TB:
-    # shuffle NEVER outruns the pair-bounded input stream — the banded
-    # blocking (image) / cell blocking (SemDeDup, cells scale with the
-    # corpus via _semantic_fit_cells) caps pair volume itself.
-    "pipeline_media_dedup": 5.0,
-    "dedup_embedding_semantic_fit": 5.0,
-    # r12 (r11 verdict #4): the semantic family's remaining forms at
-    # production shape (corpus-scaled fitted cells — mean cell ~250, so
-    # co-cell candidates price by the batch, not the corpus²).
-    # incremental: batch = every 5th vector, so the batch grows WITH
-    # the corpus here — the co-cell join tracks batch-side volume plus
-    # real cross-pair density, the same bound as the media incremental
-    # rows. from-store: linear store build (ingest + map-only
-    # assignment) + the same co-cell pairing reading cells back instead
-    # of re-assigning. streaming replay: three ordered accept batches —
-    # each batch's exchange is its self-check plus the batch×accepted
-    # co-cell join, so the total stays pair-bounded like the batch
-    # forms.
-    "dedup_embedding_semantic_incremental_scaled": 5.0,
-    "dedup_embedding_semantic_from_store_scaled": 5.0,
-    "streaming_semantic_replay": 5.0,
-    # r13: the composed corpus build (exact → minhash → Gopher →
-    # semantic → decontamination → mixture → packing). Every pairing
-    # stage is blocked or capped: minhash bands bound the candidate
-    # join, the semantic stage's pinned cells carry the hot-cell cap
-    # (max_cell_size=250 — over-cap cells emit no pairs, the production
-    # guard for fixed centroid sets), the contamination join is
-    # probe-bounded, packing is partition-local. Shuffle must track the
-    # shingle/signature streams, never corpus².
-    "pipeline_llm_corpus_packed": 5.0,
+    # 28.8× pairs on 10.0× rows, flat output — same shape as the
+    # self-join minhash (excess 2.88)
+    "dedup_minhash_incremental_from_store": 6.0,
+    # group-pair blocking: 6.7× pairs on 2.6× rows (the distinct
+    # group-shingle vocabulary saturates; excess 2.55)
+    "corpus_overlap_from_store": 6.0,
+    # composed media pipeline: its pairing stage IS dedup_image_phash's
+    # banded join (same candidates, gated with precision above); the
+    # composite's own output is the kept-doc set (7.7×), so the excess
+    # vs max(rows, output) is 10.0 — cap 15 bounds further degradation,
+    # the blocking-precision claim rides on the standalone entry
+    "pipeline_media_dedup": 15.0,
+    "dedup_video_framehash_incremental": 13.0,
+    # semantic family: corpus-scaled fitted cells keep co-cell
+    # candidates ~linear (10.0×/12.5× pairs; excess ≤ 1.25)
+    "dedup_embedding_semantic_fit": 4.0,
+    "dedup_embedding_semantic_incremental_scaled": 4.0,
+    "dedup_embedding_semantic_from_store_scaled": 4.0,
+    "streaming_semantic_replay": 4.0,
+    # composed corpus build: minhash bands + hot-cell cap keep the
+    # summed candidate stream SUB-linear (1.9× pairs on 9.7× rows)
+    "pipeline_llm_corpus_packed": 4.0,
 }
 CONSTANT = {"similarity_topk_brute"}
 PLAN_TRANSITION = {"sql_join_top_customers", "sql_join_region_revenue"}
@@ -201,12 +197,45 @@ def test_linear_operators_scale_with_input(name):
 @pytest.mark.parametrize("name", sorted(BLOCKED))
 def test_blocked_joins_stay_subquadratic(name):
     base, sf1, carried = _load()
-    in_ratio, sh_ratio, _, _ = _ratios(base, sf1, name, carried)
     cap = BLOCKED[name]
-    assert sh_ratio <= in_ratio * cap, (
-        f"{name}: shuffle grew {sh_ratio:.1f}× on {in_ratio:.1f}× input "
-        f"(cap {cap}× input growth) — blocking is no longer bounding "
-        "the join")
+    a, b = base.get(name), sf1.get(name)
+    if a is None or b is None:
+        if carried:
+            pytest.skip(f"{name} not in the carried-forward sf1 sections")
+        raise AssertionError(f"{name} missing from a fresh artifact")
+    if "candidate_pairs" not in a or "candidate_pairs" not in b:
+        # pre-r14 artifact (no candidate evidence yet): fall back to the
+        # legacy shuffle-ratio gate, which is plan-sensitive — a fresh
+        # bench run replaces it with the deterministic form
+        if carried:
+            in_ratio, sh_ratio, _, _ = _ratios(base, sf1, name, carried)
+            assert sh_ratio <= in_ratio * 5.0, (name, sh_ratio, in_ratio)
+            return
+        raise AssertionError(
+            f"{name}: fresh artifact lacks candidate_pairs — bench.py's "
+            "CANDIDATE_EVIDENCE emission was skipped or failed "
+            f"({a.get('candidate_error') or b.get('candidate_error')})")
+    pair_ratio = b["candidate_pairs"] / max(a["candidate_pairs"], 1)
+    row_ratio = b["blocked_rows"] / max(a["blocked_rows"], 1)
+    out_ratio = (b["output_rows"] / max(a["output_rows"], 1)
+                 if "output_rows" in a and "output_rows" in b else 0.0)
+    bound = cap * max(row_ratio, out_ratio)
+    assert pair_ratio <= bound, (
+        f"{name}: candidate pairs grew {pair_ratio:.1f}× while blocked "
+        f"rows grew {row_ratio:.1f}× and verified output grew "
+        f"{out_ratio:.1f}× (cap {cap}×) — the blocking is emitting "
+        "candidates unmatched by input or verified-duplicate growth")
+
+
+def test_candidate_evidence_list_matches_blocked_class():
+    """bench.CANDIDATE_EVIDENCE must be exactly the BLOCKED class: an
+    entry gated here without bench emitting its candidate metrics would
+    hard-fail on every fresh artifact; an emitted-but-ungated entry is
+    dead evidence."""
+    import bench
+
+    assert set(bench.CANDIDATE_EVIDENCE) == set(BLOCKED), (
+        sorted(set(bench.CANDIDATE_EVIDENCE) ^ set(BLOCKED)))
 
 
 @pytest.mark.parametrize("name", sorted(CONSTANT))
@@ -263,6 +292,18 @@ def test_carry_sf1_evidence_on_partial_run():
     assert out["sf1_carried_from_previous_run"] is True
     assert out["sf1_plan_metrics"] == prev["sf1_plan_metrics"]
     assert out["sf1_partial_attempt"]["sf1_tail_sec"]["error"] == "boom"
+    # prev predates sf1_tail_runs_sec: the carry must OMIT the run
+    # lists (r13 advice: an empty-but-present list contradicts the
+    # carried mins) and say why
+    assert "sf1_tail_runs_sec" not in out
+    assert "predating" in out["sf1_tail_runs_unavailable"]
+    # prev WITH run lists: they carry verbatim beside the mins
+    prev_runs = dict(prev, sf1_tail_runs_sec={q: [1.0, 1.1] for q in tail})
+    out_r = bench._carry_sf1_evidence(
+        {"sf1_tail_sec": {"q1": 0.9, "error": "boom"},
+         "sf1_plan_metrics": {"q1": {"input_records": 2}}}, prev_runs, tail)
+    assert out_r["sf1_tail_runs_sec"] == prev_runs["sf1_tail_runs_sec"]
+    assert "sf1_tail_runs_unavailable" not in out_r
     # complete current run passes through untouched
     complete = {"sf1_tail_sec": {q: 1.0 for q in tail},
                 "sf1_plan_metrics": {q: {"input_records": 2} for q in tail}}
