@@ -7713,6 +7713,21 @@ def pipeline_llm_corpus(spark, sf_dir):
     return _spark_llm_corpus_stages(spark, sf_dir)["kept"]
 
 
+@q("pipeline_llm_corpus_capped", _duck_llm_corpus(minhash_cap=1))
+def pipeline_llm_corpus_capped(spark, sf_dir):
+    """The composed corpus build with a BINDING minhash hot-bucket cap
+    (r13 verdict #4's standing evidence): max_band_bucket=1 drops every
+    multi-doc LSH bucket before the candidate join, so near-dup losers
+    that only collide through those buckets survive — 38 kept docs at
+    gate scale vs the default chain's 36, value-hash-checked against
+    the SAME shared oracle builder at the same knob. Together with the
+    default entry this pins both sides of the cap's conservative-recall
+    contract end-to-end (members of a dropped bucket are KEPT, never
+    wrongly dropped); the fuzzer additionally draws cap ∈
+    {None, 2, 3, 100} with random taus."""
+    return _spark_llm_corpus_stages(spark, sf_dir, minhash_cap=1)["kept"]
+
+
 @q("pipeline_llm_corpus_packed")  # no SQL oracle: FFD bin assignment is
 # order-dependent by nature — exact end-to-end replay validator below
 def pipeline_llm_corpus_packed(spark, sf_dir):

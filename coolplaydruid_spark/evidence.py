@@ -23,14 +23,21 @@ produce, computed from the pre-join bucketed tables as
 run regardless of join strategy, AQE decisions, or cache eviction.
 
 Mechanics: every blocking operator calls :func:`record_blocking` with
-its post-cap pre-join table(s) at DataFrame-CONSTRUCTION time (a no-op
-unless a capture is active, so production plans are untouched).
-bench.py builds each BLOCKED query under :func:`capture` — without
-executing it — and aggregates the recorded blockings with
-:func:`candidate_stats`; the counts land in PLANMETRICS.json beside the
+its post-cap pre-join table(s) (a no-op unless a capture is active, so
+production plans are untouched). Under an active :func:`capture` the
+counts are computed EAGERLY, at the moment the operator constructs the
+join — not deferred to a later aggregation pass — because some blocked
+inputs are snapshots of MUTABLE state: the streaming accept loop pairs
+each batch against the accepted store as of that batch, then overwrites
+store partitions, so a lazily-held DataFrame would reference files that
+no longer exist by the time a deferred count ran (r14 find:
+FAILED_READ_FILE on the replay entry). Eager counting reads the store
+exactly when the join would. bench.py builds each BLOCKED query under
+capture() — without executing it — and sums the recorded counts with
+:func:`candidate_stats`; they land in PLANMETRICS.json beside the
 (telemetry-only) stage metrics, and the scale gate ratios THEM. Because
-the operators record the exact DataFrames they join, the evidence can
-never drift from the plan the way a re-implemented side-channel counter
+the operators record the exact tables they join, the evidence can never
+drift from the plan the way a re-implemented side-channel counter
 could.
 """
 
@@ -56,16 +63,17 @@ def record_blocking(label: str, left: DataFrame, keys: list[str],
     predicate (C(n,2) candidates per bucket); otherwise the two sides
     cross within each bucket (n_l × n_r). No-op unless a capture() is
     active — the check is one module-global read, so operators call
-    this unconditionally on the hot construction path."""
+    this unconditionally on the hot construction path. When active, the
+    counts run as Spark jobs HERE (see module docstring on why eager)."""
     if _SINK is not None:
-        _SINK.append((label, left, right, list(keys)))
+        _SINK.append(_block_stats(label, left, keys, right))
 
 
 @contextmanager
 def capture():
     """Activate the sink for the duration; yields the list of recorded
-    blockings (label, left, right, keys). Nested captures stack — the
-    inner capture sees only its own recordings."""
+    block stats ({"label", "candidate_pairs", "blocked_rows"}). Nested
+    captures stack — the inner capture sees only its own recordings."""
     global _SINK
     prev = _SINK
     _SINK = sink = []
@@ -75,44 +83,39 @@ def capture():
         _SINK = prev
 
 
-def candidate_stats(sink: list) -> dict:
-    """Aggregate captured blockings into exact candidate counts.
+def _block_stats(label: str, left: DataFrame, keys: list[str],
+                 right: DataFrame | None) -> dict:
+    """Exact candidate-pair and input-row counts for one blocking —
+    one groupBy-count over each pre-join table, far cheaper than the
+    pairing query itself."""
+    gb_l = left.groupBy(*[F.col(k) for k in keys])
+    if right is None:
+        agg = gb_l.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        row = agg.agg(
+            F.sum(F.expr("n * (n - 1) DIV 2")).alias("p"),
+            F.sum("n").alias("r"),
+        ).collect()[0]
+        pairs, rows = int(row["p"] or 0), int(row["r"] or 0)
+    else:
+        ln = gb_l.agg(F.count(F.lit(1)).cast("long").alias("__nl"))
+        rn = right.groupBy(*[F.col(k) for k in keys]).agg(
+            F.count(F.lit(1)).cast("long").alias("__nr"))
+        joined = ln.join(rn, on=keys) if keys else ln.crossJoin(rn)
+        row = joined.agg(F.sum(F.expr("__nl * __nr")).alias("p")).collect()[0]
+        pairs = int(row["p"] or 0)
+        rows = (int(ln.agg(F.sum("__nl")).collect()[0][0] or 0)
+                + int(rn.agg(F.sum("__nr")).collect()[0][0] or 0))
+    return {"label": label, "candidate_pairs": pairs, "blocked_rows": rows}
 
-    Returns ``{"candidate_pairs": int, "blocked_rows": int, "blocks":
-    [{"label", "candidate_pairs", "blocked_rows"}, ...]}`` where
-    ``blocked_rows`` is the total rows entering the blocked join(s) —
-    the deterministic denominator for growth ratios (unlike stage
-    ``input_records``, it can't double under cache-eviction recompute).
-    Each aggregation is one groupBy-count over a pre-join table — far
-    cheaper than the pairing query itself, and trivially parallel."""
-    total_pairs = 0
-    total_rows = 0
-    blocks = []
-    for label, left, right, keys in sink:
-        gb_l = left.groupBy(*[F.col(k) for k in keys])
-        if right is None:
-            agg = gb_l.agg(F.count(F.lit(1)).cast("long").alias("n"))
-            row = agg.agg(
-                F.sum(F.expr("n * (n - 1) DIV 2")).alias("p"),
-                F.sum("n").alias("r"),
-            ).collect()[0]
-            pairs, rows = int(row["p"] or 0), int(row["r"] or 0)
-        else:
-            ln = gb_l.agg(F.count(F.lit(1)).cast("long").alias("__nl"))
-            rn = right.groupBy(*[F.col(k) for k in keys]).agg(
-                F.count(F.lit(1)).cast("long").alias("__nr"))
-            if keys:
-                joined = ln.join(rn, on=keys)
-            else:
-                joined = ln.crossJoin(rn)
-            row = joined.agg(
-                F.sum(F.expr("__nl * __nr")).alias("p")).collect()[0]
-            pairs = int(row["p"] or 0)
-            rows = (int(ln.agg(F.sum("__nl")).collect()[0][0] or 0)
-                    + int(rn.agg(F.sum("__nr")).collect()[0][0] or 0))
-        total_pairs += pairs
-        total_rows += rows
-        blocks.append({"label": label, "candidate_pairs": pairs,
-                       "blocked_rows": rows})
-    return {"candidate_pairs": total_pairs, "blocked_rows": total_rows,
-            "blocks": blocks}
+
+def candidate_stats(sink: list) -> dict:
+    """Sum captured block stats into ``{"candidate_pairs": int,
+    "blocked_rows": int, "blocks": [...]}``. ``blocked_rows`` — total
+    rows entering the blocked join(s) — is the deterministic
+    denominator for growth ratios (unlike stage ``input_records``, it
+    can't double under cache-eviction recompute)."""
+    return {
+        "candidate_pairs": sum(b["candidate_pairs"] for b in sink),
+        "blocked_rows": sum(b["blocked_rows"] for b in sink),
+        "blocks": list(sink),
+    }

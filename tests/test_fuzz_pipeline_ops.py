@@ -437,11 +437,12 @@ def test_fuzz_llm_corpus_end_to_end(spark, duck):
     for _ in range(max(2, N_SPECS // 30)):
         kw = dict(
             minhash_tau=rng.choice([0.4, 0.5, 0.7]),
-            # 2/3 genuinely bind at gate scale (3-doc buckets exist),
+            # 1/2/3 genuinely bind at gate scale (1 even changes the
+            # final kept set — the standing capped contract entry),
             # exercising the hot-bucket exclusion through the composed
             # chain; None and the production default 100 leave the
             # pairing uncapped here (r13 verdict #4)
-            minhash_cap=rng.choice([None, 2, 3, 100]),
+            minhash_cap=rng.choice([None, 1, 2, 3, 100]),
             gopher_params=dict(
                 min_words=rng.randint(0, 50),
                 max_words=rng.randint(60, 120),

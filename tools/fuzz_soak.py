@@ -24,8 +24,8 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 # Rotated per round (r8 verdict #7: fixed seed lists re-prove the same
 # draws round after round). 20260814 stays as the one stable seed for
-# regression comparability; the rest are fresh draws this round (r13).
-DEFAULT_SEEDS = [20260814, 17359, 42901, 7247, 61583]
+# regression comparability; the rest are fresh draws this round (r14).
+DEFAULT_SEEDS = [20260814, 9201, 55117, 31777, 80239]
 
 
 def surfaces() -> dict[str, dict]:
