@@ -4635,6 +4635,63 @@ def _duck_phash_pairs(max_hamming: int) -> str:
     """
 
 
+def _duck_phash_pairs_capped(max_hamming: int, cap: int) -> str:
+    """Banded-Hamming oracle WITH the hot-bucket cap: mirrors the
+    engine's banding exactly (8 bands of 8 bits, b<4 from the hi half
+    MSB-first, b≥4 from lo), drops (band, bits) buckets holding more
+    than ``cap`` images via a window count (the same formulation as the
+    minhash capped oracle — see _duck_minhash_pair_ctes on why not
+    NOT EXISTS), pairs only within surviving buckets, then applies the
+    exact Hamming threshold. Unlike the uncapped all-pairs oracle this
+    one must spell out the banding, because with a cap the blocked join
+    is no longer pigeonhole-equivalent to all pairs — that exclusion is
+    precisely what the entry verifies."""
+    return _duck_phash_cte() + f"""
+    , bands AS (
+      SELECT media_id, CAST(range AS INT) AS band,
+             CASE WHEN range < 4
+                  THEN (phash_hi >> CAST((3 - range) * 8 AS INT)) & 255
+                  ELSE (phash_lo >> CAST((7 - range) * 8 AS INT)) & 255
+             END AS bits
+      FROM h, range(8)
+    ),
+    bandc AS (
+      SELECT media_id, band, bits FROM (
+        SELECT bands.*, count(*) OVER (PARTITION BY band, bits) AS __n
+        FROM bands) WHERE __n <= {int(cap)}
+    ),
+    cand AS (
+      SELECT DISTINCT l.media_id AS ma, r.media_id AS mb
+      FROM bandc l JOIN bandc r
+        ON l.band = r.band AND l.bits = r.bits AND l.media_id < r.media_id
+    )
+    SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           CAST(bit_count(xor(a.phash_hi, b.phash_hi))
+              + bit_count(xor(a.phash_lo, b.phash_lo)) AS INT) AS hamming
+    FROM cand JOIN h a ON cand.ma = a.media_id
+              JOIN h b ON cand.mb = b.media_id
+    WHERE bit_count(xor(a.phash_hi, b.phash_hi))
+        + bit_count(xor(a.phash_lo, b.phash_lo)) <= {int(max_hamming)}
+    """
+
+
+@q("dedup_image_phash_capped", _duck_phash_pairs_capped(6, 20))
+def dedup_image_phash_capped(spark, sf_dir):
+    """phash_neardup with the r14 max_band_bucket hot-bucket cap: the
+    uncapped banded join is pigeonhole-EXACT but its candidate volume
+    is bounded only by real band collisions, which a boilerplate-heavy
+    corpus concentrates (the sf1 media fixture measured 670M candidate
+    pairs from 400k banded rows, verified down to 21k — all real work,
+    but work a production corpus would cap). cap=20 genuinely binds at
+    gate scale (hot 8-bit buckets exist at sf0.01), so the oracle
+    verifies the exclusion semantics — pairs whose every agreeing band
+    is hot are conservatively NOT emitted (their members all survive
+    dedup) — not just the plumbing."""
+    eng = engine_for(spark, sf_dir)
+    return multimodal.phash_neardup(
+        _docs_as_media(eng, "png"), max_hamming=6, max_band_bucket=20)
+
+
 @q("multimodal_phash_signatures", _duck_phash_signatures())
 def multimodal_phash_signatures(spark, sf_dir):
     """64-bit dHash halves over the REAL PNG decode: the oracle rebuilds

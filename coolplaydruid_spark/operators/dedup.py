@@ -714,7 +714,8 @@ def banded_hamming_pairs(sig: DataFrame, band_cols: list, sig_cols: list[str],
                          hamming, id_col: str, max_hamming: int,
                          out_a: str = "doc_a", out_b: str = "doc_b",
                          sig_right: DataFrame | None = None,
-                         check_disjoint: bool = False) -> DataFrame:
+                         check_disjoint: bool = False,
+                         max_band_bucket: int | None = None) -> DataFrame:
     """The one banded-Hamming self-join, shared by SimHash, image dHash
     and audio fingerprints (r9 review: three verbatim copies diverge
     silently): explode the per-signature band structs, equi-join on
@@ -743,7 +744,26 @@ def banded_hamming_pairs(sig: DataFrame, band_cols: list, sig_cols: list[str],
     verdict #3: the contract was documented but nothing enforced it).
     Off by default: the probe costs an extra job, and production
     callers that partition batches by ingest time satisfy the
-    invariant by construction."""
+    invariant by construction.
+
+    ``max_band_bucket`` (r14): drop (band, bits) buckets holding more
+    rows BEFORE the join — the banded-Hamming member of the hot-key
+    caps every other pairing family carries (minhash max_band_bucket,
+    set_jaccard max_key_freq, embedding max_block_size). Uncapped, the
+    blocked result is EXACTLY the all-pairs result under the pigeonhole
+    bound — but candidate volume is then bounded only by real band
+    collisions, and a boilerplate-heavy corpus concentrates them:
+    the r14 sf1 media fixture produced 670M candidate pairs from 400k
+    banded rows (hot 8-bit buckets), verified down to 21k. The cap
+    bounds the join at cap² pairs per bucket and COSTS RECALL only for
+    pairs whose every agreeing band is hot (near-identical items also
+    agree in other bands with high probability; exact duplicates —
+    which lose all bands — are the upstream digest-dedup stage's O(n)
+    job, the same argument as minhash's cap). Cross-join form: buckets
+    are counted on the CORPUS side (the unbounded one) and dropped
+    from BOTH sides, the two-sided discipline of set_jaccard_pairs.
+    Members of a dropped bucket are conservatively KEPT (emit no
+    pairs). Default off — the SQL-oracled entries stay exact."""
     if check_disjoint and sig_right is not None:
         overlap = (
             sig.select(F.col(id_col))
@@ -765,6 +785,24 @@ def banded_hamming_pairs(sig: DataFrame, band_cols: list, sig_cols: list[str],
 
     lb = bandify(sig)
     rb = bandify(sig_right) if sig_right is not None else None
+    if max_band_bucket is not None:
+        if rb is None:
+            # persist+repartition: the capped banded table feeds the
+            # bucket count AND both join sides on one (band, bits)
+            # partitioning — same shape as minhash's _cap_band_buckets
+            lb = _drop_hot_keys(lb, ["band", "bits"], max_band_bucket,
+                                persist=True, repartition=True)
+        else:
+            hot = (
+                lb.groupBy("band", "bits")
+                .agg(F.count(F.lit(1)).alias("__hot_n"))
+                .where(F.col("__hot_n") > int(max_band_bucket))
+                .select("band", "bits")
+            )
+            lb = lb.join(F.broadcast(hot), on=["band", "bits"],
+                         how="left_anti")
+            rb = rb.join(F.broadcast(hot), on=["band", "bits"],
+                         how="left_anti")
     evidence.record_blocking("banded_hamming", lb, ["band", "bits"], right=rb)
     l = lb.alias("l")
     r = (rb if rb is not None else lb).alias("r")
@@ -824,6 +862,7 @@ def simhash_dedup(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: (doc_a, doc_b, hamming ≤ max_hamming).
 
@@ -855,7 +894,8 @@ def simhash_dedup(
         )
 
     return banded_hamming_pairs(
-        sig, band_cols, ["simhash"], hamming, id_col, max_hamming
+        sig, band_cols, ["simhash"], hamming, id_col, max_hamming,
+        max_band_bucket=max_band_bucket,
     )
 
 

@@ -369,7 +369,8 @@ def phash_signatures(df: DataFrame, media_col: str = "media",
 
 def phash_neardup(df: DataFrame, max_hamming: int = 6,
                   media_col: str = "media", id_col: str = "media_id",
-                  signatures: DataFrame | None = None) -> DataFrame:
+                  signatures: DataFrame | None = None,
+                  max_band_bucket: int | None = None) -> DataFrame:
     """Perceptual near-duplicate image pairs: (media_id_a, media_id_b,
     hamming ≤ max_hamming), a < b, by 64-bit dHash Hamming distance —
     the image-modality counterpart of dedup.simhash_dedup with the same
@@ -395,6 +396,7 @@ def phash_neardup(df: DataFrame, max_hamming: int = 6,
     return banded_hamming_pairs(
         sig, _phash_band_cols(), ["phash_hi", "phash_lo"], _phash_hamming,
         id_col, max_hamming, out_a="media_id_a", out_b="media_id_b",
+        max_band_bucket=max_band_bucket,
     )
 
 
@@ -407,6 +409,7 @@ def phash_neardup_incremental(
     corpus_signatures: DataFrame | None = None,
     batch_signatures: DataFrame | None = None,
     check_disjoint: bool = False,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Image near-dup pairs between an INCOMING media batch and the
     EXISTING corpus — the daily-ingest shape (same contract as
@@ -437,7 +440,7 @@ def phash_neardup_incremental(
         corpus_sig, _phash_band_cols(), ["phash_hi", "phash_lo"],
         _phash_hamming, id_col, max_hamming,
         out_a="media_id_a", out_b="media_id_b", sig_right=batch_sig,
-        check_disjoint=check_disjoint,
+        check_disjoint=check_disjoint, max_band_bucket=max_band_bucket,
     )
 
 
@@ -532,7 +535,8 @@ def audio_fingerprint(df: DataFrame, media_col: str = "media",
 
 def audio_neardup(df: DataFrame, max_hamming: int = 3,
                   media_col: str = "media", id_col: str = "media_id",
-                  signatures: DataFrame | None = None) -> DataFrame:
+                  signatures: DataFrame | None = None,
+                  max_band_bucket: int | None = None) -> DataFrame:
     """Audio near-duplicate pairs: (media_id_a, media_id_b, hamming ≤
     max_hamming), a < b, by 32-bit fingerprint Hamming distance with
     4-band pigeonhole blocking — for max_hamming ≤ 3 the blocked join
@@ -546,6 +550,7 @@ def audio_neardup(df: DataFrame, max_hamming: int = 3,
     return banded_hamming_pairs(
         sig, _afp_band_cols(), ["afp"], _afp_hamming, id_col, max_hamming,
         out_a="media_id_a", out_b="media_id_b",
+        max_band_bucket=max_band_bucket,
     )
 
 
@@ -558,6 +563,7 @@ def audio_neardup_incremental(
     corpus_signatures: DataFrame | None = None,
     batch_signatures: DataFrame | None = None,
     check_disjoint: bool = False,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Audio near-dup pairs between an incoming batch and the existing
     corpus — same daily-ingest contract as phash_neardup_incremental
@@ -579,6 +585,7 @@ def audio_neardup_incremental(
         corpus_sig, _afp_band_cols(), ["afp"], _afp_hamming, id_col,
         max_hamming, out_a="media_id_a", out_b="media_id_b",
         sig_right=batch_sig, check_disjoint=check_disjoint,
+        max_band_bucket=max_band_bucket,
     )
 
 

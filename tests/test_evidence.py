@@ -115,6 +115,35 @@ def test_incremental_minhash_records_cross_blocking(spark):
     assert st["blocked_rows"] == 6 * 4 + 2 * 4
 
 
+def test_banded_hamming_cap_is_conservative_subset(spark):
+    """max_band_bucket on the banded-Hamming family (r14): capped pairs
+    must be a SUBSET of the uncapped result (the cap only removes
+    candidate work, never invents pairs) and the recorded candidate
+    volume must shrink. Six identical texts make every one of their
+    simhash bands a 6-row hot bucket; cap=3 drops them all, so the
+    identical group emits no pairs (conservative keep — exact dups are
+    the upstream digest-dedup stage's job) while the near-dup pairs
+    that also collide in cool buckets survive."""
+    from coolplaydruid_spark.operators.dedup import simhash_dedup
+
+    rows = [(i, "the exact same boilerplate text") for i in range(6)]
+    rows += [(10, "a rather different document body"),
+             (11, "a rather different document bodY")]
+    docs = _df(spark, rows, ["doc_id", "text"])
+    with evidence.capture() as s_unc:
+        unc = {(r["doc_a"], r["doc_b"])
+               for r in simhash_dedup(docs, max_hamming=3).collect()}
+    with evidence.capture() as s_cap:
+        cap = {(r["doc_a"], r["doc_b"])
+               for r in simhash_dedup(docs, max_hamming=3,
+                                      max_band_bucket=3).collect()}
+    assert cap <= unc
+    assert (10, 11) in cap  # cool-bucket near-dups survive the cap
+    assert all(a >= 6 or b >= 6 for a, b in cap)  # hot group emits none
+    assert (evidence.candidate_stats(s_cap)["candidate_pairs"]
+            < evidence.candidate_stats(s_unc)["candidate_pairs"])
+
+
 def test_candidate_stats_empty_sink():
     st = evidence.candidate_stats([])
     assert st == {"candidate_pairs": 0, "blocked_rows": 0, "blocks": []}
