@@ -7,14 +7,19 @@ deliberately loose because wall-clock unit assertions couple CI to
 host timing — r13 advice: a loaded shared host or a
 parallel-throttled BLAS can shrink the gap without any code being
 wrong. 1.5× only fails if the matmul kernel has genuinely regressed
-to per-row cost; best-of-3 on both sides). No Spark session: the
+to per-row cost; best-of-3 on both sides, and the ratio is skipped
+entirely when the 1-minute loadavg exceeds the core count — measured
+flaking at 1.4× with a concurrent Spark suite saturating the host,
+values still exact). No Spark session: the
 kernel math is exercised directly through _finite_rows + the same
 expressions the mapInPandas closures run."""
 
+import os
 import time
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from coolplaydruid_spark.operators import similarity
 
@@ -55,6 +60,10 @@ def test_batch_argmin_kernel_matches_and_beats_per_row_loop():
     loop_cells, t_row = _best_of(per_row)
     assert rows.tolist() == list(range(len(vecs)))
     assert best.tolist() == loop_cells
+    load1 = os.getloadavg()[0]
+    if load1 > (os.cpu_count() or 4):
+        pytest.skip(f"host saturated (load1={load1:.1f}); "
+                    "wall-clock ratio not meaningful")
     assert t_row >= 1.5 * t_batch, (
         f"batch kernel only {t_row / t_batch:.1f}x the per-row loop "
         f"(batch={t_batch:.3f}s row={t_row:.3f}s)")
