@@ -829,14 +829,21 @@ def sql_tpch_q1(spark, sf_dir):
 )
 def sql_join_top_customers(spark, sf_dir):
     """3-way join + agg + top-k (joins are the Spark-native extension —
-    Druid 0.12 has none, SURVEY §2.4)."""
+    Druid 0.12 has none, SURVEY §2.4).
+
+    r14 (guide §3.1): FROM starts at the FACT table so the planner's
+    left-deep tree streams lineitem and broadcasts the dimensions.
+    Written dimensions-first, Catalyst broadcast the largest input
+    (lineitem fit under the size estimate at bench scale) — backwards at
+    cluster scale, where the fact side must never be the build side.
+    Inner joins commute; the declared oracle SQL is unchanged."""
     eng = engine_for(spark, sf_dir)
     return eng.sql(
         """
         SELECT c_custkey, c_name,
                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-        FROM customer JOIN orders ON c_custkey = o_custkey
-                      JOIN lineitem ON o_orderkey = l_orderkey
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                      JOIN customer ON c_custkey = o_custkey
         WHERE o_orderstatus = 'O'
         GROUP BY 1, 2
         ORDER BY revenue DESC, c_custkey ASC
@@ -857,15 +864,20 @@ def sql_join_top_customers(spark, sf_dir):
     """,
 )
 def sql_join_region_revenue(spark, sf_dir):
-    """5-way star join: small dims broadcast, one fact shuffle."""
+    """5-way star join: small dims broadcast, one fact shuffle.
+
+    r14 (guide §3.1): FROM starts at the FACT table (see
+    sql_join_top_customers) — the region-first spelling made the 5-row
+    region table the streamed side and BROADCAST lineitem. Inner joins
+    commute; the declared oracle SQL is unchanged."""
     eng = engine_for(spark, sf_dir)
     return eng.sql(
         """
         SELECT r_name, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-        FROM region JOIN nation ON r_regionkey = n_regionkey
-                    JOIN customer ON n_nationkey = c_nationkey
-                    JOIN orders ON c_custkey = o_custkey
-                    JOIN lineitem ON o_orderkey = l_orderkey
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                      JOIN customer ON c_custkey = o_custkey
+                      JOIN nation ON n_nationkey = c_nationkey
+                      JOIN region ON r_regionkey = n_regionkey
         GROUP BY 1
         """
     )

@@ -206,7 +206,14 @@ import threading
 
 _PIN_LOCK = threading.Lock()
 _PINNED: dict[int, list[DataFrame]] = {}  # id(sparkSession) -> FIFO
-_PIN_MAX = 4
+# r14: raised 4 → 8. A single minhash query now pins up to 3 frames
+# (capped banded table + signature table + verified candidate set), and
+# the composed corpus pipeline chains several pinning operators — at 4
+# a composed query could evict its own still-referenced pins mid-plan
+# and silently re-run the subtrees the pins exist to collapse. Every
+# pinned frame is doc-scale (ids + a few fixed-width columns), never
+# shingle-scale, so 8 stays far below one scan partition's footprint.
+_PIN_MAX = 8
 
 
 def _session_stopped(df: DataFrame) -> bool:
@@ -351,6 +358,17 @@ def minhash_lsh_dedup(
         # otherwise reclaims it under memory pressure.
         sh = sh.persist()
     sig = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col, hashed=True)
+    if cache:
+        # r14 (optimization round, guide §2.4): the signature table is
+        # consumed FOUR times in one query — both sides of the banded
+        # self-join and both sizes joins — and Catalyst plans each
+        # consumer as an independent subtree, so the full
+        # shingle-table aggregation (the heaviest groupBy here) ran 4×
+        # per query (plan audit: 18 scans of the cached shingle table,
+        # 10 doc-keyed aggregations, zero ReusedExchange). One pinned
+        # copy (docs × 13 longs — negligible memory next to the shingle
+        # set) collapses them to a single aggregation pass.
+        sig = _pin_cache(sig)
     banded = band_hashes(sig, num_hashes=num_hashes, bands=bands, id_col=id_col)
     banded = _cap_band_buckets(banded, max_band_bucket)
     evidence.record_blocking("minhash_lsh_bands", banded, ["band", "bh"])
@@ -435,6 +453,12 @@ def minhash_lsh_dedup_incremental(
     sig_corpus = minhash_signatures(
         sh_corpus, num_hashes=num_hashes, id_col=id_col, hashed=True
     )
+    if cache:
+        # Same r14 rationale as minhash_lsh_dedup: each signature table
+        # feeds its banded table AND the sizes union, and each consumer
+        # re-runs the shingle aggregation without the pin.
+        sig_new = _pin_cache(sig_new)
+        sig_corpus = _pin_cache(sig_corpus)
     banded_new = band_hashes(sig_new, num_hashes=num_hashes, bands=bands, id_col=id_col)
     banded_corpus = band_hashes(
         sig_corpus, num_hashes=num_hashes, bands=bands, id_col=id_col
@@ -666,10 +690,19 @@ def _verify_jaccard(candidates: DataFrame, sh: DataFrame, threshold: float,
     shingles, and count shingles seen twice per pair — shingles are
     distinct per document, so c==2 ⟺ both members carry the shingle.
     One join + an aggregation with map-side combine beats the classic
-    a/b double self-join (two shuffles of the reduced shingle set)."""
+    a/b double self-join (two shuffles of the reduced shingle set).
+
+    The candidate set is pinned (bounded _pin_cache) before use: it is
+    consumed twice here (members + pair explosion), and WITHOUT the pin
+    each consumer re-plans the whole candidate-generation subtree —
+    banded self-join, distinct, and the signature aggregations feeding
+    it — so the most expensive stages of the pipeline ran once per
+    consumer (r14 plan audit). The candidate table is small by
+    construction (blocking bounds it), so the pin trades a few MB of
+    storage for re-running the heaviest joins."""
+    candidates = _pin_cache(candidates)
     members = (
-        candidates.select(F.col("doc_a").alias(id_col))
-        .union(candidates.select(F.col("doc_b").alias(id_col)))
+        candidates.select(F.explode(F.array("doc_a", "doc_b")).alias(id_col))
         .distinct()
     )
     sh_c = sh.join(members, on=id_col, how="left_semi")

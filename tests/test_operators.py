@@ -231,6 +231,24 @@ def test_minhash_lsh_runs_and_verifies(engine):
         assert pair in exact and abs(exact[pair] - j) < 1e-9
 
 
+def test_minhash_lsh_cache_equivalent(engine):
+    """r14 focused gate for the pin-cache restructure: cache=True pins
+    the signature and candidate tables (collapsing their re-planned
+    subtrees) — pinning must be invisible in the results. Compare the
+    full pair set, jaccard included, against the uncached run."""
+    from coolplaydruid_spark.operators import dedup as _dedup
+
+    docs = engine.catalog.table("documents")
+    key = lambda r: (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))  # noqa: E731
+    _dedup.release_caches()
+    cached = sorted(map(key, dedup.minhash_lsh_dedup(
+        docs, threshold=0.05, cache=True).collect()))
+    _dedup.release_caches()
+    uncached = sorted(map(key, dedup.minhash_lsh_dedup(
+        docs, threshold=0.05, cache=False).collect()))
+    assert cached == uncached and cached
+
+
 def test_simhash_signatures_and_pairs(engine, duck):
     df = dedup.simhash_signatures(engine.catalog.table("documents"))
     bits = []
