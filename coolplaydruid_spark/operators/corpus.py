@@ -212,12 +212,23 @@ def pmi_top_pairs(
     (TakeOrderedAndProject)."""
     from coolplaydruid_spark.operators.text import ngrams
 
+    from coolplaydruid_spark.operators.dedup import _pin_cache
+
     tok_df = spread(df).select(tokens(F.col(text_col)).alias("__toks"))
     t = F.col("__toks")
     pairs = tok_df.select(F.explode(ngrams(t, 2)).alias("pair"))
-    pc = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    # r14 (guide §2.4/§5): pc feeds TWO consumers (the P total and the
+    # min_count-filtered head) and uc THREE (the T total and both
+    # unigram join sides) — Catalyst planned each consumer's count
+    # subtree independently, so the corpus was re-tokenized and
+    # re-aggregated five times per action (plan audit: 28 HashAggregate
+    # nodes, zero reuse). Pinning both count tables (vocab-scaled, never
+    # corpus-scaled) cuts that to the two unavoidable token passes.
+    pc = _pin_cache(
+        pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    )
     ptot = pc.agg(F.sum("n_pair").cast("double").alias("__P"))
-    uc = (
+    uc = _pin_cache(
         tok_df.select(F.explode(t).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
@@ -274,18 +285,26 @@ def source_overlap_matrix(
     after the distinct), so the pair stream is ≤ vocab · groups²/2 —
     no stop-shingle cap needed, unlike document-level candidate
     joins."""
-    from coolplaydruid_spark.operators.dedup import shingles
+    from coolplaydruid_spark.operators.dedup import _pin_cache, shingles
 
     # group_col rides through the shingle projection (extra_cols), so
     # no doc-keyed re-join of the shingle stream is needed — the one
     # shuffle is the (group, shingle) distinct (r8 verdict #2).
     sh = shingles(df, k=k, text_col=text_col, id_col=id_col,
                   extra_cols=[group_col])
-    grp_sh = (
+    # r14 (guide §2.4/§5): grp_sh feeds both self-join sides and the
+    # sizes aggregation, and sizes feeds na AND nb — without pins each
+    # consumer re-planned the full shingle explode + distinct, so the
+    # corpus-wide reduction ran FOUR times per action (plan audit: the
+    # scan→Generate→distinct subtree planned at 4 roots, zero reuse).
+    # grp_sh is the documented vocab×groups reduction (never
+    # corpus-scaled); sizes is one row per group.
+    grp_sh = _pin_cache(
         sh.select(F.col(group_col).alias("__grp"), "shingle")
         .distinct()
     )
-    sizes = grp_sh.groupBy("__grp").agg(F.count(F.lit(1)).alias("__n"))
+    sizes = _pin_cache(
+        grp_sh.groupBy("__grp").agg(F.count(F.lit(1)).alias("__n")))
     evidence.record_blocking("overlap_shingle_groups", grp_sh, ["shingle"])
     a = grp_sh.select(F.col("__grp").alias("group_a"), "shingle")
     b = grp_sh.select(F.col("__grp").alias("group_b"), "shingle")
@@ -338,7 +357,7 @@ def source_overlap_incremental(
     shingle-keyed join is bounded per key by group counts on each side
     (≤ corpus_groups × batch_groups rows per shingle), so no stop-cap
     is needed."""
-    from coolplaydruid_spark.operators.dedup import shingles
+    from coolplaydruid_spark.operators.dedup import _pin_cache, shingles
 
     if corpus_group_shingles is not None:
         # r9 verdict: a non-distinct pre-materialized table silently
@@ -364,6 +383,12 @@ def source_overlap_incremental(
         .select(F.col(group_col).alias("group_b"), "shingle")
         .distinct()
     )
+    # r14: both sides feed the shared join AND their own size
+    # aggregation — pin each (vocab×groups-scaled) so the distinct
+    # reductions run once instead of twice per side (same plan audit as
+    # source_overlap_matrix).
+    corpus_sh = _pin_cache(corpus_sh)
+    batch_sh = _pin_cache(batch_sh)
     evidence.record_blocking("overlap_shingle_cross", corpus_sh, ["shingle"],
                              right=batch_sh)
     shared = (

@@ -815,18 +815,25 @@ def perplexity_bucket_labels(
     The quantile thresholds are computed EAGERLY (one Spark job at
     call time; same build-the-model-on-the-driver precedent as
     ivf_topk's centroids) and folded into the label projection as
-    literals. That keeps the operator leak-free — an internal
-    .persist() would pin an InMemoryRelation for the session lifetime
-    with no caller handle to unpersist — while each action still
-    computes the NLL subtree exactly once (threshold job once, the
-    downstream action once)."""
+    literals.
+
+    r14 (guide §5): the NLL table is pinned through dedup's bounded
+    _pin_cache before the threshold job, so the downstream action reads
+    the cached (doc-scaled: id + two numerics) table instead of
+    re-running the whole unigram-NLL subtree — which itself costs two
+    corpus tokenize passes — a second time. The earlier leak concern
+    (an internal .persist() with no unpersist handle) is what the
+    per-session FIFO + release_caches() exists to solve; eviction only
+    ever costs recompute."""
     if len(labels) != len(qs) + 1:
         raise ValueError(
             f"need len(qs)+1 labels, got {len(labels)} labels for {len(qs)} quantiles"
         )
-    nll = unigram_logprob_score(
+    from coolplaydruid_spark.operators.dedup import _pin_cache
+
+    nll = _pin_cache(unigram_logprob_score(
         df, vocab_size=vocab_size, text_col=text_col, id_col=id_col
-    )
+    ))
     v = F.col("nll_per_token")
     pct = (
         F.percentile_approx(v, F.lit(list(qs)), F.lit(10_000))
