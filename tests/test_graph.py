@@ -45,9 +45,28 @@ def test_dedup_clusters_assigns_singletons_to_self(spark):
 
 
 def test_nonconvergence_raises(spark):
+    # driver_max_edges=0 forces the distributed loop (the driver
+    # union-find fast path always converges).
     pairs = _pairs(spark, [(i, i + 1) for i in range(1, 8)])
     with pytest.raises(RuntimeError, match="did not converge"):
-        graph.connected_components(pairs, max_iterations=2)
+        graph.connected_components(pairs, max_iterations=2,
+                                   driver_max_edges=0)
+
+
+def test_driver_fast_path_matches_loop(spark):
+    """r14 focused gate for the bounded driver union-find: on the same
+    graph — chains, a cycle, duplicate/reversed edges, an isolated pair
+    — the fast path and the distributed loop must produce identical
+    (vertex, component) labelings."""
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (9, 8), (8, 9),
+             (20, 21), (21, 22), (30, 31)]
+    pairs = _pairs(spark, edges)
+    fast = {(r["vertex"], r["component"])
+            for r in graph.connected_components(pairs).collect()}
+    loop = {(r["vertex"], r["component"])
+            for r in graph.connected_components(
+                pairs, driver_max_edges=0).collect()}
+    assert fast == loop and fast
 
 
 def test_cluster_assignment_join_not_force_broadcast(spark):
