@@ -3674,6 +3674,11 @@ def dedup_embedding_semantic_fit(spark, sf_dir):
         # as _fitted_cents (r12 advice): "auto" flips to
         # nondeterministic ml past DRIVER_FIT_MAX_CELLS
         fit_impl="driver",
+        # r14: gemm-per-cell pairing with exact per-survivor recompute
+        # — this entry is gated by the numpy replay validator, which
+        # computes cosines with the very same ops (see
+        # dedup._pairs_arrow_self); the SQL-oracled siblings keep "jvm"
+        pair_impl="arrow",
     ).select("vec_id")
 
 
@@ -3966,7 +3971,9 @@ def dedup_embedding_semantic_incremental_scaled(spark, sf_dir):
     cent = _fitted_cents(spark, corpus)
     return dedup.semantic_dedup_pairs_incremental(
         emb.where(F.col("vec_id") % 5 == 0), cent,
-        corpus_df=corpus, threshold=0.4)
+        # r14: arrow pairing — replay-validated entry, same rationale
+        # as dedup_embedding_semantic_fit's pair_impl
+        corpus_df=corpus, threshold=0.4, impl="arrow")
 
 
 @validator("dedup_embedding_semantic_incremental_scaled")
@@ -4017,7 +4024,9 @@ def dedup_embedding_semantic_from_store_scaled(spark, sf_dir):
         spark, dest, "semantic_cells").select("vec_id", "embedding", "__cell")
     return dedup.semantic_dedup_pairs_incremental(
         emb.where(F.col("vec_id") % 5 == 0), cent,
-        corpus_cells=corpus_cells, threshold=0.4)
+        # r14: arrow pairing — replay-validated entry, same rationale
+        # as dedup_embedding_semantic_fit's pair_impl
+        corpus_cells=corpus_cells, threshold=0.4, impl="arrow")
 
 
 VALIDATORS["dedup_embedding_semantic_from_store_scaled"] = \

@@ -935,6 +935,163 @@ def simhash_dedup(
 # ---- Embedding near-dup -------------------------------------------------
 
 
+def _np_pair_rows(pdf, vec_name: str, id_name: str):
+    """Batch → (ids ndarray, float64 matrix M, norms) of the rows that
+    can form a pair, with the corners resolved the way the REPLAY
+    VALIDATORS (the arrow entries' ground truth) resolve them:
+     - NULL vector → NULL cosine under JVM → dropped by the filter:
+       EXCLUDED here.
+     - NaN-bearing vector: a NULL ELEMENT arrives from Arrow as NaN
+       (indistinguishable from a true NaN value). The JVM drops
+       null-element rows (NULL cosine) but would let a true-NaN row's
+       NaN cosine PASS under Spark's NaN-is-largest ordering; the numpy
+       validators exclude both (NaN >= t is False in Python). EXCLUDED
+       here — consistent with the validators that gate every arrow
+       entry.
+     - Inf elements or a zero norm → ±Inf/NaN cosine with no validator
+       precedent: fail loud (use impl='jvm'), the corner policy of
+       _semantic_cells_arrow."""
+    import numpy as np
+
+    vals = pdf[vec_name].to_numpy()
+    keep_idx, rows = [], []
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        rows.append(a)
+        keep_idx.append(i)
+    if not rows:
+        return None
+    M = np.stack(rows)
+    if not np.isfinite(M).all():
+        if np.isinf(M).any():
+            raise ValueError(
+                "embedding pairing impl='arrow' refuses infinite vector "
+                "elements (JVM cosine would be ±Inf/NaN and can pass "
+                "the threshold under NaN ordering) — use impl='jvm'")
+        ok = np.isfinite(M).all(axis=1)
+        M = M[ok]
+        keep_idx = [k for k, o in zip(keep_idx, ok) if o]
+        if not len(M):
+            return None
+    norms = np.sqrt((M * M).sum(axis=1))
+    if (norms == 0.0).any():
+        raise ValueError(
+            "embedding pairing impl='arrow' refuses zero-norm vectors "
+            "(JVM cosine would be NaN, which Spark's NaN ordering lets "
+            "past the threshold) — use impl='jvm'")
+    ids = pdf[id_name].to_numpy()[keep_idx]
+    return ids, M, norms
+
+
+def _exact_cosines(ids_a, ids_b, vec_by_pos_a, vec_by_pos_b, thr):
+    """Recompute each surviving pair's cosine with the replay
+    validators' EXACT per-pair formula — round(float(a @ b) /
+    (float(np.linalg.norm(a)) * float(np.linalg.norm(b))), 6) — so the
+    emitted values are bit-identical to the validator regardless of how
+    the gemm mask summed. Survivor sets are blocking-bounded (thousands,
+    not millions), so the per-pair loop is negligible."""
+    import numpy as np
+
+    out_a, out_b, out_c = [], [], []
+    for pa, pb in zip(ids_a, ids_b):
+        a, b = vec_by_pos_a[pa], vec_by_pos_b[pb]
+        c = round(float(a @ b) /
+                  (float(np.linalg.norm(a)) * float(np.linalg.norm(b))), 6)
+        if c >= thr:
+            out_a.append(pa)
+            out_b.append(pb)
+            out_c.append(c)
+    return out_a, out_b, out_c
+
+
+def _pairs_arrow_self(base: DataFrame, threshold: float, vec_col: str,
+                      id_col: str, block_col: str) -> DataFrame:
+    """Within-block pairing as one BLAS gemm per block instead of a
+    JVM zip_with fold per candidate pair (guide §4.2; the same r12/r13
+    argument that moved cell ASSIGNMENT to an Arrow matmul — measured
+    ~90× on the JVM expression path). The gemm only MASKS candidates;
+    every surviving pair's cosine is recomputed with the validators'
+    exact per-pair formula (_exact_cosines), so emitted values cannot
+    drift with BLAS summation order."""
+    import pandas as pd
+
+    id_type = base.schema[id_col].dataType.simpleString()
+    thr = float(threshold)
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        empty = pd.DataFrame({
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        })
+        prep = _np_pair_rows(pdf.sort_values(id_col), vec_col, id_col)
+        if prep is None or len(prep[0]) < 2:
+            return empty
+        ids, M, norms = prep
+        cos = np.round((M @ M.T) / np.outer(norms, norms), 6)
+        iu = np.triu_indices(len(ids), k=1)
+        keep = cos[iu[0], iu[1]] >= thr
+        pa, pb = iu[0][keep], iu[1][keep]
+        vecs = {i: M[i] for i in set(pa) | set(pb)}
+        ra, rb, rc = _exact_cosines(pa, pb, vecs, vecs, thr)
+        return pd.DataFrame({
+            "id_a": ids[ra] if ra else np.array([], dtype=ids.dtype),
+            "id_b": ids[rb] if rb else np.array([], dtype=ids.dtype),
+            "cosine": np.asarray(rc, dtype=np.float64),
+        })
+
+    return base.groupBy(block_col).applyInPandas(
+        fn, f"id_a {id_type}, id_b {id_type}, cosine double")
+
+
+def _pairs_arrow_cross(c: DataFrame, b: DataFrame, threshold: float,
+                       id_type: str) -> DataFrame:
+    """Cross (corpus × batch) within-cell pairing as one gemm per cell
+    via cogrouped applyInPandas — the incremental counterpart of
+    _pairs_arrow_self, same mask-then-exact-recompute discipline.
+    Inputs are the prep() frames (id_a/__va/__na/__cell and
+    id_b/__vb/__nb/__cell)."""
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def fn(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        empty = pd.DataFrame({
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        })
+        if not len(left) or not len(right):
+            return empty
+        pc = _np_pair_rows(left.sort_values("id_a"), "__va", "id_a")
+        pb = _np_pair_rows(right.sort_values("id_b"), "__vb", "id_b")
+        if pc is None or pb is None:
+            return empty
+        ids_c, Mc, nc = pc
+        ids_b, Mb, nb = pb
+        cos = np.round((Mc @ Mb.T) / np.outer(nc, nb), 6)
+        keep = np.argwhere(cos >= thr)
+        if not len(keep):
+            return empty
+        va = {i: Mc[i] for i in set(keep[:, 0])}
+        vb = {j: Mb[j] for j in set(keep[:, 1])}
+        ra, rb, rc = _exact_cosines(keep[:, 0], keep[:, 1], va, vb, thr)
+        return pd.DataFrame({
+            "id_a": ids_c[ra] if ra else np.array([], dtype=ids_c.dtype),
+            "id_b": ids_b[rb] if rb else np.array([], dtype=ids_b.dtype),
+            "cosine": np.asarray(rc, dtype=np.float64),
+        })
+
+    return c.groupBy("__cell").cogroup(b.groupBy("__cell")).applyInPandas(
+        fn, f"id_a {id_type}, id_b {id_type}, cosine double")
+
+
 def embedding_neardup(
     df: DataFrame,
     threshold: float = 0.95,
@@ -942,6 +1099,7 @@ def embedding_neardup(
     id_col: str = "vec_id",
     block_col: str | None = None,
     max_block_size: int | None = None,
+    impl: str = "jvm",
 ) -> DataFrame:
     """Cosine-similarity near-duplicate pairs over an embedding column:
     (id_a, id_b, cosine ≥ threshold), id_a < id_b.
@@ -962,9 +1120,20 @@ def embedding_neardup(
     dropped block emit no pairs, so they are all KEPT (never wrongly
     dropped) — a mass-duplicated block that needs thinning anyway is
     the exact-dedup stage's O(n) job upstream, same argument as
-    minhash's max_band_bucket. Default off."""
+    minhash's max_band_bucket. Default off.
+
+    ``impl``: "jvm" (default — pure Column expressions; the general-
+    semantics path every SQL-oracled entry pins) or "arrow" (needs
+    block_col; one BLAS gemm per block masks candidates, survivors'
+    cosines recomputed with the replay validators' exact per-pair
+    formula — the r14 100 TB path for the replay-validated scaled
+    semantic entries, same corner refusals as _semantic_cells_arrow)."""
     if max_block_size is not None and block_col is None:
         raise ValueError("max_block_size needs block_col")
+    if impl not in ("jvm", "arrow"):
+        raise ValueError(f"impl must be jvm|arrow, got {impl!r}")
+    if impl == "arrow" and block_col is None:
+        raise ValueError("impl='arrow' needs block_col")
     dv = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x))
     base = spread(df, by=id_col).select(
@@ -980,6 +1149,9 @@ def embedding_neardup(
                               persist=True, repartition=True)
     evidence.record_blocking("embedding_blocked", base,
                              [block_col] if block_col else [])
+    if impl == "arrow":
+        return _pairs_arrow_self(base, threshold, vec_col, id_col,
+                                 block_col)
     l, r = base.alias("l"), base.alias("r")
     cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
     if block_col:
@@ -1278,6 +1450,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     fit_impl: str = "auto",
     max_cell_size: int | None = None,
+    pair_impl: str = "jvm",
 ) -> DataFrame:
     """SemDeDup end-to-end: cells → within-cell cosine pairs ≥ threshold
     → connected components → keep ONE survivor per component. Returns
@@ -1323,9 +1496,12 @@ def semantic_dedup(
     cells = _pin_cache(
         semantic_cells(df, centroids, vec_col=vec_col, id_col=id_col)
     )
+    # pair_impl='arrow': one gemm per cell (guide §4.2) — opted into by
+    # the replay-validated scaled entries only; every SQL-oracled form
+    # keeps the JVM expression path (embedding_neardup's impl doc).
     pairs = embedding_neardup(
         cells, threshold=threshold, vec_col=vec_col, id_col=id_col,
-        block_col="__cell", max_block_size=max_cell_size,
+        block_col="__cell", max_block_size=max_cell_size, impl=pair_impl,
     )
     # quality = −cell_cos: dedup_keep_best keeps the highest quality,
     # i.e. the lowest centroid-cosine (farthest from center), ties →
@@ -1349,6 +1525,7 @@ def semantic_dedup_pairs_incremental(
     batch_cells: DataFrame | None = None,
     check_disjoint: bool = False,
     max_cell_size: int | None = None,
+    impl: str = "jvm",
 ) -> DataFrame:
     """SemDeDup pairs between a NEW vector batch and an EXISTING corpus
     — the daily-ingest shape: the incoming batch is checked against
@@ -1463,6 +1640,14 @@ def semantic_dedup_pairs_incremental(
         c = c.join(F.broadcast(hot), on="__cell", how="left_anti")
         b = b.join(F.broadcast(hot), on="__cell", how="left_anti")
     evidence.record_blocking("semantic_cells_cross", c, ["__cell"], right=b)
+    if impl == "arrow":
+        # One gemm per co-cell group (guide §4.2) — the r14 100 TB path
+        # for the replay-validated scaled entries; SQL-oracled forms
+        # keep the JVM fold below (embedding_neardup's impl doc).
+        id_type = corpus_cells.schema[id_col].dataType.simpleString()
+        return _pairs_arrow_cross(c, b, threshold, id_type)
+    if impl != "jvm":
+        raise ValueError(f"impl must be jvm|arrow, got {impl!r}")
     dot = F.aggregate(
         F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
         F.lit(0.0),

@@ -219,6 +219,69 @@ def test_embedding_neardup_blocked_subset_of_unblocked(engine):
     assert b, "blocking dropped every pair — bucket expression is broken"
 
 
+def test_embedding_pairing_arrow_matches_jvm(engine):
+    """impl='arrow' (per-block gemm mask + exact per-pair recompute)
+    must emit the SAME (id_a, id_b, cosine) rows as the JVM expression
+    path, for both the self-join and the incremental cross form."""
+    emb = engine.catalog.table("embeddings").limit(200).withColumn(
+        "bucket", similarity.sign_lsh_bucket("embedding", bits=6))
+    jvm = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in dedup.embedding_neardup(
+               emb, threshold=0.2, block_col="bucket").collect()}
+    arr = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in dedup.embedding_neardup(
+               emb, threshold=0.2, block_col="bucket",
+               impl="arrow").collect()}
+    assert arr == jvm
+    assert jvm, "no pairs at threshold 0.2 — test lost its teeth"
+
+    base = engine.catalog.table("embeddings").limit(200)
+    cent = base.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    batch = base.where(F.col("vec_id") % 5 == 0)
+    corpus = base.where(F.col("vec_id") % 5 != 0)
+    jvm_x = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in dedup.semantic_dedup_pairs_incremental(
+                 batch, cent, corpus_df=corpus, threshold=0.3).collect()}
+    arr_x = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in dedup.semantic_dedup_pairs_incremental(
+                 batch, cent, corpus_df=corpus, threshold=0.3,
+                 impl="arrow").collect()}
+    assert arr_x == jvm_x
+    assert jvm_x, "no cross pair at threshold 0.3 — test lost its teeth"
+
+
+def test_embedding_pairing_arrow_corners(spark):
+    """The arrow path's documented corner policy: NULL vectors are
+    excluded (JVM parity), infinite elements and zero norms fail loud,
+    and impl='arrow' without block_col is refused up front."""
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").withColumn(
+        "bucket", F.lit(0))
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.embedding_neardup(
+        emb, threshold=0.5, block_col="bucket", impl="arrow").collect()}
+    assert pairs == {(1, 2)}
+    with pytest.raises(ValueError, match="needs block_col"):
+        dedup.embedding_neardup(emb, threshold=0.5, impl="arrow")
+    bad_inf = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [float("inf"), 0.0])],
+        "vec_id long, embedding array<double>").withColumn(
+        "bucket", F.lit(0))
+    with pytest.raises(Exception, match="infinite vector"):
+        dedup.embedding_neardup(
+            bad_inf, threshold=0.0, block_col="bucket",
+            impl="arrow").collect()
+    bad_zero = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>").withColumn(
+        "bucket", F.lit(0))
+    with pytest.raises(Exception, match="zero-norm"):
+        dedup.embedding_neardup(
+            bad_zero, threshold=0.0, block_col="bucket",
+            impl="arrow").collect()
+
+
 def test_minhash_lsh_runs_and_verifies(engine):
     # LSH candidates ⊆ all pairs; every reported pair's jaccard must agree
     # with the exact n-gram computation at the same threshold.
