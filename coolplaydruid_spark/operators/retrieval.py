@@ -73,11 +73,19 @@ def bm25_topk(
     def _tf(term: str):
         return F.size(F.filter(toks, lambda x: x == F.lit(term)))
 
-    base = spread(df, by=id_col).select(
+    from coolplaydruid_spark.operators.dedup import _pin_cache
+
+    # r14: pin the per-doc term-frequency table — it feeds BOTH the
+    # stats aggregation and the scoring pass, which otherwise each
+    # re-tokenize the corpus (and the matched>0 filter, pushed below
+    # the projection, re-tokenized a third time inside the Filter —
+    # plans/r14/retrieval_hybrid_rrf_before.txt nodes 2/4). One row of
+    # id + len(terms)+1 ints per doc: doc-scaled, pin-friendly.
+    base = _pin_cache(spread(df, by=id_col).select(
         F.col(id_col),
         F.size(toks).alias("__dl"),
         *[_tf(t).alias(f"__tf{i}") for i, t in enumerate(terms)],
-    )
+    ))
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("__N"),
         F.avg("__dl").alias("__avgdl"),
@@ -157,7 +165,14 @@ def bm25_batch_topk(
     )
     # (doc, term) tf over ONLY the queried terms: the broadcast inner
     # join discards non-matching tokens before the shuffle
-    doc_terms = (
+    from coolplaydruid_spark.operators.dedup import _pin_cache
+
+    # r14: pin the matched (doc, term) table — it feeds the df(t)
+    # aggregation AND the final scoring join, which otherwise each
+    # re-run the corpus explode + broadcast term match. Row count is
+    # bounded by matches (queried vocabulary × matching docs), never
+    # the corpus token stream.
+    doc_terms = _pin_cache(
         spread(docs, by=id_col)
         .select(
             F.col(id_col),

@@ -341,6 +341,27 @@ def test_simhash_signatures_and_pairs(engine, duck):
         dedup.simhash_dedup(engine.catalog.table("documents"), max_hamming=8)
 
 
+def test_simhash_packed_hamming_matches_string_bruteforce(engine):
+    """The r14 packed-long bit_count(xor) hamming must reproduce the
+    all-pairs character-diff count over the '0'/'1' signature strings
+    exactly (pair set AND distances) — the representation the declared
+    signatures query still exposes."""
+    docs = engine.catalog.table("documents").limit(150)
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash_signatures(docs).collect()}
+    want = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(ca != cb for ca, cb in zip(sigs[a], sigs[b]))
+            if h <= 3:
+                want[(a, b)] = h
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in dedup.simhash_dedup(docs, max_hamming=3).collect()}
+    assert got == want
+    assert want, "no pair within hamming 3 — test lost its teeth"
+
+
 def test_embedding_neardup(engine, duck):
     df = dedup.embedding_neardup(engine.catalog.table("embeddings"), threshold=0.8)
     sql = """
