@@ -2820,8 +2820,15 @@ def pipeline_clean_corpus(spark, sf_dir):
         on="doc_id",
         how="inner",
     )
+    # r14: pin the doc-scaled score table before filtering on its
+    # computed column — the interpreted predicate re-evaluates the
+    # tokenize-heavy score expression with no subexpression elimination
+    # under lambdas (_spark_quality_pipeline's r14 note)
+    from coolplaydruid_spark.operators.dedup import _pin_cache
+
     good = survivors.join(
-        text.quality_score(survivors)
+        _pin_cache(text.quality_score(survivors)
+                   .select("doc_id", "quality_score"))
         .where(F.col("quality_score") >= 0.5)
         .select("doc_id"),
         on="doc_id",
@@ -7555,9 +7562,22 @@ def _spark_quality_pipeline(docs, gopher_params: dict, dup_cut: float,
     entry and the fuzzer — both must assemble the stages identically):
     Gopher rules → duplicated-bigram cut → quality_mixture (terciles
     retrained on the survivors + md5 thinning) → per-bucket stats."""
-    g = _spark_gopher(docs, gopher_params).where("passes").select("doc_id")
+    # r14 (guide §4.4-adjacent): pin the doc-scaled stat tables BEFORE
+    # filtering on their computed columns. A .where() on a column
+    # derived through higher-order functions is evaluated by the
+    # interpreted predicate, which does NO subexpression elimination
+    # under lambdas — the tokenize expression re-runs per array
+    # element, measured 0.8 s → 22 s on the dup-bigram filter alone at
+    # sf0.1. Filtering the cached (id, stat) rows costs 0.7 s.
+    from coolplaydruid_spark.operators.dedup import _pin_cache
+
+    g = _pin_cache(
+        _spark_gopher(docs, gopher_params).select("doc_id", "passes")
+    ).where("passes").select("doc_id")
     d2 = (
-        text.dup_ngram_stats(docs, ns=(2,))
+        _pin_cache(
+            text.dup_ngram_stats(docs, ns=(2,))
+            .select("doc_id", "dup_2gram_char_frac"))
         .where(F.col("dup_2gram_char_frac") <= dup_cut)
         .select("doc_id")
     )
@@ -7734,9 +7754,16 @@ def _spark_llm_corpus_stages(spark, sf_dir, **kw) -> dict:
         .select(F.col("vertex").alias("doc_id"))
     )
     d2 = d1.join(mlosers, on="doc_id", how="left_anti")
-    # 3: Gopher rule filter
+    # 3: Gopher rule filter — pinned before the .where("passes"): the
+    # interpreted predicate would otherwise re-evaluate the per-rule
+    # token expressions (and d2's whole join lineage below them) with
+    # no subexpression elimination (_spark_quality_pipeline's r14 note)
+    from coolplaydruid_spark.operators.dedup import _pin_cache
+
     d3 = d2.join(
-        _spark_gopher(d2, gopher_params).where("passes").select("doc_id"),
+        _pin_cache(_spark_gopher(d2, gopher_params)
+                   .select("doc_id", "passes"))
+        .where("passes").select("doc_id"),
         on="doc_id")
     # 4: semantic dedup — centroids pinned to the full table's first 8
     # (pinned BEFORE filtering, so assignment is stable across stages),
@@ -7766,8 +7793,8 @@ def _spark_llm_corpus_stages(spark, sf_dir, **kw) -> dict:
     # shingle-overlap threshold; probe docs never enter the corpus,
     # and a shingle-less (empty) doc has no measurable fraction — it
     # is dropped, on both sides, by the inner join
-    frac = text.contamination_fraction(
-        d4.where(F.col("doc_id") >= 20), docs.where(F.col("doc_id") < 20))
+    frac = _pin_cache(text.contamination_fraction(
+        d4.where(F.col("doc_id") >= 20), docs.where(F.col("doc_id") < 20)))
     d5 = d4.join(
         frac.where(F.col("contaminated_frac") < cont_cut).select("doc_id"),
         on="doc_id")
