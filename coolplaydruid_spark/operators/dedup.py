@@ -1055,7 +1055,11 @@ def _pairs_arrow_self(base: DataFrame, threshold: float, vec_col: str,
         ids, M, norms = prep
         cos = np.round((M @ M.T) / np.outer(norms, norms), 6)
         iu = np.triu_indices(len(ids), k=1)
-        keep = cos[iu[0], iu[1]] >= thr
+        # Mask one rounding step BELOW the threshold: a gemm dot and the
+        # exact per-pair dot can land on opposite sides of a 0.5e-6
+        # rounding boundary; _exact_cosines makes the final call, so the
+        # slack only admits extra candidates, never extra output.
+        keep = cos[iu[0], iu[1]] >= thr - 1e-6
         pa, pb = iu[0][keep], iu[1][keep]
         vecs = {i: M[i] for i in set(pa) | set(pb)}
         ra, rb, rc = _exact_cosines(pa, pb, vecs, vecs, thr)
@@ -1097,7 +1101,9 @@ def _pairs_arrow_cross(c: DataFrame, b: DataFrame, threshold: float,
         ids_c, Mc, nc = pc
         ids_b, Mb, nb = pb
         cos = np.round((Mc @ Mb.T) / np.outer(nc, nb), 6)
-        keep = np.argwhere(cos >= thr)
+        # Same one-rounding-step mask slack as _pairs_arrow_self —
+        # _exact_cosines decides, the slack cannot add output pairs.
+        keep = np.argwhere(cos >= thr - 1e-6)
         if not len(keep):
             return empty
         va = {i: Mc[i] for i in set(keep[:, 0])}

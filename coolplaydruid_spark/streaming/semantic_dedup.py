@@ -40,6 +40,7 @@ def streaming_semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     corpus_cells: DataFrame | None = None,
+    impl: str = "jvm",
 ):
     """Start the streaming semantic dedup query; returns the
     StreamingQuery. Ids must be globally unique across the stream (the
@@ -47,13 +48,15 @@ def streaming_semantic_dedup(
     replay never collides with itself). ``corpus_cells``: an extra
     read-only assigned corpus every batch also cross-checks against —
     typically `read_signatures(spark, dest, "semantic_cells")` from an
-    index task that pinned the SAME centroids."""
+    index task that pinned the SAME centroids. ``impl``: pairing
+    implementation, forwarded to both pairing calls (see
+    dedup.embedding_neardup — "arrow" = one gemm per cell)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         process_semantic_batch(
             batch_df, batch_id, accepted_path, centroids,
             threshold=threshold, vec_col=vec_col, id_col=id_col,
-            corpus_cells=corpus_cells,
+            corpus_cells=corpus_cells, impl=impl,
         )
 
     return (
@@ -73,10 +76,20 @@ def process_semantic_batch(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     corpus_cells: DataFrame | None = None,
+    impl: str = "jvm",
 ) -> None:
     """One micro-batch, exposed as a plain batch function so replay
     semantics are directly testable (same contract as
     streaming/dedup.process_batch and media_dedup.process_media_batch).
+
+    ``impl``: pairing implementation for BOTH the in-batch self-check
+    and the cross-check (dedup.embedding_neardup's knob — "arrow" runs
+    one gemm per cell). The default stays the JVM expression path: an
+    sf0.1/sf1 A/B of the replay loop measured jvm ≈ 7.4 s vs arrow
+    ≈ 8.4 s steady-state at sf1 — micro-batch cells are small here, so
+    per-batch Python-worker spin-up (3 batches × 2 pairings) outweighs
+    the gemm; opt in when cells are large enough that per-pair folding
+    dominates (the scaled batch entries' regime).
 
     ``centroids`` also accepts a registry ref ({"registry", "name",
     "version"?} — coolplaydruid_spark.centroids); the accepted store is
@@ -97,7 +110,7 @@ def process_semantic_batch(
     try:
         self_pairs = dedup.embedding_neardup(
             cells, threshold=threshold, vec_col=vec_col, id_col=id_col,
-            block_col="__cell",
+            block_col="__cell", impl=impl,
         )
         drops = self_pairs.select(F.col("id_b").alias(id_col)).distinct()
         survivors = cells.join(drops, on=id_col, how="left_anti")
@@ -119,7 +132,7 @@ def process_semantic_batch(
             cross = dedup.semantic_dedup_pairs_incremental(
                 None, pairs, corpus_cells=corpus,
                 batch_cells=survivors, threshold=threshold,
-                vec_col=vec_col, id_col=id_col,
+                vec_col=vec_col, id_col=id_col, impl=impl,
             )
             cross_drops = cross.select(F.col("id_b").alias(id_col)).distinct()
             survivors = survivors.join(cross_drops, on=id_col, how="left_anti")

@@ -282,6 +282,27 @@ def test_embedding_pairing_arrow_corners(spark):
             impl="arrow").collect()
 
 
+def test_embedding_pairing_arrow_threshold_boundary(spark):
+    """r14 focused gate for the gemm-mask slack (mask keeps cosines one
+    rounding step BELOW threshold; _exact_cosines decides): a pair whose
+    exact rounded cosine lands EXACTLY on the threshold must be emitted
+    (pre-slack, a half-ulp gemm wobble could mask it out), and a pair at
+    threshold − 1e-6 — inside the widened mask — must NOT leak out."""
+    import math
+
+    on_thr = [0.5, math.sqrt(3) / 2]          # cos vs [1,0] rounds to 0.500000
+    below = [0.499999, math.sqrt(1 - 0.499999 ** 2)]  # rounds to 0.499999
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, on_thr), (3, below)],
+        "vec_id long, embedding array<double>").withColumn(
+        "bucket", F.lit(0))
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in dedup.embedding_neardup(
+        emb, threshold=0.5, block_col="bucket", impl="arrow").collect()}
+    assert (1, 2) in got and got[(1, 2)] == 0.5
+    assert (1, 3) not in got, f"sub-threshold pair leaked: {got[(1, 3)]}"
+    assert (2, 3) in got  # near-identical vectors: sanity that pairing ran
+
+
 def test_minhash_lsh_runs_and_verifies(engine):
     # LSH candidates ⊆ all pairs; every reported pair's jaccard must agree
     # with the exact n-gram computation at the same threshold.
