@@ -2976,7 +2976,8 @@ def dedup_minhash_capped(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     eng = engine_for(spark, sf_dir)
-    return dedup.ngram_jaccard_pairs(eng.catalog.table("documents"), threshold=0.5)
+    return dedup.ngram_jaccard_pairs(
+        eng.catalog.table("documents"), threshold=0.5, cache=True)
 
 
 def _duck_minhash_incremental(threshold: float, num_hashes: int = 12,
@@ -3149,7 +3150,7 @@ def dedup_cluster_sizes(spark, sf_dir):
     hint)."""
     eng = engine_for(spark, sf_dir)
     docs = eng.catalog.table("documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, cache=True)
     clustered = graph.dedup_clusters(docs, pairs)
     return (
         clustered.groupBy("cluster_id")
@@ -3201,7 +3202,7 @@ def dedup_keep_best(spark, sf_dir):
     with a recursive CTE and the retention with a window."""
     eng = engine_for(spark, sf_dir)
     docs = eng.catalog.table("documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, cache=True)
     scored = docs.withColumn(
         "__q", F.length(F.coalesce(F.col("text"), F.lit("")))
     )

@@ -494,11 +494,20 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_shingle_freq: int | None = None,
+    cache: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs. Candidates = documents
     sharing at least one shingle (the co-shingle join IS the blocking);
     exact |A∩B| / |A∪B| computed from the co-shingle counts. Returns
     (doc_a, doc_b, jaccard ≥ threshold).
+
+    ``cache=True`` pins the (doc_id, shingle-hash) table through the
+    bounded _pin_cache FIFO: it feeds THREE consumers (both co-shingle
+    join sides + the sizes aggregation), each otherwise re-planning the
+    tokenize→explode→md5 subtree — 16-byte hash rows are smaller than
+    the text they derive from, so one materialization beats three
+    corpus tokenize passes at any scale (r14, same argument as the
+    minhash signature pin).
 
     Scale: for corpora with heavy-tail shingles, cap blocking cost with
     ``max_shingle_freq``: shingles appearing in more than that many
@@ -518,7 +527,8 @@ def ngram_jaccard_pairs(
     # shingles() emits distinct (id, shingle) rows by construction —
     # distinct=False skips a redundant shuffle.
     return set_jaccard_pairs(sh, "shingle", id_col, threshold,
-                             max_key_freq=max_shingle_freq, distinct=False)
+                             max_key_freq=max_shingle_freq, distinct=False,
+                             persist=cache)
 
 
 def set_jaccard_pairs(sets: DataFrame, key_col: str, id_col: str,

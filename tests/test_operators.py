@@ -333,6 +333,23 @@ def test_minhash_lsh_cache_equivalent(engine):
     assert cached == uncached and cached
 
 
+def test_ngram_jaccard_cache_equivalent(engine):
+    """r14 focused gate for the shingle-table pin: cache=True pins the
+    (doc_id, shingle-hash) table feeding both co-shingle join sides and
+    the sizes aggregation — pinning must be invisible in the results."""
+    from coolplaydruid_spark.operators import dedup as _dedup
+
+    docs = engine.catalog.table("documents")
+    key = lambda r: (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))  # noqa: E731
+    _dedup.release_caches()
+    cached = sorted(map(key, dedup.ngram_jaccard_pairs(
+        docs, threshold=0.05, cache=True).collect()))
+    _dedup.release_caches()
+    uncached = sorted(map(key, dedup.ngram_jaccard_pairs(
+        docs, threshold=0.05, cache=False).collect()))
+    assert cached == uncached and cached
+
+
 def test_simhash_signatures_and_pairs(engine, duck):
     df = dedup.simhash_signatures(engine.catalog.table("documents"))
     bits = []
