@@ -3868,7 +3868,7 @@ def dedup_embedding_semantic_incremental(spark, sf_dir):
     return dedup.semantic_dedup_pairs_incremental(
         emb.where(F.col("vec_id") % 5 == 0), cent,
         corpus_df=emb.where(F.col("vec_id") % 5 != 0), threshold=0.4,
-        check_disjoint=True)
+        check_disjoint=True, impl="arrow")
 
 
 @q("dedup_embedding_semantic_from_store", _DUCK_SEMANTIC_INCR)
@@ -3895,7 +3895,7 @@ def dedup_embedding_semantic_from_store(spark, sf_dir):
         spark, dest, "semantic_cells").select("vec_id", "embedding", "__cell")
     return dedup.semantic_dedup_pairs_incremental(
         emb.where(F.col("vec_id") % 5 == 0), cent_rows,
-        corpus_cells=corpus_cells, threshold=0.4)
+        corpus_cells=corpus_cells, threshold=0.4, impl="arrow")
 
 
 def _fitted_cents(spark, frame, id_col: str = "vec_id"):
