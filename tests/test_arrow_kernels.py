@@ -64,9 +64,23 @@ def test_batch_argmin_kernel_matches_and_beats_per_row_loop():
     if load1 > (os.cpu_count() or 4):
         pytest.skip(f"host saturated (load1={load1:.1f}); "
                     "wall-clock ratio not meaningful")
+    # r15: the single-shot ratio flaked at load1≈5 (a decaying spike the
+    # loadavg guard admits): the 2-thread-capped BLAS gemm best-of-3 read
+    # 2.46 s for a 0.26 GFLOP matmul that times 0.04 s idle — memory-
+    # bandwidth contention slows the gemm far more than the Python loop.
+    # Retry the RATIO a few times: contention has to poison every batch
+    # run of every attempt to flake, while a kernel genuinely regressed
+    # to per-row cost can never reach 1.5× and still fails all attempts.
+    attempts = [(t_batch, t_row)]
+    for _ in range(2):
+        if t_row >= 1.5 * t_batch:
+            break
+        _, t_batch = _best_of(batch)
+        _, t_row = _best_of(per_row)
+        attempts.append((t_batch, t_row))
     assert t_row >= 1.5 * t_batch, (
-        f"batch kernel only {t_row / t_batch:.1f}x the per-row loop "
-        f"(batch={t_batch:.3f}s row={t_row:.3f}s)")
+        f"batch kernel only {t_row / t_batch:.1f}x the per-row loop in "
+        f"{len(attempts)} attempts (batch,row)={attempts}")
 
 
 def test_batch_probe_kernel_matches_per_row_argsort():
