@@ -618,11 +618,106 @@ def _dup_char_fold(sorted_grams: Column) -> Column:
     return stepped
 
 
+def _dup_ngram_counts_arrow(base: DataFrame, ns: tuple[int, ...],
+                            id_col: str) -> DataFrame:
+    """Exact integer n-gram accounting as one vectorized NumPy pass per
+    Arrow batch (guide §4.2): ``base`` is (id, __t token-array); output
+    is (id, and per n: n_{n}grams, __dup_{n}, __tot_{n}) — the SAME
+    integers the _dup_char_fold expression accumulates, so the caller's
+    unchanged F.round(dup/total, 6) projection emits bit-identical
+    fractions. Tokenization stays in the JVM (tokens() — Java \\s+ and
+    toLowerCase semantics differ from Python's in corners), and token
+    char lengths are Python len() = code points = Spark length().
+
+    Per batch: factorize the flattened token stream (one hash pass over
+    the batch, char lengths computed once per DISTINCT token), window
+    the code stream into (doc, gram-token-ids) rows, then one
+    np.unique(axis=0) per n gives exact per-(doc, gram) occurrence
+    counts — dup = Σ gram-length over occurrences whose count ≥ 2,
+    total = Σ gram-length over all occurrences, both exact int64."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_field = base.schema[id_col]
+    fields = [id_field]
+    for n in ns:
+        fields += [
+            T.StructField(f"n_{n}grams", T.LongType(), False),
+            T.StructField(f"__dup_{n}", T.LongType(), False),
+            T.StructField(f"__tot_{n}", T.LongType(), False),
+        ]
+    schema = T.StructType(fields)
+    ns = tuple(int(n) for n in ns)
+
+    def stats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            vals = pdf["__t"].to_numpy()
+            ndoc = len(vals)
+            L = np.fromiter((len(v) for v in vals), dtype=np.int64,
+                            count=ndoc)
+            out = {id_col: pdf[id_col]}
+            if L.sum() == 0:
+                for n in ns:
+                    z = np.zeros(ndoc, dtype=np.int64)
+                    out[f"n_{n}grams"] = z
+                    out[f"__dup_{n}"] = z
+                    out[f"__tot_{n}"] = z
+                yield pd.DataFrame(out)
+                continue
+            flat = np.concatenate([np.asarray(v, dtype=object)
+                                   for v in vals])
+            codes, uniq = pd.factorize(flat)
+            ulen = np.fromiter((len(u) for u in uniq), dtype=np.int64,
+                               count=len(uniq))
+            # prefix sums of per-token char lengths over the flat stream
+            cp = np.concatenate(([0], np.cumsum(ulen[codes])))
+            doc_end = np.cumsum(L)          # exclusive end per doc
+            doc_start = doc_end - L
+            for n in ns:
+                m_per_doc = np.maximum(L - (n - 1), 0)
+                # global start positions of every gram: for doc d, the
+                # range [doc_start[d], doc_start[d] + m_d)
+                total_m = int(m_per_doc.sum())
+                if total_m == 0:
+                    z = np.zeros(ndoc, dtype=np.int64)
+                    out[f"n_{n}grams"] = m_per_doc
+                    out[f"__dup_{n}"] = z
+                    out[f"__tot_{n}"] = z
+                    continue
+                doc_of = np.repeat(np.arange(ndoc), m_per_doc)
+                starts = (np.arange(total_m)
+                          - np.repeat(np.cumsum(m_per_doc) - m_per_doc,
+                                      m_per_doc)
+                          + doc_start[doc_of])
+                glen = cp[starts + n] - cp[starts] + (n - 1)
+                rows = np.empty((total_m, n + 1), dtype=np.int64)
+                rows[:, 0] = doc_of
+                for j in range(n):
+                    rows[:, j + 1] = codes[starts + j]
+                _, inv, cnt = np.unique(
+                    rows, axis=0, return_inverse=True, return_counts=True)
+                dup_mask = cnt[inv] >= 2
+                tot = np.bincount(doc_of, weights=glen,
+                                  minlength=ndoc).astype(np.int64)
+                dup = np.bincount(doc_of[dup_mask],
+                                  weights=glen[dup_mask],
+                                  minlength=ndoc).astype(np.int64)
+                out[f"n_{n}grams"] = m_per_doc
+                out[f"__dup_{n}"] = dup
+                out[f"__tot_{n}"] = tot
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(stats, schema)
+
+
 def dup_ngram_stats(
     df: DataFrame,
     ns: tuple[int, ...] = (2, 3),
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Gopher's duplicated-n-gram repetition signal (Rae et al. 2021,
     §A1.1), per document and per n in ``ns``: the fraction of n-gram
@@ -639,12 +734,44 @@ def dup_ngram_stats(
     are exact integers, so the ratio is engine-identical; fractions are
     rounded to 6 decimals; documents with fewer than n tokens report 0.
 
-    100 TB shape: map-only — duplicate counting is a single fold over
-    the SORTED per-document gram array (run-length accounting), so
-    there is no explode, no groupBy, and no shuffle; the cost is the
-    corpus scan."""
+    100 TB shape: map-only — duplicate counting is a single pass over
+    the per-document gram multiset, so there is no explode, no groupBy,
+    and no shuffle; the cost is the corpus scan.
+
+    ``impl``: "arrow" (default) counts via one vectorized NumPy pass per
+    Arrow batch (_dup_ngram_counts_arrow) — Catalyst's interpreted
+    lambda fold does no subexpression elimination and blocks codegen
+    (the r14 §9 pipeline-filter mechanism; measured 2.9 s → sub-second
+    noop at sf0.1). "expr" keeps the pure-JVM fold (the reference
+    implementation the equivalence test pins). Both produce identical
+    integers; the fraction is the same F.round projection either way."""
     toks = tokens(F.col(text_col))
     base = df.select(F.col(id_col), toks.alias("__t"))
+    if impl == "arrow":
+        # spread() first (the shingles() pattern): the counting kernel's
+        # per-doc cost dwarfs a row's shuffle cost, and a narrow scan
+        # (few row groups — the sf1 fixture reads as 2 partitions)
+        # otherwise serializes the whole corpus onto a couple of tasks.
+        # Wide inputs (the 100 TB case) pass through exchange-free.
+        base = spread(df, by=id_col).select(
+            F.col(id_col), toks.alias("__t"))
+        counts = _dup_ngram_counts_arrow(base, ns, id_col)
+        cols = [F.col(id_col)]
+        for n in ns:
+            cols.append(F.col(f"n_{n}grams"))
+            cols.append(
+                F.when(
+                    F.col(f"__tot_{n}") > 0,
+                    F.round(
+                        F.col(f"__dup_{n}").cast("double")
+                        / F.col(f"__tot_{n}"), 6),
+                )
+                .otherwise(F.lit(0.0))
+                .alias(f"dup_{n}gram_char_frac")
+            )
+        return counts.select(*cols)
+    if impl != "expr":
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
     cols = [F.col(id_col)]
     for n in ns:
         grams = ngrams(F.col("__t"), n)

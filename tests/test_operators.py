@@ -282,25 +282,46 @@ def test_embedding_pairing_arrow_corners(spark):
             impl="arrow").collect()
 
 
-def test_embedding_pairing_arrow_threshold_boundary(spark):
+@pytest.mark.parametrize("thr", [0.5, 0.4])
+def test_embedding_pairing_arrow_threshold_boundary(spark, thr):
     """r14 focused gate for the gemm-mask slack (mask keeps cosines one
     rounding step BELOW threshold; _exact_cosines decides): a pair whose
     exact rounded cosine lands EXACTLY on the threshold must be emitted
     (pre-slack, a half-ulp gemm wobble could mask it out), and a pair at
-    threshold − 1e-6 — inside the widened mask — must NOT leak out."""
+    threshold − 1e-6 — inside the widened mask — must NOT leak out.
+    r15 advice: thr=0.4 added — the contract entries' threshold, where
+    np.round(0.4 - 1e-6, 6) lands one float ULP below 0.4 - 1e-6 and a
+    1e-6 mask slack silently loses its one-rounding-step guarantee."""
     import math
 
-    on_thr = [0.5, math.sqrt(3) / 2]          # cos vs [1,0] rounds to 0.500000
-    below = [0.499999, math.sqrt(1 - 0.499999 ** 2)]  # rounds to 0.499999
+    on_thr = [thr, math.sqrt(1 - thr ** 2)]   # cos vs [1,0] rounds to thr
+    b = thr - 1e-6
+    below = [b, math.sqrt(1 - b ** 2)]        # rounds to thr - 1e-6
     emb = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, on_thr), (3, below)],
         "vec_id long, embedding array<double>").withColumn(
         "bucket", F.lit(0))
     got = {(r["id_a"], r["id_b"]): r["cosine"] for r in dedup.embedding_neardup(
-        emb, threshold=0.5, block_col="bucket", impl="arrow").collect()}
-    assert (1, 2) in got and got[(1, 2)] == 0.5
+        emb, threshold=thr, block_col="bucket", impl="arrow").collect()}
+    assert (1, 2) in got and got[(1, 2)] == thr
     assert (1, 3) not in got, f"sub-threshold pair leaked: {got[(1, 3)]}"
     assert (2, 3) in got  # near-identical vectors: sanity that pairing ran
+
+
+def test_embedding_pairing_arrow_no_equal_id_self_pair(spark):
+    """r15 advice: an id appearing twice in a block must not emit an
+    id_a == id_b pair (cosine 1.0) from the arrow path — the JVM path's
+    l.id < r.id condition never does. Parity on duplicate-id input."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.01])],
+        "vec_id long, embedding array<double>").withColumn(
+        "bucket", F.lit(0))
+    rows = dedup.embedding_neardup(
+        emb, threshold=0.5, block_col="bucket", impl="arrow").collect()
+    assert all(r["id_a"] != r["id_b"] for r in rows), rows
+    # the duplicate id still pairs with OTHER ids (twice — one per copy,
+    # dropped to one by the downstream distinct consumers when they ask)
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(1, 2)}
 
 
 def test_minhash_lsh_runs_and_verifies(engine):
@@ -1195,11 +1216,42 @@ def test_dup_ngram_stats_edge_cases(spark):
 
 
 def test_dup_ngram_stats_map_only(engine):
-    """Run-length accounting over sorted gram arrays — one projection,
-    no Exchange anywhere in the plan (the 100 TB cost is the scan)."""
-    df = text.dup_ngram_stats(engine.catalog.table("documents"))
+    """One map-only pass — no aggregation/join shuffle anywhere (the
+    100 TB cost is the scan). The expr fold is exchange-free outright;
+    the arrow path may carry AT MOST spread()'s one doc-id hash
+    repartition (narrow test fixture — wide scans pass through), never
+    a second exchange."""
+    df = text.dup_ngram_stats(engine.catalog.table("documents"),
+                              impl="expr")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+    df = text.dup_ngram_stats(engine.catalog.table("documents"),
+                              impl="arrow")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+    if "Exchange" in plan:
+        assert "Exchange hashpartitioning(doc_id" in plan
+
+
+def test_dup_ngram_stats_arrow_matches_expr(engine, spark):
+    """r15 focused gate for the Arrow counting kernel (r14 verdict #1):
+    impl='arrow' ≡ impl='expr' row-for-row — same exact integer gram
+    counts, same rounded fractions — on the fixture corpus AND the
+    edge-case docs (empty/null/short/unicode/repeat-heavy), for the
+    contract's ns=(2,3) and the n=1 degenerate order."""
+    edge = spark.createDataFrame(
+        [(1, "a a a a"), (2, "x y z x y"), (3, "solo"), (4, ""),
+         (5, None), (6, "aaaa b c aaaa b"), (7, "héé héé ¡é! 漢字 漢字"),
+         (8, "  padded   whitespace\truns  "), (9, "a b a b a b a")],
+        "doc_id long, text string")
+    for docs in (engine.catalog.table("documents"), edge):
+        for ns in ((2, 3), (1,)):
+            key = lambda r: tuple(r[c] for c in r.__fields__)  # noqa: E731
+            arrow = sorted(map(key, text.dup_ngram_stats(
+                docs, ns=ns, impl="arrow").collect()))
+            expr = sorted(map(key, text.dup_ngram_stats(
+                docs, ns=ns, impl="expr").collect()))
+            assert arrow == expr and arrow
 
 
 def test_gopher_filter_rules(spark):
