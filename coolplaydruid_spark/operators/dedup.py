@@ -206,6 +206,22 @@ import threading
 
 _PIN_LOCK = threading.Lock()
 _PINNED: dict[int, list[DataFrame]] = {}  # id(sparkSession) -> FIFO
+# r15 (r14 verdict #4): the FIFO cap is a SILENT cliff — a composed
+# pipeline chaining more pinning operators than _PIN_MAX holds would
+# evict its own still-referenced pins mid-plan and quietly re-run the
+# subtrees the pins exist to collapse. Count overflow evictions so the
+# plan tests can assert composed pipelines complete with zero
+# self-evictions (tests/test_plans.py::test_composed_pipelines_never_
+# overflow_pin_fifo) instead of silently degrading.
+_PIN_COUNTS = {"pins": 0, "overflow_evictions": 0}
+
+
+def pin_stats() -> dict:
+    """Snapshot of pin-cache counters: total pins this process, and
+    overflow evictions (a pin pushed out by FIFO pressure — NOT stopped-
+    session cleanup or release_caches)."""
+    with _PIN_LOCK:
+        return dict(_PIN_COUNTS)
 # r14: raised 4 → 8. A single minhash query now pins up to 3 frames
 # (capped banded table + signature table + verified candidate set), and
 # the composed corpus pipeline chains several pinning operators — at 4
@@ -231,8 +247,10 @@ def _pin_cache(df: DataFrame) -> DataFrame:
     with _PIN_LOCK:
         fifo = _PINNED.setdefault(sid, [])
         fifo.append(df)
+        _PIN_COUNTS["pins"] += 1
         while len(fifo) > _PIN_MAX:
             evict.append(fifo.pop(0))
+            _PIN_COUNTS["overflow_evictions"] += 1
         for other in [k for k in _PINNED if k != sid]:
             frames = _PINNED[other]
             if not frames or _session_stopped(frames[0]):
@@ -386,7 +404,8 @@ def minhash_lsh_dedup(
         .distinct()
     )
     sizes = sig.select(F.col(id_col), F.col("n_shingles"))
-    return _verify_jaccard(candidates, sh, threshold, id_col, sizes=sizes)
+    return _verify_jaccard(candidates, sh, threshold, id_col, sizes=sizes,
+                           cache=cache)
 
 
 def minhash_lsh_dedup_incremental(
@@ -483,7 +502,8 @@ def minhash_lsh_dedup_incremental(
         sig_new.select(F.col(id_col), "n_shingles")
     )
     return _verify_jaccard(
-        candidates, sh_corpus.union(sh_new), threshold, id_col, sizes=sizes
+        candidates, sh_corpus.union(sh_new), threshold, id_col, sizes=sizes,
+        cache=cache,
     )
 
 
@@ -673,7 +693,8 @@ def _attach_sizes_and_score(co: DataFrame, sizes: DataFrame, threshold: float,
 
 
 def _verify_jaccard(candidates: DataFrame, sh: DataFrame, threshold: float,
-                    id_col: str, sizes: DataFrame | None = None) -> DataFrame:
+                    id_col: str, sizes: DataFrame | None = None,
+                    cache: bool = True) -> DataFrame:
     """Exact Jaccard for an explicit candidate-pair set (pairs must be
     DISTINCT — a duplicated pair would double the seen-twice counts;
     the minhash pipeline guarantees this with .distinct()). ``sizes``
@@ -709,8 +730,11 @@ def _verify_jaccard(candidates: DataFrame, sh: DataFrame, threshold: float,
     it — so the most expensive stages of the pipeline ran once per
     consumer (r14 plan audit). The candidate table is small by
     construction (blocking bounds it), so the pin trades a few MB of
-    storage for re-running the heaviest joins."""
-    candidates = _pin_cache(candidates)
+    storage for re-running the heaviest joins. ``cache=False`` (r15
+    advice: the caller's cache flag is honored end-to-end again)
+    disables the pin and accepts the double re-plan."""
+    if cache:
+        candidates = _pin_cache(candidates)
     members = (
         candidates.select(F.explode(F.array("doc_a", "doc_b")).alias(id_col))
         .distinct()
@@ -758,7 +782,8 @@ def banded_hamming_pairs(sig: DataFrame, band_cols: list, sig_cols: list[str],
                          out_a: str = "doc_a", out_b: str = "doc_b",
                          sig_right: DataFrame | None = None,
                          check_disjoint: bool = False,
-                         max_band_bucket: int | None = None) -> DataFrame:
+                         max_band_bucket: int | None = None,
+                         persist: bool = True) -> DataFrame:
     """The one banded-Hamming self-join, shared by SimHash, image dHash
     and audio fingerprints (r9 review: three verbatim copies diverge
     silently): explode the per-signature band structs, equi-join on
@@ -806,7 +831,13 @@ def banded_hamming_pairs(sig: DataFrame, band_cols: list, sig_cols: list[str],
     are counted on the CORPUS side (the unbounded one) and dropped
     from BOTH sides, the two-sided discipline of set_jaccard_pairs.
     Members of a dropped bucket are conservatively KEPT (emit no
-    pairs). Default off — the SQL-oracled entries stay exact."""
+    pairs). Default off — the SQL-oracled entries stay exact.
+
+    ``persist=False`` (r15 advice: internal persistence is now
+    opt-out-able) skips the uncapped self-join's signature pin and
+    accepts re-running the upstream lineage once per join side; the
+    pin is otherwise bounded by the _pin_cache FIFO and releasable via
+    release_caches()."""
     if check_disjoint and sig_right is not None:
         overlap = (
             sig.select(F.col(id_col))
@@ -826,7 +857,7 @@ def banded_hamming_pairs(sig: DataFrame, band_cols: list, sig_cols: list[str],
             F.explode(F.array(*band_cols)).alias("b"),
         ).select(id_col, *sig_cols, "b.band", "b.bits")
 
-    if sig_right is None and max_band_bucket is None:
+    if sig_right is None and max_band_bucket is None and persist:
         # r14: pin the signature table before the self-join — both join
         # sides otherwise re-plan the FULL upstream lineage once each
         # (dedup_image_phash's before-plan ran the decode+hash
@@ -1069,8 +1100,18 @@ def _pairs_arrow_self(base: DataFrame, threshold: float, vec_col: str,
         # exact per-pair dot can land on opposite sides of a 0.5e-6
         # rounding boundary; _exact_cosines makes the final call, so the
         # slack only admits extra candidates, never extra output.
-        keep = cos[iu[0], iu[1]] >= thr - 1e-6
+        # r15 (advice): 2e-6, not 1e-6 — np.round(thr - 1e-6, 6) can
+        # land one float ULP BELOW thr - 1e-6 (it does at thr=0.4, the
+        # contract entries' threshold), silently defeating the
+        # one-rounding-step guarantee; 2e-6 keeps a full rounding step
+        # of slack on every representable threshold.
+        keep = cos[iu[0], iu[1]] >= thr - 2e-6
         pa, pb = iu[0][keep], iu[1][keep]
+        # JVM-path parity (advice): the l.id < r.id join condition never
+        # emits an equal-id pair; triu over sorted ROW POSITIONS would,
+        # when an id appears twice in a block.
+        neq = ids[pa] != ids[pb]
+        pa, pb = pa[neq], pb[neq]
         vecs = {i: M[i] for i in set(pa) | set(pb)}
         ra, rb, rc = _exact_cosines(pa, pb, vecs, vecs, thr)
         return pd.DataFrame({
@@ -1112,8 +1153,9 @@ def _pairs_arrow_cross(c: DataFrame, b: DataFrame, threshold: float,
         ids_b, Mb, nb = pb
         cos = np.round((Mc @ Mb.T) / np.outer(nc, nb), 6)
         # Same one-rounding-step mask slack as _pairs_arrow_self —
-        # _exact_cosines decides, the slack cannot add output pairs.
-        keep = np.argwhere(cos >= thr - 1e-6)
+        # _exact_cosines decides, the slack cannot add output pairs
+        # (2e-6: see the self path — 1e-6 under-rounds at thr=0.4).
+        keep = np.argwhere(cos >= thr - 2e-6)
         if not len(keep):
             return empty
         va = {i: Mc[i] for i in set(keep[:, 0])}

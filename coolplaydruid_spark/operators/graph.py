@@ -43,10 +43,13 @@ from pyspark.sql import types as T
 # semantic pair graph = ~27 s for an 11k-pair graph whose union-find is
 # milliseconds). Near-dup pair graphs are dup-proportional, orders of
 # magnitude smaller than the corpus, so the common case fits the driver
-# comfortably: the cap bounds the collect at ~32 MB of long pairs.
-# Graphs past the cap — or with non-integral id types, where Python and
-# Spark orderings could diverge — take the loop, which remains the
-# 100 TB path.
+# comfortably: the edges cross as TWO int64 Arrow columns (~16 MB at the
+# cap — r15 advice fix: collect() returned 1M PySpark Row objects at
+# ~10× that in driver heap; toPandas() under the session's Arrow flag
+# keeps the transfer columnar), plus the transient Python dict the
+# union-find builds (~tens of MB at the cap). Graphs past the cap — or
+# with non-integral id types, where Python and Spark orderings could
+# diverge — take the loop, which remains the 100 TB path.
 DRIVER_CC_MAX_EDGES = 1_000_000
 
 _INTEGRAL = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
@@ -57,7 +60,11 @@ def _driver_components(edges: DataFrame) -> DataFrame:
     same fixed point as the loop (component = min member id): union
     attaches the larger root under the smaller, so every root IS its
     component's minimum throughout."""
-    rows = edges.collect()
+    pdf = edges.toPandas()  # Arrow path: two int64 columns, no Row objects
+    # .tolist() materializes plain Python ints — dict keys and the
+    # createDataFrame rows below must not be numpy scalars.
+    srcs = pdf.iloc[:, 0].to_numpy().tolist()
+    dsts = pdf.iloc[:, 1].to_numpy().tolist()
     parent: dict = {}
 
     def find(x):
@@ -68,8 +75,7 @@ def _driver_components(edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in rows:
-        a, b = row[0], row[1]
+    for a, b in zip(srcs, dsts):
         if a not in parent:
             parent[a] = a
         if b not in parent:

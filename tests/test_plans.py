@@ -492,3 +492,34 @@ def test_ivf_topk_arrow_path_above_literal_boundary(spark):
     for q, rs in by_q.items():
         ranks = sorted(r["rank"] for r in rs)
         assert ranks == list(range(1, len(rs) + 1)), (q, ranks)
+
+
+def test_composed_pipelines_never_overflow_pin_fifo(spark):
+    """r15 (r14 verdict #4): _PIN_MAX is a silent cliff — a composed
+    pipeline chaining more pinning operators than the FIFO holds evicts
+    its own still-referenced pins MID-PLAN and quietly re-runs the
+    subtrees the pins exist to collapse (the exact failure the r14 4→8
+    bump papered over). Execute the deepest composed contract pipelines
+    end-to-end and assert ZERO overflow evictions occurred: if a future
+    stage pushes any of them past _PIN_MAX, this fails loudly instead
+    of the bench silently regressing."""
+    from coolplaydruid_spark import contract
+    from coolplaydruid_spark.operators import dedup as _dedup
+
+    for name in ("pipeline_llm_corpus_packed", "pipeline_quality_corpus",
+                 "pipeline_media_dedup", "pipeline_clean_corpus"):
+        _dedup.release_caches()
+        spark.catalog.clearCache()
+        before = _dedup.pin_stats()
+        contract.QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite").save()
+        after = _dedup.pin_stats()
+        assert after["overflow_evictions"] == before["overflow_evictions"], (
+            f"{name} overflowed the pin FIFO "
+            f"({after['overflow_evictions'] - before['overflow_evictions']} "
+            f"self-evictions; {after['pins'] - before['pins']} pins > "
+            f"_PIN_MAX={_dedup._PIN_MAX})")
+        assert after["pins"] > before["pins"], (
+            f"{name} pinned nothing — the gate is vacuous")
+    _dedup.release_caches()
+    spark.catalog.clearCache()
