@@ -244,6 +244,41 @@ def _merge_candidate_evidence(spark, sf_dir: str, store: dict,
         store.setdefault(name, {}).update(stats)
 
 
+def _scaling_probe(spark) -> dict:
+    """Compute-dominated scaling probe (r14 verdict #2): the sf0.1
+    headline queries are at their fixed-overhead floor (≤2.3 s each —
+    planning + Python round-trips dominate), so an 8-vs-32-core wall
+    ratio on them measures host load, not parallelism, and the driver's
+    scaling block flagged `suspect_cpus_ignored`. This probe is pure
+    executor compute — a fixed 2^26-row xxhash64 fold chain, no input,
+    no shuffle, partitioned at defaultParallelism — so its wall DOES
+    ratio with the configured core count and gives the driver's
+    low-core comparison a meaningful denominator. Best-of-3; ~1-2 s at
+    32 cores."""
+    from pyspark.sql import functions as F
+
+    par = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 1 << 26, 1, par)
+    col = df["id"]
+    for _ in range(8):
+        col = F.xxhash64(col)
+    probe = df.select(F.max(col).alias("h"))
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        probe.collect()
+        runs.append(round(time.perf_counter() - t0, 3))
+    best = min(runs)
+    return {
+        "cpus_env": int(os.environ.get("SPARK_GRAFT_CPUS", 0) or 0),
+        "default_parallelism": par,
+        "synthetic_cpu_sec": best,
+        "synthetic_cpu_runs_sec": runs,
+        "rows": 1 << 26,
+        "hash_chain": 8,
+    }
+
+
 def _carry_sf1_evidence(payload: dict, prev: dict, tail: list) -> dict:
     """A skipped, failed, or PARTIAL sf1 pass must not clobber a
     previous complete evidence file: unless this run produced plan
@@ -383,6 +418,10 @@ def main() -> None:
     for name, n in out_counts.items():
         plan_metrics.setdefault(name, {})["output_rows"] = n
 
+    # Compute-dominated scaling probe (r14 verdict #2) — runs AFTER the
+    # timed loops so it cannot perturb the headline walls.
+    scaling_probe = _scaling_probe(spark)
+
     # sf1 tail: standing scaling evidence (SCALE.md "sf1 scaling
     # evidence"). Synthesized once into .benchdata/sf1 and reused across
     # rounds; skipped (with a marker) if synthesis fails. Best-of-3:
@@ -471,6 +510,11 @@ def main() -> None:
     )
     payload = {
         "sf": sf,
+        # The $SPARK_GRAFT_CPUS contract, auditable from the artifact
+        # (r14 verdict #2): the core count this run ACTUALLY used.
+        "cpus": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
+        "scaling_probe": scaling_probe,
         "plan_metrics": plan_metrics,
         # Noise-classification evidence (r12 verdict #5): the full
         # per-query run lists behind the headline mins and sf1 mins,
@@ -510,6 +554,13 @@ def main() -> None:
                 "median_total_sec": round(sum(medians.values()), 3),
                 "host_load_1m_max": round(
                     max(s[1] for s in host_load), 2),
+                # r14 verdict #2: state the core count in the headline
+                # line itself so the driver's low-core comparison is
+                # auditable, plus the compute-dominated probe wall whose
+                # 8-vs-32 ratio ≈ the core ratio (unlike the floor-bound
+                # sf0.1 headline queries).
+                "cpus": spark.sparkContext.defaultParallelism,
+                "scaling_probe_sec": scaling_probe["synthetic_cpu_sec"],
                 "sf": sf,
             }
         )
