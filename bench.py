@@ -258,24 +258,35 @@ def _scaling_probe(spark) -> dict:
     from pyspark.sql import functions as F
 
     par = spark.sparkContext.defaultParallelism
-    df = spark.range(0, 1 << 26, 1, par)
-    col = df["id"]
-    for _ in range(8):
-        col = F.xxhash64(col)
-    probe = df.select(F.max(col).alias("h"))
-    runs = []
-    for _ in range(3):
+    rows, chain = 1 << 28, 16
+
+    def one(off: int) -> float:
+        # Fresh plan per run (run-dependent range offset): re-collecting
+        # one DataFrame object measured 500x too fast — some layer
+        # reuses the result — and a warm-up first run absorbs JIT.
+        df = spark.range(off, off + rows, 1, par)
+        col = df["id"]
+        for _ in range(chain):
+            col = F.xxhash64(col)
         t0 = time.perf_counter()
-        probe.collect()
-        runs.append(round(time.perf_counter() - t0, 3))
-    best = min(runs)
+        df.select(F.max(col).alias("h")).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    one(999)  # JIT warm-up, untimed
+    runs = [one(i) for i in range(3)]
     return {
         "cpus_env": int(os.environ.get("SPARK_GRAFT_CPUS", 0) or 0),
         "default_parallelism": par,
-        "synthetic_cpu_sec": best,
+        "synthetic_cpu_sec": min(runs),
         "synthetic_cpu_runs_sec": runs,
-        "rows": 1 << 26,
-        "hash_chain": 8,
+        "rows": rows,
+        "hash_chain": chain,
+        # Calibration on this host (32 physical cores, virtualized):
+        # best-of-3 1.37 s at 32 cores vs 3.20 s at 8 — ratio 2.3x for a
+        # 4x core ratio (hypervisor-limited, not code: same sub-linear
+        # ceiling on pure-JVM codegen compute), vs ~1.0x on the
+        # floor-bound sf0.1 headline queries the old scaling block
+        # ratioed.
     }
 
 
