@@ -694,13 +694,14 @@ def _attach_sizes_and_score(co: DataFrame, sizes: DataFrame, threshold: float,
 
 def _verify_jaccard(candidates: DataFrame, sh: DataFrame, threshold: float,
                     id_col: str, sizes: DataFrame | None = None,
-                    cache: bool = True) -> DataFrame:
+                    cache: bool = True, via: str = "arrays") -> DataFrame:
     """Exact Jaccard for an explicit candidate-pair set (pairs must be
-    DISTINCT — a duplicated pair would double the seen-twice counts;
-    the minhash pipeline guarantees this with .distinct()). ``sizes``
-    ((id, n_shingles)) can be supplied by a caller that already computed
-    set sizes in an earlier aggregation pass (the minhash signature
-    groupBy yields it for free), saving one full re-scan of the corpus.
+    DISTINCT — a duplicated pair would double the explode path's
+    seen-twice counts; the minhash pipeline guarantees this with
+    .distinct()). ``sizes`` ((id, n_shingles)) can be supplied by a
+    caller that already computed set sizes in an earlier aggregation
+    pass (the minhash signature groupBy yields it for free), saving one
+    full re-scan of the corpus.
 
     Join strategy is left to AQE: the candidate set is usually small,
     but degenerate blocking (a stop-shingle shared by d docs yields d²
@@ -716,15 +717,25 @@ def _verify_jaccard(candidates: DataFrame, sh: DataFrame, threshold: float,
     degenerates and the member set IS corpus-scale, AQE falls back to a
     shuffle semi-join, which is exactly the right price then.
 
-    The intersection itself joins the reduced shingles ONCE: explode
-    each (distinct) candidate pair into its two members, join member →
-    shingles, and count shingles seen twice per pair — shingles are
-    distinct per document, so c==2 ⟺ both members carry the shingle.
-    One join + an aggregation with map-side combine beats the classic
-    a/b double self-join (two shuffles of the reduced shingle set).
+    ``via="arrays"`` (default, r15 — guide §2.3 shuffle fewer records):
+    pack each member's reduced shingle set into ONE array row
+    (collect_list over sh_c — shingles are distinct per doc, so the
+    array is a set), attach the two arrays to each candidate pair with
+    two joins, and count the intersection in-row with
+    size(array_intersect). The r14 explode path shipped every member
+    shingle once per pair as an individual row through a
+    (pair, shingle) groupBy — 25M skinny shuffle records for 42k sf1
+    candidates — where the array path moves the same bytes as 2×|pairs|
+    array records and needs no post-join aggregation at all. Per-pair
+    blowup for hub docs (one doc's set duplicated once per pair it
+    appears in) is identical between the two shapes.
+
+    ``via="explode"`` keeps the r14 shape (the reference the
+    equivalence test pins): explode each pair into its members, join
+    member → shingles, count shingles seen twice per pair.
 
     The candidate set is pinned (bounded _pin_cache) before use: it is
-    consumed twice here (members + pair explosion), and WITHOUT the pin
+    consumed twice here (members + pair attach), and WITHOUT the pin
     each consumer re-plans the whole candidate-generation subtree —
     banded self-join, distinct, and the signature aggregations feeding
     it — so the most expensive stages of the pipeline ran once per
@@ -740,23 +751,55 @@ def _verify_jaccard(candidates: DataFrame, sh: DataFrame, threshold: float,
         .distinct()
     )
     sh_c = sh.join(members, on=id_col, how="left_semi")
-    pair_members = candidates.select(
-        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias(id_col)
-    )
-    pair_sh = (
-        pair_members.join(sh_c, on=id_col)
-        .groupBy("doc_a", "doc_b", "shingle")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .where(F.col("__c") == 2)
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    if sizes is None:
-        # Only candidate-pair members' sizes are ever consumed — compute
-        # them from the semi-join-reduced sh_c, not the corpus-scale sh
-        # (a full-corpus groupBy here would re-add exactly the shuffle
-        # the reduction above removed).
-        sizes = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    if via == "arrays":
+        sets = sh_c.groupBy(id_col).agg(
+            F.collect_list("shingle").alias("__set"))
+        if cache:
+            # sets feeds BOTH attach joins (doc_a and doc_b) — unpinned,
+            # Catalyst plans the collect_list + semi-join reduction once
+            # per side (plan audit: the whole subtree appeared twice).
+            # Member-scale rows (dup-proportional, never corpus-scale).
+            sets = _pin_cache(sets)
+        sa = sets.select(F.col(id_col).alias("doc_a"),
+                         F.col("__set").alias("__sa"))
+        sb = sets.select(F.col(id_col).alias("doc_b"),
+                         F.col("__set").alias("__sb"))
+        pair_sh = (
+            candidates.join(sa, on="doc_a").join(sb, on="doc_b")
+            .select(
+                "doc_a", "doc_b",
+                F.size(F.array_intersect("__sa", "__sb"))
+                .cast("long").alias("n_common"),
+            )
+            # the explode path never emits a zero-common pair (no
+            # shingle is seen twice); match it exactly so a threshold
+            # of 0.0 cannot change the row set
+            .where(F.col("n_common") >= 1)
+        )
+        if sizes is None:
+            sizes = sets.select(
+                F.col(id_col), F.size("__set").cast("long").alias("n_shingles"))
+    elif via == "explode":
+        pair_members = candidates.select(
+            "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+        )
+        pair_sh = (
+            pair_members.join(sh_c, on=id_col)
+            .groupBy("doc_a", "doc_b", "shingle")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") == 2)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        if sizes is None:
+            # Only candidate-pair members' sizes are ever consumed —
+            # compute them from the semi-join-reduced sh_c, not the
+            # corpus-scale sh (a full-corpus groupBy here would re-add
+            # exactly the shuffle the reduction above removed).
+            sizes = sh_c.groupBy(id_col).agg(
+                F.count(F.lit(1)).alias("n_shingles"))
+    else:
+        raise ValueError(f"via must be 'arrays' or 'explode', got {via!r}")
     return _attach_sizes_and_score(pair_sh, sizes, threshold, id_col)
 
 

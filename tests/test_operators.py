@@ -354,6 +354,41 @@ def test_minhash_lsh_cache_equivalent(engine):
     assert cached == uncached and cached
 
 
+def test_verify_jaccard_arrays_matches_explode(engine):
+    """r15 focused gate for the array-intersect verify (guide §2.3):
+    via='arrays' (one collect_list per member + in-row array_intersect)
+    must equal via='explode' (the r14 per-(pair,shingle) groupBy)
+    pair-for-pair and jaccard-for-jaccard. Run through the full minhash
+    pipeline at a low threshold so the candidate set is rich."""
+    from coolplaydruid_spark.operators import dedup as _dedup
+
+    docs = engine.catalog.table("documents")
+    sh = dedup.shingles(docs, k=3, as_hash=True)
+    sig = dedup.minhash_signatures(sh, hashed=True)
+    banded = dedup.band_hashes(sig)
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.bh") == F.col("r.bh"))
+               & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    key = lambda r: (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))  # noqa: E731
+    out = {}
+    sizes = sig.select("doc_id", "n_shingles")
+    # caller-supplied sizes (the minhash shape) AND the sizes=None branch
+    # (sizes derived from the reduced sets) must both be via-invariant
+    for sz in (sizes, None):
+        for via in ("arrays", "explode"):
+            _dedup.release_caches()
+            out[via] = sorted(map(key, _dedup._verify_jaccard(
+                cands, sh, 0.05, "doc_id", sizes=sz, via=via).collect()))
+        assert out["arrays"] == out["explode"] and out["arrays"]
+    _dedup.release_caches()
+
+
 def test_ngram_jaccard_cache_equivalent(engine):
     """r14 focused gate for the shingle-table pin: cache=True pins the
     (doc_id, shingle-hash) table feeding both co-shingle join sides and
