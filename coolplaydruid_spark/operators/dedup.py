@@ -900,17 +900,98 @@ def banded_hamming_pairs(sig: DataFrame, band_cols: list, sig_cols: list[str],
             F.explode(F.array(*band_cols)).alias("b"),
         ).select(id_col, *sig_cols, "b.band", "b.bits")
 
-    if sig_right is None and max_band_bucket is None and persist:
-        # r14: pin the signature table before the self-join — both join
-        # sides otherwise re-plan the FULL upstream lineage once each
-        # (dedup_image_phash's before-plan ran the decode+hash
-        # MapInPandas stack twice; simhash re-tokenized twice). One
-        # fixed-width row per item, bounded by the _pin_cache FIFO —
-        # the same argument as the minhash signature pin. The capped
-        # self form needs no second pin: _drop_hot_keys(persist=True)
-        # already materializes the banded table that feeds both sides.
-        sig = _pin_cache(
-            sig.select(F.col(id_col), *[F.col(c) for c in sig_cols]))
+    if sig_right is None and max_band_bucket is None:
+        # r15 (guide §8 — decide on a lightweight proxy, expand once):
+        # collapse IDENTICAL signatures to one representative row before
+        # banding. Hot band buckets come overwhelmingly from
+        # mass-duplicated items whose whole 64-bit signature is equal
+        # (the sf1 media fixture: 670M enumerated candidates from 400k
+        # banded rows, verified down to 21k pairs), and a bucket of d
+        # identical signatures enumerates d² candidates that all decide
+        # the same thing. Pair the DISTINCT signatures instead, then
+        # expand groups: every same-signature pair is Hamming 0 (always
+        # ≤ max_hamming, emitted directly), and a cross-group pair's
+        # Hamming is a pure function of the two signatures, so every
+        # member-pair of a matched rep pair inherits it. The output is
+        # EXACTLY the uncapped banded join's (which is exactly all-pairs
+        # under the pigeonhole bound) — only the candidate enumeration
+        # shrinks, quadratically in the duplication factor. The capped
+        # form keeps the per-item bucket semantics its oracles encode.
+        #
+        # The group table is pinned (r14's signature-pin argument, one
+        # row per DISTINCT signature now): it feeds both join sides and
+        # both expansion joins, and unpinned each consumer re-plans the
+        # full upstream decode/tokenize lineage.
+        groups = (
+            sig.select(F.col(id_col), *[F.col(c) for c in sig_cols])
+            .groupBy(*[F.col(c) for c in sig_cols])
+            .agg(F.min(id_col).alias(id_col),
+                 F.collect_list(id_col).alias("__members"))
+        )
+        if persist:
+            groups = _pin_cache(groups)
+        reps = groups.select(F.col(id_col), *[F.col(c) for c in sig_cols])
+        # Two-band composite keys (pigeonhole-exact for
+        # h ≤ bands − 2) were measured and REJECTED: 665M → 162M
+        # enumerated rep candidates at sf1, but the 3.5× larger banded
+        # table through the exchange + join build cost more than the
+        # enumeration saved (interleaved A/B: 11.6 s vs 8.9 s) — with
+        # the hamming filter ahead of the distinct, enumeration is a
+        # cheap codegen inner loop that never shuffles.
+        lb = bandify(reps)
+        evidence.record_blocking("banded_hamming", lb, ["band", "bits"])
+        l, r = lb.alias("l"), lb.alias("r")
+        rep_pairs = (
+            l.join(r, (F.col("l.band") == F.col("r.band"))
+                   & (F.col("l.bits") == F.col("r.bits"))
+                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(
+                F.col(f"l.{id_col}").alias("__ra"),
+                F.col(f"r.{id_col}").alias("__rb"),
+                hamming("l", "r").alias("hamming"),
+            )
+            # Filter BEFORE the distinct (guide §2.3): the distinct used
+            # to shuffle every colliding band match — 670M rows on the
+            # sf1 media fixture — when the hamming cut admits only
+            # output-scale survivors (≤ bands × true pairs). Same rows
+            # out: distinct∘filter ≡ filter∘distinct for a
+            # deterministic per-row predicate.
+            .where(F.col("hamming") <= int(max_hamming))
+            .distinct()
+        )
+        if persist:
+            # Output-scale (bounded by bands × true pairs). Downstream
+            # consumers (connected_components doubles the edge list;
+            # keep-best re-reads) otherwise re-run the banded
+            # enumeration join once each.
+            rep_pairs = _pin_cache(rep_pairs)
+        ga = groups.select(F.col(id_col).alias("__ra"),
+                           F.col("__members").alias("__ma"))
+        gb = groups.select(F.col(id_col).alias("__rb"),
+                           F.col("__members").alias("__mb"))
+        cross = (
+            rep_pairs.join(ga, on="__ra").join(gb, on="__rb")
+            .select(F.explode("__ma").alias("__a"), "__mb", "hamming")
+            .select(F.col("__a"), F.explode("__mb").alias("__b"), "hamming")
+            .select(
+                F.least("__a", "__b").alias(out_a),
+                F.greatest("__a", "__b").alias(out_b),
+                F.col("hamming"),
+            )
+            .where(F.col(out_a) < F.col(out_b))
+        )
+        within = (
+            groups.where(F.size("__members") >= 2)
+            .select(F.explode("__members").alias(out_a), "__members")
+            .select(F.col(out_a), F.explode("__members").alias(out_b))
+            .where(F.col(out_a) < F.col(out_b))
+            .withColumn("hamming", F.lit(0).cast(
+                cross.schema["hamming"].dataType.simpleString()))
+            # constant-folded: only empties the branch for a degenerate
+            # max_hamming < 0, where the banded join emits nothing too
+            .where(F.lit(0) <= int(max_hamming))
+        )
+        return cross.unionByName(within)
     lb = bandify(sig)
     rb = bandify(sig_right) if sig_right is not None else None
     if max_band_bucket is not None:
@@ -945,8 +1026,10 @@ def banded_hamming_pairs(sig: DataFrame, band_cols: list, sig_cols: list[str],
             F.col(f"r.{id_col}").alias(out_b),
             hamming("l", "r").alias("hamming"),
         )
-        .distinct()
+        # same §2.3 reorder as the grouped self form: cut to
+        # output-scale before the distinct's exchange
         .where(F.col("hamming") <= int(max_hamming))
+        .distinct()
     )
 
 

@@ -354,6 +354,39 @@ def test_minhash_lsh_cache_equivalent(engine):
     assert cached == uncached and cached
 
 
+def test_banded_hamming_group_dedup_matches_direct_join(engine):
+    """r15 focused gate for the signature-group dedup (guide §8): the
+    uncapped self form now pairs DISTINCT signatures and expands member
+    groups (same-signature pairs at Hamming 0, cross-group pairs
+    inheriting the rep Hamming). A never-binding cap routes through the
+    old direct banded self-join (the cap path is unchanged), giving the
+    reference: both must produce the identical (a, b, hamming) set.
+    Exercised on image dHash AND simhash (different band widths and
+    hamming expressions) over the fixture corpus, whose duplicated docs
+    produce real multi-member groups."""
+    from coolplaydruid_spark.contract import _docs_as_media
+    from coolplaydruid_spark.operators import dedup as _dedup
+
+    docs = engine.catalog.table("documents")
+    key = lambda r: tuple(r[c] for c in r.__fields__)  # noqa: E731
+    for mk in (
+        lambda cap: multimodal.phash_neardup(
+            _docs_as_media(engine, "png"), max_hamming=6,
+            max_band_bucket=cap),
+        lambda cap: dedup.simhash_dedup(docs, max_hamming=3,
+                                        max_band_bucket=cap),
+    ):
+        _dedup.release_caches()
+        grouped = sorted(map(key, mk(None).collect()))
+        _dedup.release_caches()
+        direct = sorted(map(key, mk(10**9).collect()))
+        assert grouped == direct and grouped
+        # sanity: the fixture really has multi-member groups (hamming-0
+        # mass duplicates), or the expansion half of the path is vacuous
+        assert any(r[-1] == 0 for r in grouped)
+    _dedup.release_caches()
+
+
 def test_verify_jaccard_arrays_matches_explode(engine):
     """r15 focused gate for the array-intersect verify (guide §2.3):
     via='arrays' (one collect_list per member + in-row array_intersect)
