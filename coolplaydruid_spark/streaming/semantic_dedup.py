@@ -107,13 +107,21 @@ def process_semantic_batch(
     ).select(id_col, vec_col, *_STORE_COLS).withColumn(
         "__centroid_version", F.lit(ver)
     ).persist()
+    self_surv = None
     try:
         self_pairs = dedup.embedding_neardup(
             cells, threshold=threshold, vec_col=vec_col, id_col=id_col,
             block_col="__cell", impl=impl,
         )
         drops = self_pairs.select(F.col("id_b").alias(id_col)).distinct()
-        survivors = cells.join(drops, on=id_col, how="left_anti")
+        # Persist the self-check survivors (r15): they are consumed
+        # TWICE below — as the cross-check's batch side AND as the left
+        # side of the final anti-join — and unpersisted each consumer
+        # re-ran the whole within-cell pairing fold (measured 15-30 s
+        # per sf1 micro-batch vs ~4 s materialized once). Batch-scale
+        # rows; released in the finally.
+        self_surv = cells.join(drops, on=id_col, how="left_anti").persist()
+        survivors = self_surv
 
         existing = _read_accepted(
             batch_df.sparkSession, accepted_path, exclude_batch=batch_id)
@@ -144,3 +152,5 @@ def process_semantic_batch(
             f"{accepted_path}/batch={batch_id}")
     finally:
         cells.unpersist()
+        if self_surv is not None:
+            self_surv.unpersist()
