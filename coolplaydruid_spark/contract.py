@@ -7733,7 +7733,11 @@ def _spark_llm_corpus_stages(spark, sf_dir, **kw) -> dict:
     eng = engine_for(spark, sf_dir)
     docs = eng.catalog.table("documents")
     emb = eng.catalog.table("embeddings")
-    # 1: exact dedup — survivors are exact_dedup's per-digest keeper
+    # 1: exact dedup — survivors are exact_dedup's per-digest keeper.
+    # (r15: pinning s1 and the stage-3 survivor corpus was measured and
+    # REJECTED — interleaved A/B 26.3 s pinned vs 18.2 s unpinned at
+    # sf1: the pin materialization, and caching the text-bearing
+    # survivor corpus, cost more than the re-run groupBy they avoid.)
     s1 = dedup.exact_dedup(docs).select(F.col("survivor_id").alias("doc_id"))
     d1 = docs.join(s1, on="doc_id")
     # 2: minhash LSH pairs → components → keep smallest id. The

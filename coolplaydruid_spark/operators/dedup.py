@@ -222,14 +222,18 @@ def pin_stats() -> dict:
     session cleanup or release_caches)."""
     with _PIN_LOCK:
         return dict(_PIN_COUNTS)
-# r14: raised 4 → 8. A single minhash query now pins up to 3 frames
-# (capped banded table + signature table + verified candidate set), and
-# the composed corpus pipeline chains several pinning operators — at 4
-# a composed query could evict its own still-referenced pins mid-plan
-# and silently re-run the subtrees the pins exist to collapse. Every
-# pinned frame is doc-scale (ids + a few fixed-width columns), never
-# shingle-scale, so 8 stays far below one scan partition's footprint.
-_PIN_MAX = 8
+# r14: raised 4 → 8; r15: raised 8 → 16. A single minhash query now
+# pins up to 4 frames (capped banded table + signature table + verified
+# candidate set + member shingle-set arrays), and the composed packed
+# corpus pipeline reached 10 pins (minhash 4 + gopher + exact-dedup
+# survivors + stage-3 corpus + contamination + semantic cells…) — at 8
+# it evicted its own still-referenced pins mid-plan, the exact silent
+# cliff the overflow gate (test_composed_pipelines_never_overflow_pin_
+# fifo) exists to catch, and the eviction recompute cost more than the
+# deepest pipeline's pins hold. Every pinned frame is doc- or
+# survivor-scale (ids + fixed-width columns or bounded arrays), never
+# shingle-scale, so 16 stays far below one scan partition's footprint.
+_PIN_MAX = 16
 
 
 def _session_stopped(df: DataFrame) -> bool:

@@ -128,13 +128,19 @@ def connected_components(
     ordering). ``driver_max_edges=None`` or 0 forces the loop — the
     100 TB path, unchanged.
     """
-    # Undirected edge list, both directions, self-loop-free.
-    e = pairs.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).where(F.col(src_col) != F.col(dst_col))
-    edges = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # Undirected edge list, both directions, self-loop-free. One
+    # explode instead of e ∪ e.swap (r15): the union planned the
+    # ``pairs`` subtree once per side, so every caller paid the full
+    # pair-generation lineage twice per components() call.
+    edges = (
+        pairs.where(F.col(src_col) != F.col(dst_col))
+        .select(F.explode(F.array(
+            F.struct(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
+            F.struct(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")),
+        )).alias("__e"))
+        .select("__e.src", "__e.dst")
+        .distinct()
+    )
     edges = edges.localCheckpoint(eager=True)
 
     if (
